@@ -1,0 +1,175 @@
+"""Vectorized hashing kernels (numpy only — no Ray imports).
+
+These replace the reference's two scalar hash functions with batched
+numpy equivalents:
+
+- the ntHash rolling k-mer hash used for minimizer/partition derivation
+  (reference call sites ``src/SkmerExtractor.cpp:65-74,104``) becomes
+  :func:`kgram_hashes_flat` — a polynomial window hash over token-id
+  arrays, computed for *every* k-gram of *every* row of a batch in
+  O(k) vectorized passes;
+- the ``xorshift32`` Bloom hash (``src/SkmerSplitter.cpp:4-13``)
+  becomes :func:`splitmix64` double-hashing inside the sketches.
+
+All hashes are 64-bit and deterministic across processes, which is the
+partitioning-correctness keystone (reference: ``fifo_nb = hmin % q``,
+``src/SkmerExtractor.cpp:164`` — identical content must always route to
+the same partition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+UINT64 = np.uint64
+_MASK64 = UINT64(0xFFFFFFFFFFFFFFFF)
+
+# splitmix64 constants (public domain, Vigna 2015)
+_SM_GAMMA = UINT64(0x9E3779B97F4A7C15)
+_SM_M1 = UINT64(0xBF58476D1CE4E5B9)
+_SM_M2 = UINT64(0x94D049BB133111EB)
+
+# polynomial base for k-gram window hashing (odd 64-bit constant)
+_POLY_B = UINT64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64.
+
+    Used as (a) the generic scalar hash, (b) the second hash in the
+    sketches' double-hashing schemes (h1 + i*h2), (c) salt derivation.
+    """
+    z = np.asarray(x, dtype=UINT64)
+    with np.errstate(over="ignore"):
+        z = (z + _SM_GAMMA).astype(UINT64)
+        z = ((z ^ (z >> UINT64(30))) * _SM_M1).astype(UINT64)
+        z = ((z ^ (z >> UINT64(27))) * _SM_M2).astype(UINT64)
+        z = z ^ (z >> UINT64(31))
+    return z
+
+
+def hash64_ints(arr: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Hash an integer array elementwise to uint64."""
+    a = np.asarray(arr).astype(UINT64, copy=False)
+    if seed:
+        a = a ^ UINT64(seed & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(a)
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Vectorized deterministic uint64 hash of a string column.
+
+    Accepts a pandas Series, pyarrow Array/ChunkedArray, numpy object
+    array or list of str. Uses pandas' keyed SipHash
+    (``pd.util.hash_pandas_object`` — fixed default key, deterministic
+    across processes) so no per-row Python hashing happens.
+    """
+    import pandas as pd
+
+    if not isinstance(values, pd.Series):
+        try:  # pyarrow array → pandas without copy of offsets
+            values = values.to_pandas()
+        except AttributeError:
+            values = pd.Series(values)
+        if not isinstance(values, pd.Series):
+            values = pd.Series(values)
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy(dtype=UINT64)
+    if seed:
+        h = splitmix64(h ^ UINT64(seed & 0xFFFFFFFFFFFFFFFF))
+    return h
+
+
+def _poly_window(u: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hash of every length-k window of pre-mixed array u.
+
+    Returns array of length ``len(u) - k + 1``:
+    ``H[i] = sum_j u[i+j] * B^(k-1-j)  (mod 2^64)``.
+    O(k) vectorized passes — the batched analog of the reference's O(1)
+    rolling ntHash (same asymptotic cost per element, SIMD-friendly).
+    """
+    n = len(u)
+    nw = n - k + 1
+    if nw <= 0:
+        return np.empty(0, dtype=UINT64)
+    H = np.zeros(nw, dtype=UINT64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            H = (H * _POLY_B + u[j : j + nw]).astype(UINT64)
+    return H
+
+
+def kgram_hashes_flat(
+    flat_tokens: np.ndarray,
+    offsets: np.ndarray,
+    k: int,
+    *,
+    canonical: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """k-gram hashes for a batch of variable-length token rows.
+
+    Args:
+        flat_tokens: concatenated token ids of all rows (Arrow
+            list-column value buffer; any int dtype).
+        offsets: ``len(rows)+1`` int array of row boundaries into
+            ``flat_tokens`` (Arrow list offsets).
+        k: window length (reference k-mer k, ``src/main.cpp` k=31).
+        canonical: also hash each window reversed and keep the min —
+            the analog of the reference's canonical fwd/revcomp hashing
+            (``src/SkmerExtractor.cpp:65-90``). Off by default: for
+            token streams direction is meaningful.
+
+    Returns:
+        (hashes, row_index, pos): one entry per k-gram that fits
+        entirely inside one row. ``row_index`` is the row ordinal in
+        the batch; ``pos`` the k-gram's 0-based offset within its row —
+        together the clean replacement of the reference's single global
+        ``position`` counter (``src/SkmerExtractor.cpp:39,98,180``,
+        which drifts at sequence boundaries — SURVEY §8.4).
+    """
+    flat = np.asarray(flat_tokens)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(flat)
+    if n == 0 or len(offsets) < 2:
+        e = np.empty(0, dtype=UINT64)
+        return e, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+
+    u = splitmix64(flat.astype(UINT64, copy=False))  # pre-mix small token ids
+    H = _poly_window(u, k)
+    if canonical and len(H):
+        Hr = _poly_window(u[::-1], k)[::-1]
+        H = np.minimum(H, Hr)
+    H = splitmix64(H)
+
+    # valid window starts: start >= row_start and start + k <= row_end
+    nw = len(H)
+    starts = np.arange(nw, dtype=np.int64)
+    # row of each start position
+    row_of_start = np.searchsorted(offsets, starts, side="right") - 1
+    row_end = offsets[row_of_start + 1]
+    valid = starts + k <= row_end
+    starts = starts[valid]
+    row_index = row_of_start[valid]
+    pos = (starts - offsets[row_index]).astype(np.int32)
+    return H[valid], row_index, pos
+
+
+def kgram_hashes(tokens_list, k: int, **kw) -> list[np.ndarray]:
+    """Per-row k-gram hashes (convenience for tests / small inputs)."""
+    out = []
+    for row in tokens_list:
+        row = np.asarray(row)
+        offs = np.array([0, len(row)], dtype=np.int64)
+        h, _, _ = kgram_hashes_flat(row, offs, k, **kw)
+        out.append(h)
+    return out
+
+
+def partition_of(hashes: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic content-derived partition id — ``h % P``.
+
+    The same-shard invariant of the reference's minimizer routing
+    (``src/SkmerExtractor.cpp:164``) with uniform balance (SURVEY §2
+    note on #3/#6: minimizer partitioning is skewed by construction;
+    uniform hash mod preserves correctness with better balance).
+    """
+    return (np.asarray(hashes, dtype=UINT64) % UINT64(num_partitions)).astype(np.int32)

@@ -1,0 +1,8 @@
+from .base import Sketch, deserialize_sketch  # noqa: F401
+from .bloom import BloomFilter  # noqa: F401
+from .hll import HyperLogLog  # noqa: F401
+from .cms import CountMinSketch  # noqa: F401
+from .tdigest import TDigest  # noqa: F401
+from .kll import KLL  # noqa: F401
+from .minhash import MinHash  # noqa: F401
+from .simhash import simhash64  # noqa: F401

@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+from bloomfilter_multithread_ray.functions.hashing import (
+    hash64_ints,
+    hash_strings,
+    kgram_hashes,
+    kgram_hashes_flat,
+    partition_of,
+    splitmix64,
+)
+
+
+def test_splitmix64_deterministic_and_mixing():
+    x = np.arange(1000, dtype=np.uint64)
+    a, b = splitmix64(x), splitmix64(x)
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == 1000
+    # low bits well distributed
+    assert 400 < int((a & np.uint64(1)).sum()) < 600
+
+
+def test_hash_strings_deterministic():
+    vals = [f"doc-{i}" for i in range(100)]
+    a = hash_strings(vals)
+    b = hash_strings(list(vals))
+    assert np.array_equal(a, b)
+    assert a.dtype == np.uint64
+    assert len(np.unique(a)) == 100
+    assert not np.array_equal(a, hash_strings(vals, seed=7))
+
+
+def test_kgram_flat_matches_per_row():
+    rng = np.random.default_rng(42)
+    rows = [rng.integers(0, 50, size=n).astype(np.int32) for n in (0, 3, 10, 31, 200)]
+    k = 4
+    flat = np.concatenate([r for r in rows]) if rows else np.empty(0)
+    offsets = np.cumsum([0] + [len(r) for r in rows])
+    h, row_idx, pos = kgram_hashes_flat(flat, offsets, k)
+    per_row = kgram_hashes(rows, k)
+    expect_n = sum(max(0, len(r) - k + 1) for r in rows)
+    assert len(h) == expect_n
+    got = [h[row_idx == i] for i in range(len(rows))]
+    for g, e in zip(got, per_row):
+        assert np.array_equal(g, e)
+    # positions are 0..len-k per row
+    for i, r in enumerate(rows):
+        p = pos[row_idx == i]
+        assert np.array_equal(p, np.arange(max(0, len(r) - k + 1), dtype=np.int32))
+
+
+def test_kgram_no_cross_row_windows():
+    # two rows that would form a valid window if concatenated
+    rows = [np.array([1, 2], dtype=np.int32), np.array([3, 4], dtype=np.int32)]
+    flat = np.concatenate(rows)
+    offsets = np.array([0, 2, 4])
+    h, row_idx, pos = kgram_hashes_flat(flat, offsets, k=3)
+    assert len(h) == 0
+
+
+def test_kgram_content_identity():
+    # identical windows in different rows hash identically (partition keystone)
+    a = np.array([5, 6, 7, 8, 9], dtype=np.int32)
+    b = np.array([1, 5, 6, 7, 8, 9, 2], dtype=np.int32)
+    ha = kgram_hashes([a], 3)[0]
+    hb = kgram_hashes([b], 3)[0]
+    assert set(ha) <= set(hb)
+
+
+def test_canonical_mode():
+    fwd = np.array([1, 2, 3, 4, 5], dtype=np.int32)
+    rev = fwd[::-1].copy()
+    hf = kgram_hashes([fwd], 5, canonical=True)[0]
+    hr = kgram_hashes([rev], 5, canonical=True)[0]
+    assert np.array_equal(hf, hr)
+
+
+def test_partition_of_range_and_balance():
+    h = splitmix64(np.arange(100_000, dtype=np.uint64))
+    p = partition_of(h, 32)
+    assert p.dtype == np.int32
+    assert p.min() >= 0 and p.max() < 32
+    counts = np.bincount(p, minlength=32)
+    assert counts.min() > 0.8 * counts.mean()
+
+
+def test_hash64_ints_seeded():
+    x = np.arange(50)
+    assert not np.array_equal(hash64_ints(x), hash64_ints(x, seed=1))

@@ -1,0 +1,279 @@
+"""Unit tests per sketch family (FIXTURES.md F4): error bounds vs exact
+numpy oracles, zero false negatives, serialization round-trips."""
+
+import numpy as np
+import pytest
+
+from bloomfilter_multithread_ray.functions.hashing import splitmix64
+from bloomfilter_multithread_ray.state import (
+    KLL,
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    MinHash,
+    TDigest,
+    deserialize_sketch,
+)
+from bloomfilter_multithread_ray.state.minhash import minhash_signatures
+from bloomfilter_multithread_ray.state.simhash import hamming64, simhash64
+
+
+def _hashes(n, seed=0):
+    return splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed * 10_000_000_007))
+
+
+# ---------------------------------------------------------------- Bloom
+@pytest.mark.parametrize("n,m,k", [(10, 1024, 4), (1_000, 1 << 14, 4), (100_000, 1 << 21, 6), (1_000, 1 << 16, 1)])
+def test_bloom_zero_fn_and_fpr(n, m, k):
+    bf = BloomFilter(num_bits=m, num_hashes=k)
+    pos = _hashes(n, seed=1)
+    bf.update_hashes(pos)
+    assert bf.contains(pos).all(), "Bloom filter produced a false negative"
+    neg = _hashes(50_000, seed=2)
+    fpr = float(bf.contains(neg).mean())
+    bound = bf.theoretical_fpr(n)
+    assert fpr <= bound * 1.3 + 0.005, f"fpr {fpr} above bound {bound}"
+
+
+def test_bloom_estimate_and_fill():
+    bf = BloomFilter(num_bits=1 << 16, num_hashes=4)
+    bf.update_hashes(_hashes(5000))
+    assert 0 < bf.fill_ratio() < 1
+    assert abs(bf.estimate() - 5000) / 5000 < 0.05
+
+
+def test_bloom_merge_equals_single_pass():
+    h = _hashes(10_000)
+    one = BloomFilter(1 << 16, 4)
+    one.update_hashes(h)
+    parts = np.array_split(h, 7)
+    merged = BloomFilter(1 << 16, 4)
+    for p in parts:
+        shard = BloomFilter(1 << 16, 4)
+        shard.update_hashes(p)
+        merged.merge(shard)
+    assert np.array_equal(one.words, merged.words)
+    assert merged.n_added == one.n_added
+
+
+# ---------------------------------------------------------------- HLL
+@pytest.mark.parametrize("true_n", [100, 10_000, 1_000_000])
+def test_hll_error_bound(true_n):
+    hll = HyperLogLog(p=14)
+    hll.update_hashes(_hashes(true_n))
+    est = hll.estimate()
+    rel = abs(est - true_n) / true_n
+    assert rel < 3 * hll.rel_error() + 0.01, f"{est} vs {true_n}"
+
+
+def test_hll_duplicates_do_not_inflate():
+    hll = HyperLogLog(p=12)
+    h = _hashes(1000)
+    for _ in range(5):
+        hll.update_hashes(h)
+    assert abs(hll.estimate() - 1000) / 1000 < 0.1
+
+
+def test_hll_merge_equals_single_pass():
+    h = _hashes(100_000)
+    one = HyperLogLog(p=12)
+    one.update_hashes(h)
+    merged = HyperLogLog(p=12)
+    for p in np.array_split(h, 13):
+        s = HyperLogLog(p=12)
+        s.update_hashes(p)
+        merged.merge(s)
+    assert np.array_equal(one.registers, merged.registers)
+
+
+# ---------------------------------------------------------------- CMS
+def test_cms_overestimate_only_within_bound():
+    rng = np.random.default_rng(42)
+    items = rng.zipf(1.3, size=200_000)
+    items = items[items < 100_000]
+    h = splitmix64(items.astype(np.uint64))
+    cms = CountMinSketch(width=1 << 14, depth=5)
+    cms.update_hashes(h)
+    uniq, true_counts = np.unique(h, return_counts=True)
+    est = cms.estimate_hashes(uniq)
+    assert (est >= true_counts).all(), "CMS underestimated"
+    # overestimate bounded by eps * total with prob 1-delta; check 99.9%
+    overs = est - true_counts
+    bound = cms.eps * cms.total
+    assert (overs <= bound).mean() > 0.999
+
+
+def test_cms_weighted_update():
+    cms = CountMinSketch(width=1 << 12, depth=4)
+    h = _hashes(10)
+    cms.update_hashes(h, weights=np.full(10, 7))
+    assert (cms.estimate_hashes(h) >= 7).all()
+    assert cms.total == 70
+
+
+def test_cms_merge_equals_single_pass():
+    h = _hashes(50_000) % np.uint64(997)
+    h = splitmix64(h)
+    one = CountMinSketch(width=1 << 12, depth=4)
+    one.update_hashes(h)
+    merged = CountMinSketch(width=1 << 12, depth=4)
+    for p in np.array_split(h, 9):
+        s = CountMinSketch(width=1 << 12, depth=4)
+        s.update_hashes(p)
+        merged.merge(s)
+    assert np.array_equal(one.counts, merged.counts)
+    assert one.total == merged.total
+
+
+# ---------------------------------------------------------------- TDigest
+@pytest.mark.parametrize("dist", ["uniform", "normal", "zipf"])
+def test_tdigest_rank_error(dist):
+    rng = np.random.default_rng(7)
+    n = 100_000
+    if dist == "uniform":
+        x = rng.uniform(0, 1, n)
+    elif dist == "normal":
+        x = rng.normal(0, 1, n)
+    else:
+        x = rng.zipf(1.5, n).astype(float)
+    td = TDigest(compression=200)
+    for chunk in np.array_split(x, 17):
+        td.update_values(chunk)
+    xs = np.sort(x)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = td.quantile(q)
+        # rank error: distance from q to the [left, right] rank interval
+        # of est in the true CDF (interval, because duplicates give one
+        # value a rank range — e.g. Zipf mass at 1.0)
+        lo = np.searchsorted(xs, est, side="left") / n
+        hi = np.searchsorted(xs, est, side="right") / n
+        err = max(lo - q, q - hi, 0.0)
+        assert err < 0.02, f"q={q} dist={dist}: rank [{lo},{hi}]"
+
+
+def test_tdigest_merge_within_bound():
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, 50_000)
+    parts = np.array_split(x, 8)
+    digs = []
+    for p in parts:
+        d = TDigest(compression=200)
+        d.update_values(p)
+        digs.append(d)
+    merged = digs[0]
+    for d in digs[1:]:
+        merged.merge(d)
+    xs = np.sort(x)
+    for q in (0.1, 0.5, 0.9):
+        r = np.searchsorted(xs, merged.quantile(q)) / len(x)
+        assert abs(r - q) < 0.02
+    assert merged.total == len(x)
+    assert merged.min == xs[0] and merged.max == xs[-1]
+
+
+# ---------------------------------------------------------------- KLL
+def test_kll_rank_error():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 100, 100_000)
+    kll = KLL(k=200)
+    for chunk in np.array_split(x, 23):
+        kll.update_values(chunk)
+    xs = np.sort(x)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        r = np.searchsorted(xs, kll.quantile(q)) / len(x)
+        assert abs(r - q) < 0.03, f"q={q}: rank {r}"
+    assert kll.n == len(x)
+
+
+def test_kll_merge_within_bound():
+    rng = np.random.default_rng(5)
+    x = rng.normal(10, 3, 60_000)
+    merged = KLL(k=200)
+    for p in np.array_split(x, 6):
+        s = KLL(k=200)
+        s.update_values(p)
+        merged.merge(s)
+    xs = np.sort(x)
+    for q in (0.1, 0.5, 0.9):
+        r = np.searchsorted(xs, merged.quantile(q)) / len(x)
+        assert abs(r - q) < 0.03
+
+
+# ---------------------------------------------------------------- MinHash / SimHash
+def test_minhash_jaccard_estimate():
+    a = _hashes(2000, seed=1)
+    b = np.concatenate([a[:1000], _hashes(1000, seed=9)])  # true J = 1000/3000
+    ma, mb = MinHash(256), MinHash(256)
+    ma.update_hashes(a)
+    mb.update_hashes(b)
+    true_j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    assert abs(ma.jaccard(mb) - true_j) < 0.08
+
+
+def test_minhash_merge_is_union():
+    a, b = _hashes(500, 1), _hashes(500, 2)
+    u = MinHash(128)
+    u.update_hashes(np.concatenate([a, b]))
+    m = MinHash(128)
+    m.update_hashes(a)
+    other = MinHash(128)
+    other.update_hashes(b)
+    m.merge(other)
+    assert np.array_equal(u.sig, m.sig)
+
+
+def test_minhash_signatures_batch_matches_class():
+    sets = [_hashes(100, s) for s in range(5)]
+    sigs = minhash_signatures(sets, 64)
+    for i, hs in enumerate(sets):
+        m = MinHash(64)
+        m.update_hashes(hs)
+        assert np.array_equal(sigs[i], m.sig)
+
+
+def test_simhash_similar_docs_close():
+    base = _hashes(500, seed=4)
+    near = np.concatenate([base[:480], _hashes(20, seed=8)])
+    far = _hashes(500, seed=6)
+    s0, s1, s2 = simhash64(base), simhash64(near), simhash64(far)
+    d_near = hamming64(np.array([s0], dtype=np.uint64), s1)[0]
+    d_far = hamming64(np.array([s0], dtype=np.uint64), s2)[0]
+    assert d_near < 10 < d_far
+
+
+# ---------------------------------------------------------------- serialization
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: BloomFilter(1 << 12, 3),
+        lambda: HyperLogLog(12),
+        lambda: CountMinSketch(width=1 << 10, depth=4),
+        lambda: MinHash(64),
+    ],
+)
+def test_item_sketch_roundtrip(make):
+    s = make()
+    s.update_hashes(_hashes(5000))
+    blob = s.serialize()
+    t = deserialize_sketch(blob)
+    assert type(t) is type(s)
+    assert t.serialize() == blob
+
+
+def test_value_sketch_roundtrip():
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, 10_000)
+    for s in (TDigest(100), KLL(128)):
+        s.update_values(x)
+        t = deserialize_sketch(s.serialize())
+        for q in (0.1, 0.5, 0.9):
+            assert np.isclose(t.quantile(q), s.quantile(q))
+
+
+def test_pickle_roundtrip():
+    import pickle
+
+    bf = BloomFilter(1 << 10, 2)
+    bf.update_hashes(_hashes(100))
+    bf2 = pickle.loads(pickle.dumps(bf))
+    assert np.array_equal(bf.words, bf2.words)
