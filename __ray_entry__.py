@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code these
+functions use.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one implemented operator/pipeline from
+SURVEY.md §2 (or a north-rule widening); ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for the exact-mode pipelines. Sketch-mode
+(approximate) pipelines have no SQL oracle — their error bounds are
+asserted against exact oracles in pytest (tests/test_sketches.py,
+tests/test_analytics_pipelines.py); the driver records a rows-only
+check for them.
 """
 
 from __future__ import annotations
@@ -18,27 +18,227 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMALL = "/root/testdata/sf0.001"
 
+
+def _round(df, cols, nd=2):
+    df = df.copy()
+    for c in cols:
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+# --------------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: partitioned Bloom build + probe over sf0.001 documents.
+
+    Build a word-3-gram Bloom store from the corpus, probe the corpus
+    against itself (expected: every gram member — zero false
+    negatives), return the per-gram membership Dataset.
+    """
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.bloom import (
+        build_partitioned_bloom,
+        probe_bloom,
+    )
+    from bloomfilter_multithread_ray.stages.sketch_agg import sketch_rows_to_dict
+    from bloomfilter_multithread_ray.stages.text import make_word_kgram_hash_fn
+
+    k, P, bits = 3, 16, 1 << 20
+    docs = ray.data.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    hash_fn = make_word_kgram_hash_fn(k, P)
+    hashed = docs.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    from bloomfilter_multithread_ray.stages.sketch_agg import SketchAgg
+    from bloomfilter_multithread_ray.state import BloomFilter
+
+    sk = hashed.groupby("part").aggregate(SketchAgg(lambda: BloomFilter(bits, 4), on="gh"))
+    shards = sketch_rows_to_dict(sk.take_all())
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    shards_ref = ray.put({p: s.serialize() for p, s in shards.items()})
+
+    class Probe:
+        def __init__(self):
+            from bloomfilter_multithread_ray.state.base import deserialize_sketch
+
+            self.shards = {p: deserialize_sketch(b) for p, b in ray.get(shards_ref).items()}
+            self.fn = make_word_kgram_hash_fn(k, P, with_identity=True)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            g = self.fn(t)
+            part = g.column("part").to_numpy()
+            gh = g.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
+            member = np.zeros(len(gh), dtype=bool)
+            for p in np.unique(part):
+                m = part == p
+                member[m] = self.shards[int(p)].contains(gh[m])
+            return pa.table(
+                {"doc_id": g.column("doc_id"), "pos": g.column("pos"), "member": member}
+            )
+
+    return docs.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
 
 
+# --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+    from bloomfilter_multithread_ray.pipelines import relational as R
+    from bloomfilter_multithread_ray.stages import text as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(sf_dir, cols):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    # ---- exact mode (DuckDB-checkable) ----
+    def distinct_tokens(sf_dir):
+        return A.distinct_count_exact(
+            _docs(sf_dir, ["text"]), T.make_unique_tokens_fn(), out_name="distinct_tokens"
+        )
+
+    def heavy_hitters(sf_dir):
+        return A.heavy_hitters_exact(_docs(sf_dir, ["text"]), T.make_explode_token_counts_fn(), topk=20)
+
+    def ntok_quantiles(sf_dir):
+        import pyarrow as pa
+
+        stats_fn = T.make_doc_token_stats_fn()
+
+        def with_source(t: pa.Table) -> pa.Table:
+            s = stats_fn(t)
+            return s.append_column("source", t.column("source"))
+
+        ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            with_source, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return A.grouped_quantiles_exact(ds, "n_tok", "source")
+
+    def token_count(sf_dir):
+        ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            T.make_doc_token_stats_fn(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return ds.to_pandas()
+
+    def dedup_exact(sf_dir):
+        return R.dedup_exact_documents(sf_dir)
+
+    def tpch_q1(sf_dir):
+        return R.tpch_q1(sf_dir)
+
+    def bloom_semijoin(sf_dir):
+        return R.bloom_semijoin_lineitem(sf_dir)
+
+    def top_customers(sf_dir):
+        return _round(R.top_customers(sf_dir), ["revenue"])
+
+    def events_hourly(sf_dir):
+        return _round(R.events_hourly(sf_dir), ["sum_value"])
+
+    # ---- sketch mode (rows-only for the driver; bounds in pytest) ----
+    def distinct_tokens_hll(sf_dir):
+        return A.distinct_count_hll(_docs(sf_dir, ["text"]), T.make_token_hash_fn())
+
+    def heavy_hitters_cms(sf_dir):
+        return A.heavy_hitters_cms(
+            _docs(sf_dir, ["text"]),
+            T.make_explode_token_counts_fn(),
+            T.make_token_hash_fn(),
+            topk=20,
+        )
+
+    def ntok_quantiles_tdigest(sf_dir):
+        import pyarrow as pa
+
+        stats_fn = T.make_doc_token_stats_fn()
+
+        def with_source(t: pa.Table) -> pa.Table:
+            s = stats_fn(t)
+            return s.append_column("source", t.column("source"))
+
+        ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            with_source, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return A.grouped_quantiles_sketch(ds, "n_tok", "source", algo="tdigest")
+
+    return {
+        "distinct_tokens": distinct_tokens,
+        "heavy_hitters": heavy_hitters,
+        "ntok_quantiles": ntok_quantiles,
+        "token_count": token_count,
+        "dedup_exact": dedup_exact,
+        "tpch_q1": tpch_q1,
+        "bloom_semijoin": bloom_semijoin,
+        "top_customers": top_customers,
+        "events_hourly": events_hourly,
+        "distinct_tokens_hll": distinct_tokens_hll,
+        "heavy_hitters_cms": heavy_hitters_cms,
+        "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
+    }
 
 
+# --------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "distinct_tokens": (
+            "SELECT count(DISTINCT tok) AS distinct_tokens FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
+            "WHERE tok <> ''"
+        ),
+        "heavy_hitters": (
+            "SELECT tok, count(*) AS cnt FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
+            "WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20"
+        ),
+        "ntok_quantiles": (
+            "SELECT source, quantile_cont(n_tok, 0.5) AS p50, "
+            "quantile_cont(n_tok, 0.95) AS p95, quantile_cont(n_tok, 0.99) AS p99 "
+            "FROM (SELECT source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok "
+            "FROM documents) GROUP BY source ORDER BY source"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) "
+            "AS n_tok FROM documents"
+        ),
+        "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        # money columns have exactly 2 decimals: sums are computed in
+        # scaled BIGINT on both sides (exact, order-independent), with one
+        # deterministic double conversion at the end — see R.tpch_q1.
+        "tpch_q1": (
+            "WITH c AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c, "
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c, "
+            "CAST(ROUND(l_discount*100) AS BIGINT) AS disc_c, "
+            "CAST(ROUND(l_tax*100) AS BIGINT) AS tax_c "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00') "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(qty_c) AS DOUBLE) / 100.0 AS sum_qty, "
+            "CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price, "
+            "CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS sum_disc_price, "
+            "CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000.0 AS sum_charge, "
+            "CAST(SUM(qty_c) AS DOUBLE) / (100.0 * count(*)) AS avg_qty, "
+            "CAST(SUM(price_c) AS DOUBLE) / (100.0 * count(*)) AS avg_price, "
+            "CAST(SUM(disc_c) AS DOUBLE) / (100.0 * count(*)) AS avg_disc, "
+            "count(*) AS count_order FROM c "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "bloom_semijoin": (
+            "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_retailprice >= 910.0)"
+        ),
+        "top_customers": (
+            "SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_name ORDER BY SUM(o_totalprice) DESC, c_custkey LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type, hour ORDER BY event_type, hour"
+        ),
+    }

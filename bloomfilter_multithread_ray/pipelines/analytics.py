@@ -1,0 +1,149 @@
+"""Approximate + exact analytics pipelines (north-rule operators).
+
+Each sketch operator comes in two modes:
+- sketch mode: the scale path — per-block partial sketch, tree merge
+  (``SketchAgg``), answers within the family's published error bound
+  (asserted in pytest against exact oracles);
+- exact mode: the same pipeline skeleton with exact aggregates —
+  DuckDB-oracle-checkable by the driver (FIXTURES.md F5), and the
+  small-data reference for the sketch mode's bound tests.
+
+Exact modes still follow the scale rules: per-batch combiners before
+any shuffle, aggregates over partials, no driver-side row loops.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state import CountMinSketch, HyperLogLog, KLL, TDigest
+from ..state.base import deserialize_sketch
+from ..stages.sketch_agg import SketchAgg
+
+if TYPE_CHECKING:
+    from ray.data import Dataset
+
+
+# --------------------------------------------------------------- distinct
+def distinct_count_exact(ds: "Dataset", unique_fn, out_name: str = "distinct_tokens") -> pd.DataFrame:
+    """Exact global distinct count → 1-row DataFrame {out_name}.
+
+    ``unique_fn`` is a per-batch combiner emitting already-deduped
+    {tok} rows; the groupby then counts groups. Shuffle volume is
+    bounded by distinct-per-batch, not total occurrences.
+    """
+    exploded = ds.map_batches(unique_fn, batch_format="pyarrow", zero_copy_batch=True)
+    n = exploded.groupby("tok").count().count()
+    return pd.DataFrame({out_name: pd.array([n], dtype="int64")})
+
+
+def distinct_count_hll(ds: "Dataset", hash_fn, p: int = 14) -> pd.DataFrame:
+    """HLL estimate of global distinct → 1-row {estimate, rel_error_bound}."""
+    hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
+    res = hashed.aggregate(SketchAgg(lambda: HyperLogLog(p), on="gh"))
+    hll = deserialize_sketch(res["sketch"])
+    return pd.DataFrame(
+        {"estimate": [float(hll.estimate())], "rel_error_bound": [hll.rel_error()]}
+    )
+
+
+# ----------------------------------------------------------- heavy hitters
+def heavy_hitters_exact(ds: "Dataset", counts_fn, topk: int = 20) -> pd.DataFrame:
+    """Exact top-k token counts → DataFrame {tok, cnt}.
+
+    Per-batch partial counts (combiner) → small groupby sum → sort
+    (cnt desc, tok asc — deterministic ties) → limit.
+    """
+    partials = ds.map_batches(counts_fn, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    totals = partials.groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+    top = totals.sort(["cnt", "tok"], descending=[True, False]).limit(topk)
+    return top.to_pandas()
+
+
+def heavy_hitters_cms(
+    ds: "Dataset",
+    counts_fn,
+    hash_fn,
+    topk: int = 20,
+    width: int = 1 << 16,
+    depth: int = 5,
+) -> pd.DataFrame:
+    """CMS-estimated counts for the exact top-k candidate set.
+
+    The CMS is the scale path for *frequencies* (fixed memory); the
+    candidate identities here come from the exact path so the output is
+    self-describing: {tok, cnt (exact), est_cnt (CMS), eps_bound}.
+    """
+    cand = heavy_hitters_exact(ds, counts_fn, topk)
+    hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
+    res = hashed.aggregate(SketchAgg(lambda: CountMinSketch(width=width, depth=depth), on="gh"))
+    cms = deserialize_sketch(res["sketch"])
+    from ..functions.hashing import hash_strings
+
+    est = cms.estimate_hashes(hash_strings(cand["tok"]))
+    cand = cand.copy()
+    cand["est_cnt"] = est
+    cand["eps_bound"] = float(cms.eps * cms.total)
+    return cand
+
+
+# --------------------------------------------------------------- quantiles
+def grouped_quantiles_exact(
+    ds: "Dataset",
+    value_col: str,
+    by: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    names: tuple[str, ...] = ("p50", "p95", "p99"),
+) -> pd.DataFrame:
+    """Exact per-group quantiles, linear interpolation (= DuckDB
+    ``quantile_cont``) → {by, p50, p95, p99}.
+
+    Uses ``groupby.map_groups`` with a numpy kernel per group — exact
+    mode materializes each group (documented small-side assumption);
+    the t-digest/KLL mode below is the unbounded-group scale path.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        row = {by: [g[by].iloc[0]]}
+        for q, name in zip(qs, names):
+            row[name] = [float(np.quantile(v, q))]
+        return pd.DataFrame(row)
+
+    out = ds.groupby(by).map_groups(per_group, batch_format="pandas")
+    return out.to_pandas().sort_values(by).reset_index(drop=True)
+
+
+def grouped_quantiles_sketch(
+    ds: "Dataset",
+    value_col: str,
+    by: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    names: tuple[str, ...] = ("p50", "p95", "p99"),
+    algo: str = "tdigest",
+    **algo_kw,
+) -> pd.DataFrame:
+    """t-digest / KLL per-group quantiles — the mergeable scale path."""
+    if algo == "tdigest":
+        factory = lambda: TDigest(**{"compression": 200, **algo_kw})  # noqa: E731
+    elif algo == "kll":
+        factory = lambda: KLL(**{"k": 200, **algo_kw})  # noqa: E731
+    else:
+        raise ValueError(f"unknown quantile algo {algo!r}")
+    agg = SketchAgg(factory, on=value_col, kind="values")
+    rows = ds.groupby(by).aggregate(agg).take_all()
+    out: dict[str, list] = {by: []}
+    for name in names:
+        out[name] = []
+    for r in sorted(rows, key=lambda r: r[by]):
+        sk = deserialize_sketch(r["sketch"])
+        out[by].append(r[by])
+        for q, name in zip(qs, names):
+            out[name].append(float(sk.quantile(q)))
+    return pd.DataFrame(out)

@@ -1,0 +1,258 @@
+"""Relational pipelines over the driver testdata (TPC-H-ish tables).
+
+These prove the general operator surface (filter / project / grouped
+aggregate / broadcast join / semi-join / sort / top-k / windowed
+aggregate) as Ray-Data-first compositions, and put the flagship Bloom
+filter to its canonical production use: a broadcast semi-join
+pre-filter with exact verification (zero false negatives makes the
+result exact; the filter only prunes).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64_ints
+from ..state import BloomFilter
+
+if TYPE_CHECKING:
+    from ray.data import Dataset
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> "Dataset":
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ----------------------------------------------------------------- TPC-H Q1
+def tpch_q1(sf_dir: str, ship_cutoff: str = "1998-09-02") -> pd.DataFrame:
+    """Pricing summary report (TPC-H Q1 shape): grouped exact aggregates.
+
+    Vectorized derived columns inside map_batches, partial-friendly
+    Sum/Count aggregates, small result → pandas.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(np.datetime64(ship_cutoff, "us"))
+
+    def derive(t: pa.Table) -> pa.Table:
+        """Derive integer-scaled (cent) columns.
+
+        Money columns carry exactly 2 decimal digits, so sums computed
+        in scaled int64 are EXACT and independent of block/summation
+        order — float sums round-trip differently per partitioning and
+        break bit-for-bit oracle parity (observed at rounding
+        boundaries of 4-decimal products).
+        """
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+
+        def cents(col):
+            return np.rint(t[col].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+
+        qty_c, price_c = cents("l_quantity"), cents("l_extendedprice")
+        disc_c, tax_c = cents("l_discount"), cents("l_tax")
+        disc_price_u4 = price_c * (100 - disc_c)  # units of 1e-4
+        charge_u6 = disc_price_u4 * (100 + tax_c)  # units of 1e-6
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_c": disc_c,
+                "disc_price_u4": disc_price_u4,
+                "charge_u6": charge_u6,
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("price_c", alias_name="sum_price_c"),
+            Sum("disc_c", alias_name="sum_disc_c"),
+            Sum("disc_price_u4", alias_name="sum_disc_price_u4"),
+            Sum("charge_u6", alias_name="sum_charge_u6"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas()
+    n = df["count_order"].astype("int64")
+    res = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            # exact ints → one deterministic double conversion at the end
+            "sum_qty": df["sum_qty_c"] / 100.0,
+            "sum_base_price": df["sum_price_c"] / 100.0,
+            "sum_disc_price": df["sum_disc_price_u4"] / 10000.0,
+            "sum_charge": df["sum_charge_u6"] / 1000000.0,
+            "avg_qty": df["sum_qty_c"] / (100.0 * n),
+            "avg_price": df["sum_price_c"] / (100.0 * n),
+            "avg_disc": df["sum_disc_c"] / (100.0 * n),
+            "count_order": n,
+        }
+    )
+    return res.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- Bloom semi-join (flagship use)
+def bloom_semijoin_lineitem(
+    sf_dir: str,
+    min_retailprice: float = 910.0,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 6,
+    exact_verify: bool = True,
+) -> pd.DataFrame:
+    """lineitem rows whose part is 'expensive' — Bloom-prefiltered semi-join.
+
+    The production pattern for the reference's build+probe phases:
+    build a Bloom filter over the small side's keys (driver-side here —
+    the small side is a dimension table), ``ray.put`` it once, prune
+    the big side inside ``map_batches`` (no shuffle), then exact-verify
+    against the broadcast key set so false positives are removed and
+    the result is exact (zero false negatives guarantees no lost rows).
+
+    Returns {l_orderkey, l_linenumber, l_partkey}.
+    """
+    import ray
+
+    part_tbl = read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    keys = part_tbl.filter(
+        lambda r: r["p_retailprice"] >= min_retailprice
+    )  # small table; row filter acceptable
+    key_arr = np.asarray([r["p_partkey"] for r in keys.take_all()], dtype=np.int64)
+
+    bf = BloomFilter(num_bits, num_hashes)
+    bf.update_hashes(hash64_ints(key_arr))
+    bf_ref = ray.put(bf.serialize())
+    keyset_ref = ray.put(np.sort(key_arr))
+
+    class SemiJoin:
+        def __init__(self):
+            from ..state.base import deserialize_sketch
+
+            self.bf = deserialize_sketch(ray.get(bf_ref))
+            self.keys = ray.get(keyset_ref) if exact_verify else None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            mask = self.bf.contains(hash64_ints(pk))
+            if self.keys is not None and mask.any():
+                # exact verification only on Bloom survivors
+                sub = pk[mask]
+                verified = self.keys[
+                    np.clip(np.searchsorted(self.keys, sub), 0, len(self.keys) - 1)
+                ] == sub
+                mask[np.flatnonzero(mask)[~verified]] = False
+            return t.filter(pa.array(mask))
+
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    out = ds.map_batches(
+        SemiJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    df = out.to_pandas()
+    if df.empty:  # keep a stable schema even when nothing survives
+        df = pd.DataFrame(columns=["l_orderkey", "l_linenumber", "l_partkey"]).astype("int64")
+    return df
+
+
+# -------------------------------------------------------------- top-k join
+def top_customers(sf_dir: str, topk: int = 10) -> pd.DataFrame:
+    """Top customers by total order value: groupby-sum → top-k →
+    broadcast join of the small dimension (names). {c_custkey, c_name, revenue}."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
+    top = rev.sort(["revenue", "o_custkey"], descending=[True, False]).limit(topk).to_pandas()
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
+    return (
+        out[["c_custkey", "c_name", "revenue"]]
+        .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------- windowed events
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windowed aggregate over the events stream table:
+    {event_type, hour, n_events, sum_value}.
+
+    Ray Data has no event-time windows; a tumbling window IS a grouped
+    aggregate on the truncated timestamp (ray_guide streaming note) —
+    no per-key ordering assumption needed for count/sum.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"event_type": t["event_type"], "hour": hour, "value": t["value"]}
+        )
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return (
+        out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    )
+
+
+# -------------------------------------------------------------- exact dedup
+def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact text dedup: keep MIN(doc_id) per distinct text → {doc_id}.
+
+    Scale shape: 64-bit content hash inside map_batches (never ships
+    full text through the shuffle), groupby(hash) → min. Collision
+    probability at 2^-64 per pair is negligible; a paranoid variant
+    would groupby the text itself.
+    """
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import hash_strings
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = hash_strings(t["text"].combine_chunks())
+        # int64 view: Ray's sort-based groupby handles signed ints natively
+        return pa.table(
+            {"h": h.view(np.int64), "doc_id": t["doc_id"]}
+        )
+
+    kept = (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    return kept.to_pandas()

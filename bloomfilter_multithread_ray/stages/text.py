@@ -1,0 +1,124 @@
+"""Text-analysis stages over a `text: string` column.
+
+All vectorized pyarrow.compute: tokenize (single-space split), explode
+to token rows with per-batch partial counting (pre-aggregation before
+any groupby shuffle — SURVEY §7 step 4), token hashing for the sketch
+pipelines, and per-document stats. These are the text-table entry
+points into the same sketch machinery the tokens-table pipelines use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash_strings
+
+
+def split_tokens(batch: pa.Table, col: str = "text") -> pa.ListArray:
+    """text column → list<string> of words (single-space split, empties dropped)."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern(arr, " ")
+    # NOTE: may contain empty strings (consecutive/leading spaces);
+    # consumers that need `WHERE tok <> ''` semantics filter the flat
+    # values themselves.
+    return toks
+
+
+def make_explode_token_counts_fn(col: str = "text"):
+    """batch → {tok: string, cnt: int64} partial counts (per-batch combine).
+
+    The per-batch ``np.unique`` collapse is the combiner that keeps the
+    downstream ``groupby("tok").sum("cnt")`` shuffle proportional to
+    *distinct* tokens per batch, not total tokens.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        uniq, counts = np.unique(np.asarray(flat), return_counts=True)
+        return pa.table({"tok": pa.array(uniq, pa.string()), "cnt": counts.astype(np.int64)})
+
+    return fn
+
+
+def make_unique_tokens_fn(col: str = "text"):
+    """batch → {tok} with per-batch dedupe (shrinks the distinct shuffle)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"tok": pa.array(np.unique(np.asarray(flat)), pa.string())})
+
+    return fn
+
+
+def make_token_hash_fn(col: str = "text", seed: int = 0):
+    """batch → {gh: uint64} one hash per word occurrence (sketch feed)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"gh": hash_strings(flat, seed=seed)})
+
+    return fn
+
+
+def make_doc_token_stats_fn(col: str = "text", id_col: str = "doc_id"):
+    """batch → {doc_id, n_tok} per-document token counts."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        # count non-empty tokens per row via offsets
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = np.asarray(nonempty).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(ne)])
+        n_tok = (cum[offs[1:]] - cum[offs[:-1]]).astype(np.int32)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids, "n_tok": pa.array(n_tok, pa.int32())})
+
+    return fn
+
+
+def make_word_kgram_hash_fn(
+    k: int,
+    num_partitions: int,
+    col: str = "text",
+    id_col: str = "doc_id",
+    with_identity: bool = False,
+):
+    """batch → word k-gram (shingle) hashes: {part, gh[, doc_id, pos]}.
+
+    Word-shingle analog of the tokens-table k-gram stage: hash each
+    word, then window-hash the per-doc word-hash stream. Feeds text
+    dedup (MinHash shingles) and text membership pipelines.
+    """
+    from ..functions.hashing import kgram_hashes_flat, partition_of
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        wh = hash_strings(flat)
+        gh, row_idx, pos = kgram_hashes_flat(wh, offs - offs[0], k)
+        part = partition_of(gh, num_partitions)
+        cols: dict[str, object] = {"part": part, "gh": gh}
+        if with_identity:
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            cols["doc_id"] = ids.take(pa.array(row_idx, type=pa.int64()))
+            cols["pos"] = pa.array(pos, pa.int32())
+        return pa.table(cols)
+
+    return fn
