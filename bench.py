@@ -1,0 +1,263 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: one Ray session (``address="local"``,
+``num_cpus=$RAY_GRAFT_CPUS`` default 32) over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``); times the headline pipelines and
+prints ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "tokens_per_sec_build": ..., "merge_wall_s": ...}
+
+``--scaling`` mode (SURVEY §4.2): runs the flagship Bloom
+build+probe twice in FRESH processes — ``num_cpus=8`` then ``32`` —
+on the same cached corpus and reports throughput at both plus
+``efficiency = (thr_32 / thr_8) / 4`` (north-rule criterion ≥0.8),
+appending the result to BASELINE.md.
+
+The flagship input is the deterministic input_hint-shaped corpus
+(doc_id, tokens:list<int32>, n_tok, source) synthesized once per sf
+into /tmp (generation excluded from timing); the remaining queries
+run over the driver testdata tables via ``__ray_entry__.queries()``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# corpus rows per unit sf (sf0.1 -> 20k rows, ~6.8M tokens)
+ROWS_PER_SF = 200_000
+BLOOM = dict(k=4, num_partitions=64, bits_per_partition=1 << 22, num_hashes=4)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(sf: float) -> str:
+    return f"/tmp/graft_corpus/sf{sf}"
+
+
+def ensure_corpus(sf: float) -> str:
+    """Synthesize (once) the input_hint tokens corpus for this sf."""
+    from bloomfilter_multithread_ray.sources.sequences import write_sequences_parquet
+
+    path = corpus_path(sf)
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        n_rows = max(200, int(ROWS_PER_SF * sf))
+        write_sequences_parquet(path, n_rows, seed=42, rows_per_file=max(500, n_rows // 32))
+        with open(done, "w") as f:
+            f.write(str(n_rows))
+    return path
+
+
+def run_flagship(sf: float, store_dir: str) -> dict:
+    """Bloom build (tokens/sec) + global merge + map-only probe."""
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.bloom import (
+        build_and_store,
+        load_sketch_store,
+        probe_bloom,
+    )
+
+    path = ensure_corpus(sf)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "tokens", "n_tok"])
+
+    t0 = time.perf_counter()
+    build_and_store(ds, store_dir, **BLOOM)
+    build_s = time.perf_counter() - t0
+
+    shards, _ = load_sketch_store(store_dir)
+    t0 = time.perf_counter()
+    merged = None
+    for s in shards.values():
+        merged = s if merged is None else merged.merge(s)
+    merge_s = time.perf_counter() - t0
+
+    n_tokens = int(
+        ray.data.read_parquet(path, columns=["n_tok"]).sum("n_tok")
+    )
+
+    t0 = time.perf_counter()
+    probe = probe_bloom(
+        ray.data.read_parquet(path, columns=["doc_id", "tokens"]),
+        shards,
+        k=BLOOM["k"],
+        num_partitions=BLOOM["num_partitions"],
+        concurrency=4,
+        batch_size=512,
+    )
+    n_member = int(probe.sum("member") or 0)
+    probe_s = time.perf_counter() - t0
+
+    return {
+        "build_s": build_s,
+        "merge_wall_s": merge_s,
+        "probe_s": probe_s,
+        "n_tokens": n_tokens,
+        "tokens_per_sec_build": n_tokens / build_s,
+        "n_member": n_member,
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Time a representative subset of the driver-contract queries."""
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    names = [
+        "distinct_tokens_hll",
+        "heavy_hitters_cms",
+        "ntok_quantiles_tdigest",
+        "tpch_q1",
+        "bloom_semijoin",
+        "top_customers",
+        "events_hourly",
+        "dedup_minhash_lsh",
+        "dedup_embedding",
+        "ann_topk",
+        "doc_quality",
+    ]
+    times: dict[str, float] = {}
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # force lazy Datasets to execute
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def scaling_child(sf: float, num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        res = run_flagship(sf, f"/tmp/graft_bench_store_scaling_{num_cpus}")
+        print("CHILD_JSON:" + json.dumps(res))
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    sf = _sf_of(sf_dir)
+    ensure_corpus(sf)  # generate outside the timed children
+    out = {}
+    for n in (low, high):
+        env = dict(os.environ)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_scaling-child",
+             str(n), "--sf-dir", sf_dir],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("CHILD_JSON:")]
+        if not line:
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+            raise RuntimeError(f"scaling child num_cpus={n} failed")
+        out[n] = json.loads(line[-1][len("CHILD_JSON:"):])
+    thr_lo = out[low]["tokens_per_sec_build"]
+    thr_hi = out[high]["tokens_per_sec_build"]
+    eff = (thr_hi / thr_lo) / (high / low)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": sf,
+        "cpus_low": low,
+        "cpus_high": high,
+        "tokens_per_sec_low": round(thr_lo, 1),
+        "tokens_per_sec_high": round(thr_hi, 1),
+        "build_s_low": round(out[low]["build_s"], 3),
+        "build_s_high": round(out[high]["build_s"], 3),
+    }
+    _record_scaling(result)
+    return result
+
+
+def _record_scaling(result: dict) -> None:
+    """Append the measured scaling evidence to BASELINE.md."""
+    path = os.path.join(REPO, "BASELINE.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    block = (
+        f"\n## Measured scaling evidence ({stamp})\n\n"
+        f"Flagship Bloom build (tokens/sec) on the same cached corpus "
+        f"(sf={result['sf']}), fresh `ray.init(address=\"local\")` processes:\n\n"
+        f"| num_cpus | build s | tokens/sec |\n|---|---|---|\n"
+        f"| {result['cpus_low']} | {result['build_s_low']} | {result['tokens_per_sec_low']} |\n"
+        f"| {result['cpus_high']} | {result['build_s_high']} | {result['tokens_per_sec_high']} |\n\n"
+        f"Scaling efficiency (thr_high/thr_low)/{result['cpus_high'] // result['cpus_low']} "
+        f"= **{result['value']}** (north-rule criterion: >= 0.8).\n"
+    )
+    try:
+        with open(path, "a") as f:
+            f.write(block)
+    except OSError:
+        pass
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_scaling-child", type=int, default=None, dest="scaling_child")
+    args = ap.parse_args()
+
+    sf = _sf_of(args.sf_dir)
+
+    if args.scaling_child is not None:
+        scaling_child(sf, args.scaling_child)
+        return
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+        return
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        t0 = time.perf_counter()
+        flag = run_flagship(sf, "/tmp/graft_bench_store")
+        flagship_s = time.perf_counter() - t0
+        queries = {"bloom_build": round(flag["build_s"], 3),
+                   "bloom_probe": round(flag["probe_s"], 3)}
+        queries.update(run_queries(args.sf_dir))
+        total = round(flagship_s + sum(v for k, v in queries.items()
+                                       if k not in ("bloom_build", "bloom_probe")), 3)
+        print(json.dumps({
+            "metric": "pipeline_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "tokens_per_sec_build": round(flag["tokens_per_sec_build"], 1),
+            "merge_wall_s": round(flag["merge_wall_s"], 4),
+            "n_tokens": flag["n_tokens"],
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
