@@ -152,6 +152,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
             topk=20,
         )
 
+    # ---- dedup family ----
+    from bloomfilter_multithread_ray.pipelines import dedup as D
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    def dedup_minhash_lsh(sf_dir):
+        pairs = D.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+        return (
+            pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+
+    def dedup_minhash_keep(sf_dir):
+        docs = _docs(sf_dir, ["doc_id", "text"])
+        return D.keep_set_from_pairs(docs, D.minhash_lsh_pairs(docs, threshold=0.5))
+
+    def dedup_simhash(sf_dir):
+        pairs = D.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+        return (
+            pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+
+    def ngram_jaccard(sf_dir):
+        pairs = D.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.5)
+        return (
+            pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+
+    def dedup_embedding(sf_dir):
+        import ray.data
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids, V = S.load_embeddings(sf_dir)
+        pairs = S.embedding_dup_pairs(emb, ids, V, tau=0.4)
+        return (
+            pairs.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        )
+
+    # ---- similarity search ----
+    def ann_topk(sf_dir):
+        import ray.data
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        qids, Q = S.load_query_matrix(sf_dir, 10)
+        return S.ann_topk_exact(emb, qids, Q, k=5)
+
+    def ann_lsh(sf_dir):
+        import ray.data
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        qids, Q = S.load_query_matrix(sf_dir, 10)
+        return S.ann_lsh(emb, qids, Q, k=5)
+
     def ntok_quantiles_tdigest(sf_dir):
         import pyarrow as pa
 
@@ -179,6 +236,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_hll": distinct_tokens_hll,
         "heavy_hitters_cms": heavy_hitters_cms,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_keep": dedup_minhash_keep,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard": ngram_jaccard,
+        "dedup_embedding": dedup_embedding,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
     }
 
 
@@ -240,5 +304,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS hour, "
             "count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, hour ORDER BY event_type, hour"
+        ),
+        # exact word-3-gram Jaccard >= 0.5 over distinct shingles; floats
+        # are a single int division on both sides -> bit-identical.
+        "ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY doc_a, doc_b"
+        ),
+        # cosine rounded to 6 dp on both sides (double math both sides)
+        "dedup_embedding": (
+            "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4 "
+            "ORDER BY vec_a, vec_b"
+        ),
+        # ranking by ROUND(cos, 6) DESC, vec_id ASC on both sides
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+            "FROM embeddings WHERE vec_id < 10), "
+            "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+            "FROM embeddings), "
+            "s AS (SELECT qid, vec_id, ROUND(list_cosine_similarity(q.e, v.e), 6) AS cosine "
+            "FROM q CROSS JOIN v WHERE vec_id <> qid), "
+            "r AS (SELECT qid, vec_id, cosine, "
+            "row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM s) "
+            "SELECT qid, vec_id, cosine FROM r WHERE rn <= 5 ORDER BY qid, cosine DESC, vec_id"
         ),
     }

@@ -1,0 +1,453 @@
+"""Document deduplication pipelines (training-data-pipeline widening).
+
+Five dedup families over the `documents` table, all expressed
+Ray-Data-first:
+
+- exact duplicate removal (see ``relational.dedup_exact_documents``) —
+  hash-partitioned groupby on content;
+- **MinHash + LSH** near-dup: shingle → per-doc MinHash signature
+  (vectorized ``np.minimum.reduceat``) → band-bucket groupby →
+  in-bucket pair verification by signature agreement. No broadcast of
+  per-doc state: band rows carry their signature, so every stage is a
+  plain shuffle (scales to arbitrary corpus size; shuffle volume =
+  bands × sig bytes per doc);
+- **SimHash** near-dup: 64-bit weighted token fingerprint; pairs with
+  Hamming distance <= d found by pigeonhole banding into d+1 chunks
+  (a pair within distance d must agree exactly on >= 1 chunk);
+- **exact n-gram Jaccard** pairs: distinct-shingle inverted index →
+  per-gram pair expansion (the candidate join) → pairwise intersection
+  counts → Jaccard against exact set sizes via ``Dataset.join``.
+  DuckDB-oracle-checkable (deterministic floats: one int division);
+- **embedding cosine** near-dup: see ``similarity.embedding_dup_pairs``.
+
+Scale notes (100 TB): every stage here shuffles by a content-derived
+key (band bucket, simhash chunk, gram) — the same-shard invariant of
+the reference's minimizer routing (``src/SkmerExtractor.cpp:164``).
+Hot buckets (e.g. a boilerplate gram shared by millions of docs) are
+capped at ``max_bucket`` with a deterministic sample — the
+documented trade: candidate recall within a pathological bucket, never
+correctness of emitted pairs. Connected components for the keep-set
+run driver-side over the *pair list* (|pairs| << |docs|); the scale
+path is iterative hash-partitioned label propagation.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import UINT64, hash_strings, kgram_hashes_flat, splitmix64
+from ..stages.text import split_tokens
+
+if TYPE_CHECKING:
+    from ray.data import Dataset
+
+
+# ------------------------------------------------------------------ shingles
+def _doc_gram_hashes(batch: pa.Table, k: int, col: str = "text"):
+    """batch → (gram hashes, row starts, row ids with >=1 gram).
+
+    Word-k-gram (shingle) hashes per document, via the same windowed
+    polynomial kernel the flagship uses for token k-grams.
+    """
+    toks = split_tokens(batch, col)
+    flat = pc.list_flatten(toks)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    wh = hash_strings(flat)
+    gh, row_idx, _ = kgram_hashes_flat(wh, offs, k)
+    return gh, row_idx
+
+
+def make_minhash_fn(k: int = 3, num_perm: int = 128, col: str = "text", id_col: str = "doc_id"):
+    """batch → {doc_id, sig: fixed_size_list<uint64>[num_perm]}.
+
+    Vectorized MinHash: one splitmix64 re-seed pass + one
+    ``np.minimum.reduceat`` per permutation over the batch's flat gram
+    hashes. Docs with fewer than k tokens have no shingles and are
+    dropped (they cannot near-duplicate anything under this measure).
+    """
+    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=UINT64) * UINT64(0x9E3779B97F4A7C15))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        gh, row_idx = _doc_gram_hashes(batch, k, col)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(gh) == 0:
+            sig_t = pa.list_(pa.uint64(), num_perm)
+            return pa.table({"doc_id": ids.slice(0, 0), "sig": pa.array([], sig_t)})
+        # row boundaries within the gram stream (row_idx is sorted)
+        starts = np.flatnonzero(np.diff(row_idx, prepend=-1))
+        rows_present = row_idx[starts]
+        sig = np.empty((len(starts), num_perm), dtype=UINT64)
+        for p in range(num_perm):
+            sig[:, p] = np.minimum.reduceat(splitmix64(gh ^ seeds[p]), starts)
+        sig_arr = pa.FixedSizeListArray.from_arrays(pa.array(sig.reshape(-1)), num_perm)
+        return pa.table(
+            {"doc_id": ids.take(pa.array(rows_present, pa.int64())), "sig": sig_arr}
+        )
+
+    return fn
+
+
+def minhash_signatures(ds: "Dataset", k: int = 3, num_perm: int = 128) -> "Dataset":
+    return ds.map_batches(
+        make_minhash_fn(k, num_perm), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------------------ LSH
+def _band_rows_fn(bands: int, rows_per_band: int):
+    """{doc_id, sig} → one row per (doc, band): {bkey, doc_id, sig}.
+
+    ``bkey`` mixes the band index into the band-slice hash so one
+    groupby covers all bands. Signatures travel with the band rows —
+    in-bucket verification then needs no side lookup (no broadcast).
+    """
+    num_perm = bands * rows_per_band
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"bkey": pa.array([], pa.uint64()),
+                 "doc_id": batch.column("doc_id"),
+                 "sig": batch.column("sig")}
+            )
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig = np.asarray(sig_col.values).reshape(n, num_perm).astype(UINT64)
+        keys = np.empty((bands, n), dtype=UINT64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                acc = np.full(n, UINT64(b + 1), dtype=UINT64)
+                for r in range(rows_per_band):
+                    acc = splitmix64(acc ^ sig[:, b * rows_per_band + r])
+                keys[b] = acc
+        doc_rep = pa.concat_arrays([pa.array(np.arange(n, dtype=np.int64))] * bands)
+        return pa.table(
+            {
+                "bkey": pa.array(keys.reshape(-1)),
+                "doc_id": batch.column("doc_id").combine_chunks().take(doc_rep),
+                "sig": sig_col.take(doc_rep),
+            }
+        )
+
+    return fn
+
+
+def _bucket_pairs_fn(threshold: float, num_perm: int, max_bucket: int):
+    """Bucket group → verified pairs {doc_a, doc_b, est_jaccard}."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())}
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = np.asarray(group.column("doc_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+        # dedupe docs repeated inside one bucket; deterministic order + cap
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        keep = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1))[:max_bucket]
+        if len(keep) < 2:
+            return empty
+        sig_col = group.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig = np.asarray(sig_col.values).reshape(n, num_perm)[order][keep]
+        ids = ids[keep]
+        m = len(ids)
+        ia, ib = np.triu_indices(m, 1)
+        est = (sig[ia] == sig[ib]).mean(axis=1)
+        hit = est >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[hit]]),
+                "doc_b": pa.array(ids[ib[hit]]),
+                "est_jaccard": pa.array(est[hit]),
+            }
+        )
+
+    return fn
+
+
+def minhash_lsh_pairs(
+    docs: "Dataset",
+    *,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 256,
+) -> "Dataset":
+    """Near-duplicate pairs by MinHash-LSH → {doc_a, doc_b, est_jaccard}.
+
+    LSH s-curve midpoint ~ (1/bands)^(bands/num_perm); the defaults
+    (16 bands × 8 rows) center at ~0.71, catching >=0.5-Jaccard pairs
+    with high probability while keeping bucket collisions rare.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must divide into equal bands")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, k, num_perm)
+    band_rows = sigs.map_batches(
+        _band_rows_fn(bands, rows_per_band), batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = band_rows.groupby("bkey").map_groups(
+        _bucket_pairs_fn(threshold, num_perm, max_bucket), batch_format="pyarrow"
+    )
+    # same pair can surface in several bands → dedupe on the pair key
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+def keep_set_from_pairs(docs: "Dataset", pairs: "Dataset", id_col: str = "doc_id"):
+    """Duplicate-cluster keep-set: keep the min doc_id per component.
+
+    Union-find over the *pair list* on the driver (|pairs| << |docs|;
+    scale path: hash-partitioned label propagation). Returns a pandas
+    DataFrame {doc_id} of survivors.
+    """
+    import pandas as pd
+
+    plist = pairs.select_columns(["doc_a", "doc_b"]).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in plist:
+        a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+    ids = docs.select_columns([id_col])
+    kept = ids.filter(lambda row: int(row[id_col]) not in drop)
+    out = kept.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return pd.DataFrame({id_col: out[id_col].astype("int64")})
+
+
+# ------------------------------------------------------------------ simhash
+def make_simhash_fn(col: str = "text", id_col: str = "doc_id"):
+    """batch → {doc_id, simhash: uint64} (64-bit weighted token fingerprint).
+
+    bit_i(doc) = sign of sum over token occurrences of (+1 if bit_i of
+    token hash else -1); fully vectorized: 64 masked weighted sums via
+    ``np.add.reduceat`` on the batch's flat token-hash stream.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs_all = offs_all - offs_all[0]
+        ne = np.asarray(nonempty).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(ne)])
+        offs = cum[offs_all]  # row boundaries in the non-empty stream
+        h = hash_strings(flat)
+        n_rows = len(offs) - 1
+        counts = np.diff(offs)
+        sim = np.zeros(n_rows, dtype=UINT64)
+        nz = counts > 0
+        starts = offs[:-1][nz]
+        bits = np.zeros((len(starts), 64), dtype=np.int64)
+        for i in range(64):
+            b = ((h >> UINT64(i)) & UINT64(1)).astype(np.int64)
+            bits[:, i] = np.add.reduceat(b, starts) if len(h) else 0
+        half = counts[nz][:, None] / 2.0
+        word = np.zeros(len(starts), dtype=UINT64)
+        for i in range(64):
+            word |= (bits[:, i] > half[:, 0]).astype(UINT64) << UINT64(i)
+        sim[nz] = word
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids, "simhash": pa.array(sim)})
+
+    return fn
+
+
+def simhash_pairs(docs: "Dataset", *, max_hamming: int = 3, max_bucket: int = 512) -> "Dataset":
+    """Pairs with simhash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks; any pair within the distance agrees on
+    at least one full chunk, so groupby(chunk value ⊕ chunk index)
+    finds every such pair (exact recall, then exact verification on
+    the carried fingerprints).
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    mask = UINT64((1 << width) - 1)
+
+    def band_fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(UINT64)
+        ids = batch.column("doc_id").combine_chunks()
+        keys, doc_rep = [], []
+        for c in range(chunks):
+            chunk = (sh >> UINT64(c * width)) & mask
+            keys.append(splitmix64(chunk ^ (UINT64(c + 1) << UINT64(56))))
+            doc_rep.append(np.arange(n, dtype=np.int64))
+        rep = pa.array(np.concatenate(doc_rep))
+        return pa.table(
+            {
+                "ckey": pa.array(np.concatenate(keys)),
+                "doc_id": ids.take(rep),
+                "simhash": pa.array(np.concatenate([sh] * chunks)),
+            }
+        )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int32())}
+        )
+        if group.num_rows < 2:
+            return empty
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = group.column("simhash").to_numpy(zero_copy_only=False).astype(UINT64)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        keep = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1))[:max_bucket]
+        if len(keep) < 2:
+            return empty
+        ids, sh = ids[keep], sh[keep]
+        ia, ib = np.triu_indices(len(ids), 1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.zeros(len(x), dtype=np.int32)
+        for i in range(64):
+            ham += ((x >> UINT64(i)) & UINT64(1)).astype(np.int32)
+        hit = ham <= max_hamming
+        return pa.table(
+            {"doc_a": pa.array(ids[ia[hit]]), "doc_b": pa.array(ids[ib[hit]]),
+             "hamming": pa.array(ham[hit])}
+        )
+
+    sims = docs.map_batches(make_simhash_fn(), batch_format="pyarrow", zero_copy_batch=True)
+    banded = sims.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = banded.groupby("ckey").map_groups(bucket_fn, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------- exact n-gram jaccard
+def ngram_jaccard_pairs(
+    docs: "Dataset",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 64,
+) -> "Dataset":
+    """EXACT word-k-gram Jaccard pairs >= threshold (DuckDB-checkable).
+
+    Inverted index {gram, doc_id, n_grams} (distinct per doc, each row
+    carrying its doc's exact set size) → per-gram pair expansion (the
+    candidate join) → one groupby(["doc_a","doc_b"]) producing both
+    the intersection count and the two set sizes → Jaccard =
+    i / (|A| + |B| - i). Join-free: two shuffles total, both keyed on
+    content-derived keys.
+
+    ``max_gram_df`` caps pair expansion per gram — a gram shared by
+    every doc (boilerplate) would otherwise emit O(df²) rows. Capped
+    grams can only LOWER candidate recall for pairs whose *every*
+    shared gram is boilerplate; with the default no cap binds on the
+    test tables (asserted in tests), keeping SQL parity exact.
+    """
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, "text")
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs_all = offs_all - offs_all[0]
+        ne = np.asarray(nonempty).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(ne)])
+        offs = cum[offs_all]
+        words = np.asarray(flat).astype(object)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_gram: list[str] = []
+        out_doc: list[int] = []
+        out_n: list[int] = []
+        for r in range(len(ids)):
+            w = words[offs[r] : offs[r + 1]]
+            if len(w) < k:
+                continue
+            grams = {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+            out_gram.extend(grams)
+            out_doc.extend([ids[r]] * len(grams))
+            out_n.extend([len(grams)] * len(grams))
+        return pa.table(
+            {
+                "gram": pa.array(out_gram, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    gram_ds = docs.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_fn(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
+        )
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = group.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, ns = ids[order][:max_gram_df], ns[order][:max_gram_df]
+        if len(ids) < 2:
+            return empty
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pa.table(
+            {"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib]),
+             "na": pa.array(ns[ia]), "nb": pa.array(ns[ib])}
+        )
+
+    from ray.data.aggregate import Count, Max
+
+    inter = (
+        gram_ds.groupby("gram")
+        .map_groups(pairs_fn, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Count(alias_name="i"),
+            Max("na", alias_name="na"),
+            Max("nb", alias_name="nb"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = i / (na + nb - i)
+        hit = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").combine_chunks().filter(pa.array(hit)),
+                "doc_b": batch.column("doc_b").combine_chunks().filter(pa.array(hit)),
+                "jaccard": pa.array(jac[hit]),
+            }
+        )
+
+    return inter.map_batches(finalize, batch_format="pyarrow")

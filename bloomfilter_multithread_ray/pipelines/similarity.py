@@ -1,0 +1,262 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`ann_topk_exact` — brute-force cosine top-k: the query matrix
+  is normalized once, ``ray.put`` once, and every ``map_batches`` task
+  does one numpy matmul per block followed by a per-block partial
+  top-k (the combiner), so the final per-query merge sees only
+  ``k × num_blocks`` candidate rows. DuckDB-oracle-checkable:
+  ranking uses cosine ROUNDED to 6 decimals with vec_id tie-break on
+  both sides, making the output float-deterministic.
+- :func:`ann_lsh` — random-hyperplane LSH variant: candidates =
+  vectors whose sign-bucket matches the query's (multiprobe over
+  Hamming-1 neighbors), exact re-rank inside the candidate set.
+  The scale path: bucket id is a shuffle key, index build is one
+  groupby, recall/latency traded via nbits/multiprobe (recall vs
+  brute force asserted in tests).
+- :func:`embedding_dup_pairs` — exact near-dup pairs cos >= tau by
+  blocked matmul against the broadcast normalized matrix. Scale note:
+  for corpora too big to broadcast, the same kernel runs over
+  partition-pair cartesian blocks (bucketed by LSH first); the
+  broadcast here is the documented small-side assumption.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:
+    from ray.data import Dataset
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = mat.astype(np.float64, copy=False)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.float32)
+    dim = len(flat) // max(1, batch.num_rows)
+    return flat.reshape(batch.num_rows, dim)
+
+
+def load_query_matrix(sf_dir: str, nq: int) -> tuple[np.ndarray, np.ndarray]:
+    """First nq vectors (by vec_id) as the query set — deterministic."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    t = t.filter(pc.less(t.column("vec_id"), nq)).sort_by("vec_id")
+    flat = np.asarray(t.column("embedding").combine_chunks().values, dtype=np.float32)
+    q = flat.reshape(t.num_rows, -1)
+    return t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64), _normalize(q)
+
+
+def ann_topk_exact(ds: "Dataset", qids: np.ndarray, Q: np.ndarray, k: int = 5):
+    """Brute-force cosine top-k → pandas {qid, vec_id, cosine} (rounded).
+
+    Per-block partial top-k inside ``map_batches`` (combiner), final
+    exact top-k per query over the tiny candidate set.
+    """
+    import ray
+
+    qref = ray.put((qids, Q))
+
+    class BlockTopK:
+        def __init__(self):
+            self.qids, self.Q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(_emb_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            C = np.round(V @ self.Q.T, 6)  # (n, nq) — ranking on rounded values
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(self.qids)):
+                c = C[:, j]
+                mask = ids != self.qids[j]  # exclude self-match
+                cand_ids, cand_c = ids[mask], c[mask]
+                kk = min(k, len(cand_ids))
+                if kk == 0:
+                    continue
+                # top-k by (cosine desc, vec_id asc) — deterministic
+                order = np.lexsort((cand_ids, -cand_c))[:kk]
+                out_q.append(np.full(kk, self.qids[j], dtype=np.int64))
+                out_v.append(cand_ids[order])
+                out_c.append(cand_c[order])
+            if not out_q:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"qid": pa.array(np.concatenate(out_q)),
+                 "vec_id": pa.array(np.concatenate(out_v)),
+                 "cosine": pa.array(np.concatenate(out_c))}
+            )
+
+    partials = ds.map_batches(
+        BlockTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("qid").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        cos = group.column("cosine").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos))[:k]
+        return pa.table(
+            {"qid": pa.array(qid[order]), "vec_id": pa.array(vid[order]),
+             "cosine": pa.array(cos[order])}
+        )
+
+    out = partials.groupby("qid").map_groups(final_topk, batch_format="pyarrow")
+    df = out.to_pandas().sort_values(["qid", "cosine", "vec_id"], ascending=[True, False, True])
+    return df.reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ LSH ANN
+def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def _bucket_of(Vn: np.ndarray, H: np.ndarray) -> np.ndarray:
+    bits = (Vn @ H.T) > 0
+    return (bits << np.arange(H.shape[0], dtype=np.uint64)).sum(axis=1).astype(np.uint64)
+
+
+def ann_lsh(
+    ds: "Dataset",
+    qids: np.ndarray,
+    Q: np.ndarray,
+    *,
+    k: int = 5,
+    nbits: int = 8,
+    multiprobe: bool = True,
+):
+    """LSH-bucketed approximate top-k → pandas {qid, vec_id, cosine}.
+
+    Index = one pass assigning each vector its hyperplane sign bucket;
+    query probes its own bucket plus all Hamming-1 buckets. Exact
+    cosine re-rank within candidates. Recall vs. brute force is the
+    test criterion (tests/test_similarity.py).
+    """
+    import ray
+
+    dim = Q.shape[1]
+    H = _hyperplanes(dim, nbits)
+    qb = _bucket_of(Q, H)
+    probe: dict[int, set[int]] = {}
+    for j, b in enumerate(qb):
+        targets = {int(b)}
+        if multiprobe:
+            targets |= {int(b) ^ (1 << i) for i in range(nbits)}
+        for t in targets:
+            probe.setdefault(t, set()).add(j)
+    qref = ray.put((qids, Q, H, {t: sorted(js) for t, js in probe.items()}))
+
+    class BucketTopK:
+        def __init__(self):
+            self.qids, self.Q, self.H, self.probe = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(_emb_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            buckets = _bucket_of(V, self.H)
+            out_q, out_v, out_c = [], [], []
+            for t, qjs in self.probe.items():
+                mask = buckets == t
+                if not mask.any():
+                    continue
+                Vm, im = V[mask], ids[mask]
+                C = np.round(Vm @ self.Q[qjs].T, 6)
+                for col, j in enumerate(qjs):
+                    keep = im != self.qids[j]
+                    cand_i, cand_c = im[keep], C[keep, col]
+                    kk = min(k, len(cand_i))
+                    if kk == 0:
+                        continue
+                    order = np.lexsort((cand_i, -cand_c))[:kk]
+                    out_q.append(np.full(kk, self.qids[j], dtype=np.int64))
+                    out_v.append(cand_i[order])
+                    out_c.append(cand_c[order])
+            if not out_q:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"qid": pa.array(np.concatenate(out_q)),
+                 "vec_id": pa.array(np.concatenate(out_v)),
+                 "cosine": pa.array(np.concatenate(out_c))}
+            )
+
+    partials = ds.map_batches(
+        BucketTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        cos = group.column("cosine").to_numpy(zero_copy_only=False)
+        qid = group.column("qid").to_numpy(zero_copy_only=False)
+        # a vector can appear via several probe buckets → dedupe first
+        _, first = np.unique(vid, return_index=True)
+        vid, cos = vid[first], cos[first]
+        order = np.lexsort((vid, -cos))[:k]
+        return pa.table(
+            {"qid": pa.array(qid[:1].repeat(len(order))), "vec_id": pa.array(vid[order]),
+             "cosine": pa.array(cos[order])}
+        )
+
+    out = partials.groupby("qid").map_groups(final_topk, batch_format="pyarrow")
+    df = out.to_pandas().sort_values(["qid", "cosine", "vec_id"], ascending=[True, False, True])
+    return df.reset_index(drop=True)
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_dup_pairs(ds: "Dataset", all_ids: np.ndarray, allV: np.ndarray, tau: float = 0.4):
+    """Exact cosine near-dup pairs (vec_a < vec_b, cos >= tau, rounded 6).
+
+    Blocked matmul of each block against the broadcast normalized
+    matrix (documented small-side assumption; LSH-bucketed partition
+    pairs at scale). Returns a Ray Dataset {vec_a, vec_b, cosine}.
+    """
+    import ray
+
+    ref = ray.put((all_ids.astype(np.int64), _normalize(allV)))
+
+    class BlockPairs:
+        def __init__(self):
+            self.ids, self.V = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            B = _normalize(_emb_matrix(batch))
+            bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            C = np.round(B @ self.V.T, 6)
+            # keep ordered pairs a < b only (each unordered pair once)
+            left = np.repeat(bids, len(self.ids))
+            right = np.tile(self.ids, len(bids))
+            cos = C.reshape(-1)
+            hit = (cos >= tau) & (left < right)
+            return pa.table(
+                {"vec_a": pa.array(left[hit]), "vec_b": pa.array(right[hit]),
+                 "cosine": pa.array(cos[hit])}
+            )
+
+    return ds.map_batches(BlockPairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+
+def load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    flat = np.asarray(t.column("embedding").combine_chunks().values, dtype=np.float32)
+    V = flat.reshape(t.num_rows, -1)
+    return t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64), V

@@ -1,0 +1,122 @@
+"""Dedup family: MinHash-LSH, SimHash, exact n-gram Jaccard, keep-set.
+
+Oracle strategy: exact word-shingle Jaccard / exact Hamming computed
+with numpy/sets on the small sf0.001 documents table; the approximate
+pipelines must (a) find every strongly-duplicated pair (recall on
+>= 0.8-Jaccard pairs), (b) emit no pair whose true similarity is far
+below threshold (precision slack), (c) agree with the DuckDB-parity
+exact pipeline where applicable.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def exact_jaccard():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    sets = {}
+    for i, tx in zip(ids, t.column("text").to_pylist()):
+        w = [x for x in tx.split(" ") if x]
+        sets[i] = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+    out = {}
+    idl = sorted(sets)
+    for ai in range(len(idl)):
+        a = idl[ai]
+        for b in idl[ai + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                out[(a, b)] = inter / (len(sets[a]) + len(sets[b]) - inter)
+    return out
+
+
+def test_minhash_lsh_recall_precision(docs_ds, exact_jaccard):
+    from bloomfilter_multithread_ray.pipelines.dedup import minhash_lsh_pairs
+
+    got = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(got.doc_a, got.doc_b)}
+    strong = {p for p, j in exact_jaccard.items() if j >= 0.8}
+    assert strong, "fixture should contain strong near-dups"
+    assert strong <= found, f"missed strong pairs: {strong - found}"
+    # no emitted pair is far below threshold in true Jaccard
+    for a, b in found:
+        assert exact_jaccard.get((a, b), 0.0) >= 0.35, (a, b)
+    # signature estimate close to true Jaccard (128 perms -> se ~ 0.044)
+    for _, r in got.iterrows():
+        true = exact_jaccard[(int(r.doc_a), int(r.doc_b))]
+        assert abs(r.est_jaccard - true) < 0.2
+
+
+def test_ngram_jaccard_exact_matches_oracle(docs_ds, exact_jaccard):
+    from bloomfilter_multithread_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(docs_ds, k=3, threshold=0.5).to_pandas()
+    want = {p: j for p, j in exact_jaccard.items() if j >= 0.5}
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(int(r.doc_a), int(r.doc_b))] == pytest.approx(r.jaccard, abs=0)
+
+
+def test_simhash_pairs_exact_hamming(docs_ds):
+    from bloomfilter_multithread_ray.pipelines.dedup import (
+        make_simhash_fn,
+        simhash_pairs,
+    )
+
+    got = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    # oracle: compute every simhash locally, brute-force all pairs
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    local = make_simhash_fn()(t)
+    sh = dict(zip(local.column("doc_id").to_pylist(), local.column("simhash").to_pylist()))
+    ids = sorted(sh)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(sh[ids[i]] ^ sh[ids[j]]).count("1")
+            if d <= 3:
+                want.add((ids[i], ids[j], d))
+    found = {(int(a), int(b), int(h)) for a, b, h in zip(got.doc_a, got.doc_b, got.hamming)}
+    # banding guarantees exact recall for distance <= max_hamming
+    assert found == want
+
+
+def test_keep_set(docs_ds):
+    from bloomfilter_multithread_ray.pipelines.dedup import (
+        keep_set_from_pairs,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(docs_ds, threshold=0.5)
+    keep = keep_set_from_pairs(docs_ds, pairs)
+    n_docs = docs_ds.count()
+    pdf = pairs.to_pandas()
+    # survivors: every doc minus non-root members of dup components
+    assert len(keep) < n_docs
+    assert len(keep) >= n_docs - len(pdf)
+    # every emitted pair has at most one surviving endpoint... the kept
+    # endpoint must be the component min for 2-cliques
+    kept = set(keep.doc_id)
+    for _, r in pdf.iterrows():
+        assert not ((r.doc_a in kept) and (r.doc_b in kept))
+
+
+def test_minhash_signature_determinism(docs_ds):
+    from bloomfilter_multithread_ray.pipelines.dedup import make_minhash_fn
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = make_minhash_fn()(t)
+    b = make_minhash_fn()(t.slice(0, 100))
+    # same doc -> same signature regardless of batch composition
+    assert a.slice(0, 100).equals(b)

@@ -1,0 +1,102 @@
+"""Similarity search: exact brute-force top-k vs numpy oracle, LSH
+recall on clustered data, embedding near-dup pairs vs numpy oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_topk(V, ids, qids, Q, k=5):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    want = {}
+    C = np.round(Vn @ Q.T, 6)
+    for j, q in enumerate(qids):
+        mask = ids != q
+        order = np.lexsort((ids[mask], -C[mask, j]))[:k]
+        want[q] = list(zip(ids[mask][order], C[mask, j][order]))
+    return want
+
+
+def test_ann_topk_exact_matches_numpy():
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        ann_topk_exact,
+        load_embeddings,
+        load_query_matrix,
+    )
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qids, Q = load_query_matrix(SF, 10)
+    got = ann_topk_exact(emb, qids, Q, k=5)
+    ids, V = load_embeddings(SF)
+    want = _numpy_topk(V.astype(np.float64), ids, qids, Q, k=5)
+    for q, rows in want.items():
+        sub = got[got.qid == q]
+        assert list(sub.vec_id) == [int(v) for v, _ in rows]
+        assert list(np.round(sub.cosine, 6)) == [c for _, c in rows]
+
+
+def test_ann_lsh_high_recall_on_clustered_data(tmp_path):
+    """LSH earns its keep when neighbors are actually close: plant 50
+    clusters of near-identical vectors and require >= 80% recall@5."""
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((50, 32))
+    V = np.repeat(centers, 10, axis=0) + 0.05 * rng.standard_normal((500, 32))
+    ids = np.arange(500, dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(V.astype(np.float32).reshape(-1)), 32
+         ).cast(pa.list_(pa.float32()))}
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+    ds = ray.data.read_parquet(path)
+
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        _normalize,
+        ann_lsh,
+        ann_topk_exact,
+    )
+
+    qids = ids[:20]
+    Q = _normalize(V[:20])
+    exact = ann_topk_exact(ds, qids, Q, k=5)
+    approx = ann_lsh(ds, qids, Q, k=5, nbits=8)
+    exact_sets = exact.groupby("qid")["vec_id"].apply(set)
+    approx_sets = approx.groupby("qid")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.8, np.mean(recalls)
+
+
+def test_embedding_dup_pairs_matches_numpy():
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        embedding_dup_pairs,
+        load_embeddings,
+    )
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, V = load_embeddings(SF)
+    got = (
+        embedding_dup_pairs(emb, ids, V, tau=0.4)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    Vn = V.astype(np.float64)
+    Vn = Vn / np.linalg.norm(Vn, axis=1, keepdims=True)
+    C = np.round(Vn @ Vn.T, 6)
+    ia, ib = np.triu_indices(len(ids), 1)
+    hit = C[ia, ib] >= 0.4
+    want = sorted(zip(ids[ia[hit]], ids[ib[hit]], C[ia, ib][hit]))
+    assert len(got) == len(want)
+    for row, (a, b, c) in zip(got.itertuples(index=False), want):
+        assert (row.vec_a, row.vec_b) == (a, b)
+        assert row.cosine == pytest.approx(c, abs=0)
