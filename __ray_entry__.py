@@ -140,6 +140,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_hourly(sf_dir):
         return _round(R.events_hourly(sf_dir), ["sum_value"])
 
+    # ---- text analysis ----
+    from bloomfilter_multithread_ray.stages import quality as Q
+
+    def doc_quality(sf_dir):
+        ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            Q.make_quality_fn(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def lang_id(sf_dir):
+        import pyarrow.parquet as pq
+
+        sample = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+        ).slice(0, 200)
+        ds = _docs(sf_dir, ["doc_id", "text"])
+        out = Q.lang_id_pipeline(
+            ds, sample.column("text").to_pylist(), sample.column("lang").to_pylist()
+        )
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def doc_fingerprint(sf_dir):
+        ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            Q.make_fingerprint_fn(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        df = ds.select_columns(["doc_id", "fp_min"]).to_pandas()
+        df["fp_min"] = df["fp_min"].astype("uint64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     # ---- sketch mode (rows-only for the driver; bounds in pytest) ----
     def distinct_tokens_hll(sf_dir):
         return A.distinct_count_hll(_docs(sf_dir, ["text"]), T.make_token_hash_fn())
@@ -243,6 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup_embedding,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "doc_quality": doc_quality,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
     }
 
 
@@ -330,6 +362,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.vec_id < b.vec_id "
             "WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4 "
             "ORDER BY vec_a, vec_b"
+        ),
+        "doc_quality": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents) "
+            "SELECT doc_id, CAST(len(w) AS INT) AS n_tok, "
+            "ROUND(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w), 6) AS avg_tok_len, "
+            "ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr, "
+            "ROUND(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','in','to','is'], x))) "
+            "AS DOUBLE) / len(w), 6) AS stop_ratio "
+            "FROM t WHERE len(w) > 0 ORDER BY doc_id"
         ),
         # ranking by ROUND(cos, 6) DESC, vec_id ASC on both sides
         "ann_topk": (

@@ -1,0 +1,216 @@
+"""Text quality / language-ID / fingerprint stages (training-data ops).
+
+- :func:`make_quality_fn` — per-document quality features, fully
+  vectorized (pyarrow.compute + reduceat); float outputs are single
+  divisions rounded to 6 dp so the DuckDB oracle matches bit-for-bit.
+- :class:`LangId` — character-bigram-profile language classifier as an
+  actor-pool stage: the per-language profile matrix is fit once from a
+  small labeled sample (broadcast via ``ray.put``), each batch is one
+  sparse-count matmul. A heuristic — accuracy is asserted on separable
+  synthetic fixtures in tests, not on the (label-independent) testdata.
+- :func:`make_fingerprint_fn` — winnowing document fingerprints
+  (Schleimer et al. 2003): min rolling-gram hash per sliding window,
+  deduplicated; robust to local edits, used for copy detection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import UINT64, hash_strings, splitmix64
+from .text import split_tokens
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def _row_layout(batch: pa.Table, col: str = "text"):
+    """tokenized batch → (flat nonempty tokens, row offsets into them)."""
+    toks = split_tokens(batch, col)
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs_all = offs_all - offs_all[0]
+    ne = np.asarray(nonempty).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(ne)])
+    return flat, cum[offs_all]
+
+
+def make_quality_fn(col: str = "text", id_col: str = "doc_id"):
+    """batch → {doc_id, n_tok, avg_tok_len, ttr, stop_ratio}.
+
+    ttr = type-token ratio (distinct/total); all ratios are one double
+    division, rounded to 6 dp (DuckDB-oracle parity). Rows with zero
+    tokens are dropped (same ``WHERE len(w) > 0`` on the SQL side).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offs = _row_layout(batch, col)
+        counts = np.diff(offs)
+        nz = counts > 0
+        starts = offs[:-1][nz]
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        sum_len = np.add.reduceat(tok_len, starts) if len(flat) else np.empty(0, np.int64)
+        # distinct tokens per row via (row, hash) pair dedup
+        row_of = np.repeat(np.arange(len(counts)), counts)
+        h = hash_strings(flat)
+        pair = np.stack([row_of, h.astype(np.int64)], axis=1)
+        uniq_rows = np.unique(pair, axis=0)[:, 0] if len(flat) else np.empty(0, np.int64)
+        n_distinct = np.bincount(uniq_rows.astype(np.int64), minlength=len(counts))[nz]
+        stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_stop = np.add.reduceat(stop, starts) if len(flat) else np.empty(0, np.int64)
+        n = counts[nz].astype(np.float64)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.filter(pa.array(nz))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tok": pa.array(counts[nz].astype(np.int32)),
+                "avg_tok_len": pa.array(np.round(sum_len / n, 6)),
+                "ttr": pa.array(np.round(n_distinct / n, 6)),
+                "stop_ratio": pa.array(np.round(n_stop / n, 6)),
+            }
+        )
+
+    return fn
+
+
+# ------------------------------------------------------------------ lang id
+_NBUCKETS = 1 << 12
+
+
+def _char_bigram_counts(texts: pa.Array) -> "tuple[np.ndarray, np.ndarray]":
+    """Hashed char-bigram counts per row → (rows × _NBUCKETS sparse-ish
+    dense matrix, row lengths). Vectorized over the flat byte stream."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = texts.to_pandas().fillna("")
+    joined = "\x00".join(s.tolist())
+    b = np.frombuffer(joined.encode("utf-8", "ignore"), dtype=np.uint8)
+    lengths = s.str.encode("utf-8").str.len().to_numpy(dtype=np.int64)
+    n = len(s)
+    mat = np.zeros((n, _NBUCKETS), dtype=np.float64)
+    if len(b) < 2:
+        return mat, lengths
+    big = b[:-1].astype(np.uint64) << UINT64(8) | b[1:].astype(np.uint64)
+    bucket = (splitmix64(big) % UINT64(_NBUCKETS)).astype(np.int64)
+    # row of each bigram start; separator bigrams (containing \x00) dropped
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths + 1, out=starts[1:])  # +1 for the separator
+    pos = np.arange(len(big))
+    row = np.searchsorted(starts, pos, side="right") - 1
+    valid = (b[:-1] != 0) & (b[1:] != 0)
+    np.add.at(mat, (row[valid], bucket[valid]), 1.0)
+    return mat, lengths
+
+
+def fit_langid_profiles(sample_texts, sample_langs) -> tuple[np.ndarray, list]:
+    """Per-language L2-normalized char-bigram profile matrix."""
+    mat, _ = _char_bigram_counts(pa.array(list(sample_texts), pa.string()))
+    langs = sorted(set(sample_langs))
+    P = np.zeros((len(langs), _NBUCKETS))
+    la = np.asarray(list(sample_langs))
+    for i, lang in enumerate(langs):
+        P[i] = mat[la == lang].sum(axis=0)
+    P /= np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    return P, langs
+
+
+class LangId:
+    """Actor-pool classifier: profiles fetched once per actor."""
+
+    def __init__(self, profiles_ref, col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        self.P, self.langs = (
+            ray.get(profiles_ref) if not isinstance(profiles_ref, tuple) else profiles_ref
+        )
+        self.col, self.id_col = col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat, _ = _char_bigram_counts(batch.column(self.col))
+        norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sim = (mat / norm) @ self.P.T
+        pred = np.asarray(self.langs)[sim.argmax(axis=1)]
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids,
+                "lang_pred": pa.array(pred, pa.string()),
+                "lang_score": pa.array(np.round(sim.max(axis=1), 6)),
+            }
+        )
+
+
+def lang_id_pipeline(ds, sample_texts, sample_langs, concurrency: int = 2):
+    """documents → {doc_id, lang_pred, lang_score} via broadcast profiles."""
+    import ray
+
+    ref = ray.put(fit_langid_profiles(sample_texts, sample_langs))
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs=dict(profiles_ref=ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+# -------------------------------------------------------------- fingerprint
+def make_fingerprint_fn(
+    k: int = 4, window: int = 5, col: str = "text", id_col: str = "doc_id"
+):
+    """batch → {doc_id, fp: list<uint64>, fp_min: uint64}.
+
+    Winnowing: hash word k-grams, slide a ``window``-wide window over
+    the gram-hash stream keeping each window's min (rightmost-min
+    rule), dedupe consecutive picks. Guarantees any shared run of
+    ``window + k - 1`` tokens between two docs shares a fingerprint.
+    """
+    from ..functions.hashing import kgram_hashes_flat
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offs = _row_layout(batch, col)
+        wh = hash_strings(flat)
+        gh, row_idx, _ = kgram_hashes_flat(wh, offs, k)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n_rows = batch.num_rows
+        fps: list[np.ndarray] = []
+        for r in range(n_rows):
+            g = gh[row_idx == r]
+            if len(g) == 0:
+                fps.append(np.empty(0, dtype=UINT64))
+                continue
+            if len(g) <= window:
+                fps.append(np.array([g.min()], dtype=UINT64))
+                continue
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            mins = sliding_window_view(g, window).min(axis=1)
+            keep = np.flatnonzero(np.diff(mins, prepend=mins[0] + UINT64(1)))
+            fps.append(np.unique(mins[keep]).astype(UINT64))
+        offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum([len(f) for f in fps], out=offsets[1:])
+        values = np.concatenate(fps) if fps else np.empty(0, UINT64)
+        fp_min = np.array(
+            [f.min() if len(f) else UINT64(0) for f in fps], dtype=UINT64
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "fp": pa.ListArray.from_arrays(pa.array(offsets), pa.array(values)),
+                "fp_min": pa.array(fp_min),
+            }
+        )
+
+    return fn
