@@ -36,6 +36,7 @@ sys.path.insert(0, REPO)
 # corpus rows per unit sf (sf0.1 -> 20k rows, ~6.8M tokens)
 ROWS_PER_SF = 200_000
 BLOOM = dict(k=4, num_partitions=64, bits_per_partition=1 << 22, num_hashes=4)
+SCALING_SF = 0.5  # 100k rows, ~34M tokens — big enough to amortize startup
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -64,7 +65,7 @@ def ensure_corpus(sf: float) -> str:
     return path
 
 
-def run_flagship(sf: float, store_dir: str) -> dict:
+def run_flagship(sf: float, store_dir: str, *, warm_up: bool = False) -> dict:
     """Bloom build (tokens/sec) + global merge + map-only probe."""
     import ray.data
 
@@ -74,11 +75,22 @@ def run_flagship(sf: float, store_dir: str) -> dict:
         probe_bloom,
     )
 
-    path = ensure_corpus(sf)
-    ds = ray.data.read_parquet(path, columns=["doc_id", "tokens", "n_tok"])
+    import ray
 
+    cpus_avail = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = max(32, cpus_avail)
+    path = ensure_corpus(sf)
+
+    def _build():
+        ds = ray.data.read_parquet(
+            path, columns=["doc_id", "tokens", "n_tok"], override_num_blocks=nblocks
+        )
+        build_and_store(ds, store_dir, **BLOOM)
+
+    if warm_up:
+        _build()  # untimed: Ray worker-pool spin-up + imports
     t0 = time.perf_counter()
-    build_and_store(ds, store_dir, **BLOOM)
+    _build()
     build_s = time.perf_counter() - t0
 
     shards, _ = load_sketch_store(store_dir)
@@ -92,14 +104,16 @@ def run_flagship(sf: float, store_dir: str) -> dict:
         ray.data.read_parquet(path, columns=["n_tok"]).sum("n_tok")
     )
 
+    # size the probe actor pool to leave CPUs for the read + aggregate
+    # operators (a pool equal to the whole cluster deadlocks the stream)
     t0 = time.perf_counter()
     probe = probe_bloom(
         ray.data.read_parquet(path, columns=["doc_id", "tokens"]),
         shards,
         k=BLOOM["k"],
         num_partitions=BLOOM["num_partitions"],
-        concurrency=4,
-        batch_size=512,
+        concurrency=max(2, min(12, cpus_avail // 2)),
+        batch_size=2048,
     )
     n_member = int(probe.sum("member") or 0)
     probe_s = time.perf_counter() - t0
@@ -151,14 +165,19 @@ def scaling_child(sf: float, num_cpus: int) -> None:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
-        res = run_flagship(sf, f"/tmp/graft_bench_store_scaling_{num_cpus}")
+        # dedicated larger corpus: the job must be long enough at the
+        # low CPU count to amortize task/actor startup, else the
+        # efficiency ratio measures constant overheads, not scaling
+        res = run_flagship(
+            SCALING_SF, f"/tmp/graft_bench_store_scaling_{num_cpus}", warm_up=True
+        )
         print("CHILD_JSON:" + json.dumps(res))
     finally:
         ray.shutdown()
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
-    sf = _sf_of(sf_dir)
+def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
+    sf = SCALING_SF
     ensure_corpus(sf)  # generate outside the timed children
     out = {}
     for n in (low, high):
@@ -217,6 +236,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--_scaling-child", type=int, default=None, dest="scaling_child")
     args = ap.parse_args()
 
@@ -227,7 +248,7 @@ def main() -> None:
         return
 
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir)))
+        print(json.dumps(run_scaling(args.sf_dir, args.low, args.high)))
         return
 
     import ray

@@ -39,7 +39,7 @@ from ..functions.hashing import kgram_hashes_flat, partition_of
 from ..state import BloomFilter
 from ..state.base import Sketch, deserialize_sketch
 from ..stages.kgram import list_column_to_numpy, make_kgram_hash_fn
-from ..stages.sketch_agg import SketchAgg
+from ..stages.sketch_agg import PartialMergeAgg, SketchAgg, make_partial_combiner
 
 if TYPE_CHECKING:
     from ray.data import Dataset
@@ -66,9 +66,14 @@ def build_partitioned_bloom(
     hash_fn = make_kgram_hash_fn(
         k, num_partitions, tokens_col=tokens_col, canonical=canonical, salt_bits=salt_bits
     )
+    factory = lambda: BloomFilter(bits_per_partition, num_hashes)  # noqa: E731
     hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
-    agg = SketchAgg(lambda: BloomFilter(bits_per_partition, num_hashes), on="gh")
-    sketches = hashed.groupby("part").aggregate(agg)
+    # map-side combine: one partial per (block, part) so the shuffle
+    # moves blob rows, not per-gram hash rows
+    partials = hashed.map_batches(
+        make_partial_combiner(factory), batch_format="pyarrow", zero_copy_batch=True
+    )
+    sketches = partials.groupby("part").aggregate(PartialMergeAgg(factory))
     if salt_bits:
         shift = 1 << salt_bits
 
@@ -125,8 +130,16 @@ def write_sketch_store(sketch_ds: "Dataset", path: str, manifest: dict) -> dict:
         )
 
     os.makedirs(path, exist_ok=True)
+    sk_dir = os.path.join(path, "sketches")
+    if os.path.exists(sk_dir):
+        # stale files from a previous store at this path would be read
+        # alongside the new ones (write_parquet generates fresh file
+        # names) — clear first; the manifest rename below is the commit
+        import shutil
+
+        shutil.rmtree(sk_dir)
     with_metrics = sketch_ds.map_batches(add_metrics, batch_format="pyarrow")
-    with_metrics.write_parquet(os.path.join(path, "sketches"))
+    with_metrics.write_parquet(sk_dir)
     manifest = dict(manifest, created_unix=time.time())
     tmp = os.path.join(path, "manifest.json.tmp")
     with open(tmp, "w") as f:

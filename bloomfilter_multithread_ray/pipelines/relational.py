@@ -138,11 +138,19 @@ def bloom_semijoin_lineitem(
     """
     import ray
 
-    part_tbl = read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
-    keys = part_tbl.filter(
-        lambda r: r["p_retailprice"] >= min_retailprice
-    )  # small table; row filter acceptable
-    key_arr = np.asarray([r["p_partkey"] for r in keys.take_all()], dtype=np.int64)
+    # small-side key scan: vectorized local read of the dimension table
+    # (at scale: a column-pruned Dataset filter + take of just the keys)
+    import pyarrow.parquet as pq
+
+    part_tbl = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+    key_arr = (
+        part_tbl.filter(pc.greater_equal(part_tbl["p_retailprice"], min_retailprice))
+        .column("p_partkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
 
     bf = BloomFilter(num_bits, num_hashes)
     bf.update_hashes(hash64_ints(key_arr))

@@ -50,6 +50,10 @@ class Sketch(abc.ABC):
     """Base class for mergeable sketches."""
 
     TYPE_CODE: int = 0
+    # False => duplicate hashes are harmless (set semantics); lets the
+    # aggregation layer ship raw hash arrays without (hash, count)
+    # dedup — half the shuffle bytes and no per-block unique/sort
+    NEEDS_MULTIPLICITY: bool = True
 
     def update_hashes(self, hashes: np.ndarray) -> None:
         """Absorb a batch of pre-hashed uint64 items (vectorized).
@@ -64,6 +68,16 @@ class Sketch(abc.ABC):
         Implemented by value sketches (TDigest, KLL).
         """
         raise NotImplementedError(f"{type(self).__name__} is not a value sketch")
+
+    def update_hash_counts(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        """Absorb pre-deduplicated (hash, multiplicity) pairs.
+
+        Semantics identical to ``update_hashes(np.repeat(hashes,
+        counts))`` — the default does exactly that; set-semantics and
+        counting sketches override with O(unique) versions. This is the
+        replay path for SketchAgg's sparse map-side partials.
+        """
+        self.update_hashes(np.repeat(hashes, counts))
 
     @abc.abstractmethod
     def merge(self, other: "Sketch") -> "Sketch":

@@ -30,6 +30,7 @@ _H2_SALT = _U(0xD6E8FEB86659FD93)
 
 @register(T_BLOOM)
 class BloomFilter(Sketch):
+    NEEDS_MULTIPLICITY = False
     def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 4):
         if num_bits < 64:
             raise ValueError("num_bits must be >= 64")
@@ -37,7 +38,12 @@ class BloomFilter(Sketch):
             raise ValueError("num_hashes must be in [1, 16]")
         self.num_bits = int(num_bits)
         self.num_hashes = int(num_hashes)
-        self.words = np.zeros((self.num_bits + 63) // 64, dtype=_U)
+        # one BYTE per bit in memory: scatter-set (`bits[idx] = 1`) and
+        # gather-test are plain fancy indexing (~20x faster than
+        # np.bitwise_or.at on packed words); the serialized form stays
+        # bit-packed (np.packbits round-trip), so on-disk size and
+        # format are unchanged
+        self.bits = np.zeros(self.num_bits, dtype=np.uint8)
         self.n_added = 0  # item count (not distinct) — lineage metric
 
     # -- hashing ---------------------------------------------------------
@@ -55,9 +61,13 @@ class BloomFilter(Sketch):
         if h.size == 0:
             return
         for i in range(self.num_hashes):
-            idx = self._indices(h, i)
-            np.bitwise_or.at(self.words, (idx >> _U(6)).astype(np.int64), _U(1) << (idx & _U(63)))
+            self.bits[self._indices(h, i).astype(np.int64)] = 1
         self.n_added += int(h.size)
+
+    def update_hash_counts(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        # set semantics: one insert per unique hash; n_added counts items
+        self.update_hashes(hashes)
+        self.n_added += int(np.asarray(counts, dtype=np.int64).sum()) - len(hashes)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership test -> bool array (no false negatives)."""
@@ -66,22 +76,19 @@ class BloomFilter(Sketch):
             return np.empty(0, dtype=bool)
         out = np.ones(h.size, dtype=bool)
         for i in range(self.num_hashes):
-            idx = self._indices(h, i)
-            bits = (self.words[(idx >> _U(6)).astype(np.int64)] >> (idx & _U(63))) & _U(1)
-            out &= bits.astype(bool)
+            out &= self.bits[self._indices(h, i).astype(np.int64)] != 0
         return out
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         if (other.num_bits, other.num_hashes) != (self.num_bits, self.num_hashes):
             raise ValueError("cannot merge Bloom filters with different shapes")
-        np.bitwise_or(self.words, other.words, out=self.words)
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
         self.n_added += other.n_added
         return self
 
     # -- estimates -------------------------------------------------------
     def fill_ratio(self) -> float:
-        set_bits = int(np.unpackbits(self.words.view(np.uint8)).sum())
-        return set_bits / self.num_bits
+        return int(self.bits.sum()) / self.num_bits
 
     def estimate(self) -> float:
         """Estimated distinct insertions from fill ratio: -m/K ln(1-t)."""
@@ -97,12 +104,19 @@ class BloomFilter(Sketch):
     # -- serialization ---------------------------------------------------
     def _payload(self) -> bytes:
         head = struct.pack("<QBQ", self.num_bits, self.num_hashes, self.n_added)
-        return head + self.words.tobytes()
+        # pack 1 byte/bit -> 1 bit/bit; little bitorder keeps the layout
+        # identical to the previous uint64-word little-endian format
+        packed = np.packbits(self.bits, bitorder="little")
+        pad = (-len(packed)) % 8  # pad to whole 64-bit words
+        if pad:
+            packed = np.concatenate([packed, np.zeros(pad, np.uint8)])
+        return head + packed.tobytes()
 
     @classmethod
     def _from_payload(cls, buf: memoryview) -> "BloomFilter":
         num_bits, num_hashes, n_added = struct.unpack_from("<QBQ", buf, 0)
         s = cls.__new__(cls)
         s.num_bits, s.num_hashes, s.n_added = num_bits, num_hashes, n_added
-        s.words = np.frombuffer(buf, dtype=_U, offset=17).copy()
+        packed = np.frombuffer(buf, dtype=np.uint8, offset=17)
+        s.bits = np.unpackbits(packed, bitorder="little")[:num_bits]
         return s

@@ -65,6 +65,9 @@ class CountMinSketch(Sketch):
             np.add.at(self.counts[j], self._row_idx(uniq, j), w)
         self.total += int(w.sum())
 
+    def update_hash_counts(self, hashes, counts):
+        self.update_hashes(hashes, weights=np.asarray(counts, dtype=np.int64))
+
     def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
         """Point estimates (min over rows) for a batch of item hashes."""
         h = np.ascontiguousarray(hashes, dtype=_U)

@@ -29,6 +29,7 @@ def _alpha(m: int) -> float:
 
 @register(T_HLL)
 class HyperLogLog(Sketch):
+    NEEDS_MULTIPLICITY = False
     def __init__(self, p: int = 14):
         # p in [11, 18]: keeps the low (64-p) hash bits < 2^53 so the
         # float64 log2-based rank computation below is exact.
@@ -37,6 +38,10 @@ class HyperLogLog(Sketch):
         self.p = int(p)
         self.m = 1 << self.p
         self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update_hash_counts(self, hashes, counts):
+        # set semantics: multiplicity is irrelevant to max-rank registers
+        self.update_hashes(hashes)
 
     def update_hashes(self, hashes: np.ndarray) -> None:
         h = np.ascontiguousarray(hashes, dtype=_U)

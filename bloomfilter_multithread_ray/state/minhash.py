@@ -25,11 +25,16 @@ def _salts(num_perm: int) -> np.ndarray:
 
 @register(T_MINHASH)
 class MinHash(Sketch):
+    NEEDS_MULTIPLICITY = False
     def __init__(self, num_perm: int = 128):
         if not 8 <= num_perm <= 1024:
             raise ValueError("num_perm must be in [8, 1024]")
         self.num_perm = int(num_perm)
         self.sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=_U)
+
+    def update_hash_counts(self, hashes, counts):
+        # set semantics: multiplicity is irrelevant to the minima
+        self.update_hashes(hashes)
 
     def update_hashes(self, hashes: np.ndarray) -> None:
         h = np.ascontiguousarray(hashes, dtype=_U)

@@ -136,4 +136,4 @@ def test_salted_build_equals_unsalted(ray_session, corpus_table):
     )
     assert set(plain) == set(salted)
     for p in plain:
-        assert np.array_equal(plain[p].words, salted[p].words), f"part {p} differs"
+        assert np.array_equal(plain[p].bits, salted[p].bits), f"part {p} differs"

@@ -46,7 +46,7 @@ def _tree_merge(sketches, order, rng_seed):
 
 
 ITEM_FAMILIES = {
-    "bloom": (lambda: BloomFilter(1 << 14, 4), lambda s: s.words),
+    "bloom": (lambda: BloomFilter(1 << 14, 4), lambda s: s.bits),
     "hll": (lambda: HyperLogLog(12), lambda s: s.registers),
     "cms": (lambda: CountMinSketch(width=1 << 10, depth=4), lambda s: s.counts),
     "minhash": (lambda: MinHash(64), lambda s: s.sig),

@@ -52,7 +52,7 @@ def test_bloom_merge_equals_single_pass():
         shard = BloomFilter(1 << 16, 4)
         shard.update_hashes(p)
         merged.merge(shard)
-    assert np.array_equal(one.words, merged.words)
+    assert np.array_equal(one.bits, merged.bits)
     assert merged.n_added == one.n_added
 
 
@@ -276,4 +276,4 @@ def test_pickle_roundtrip():
     bf = BloomFilter(1 << 10, 2)
     bf.update_hashes(_hashes(100))
     bf2 = pickle.loads(pickle.dumps(bf))
-    assert np.array_equal(bf.words, bf2.words)
+    assert np.array_equal(bf.bits, bf2.bits)
