@@ -140,6 +140,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_hourly(sf_dir):
         return _round(R.events_hourly(sf_dir), ["sum_value"])
 
+    def distinct_by_source(sf_dir):
+        return A.distinct_count_by_group_exact(
+            _docs(sf_dir, ["text", "source"]), T.make_unique_tokens_by_fn("source"), "source"
+        )
+
+    def distinct_by_source_hll(sf_dir):
+        return A.distinct_count_by_group_hll(
+            _docs(sf_dir, ["text", "source"]), T.make_token_hash_by_fn("source"), "source"
+        )
+
+    def events_sessions(sf_dir):
+        return R.events_sessionize(sf_dir)
+
     # ---- text analysis ----
     from bloomfilter_multithread_ray.stages import quality as Q
 
@@ -273,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "doc_quality": doc_quality,
+        "distinct_by_source": distinct_by_source,
+        "distinct_by_source_hll": distinct_by_source_hll,
+        "events_sessions": events_sessions,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
     }
@@ -336,6 +352,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS hour, "
             "count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, hour ORDER BY event_type, hour"
+        ),
+        "distinct_by_source": (
+            "SELECT source, count(DISTINCT tok) AS distinct_tokens FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t "
+            "WHERE tok <> '' GROUP BY source ORDER BY source"
+        ),
+        "events_sessions": (
+            "WITH m AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
         ),
         # exact word-3-gram Jaccard >= 0.5 over distinct shingles; floats
         # are a single int division on both sides -> bit-identical.

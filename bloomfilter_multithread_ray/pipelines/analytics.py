@@ -147,3 +147,36 @@ def grouped_quantiles_sketch(
         for q, name in zip(qs, names):
             out[name].append(float(sk.quantile(q)))
     return pd.DataFrame(out)
+
+
+# ------------------------------------------------------- grouped distinct
+def distinct_count_by_group_exact(ds: "Dataset", unique_fn, by: str) -> pd.DataFrame:
+    """Exact distinct count per group → {by, distinct_tokens}.
+
+    ``unique_fn`` emits per-batch-deduped {by, tok}; the double
+    groupby collapses to (by, tok) pairs then counts per group —
+    shuffle volume bounded by distinct pairs per batch.
+    """
+    pairs = ds.map_batches(unique_fn, batch_format="pyarrow", zero_copy_batch=True)
+    uniq = pairs.groupby([by, "tok"]).count()
+    from ray.data.aggregate import Count
+
+    out = uniq.groupby(by).aggregate(Count(alias_name="distinct_tokens"))
+    return out.to_pandas().sort_values(by).reset_index(drop=True)
+
+
+def distinct_count_by_group_hll(ds: "Dataset", hash_fn, by: str, p: int = 14) -> pd.DataFrame:
+    """HLL distinct per group — one mergeable sketch per group key.
+
+    The scale path for grouped cardinality: per-block partial HLLs
+    (16 KiB each) shuffle instead of token rows.
+    """
+    hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
+    rows = hashed.groupby(by).aggregate(SketchAgg(lambda: HyperLogLog(p), on="gh")).take_all()
+    out = {by: [], "estimate": [], "rel_error_bound": []}
+    for r in sorted(rows, key=lambda r: r[by]):
+        sk = deserialize_sketch(r["sketch"])
+        out[by].append(r[by])
+        out["estimate"].append(float(sk.estimate()))
+        out["rel_error_bound"].append(sk.rel_error())
+    return pd.DataFrame(out)

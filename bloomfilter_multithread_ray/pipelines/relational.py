@@ -264,3 +264,44 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
         .select_columns(["doc_id"])
     )
     return kept.to_pandas()
+
+
+# ------------------------------------------------------------ sessionization
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization per user → one row per session:
+    {user_id, session_start, session_end, n_events, sum_value}.
+
+    The classic streaming window op expressed Ray-Data-first: shuffle
+    once by ``user_id`` (``groupby.map_groups``), sort each user's
+    events in-memory (per-user event counts are bounded), cut sessions
+    where the gap exceeds the threshold. Floats: sum_value rounded to
+    2 dp for oracle parity.
+    """
+    import ray.data
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new_session) - 1
+        out = g.assign(sid=sid).groupby("sid").agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        return out.reset_index(drop=True)
+
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )

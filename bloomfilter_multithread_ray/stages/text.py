@@ -122,3 +122,51 @@ def make_word_kgram_hash_fn(
         return pa.table(cols)
 
     return fn
+
+
+def make_unique_tokens_by_fn(by_col: str = "source", col: str = "text"):
+    """batch → {by, tok} distinct pairs per batch (grouped-distinct feed)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        ne = np.asarray(nonempty).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(ne)])
+        counts = np.diff(cum[offs])
+        by = batch.column(by_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {by_col: np.repeat(by, counts), "tok": np.asarray(flat)}
+        ).drop_duplicates()
+        return pa.table(
+            {by_col: pa.array(df[by_col], pa.string()), "tok": pa.array(df["tok"], pa.string())}
+        )
+
+    return fn
+
+
+def make_token_hash_by_fn(by_col: str = "source", col: str = "text", seed: int = 0):
+    """batch → {by, gh} one hash per occurrence, tagged with the group."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        ne = np.asarray(nonempty).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(ne)])
+        counts = np.diff(cum[offs])
+        by = batch.column(by_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {by_col: pa.array(np.repeat(by, counts), pa.string()),
+             "gh": hash_strings(flat, seed=seed)}
+        )
+
+    return fn
