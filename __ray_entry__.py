@@ -265,6 +265,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return A.grouped_quantiles_sketch(ds, "n_tok", "source", algo="tdigest")
 
+    def ntok_quantiles_kll(sf_dir):
+        import pyarrow as pa
+
+        stats_fn = T.make_doc_token_stats_fn()
+
+        def with_source(t: pa.Table) -> pa.Table:
+            s = stats_fn(t)
+            return s.append_column("source", t.column("source"))
+
+        ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            with_source, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return A.grouped_quantiles_sketch(ds, "n_tok", "source", algo="kll")
+
+    def sketch_lineage(sf_dir):
+        # Checkpoint-resumable epoch build + per-partition lineage table.
+        # Deterministic: seed-fixed corpus; a completed store is a no-op
+        # on re-run (idempotent across driver invocations).
+        from bloomfilter_multithread_ray.pipelines.checkpoint import (
+            build_to_completion,
+            incremental_build,
+            lineage_table,
+        )
+        from bloomfilter_multithread_ray.sources.sequences import (
+            write_sequences_parquet,
+        )
+        from bloomfilter_multithread_ray.state import BloomFilter
+
+        import os
+
+        corpus = "/tmp/graft_lineage_corpus"
+        if not os.path.exists(os.path.join(corpus, "part-00003.parquet")):
+            write_sequences_parquet(corpus, 400, seed=17, rows_per_file=100)
+        store = "/tmp/graft_lineage_store"
+        cfg = dict(
+            factory=lambda: BloomFilter(1 << 16, 4),
+            factory_desc={"algo": "bloom", "bits": 1 << 16, "hashes": 4},
+            k=4,
+            num_partitions=8,
+        )
+        incremental_build(corpus, store, max_fragments=2, **cfg)  # epoch 0
+        build_to_completion(corpus, store, **cfg)  # resume the rest
+        return lineage_table(store).to_pandas()
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -278,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_hll": distinct_tokens_hll,
         "heavy_hitters_cms": heavy_hitters_cms,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
+        "ntok_quantiles_kll": ntok_quantiles_kll,
+        "sketch_lineage": sketch_lineage,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_keep": dedup_minhash_keep,
         "dedup_simhash": dedup_simhash,

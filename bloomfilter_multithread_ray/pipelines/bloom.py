@@ -248,6 +248,57 @@ def probe_bloom(
     )
 
 
+def probe_bloom_routed(
+    ds: "Dataset",
+    store_path: str,
+    *,
+    k: int,
+    num_partitions: int,
+    canonical: bool = False,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> "Dataset":
+    """Routed membership probe: shuffle k-grams by ``part`` and load only
+    that partition's sketch inside each group task.
+
+    The scale path when the sketch store exceeds one worker's heap
+    (broadcast probe needs all P shards resident everywhere; routing
+    needs exactly one). Costs one all-to-all of {part, gh, doc_id, pos}
+    rows — the same trade the reference makes by streaming every query
+    k-mer through the per-partition FIFOs (``src/main.cpp:142-160``).
+    Output schema matches :func:`probe_bloom`: {doc_id, pos, member}.
+    """
+    import pyarrow.dataset as pads
+
+    hash_fn = make_kgram_hash_fn(
+        k, num_partitions, tokens_col=tokens_col, canonical=canonical,
+        with_identity=True, id_col=id_col,
+    )
+    hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
+    sk_dir = os.path.join(store_path, "sketches")
+
+    def probe_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        tbl = pads.dataset(sk_dir, format="parquet").to_table(
+            columns=["part", "sketch"], filter=pads.field("part") == part
+        )
+        gh = group.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if tbl.num_rows:
+            shard = deserialize_sketch(tbl.column("sketch")[0].as_py())
+            member = shard.contains(gh)
+        else:
+            member = np.zeros(len(gh), dtype=bool)
+        return pa.table(
+            {
+                "doc_id": group.column(id_col),
+                "pos": group.column("pos"),
+                "member": pa.array(member),
+            }
+        )
+
+    return hashed.groupby("part").map_groups(probe_group, batch_format="pyarrow")
+
+
 def build_and_store(
     ds: "Dataset",
     store_path: str,

@@ -137,3 +137,35 @@ def test_salted_build_equals_unsalted(ray_session, corpus_table):
     assert set(plain) == set(salted)
     for p in plain:
         assert np.array_equal(plain[p].bits, salted[p].bits), f"part {p} differs"
+
+
+def test_routed_probe_equals_broadcast(tmp_path):
+    from bloomfilter_multithread_ray.pipelines.bloom import (
+        build_and_store,
+        load_sketch_store,
+        probe_bloom,
+        probe_bloom_routed,
+    )
+    from bloomfilter_multithread_ray.sources.sequences import write_sequences_parquet
+    import ray.data
+
+    corpus = str(tmp_path / "corpus")
+    write_sequences_parquet(corpus, 300, seed=21, rows_per_file=100)
+    store = str(tmp_path / "store")
+    cfg = dict(k=4, num_partitions=8, bits_per_partition=1 << 16)
+    build_and_store(ray.data.read_parquet(corpus, columns=["tokens"]), store, **cfg)
+    shards, _ = load_sketch_store(store)
+    ds = ray.data.read_parquet(corpus, columns=["doc_id", "tokens"])
+    a = (
+        probe_bloom(ds, shards, k=4, num_partitions=8, concurrency=2)
+        .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    )
+    ds2 = ray.data.read_parquet(corpus, columns=["doc_id", "tokens"])
+    b = (
+        probe_bloom_routed(ds2, store, k=4, num_partitions=8)
+        .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert a.member.all()  # probing the build corpus: zero false negatives
