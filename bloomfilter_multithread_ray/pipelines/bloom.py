@@ -185,10 +185,17 @@ class BloomProbe:
         import ray
 
         shards = ray.get(shards_ref) if not isinstance(shards_ref, dict) else shards_ref
-        self.shards = {
-            p: (s if isinstance(s, Sketch) else deserialize_sketch(s))
-            for p, s in shards.items()
-        }
+
+        def revive(s):
+            if isinstance(s, Sketch):
+                return s
+            if isinstance(s, tuple) and s and s[0] == "bloom_bits":
+                # zero-copy view over the plasma-shared bit array
+                _, num_bits, num_hashes, n_added, bits = s
+                return BloomFilter.from_bits(num_bits, num_hashes, bits, n_added)
+            return deserialize_sketch(s)
+
+        self.shards = {p: revive(s) for p, s in shards.items()}
         self.k = k
         self.num_partitions = num_partitions
         self.canonical = canonical
@@ -227,10 +234,22 @@ def probe_bloom(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
 ) -> "Dataset":
-    """Map-only membership probe: {doc_id, pos, member} per k-gram."""
+    """Map-only membership probe: {doc_id, pos, member} per k-gram.
+
+    Bloom shard bit arrays are broadcast UNPACKED as numpy arrays: each
+    actor's ``ray.get`` maps the same plasma buffer zero-copy, so N
+    actors share one in-memory copy per node instead of each paying a
+    deserialize + unpack of the whole store.
+    """
     import ray
 
-    shards_ref = ray.put({p: s.serialize() for p, s in shards.items()})
+    payload: dict[int, object] = {}
+    for p, s in shards.items():
+        if isinstance(s, BloomFilter):
+            payload[p] = ("bloom_bits", s.num_bits, s.num_hashes, s.n_added, s.bits)
+        else:
+            payload[p] = s.serialize()
+    shards_ref = ray.put(payload)
     return ds.map_batches(
         BloomProbe,
         fn_constructor_kwargs=dict(

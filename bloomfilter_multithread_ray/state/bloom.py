@@ -46,6 +46,22 @@ class BloomFilter(Sketch):
         self.bits = np.zeros(self.num_bits, dtype=np.uint8)
         self.n_added = 0  # item count (not distinct) — lineage metric
 
+    @classmethod
+    def from_bits(
+        cls, num_bits: int, num_hashes: int, bits: np.ndarray, n_added: int = 0
+    ) -> "BloomFilter":
+        """Wrap an existing byte-per-bit array WITHOUT copying.
+
+        Used by the probe path to share one plasma-resident bit array
+        across every actor on a node (zero-copy ``ray.get``): the
+        wrapped array may be read-only — fine for ``contains``; call
+        sites that need to update must copy first.
+        """
+        s = cls.__new__(cls)
+        s.num_bits, s.num_hashes, s.n_added = int(num_bits), int(num_hashes), int(n_added)
+        s.bits = bits
+        return s
+
     # -- hashing ---------------------------------------------------------
     def _indices(self, hashes: np.ndarray, i: int) -> np.ndarray:
         h1 = hashes
