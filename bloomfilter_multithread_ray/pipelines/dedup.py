@@ -235,9 +235,21 @@ def keep_set_from_pairs(docs: "Dataset", pairs: "Dataset", id_col: str = "doc_id
         if a != b:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
-    drop = {x for x in parent if find(x) != x}
-    ids = docs.select_columns([id_col])
-    kept = ids.filter(lambda row: int(row[id_col]) not in drop)
+    drop = np.array(sorted(x for x in parent if find(x) != x), dtype=np.int64)
+
+    import ray
+
+    drop_ref = ray.put(drop)  # broadcast once; vectorized isin per batch
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids_np = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids_np, d, invert=True)
+        return t.filter(pa.array(mask))
+
+    kept = docs.select_columns([id_col]).map_batches(
+        keep_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
     out = kept.to_pandas().sort_values(id_col).reset_index(drop=True)
     return pd.DataFrame({id_col: out[id_col].astype("int64")})
 
