@@ -153,6 +153,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_sessions(sf_dir):
         return R.events_sessionize(sf_dir)
 
+    def dedup_embedding_lsh(sf_dir):
+        import ray.data
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        pairs = S.embedding_dup_pairs_lsh(emb, tau=0.4, nbits=6, n_tables=6)
+        return (
+            pairs.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        )
+
+    def bloom_fpr_check(sf_dir):
+        # North-star criterion as a pipeline: build over the input_hint
+        # corpus, probe (a) the corpus itself -> zero false negatives,
+        # (b) disjoint-vocab negatives -> empirical FPR vs the
+        # theoretical (1 - e^{-Kn/m})^K bound. 1-row DataFrame.
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloomfilter_multithread_ray.pipelines.bloom import (
+            build_and_store,
+            load_sketch_store,
+            probe_bloom,
+        )
+        from bloomfilter_multithread_ray.sources.sequences import (
+            generate_query_table,
+            generate_sequences_table,
+        )
+
+        base = "/tmp/graft_fpr"
+        corpus_p, query_p = f"{base}/corpus.parquet", f"{base}/query.parquet"
+        if not os.path.exists(query_p):
+            os.makedirs(base, exist_ok=True)
+            corpus = generate_sequences_table(500, seed=23)
+            pq.write_table(corpus, corpus_p)
+            pq.write_table(generate_query_table(corpus, 200, seed=24), query_p)
+        store = f"{base}/store"
+        k, P, bits, K = 4, 16, 1 << 20, 4
+        if not os.path.exists(f"{store}/manifest.json"):
+            build_and_store(
+                ray.data.read_parquet(corpus_p, columns=["tokens"]), store,
+                k=k, num_partitions=P, bits_per_partition=bits, num_hashes=K,
+            )
+        shards, _ = load_sketch_store(store)
+        probe = probe_bloom(
+            ray.data.read_parquet(query_p, columns=["doc_id", "tokens"]),
+            shards, k=k, num_partitions=P, concurrency=2,
+        ).to_pandas()
+        pos = probe[probe.doc_id.str.startswith("doc-")]
+        neg = probe[probe.doc_id.str.startswith("neg-")]
+        n_distinct = max(s.estimate() for s in shards.values())
+        import numpy as np
+
+        bound = float((1.0 - np.exp(-K * n_distinct / bits)) ** K)
+        return pd.DataFrame(
+            {
+                "zero_false_negatives": [bool(pos.member.all())],
+                "n_probed_pos": [len(pos)],
+                "empirical_fpr": [round(float(neg.member.mean()), 6)],
+                "theoretical_bound": [round(bound, 6)],
+                "fpr_within_bound": [bool(neg.member.mean() <= bound * 1.5 + 1e-4)],
+            }
+        )
+
+    def multimodal_features(sf_dir):
+        # Actor-pool decode plumbing over a deterministic synthetic
+        # media table (no codecs in this env: marked fake decode).
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloomfilter_multithread_ray.stages.multimodal import (
+            decode_images,
+            synth_media_table,
+        )
+
+        path = "/tmp/graft_media/images.parquet"
+        if not os.path.exists(path):
+            os.makedirs("/tmp/graft_media", exist_ok=True)
+            pq.write_table(synth_media_table(64, seed=5), path)
+        out = decode_images(ray.data.read_parquet(path), concurrency=2, batch_size=16)
+        df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+        df["features"] = df["features"].apply(lambda f: [round(float(x), 6) for x in f])
+        return df
+
     # ---- text analysis ----
     from bloomfilter_multithread_ray.stages import quality as Q
 
@@ -331,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup_embedding,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "bloom_fpr_check": bloom_fpr_check,
+        "multimodal_features": multimodal_features,
         "doc_quality": doc_quality,
         "distinct_by_source": distinct_by_source,
         "distinct_by_source_hll": distinct_by_source_hll,

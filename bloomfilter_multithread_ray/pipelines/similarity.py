@@ -260,3 +260,77 @@ def load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     flat = np.asarray(t.column("embedding").combine_chunks().values, dtype=np.float32)
     V = flat.reshape(t.num_rows, -1)
     return t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64), V
+
+
+def embedding_dup_pairs_lsh(
+    ds: "Dataset",
+    tau: float = 0.8,
+    *,
+    nbits: int = 8,
+    n_tables: int = 4,
+    max_bucket: int = 1024,
+    seed: int = 11,
+):
+    """Near-dup pairs without broadcasting the corpus: the scale path.
+
+    ``n_tables`` independent hyperplane banks bucket every vector; a
+    pair of near-identical vectors collides in at least one table with
+    high probability (per-table collision prob for angle θ is
+    ``(1 - θ/π)^nbits``). Bucket rows carry their vector, so in-bucket
+    exact-cosine verification is a local matmul — no side lookup, and
+    every stage is a plain content-keyed shuffle. Recall vs the exact
+    pairs is asserted on clustered fixtures in tests; emitted pairs
+    are always exact (cos >= tau verified).
+    """
+    import ray  # noqa: F401  (parity with sibling pipelines)
+    from ray.data.aggregate import Max
+
+    def band_fn(batch: pa.Table) -> pa.Table:
+        V = _normalize(_emb_matrix(batch))
+        n, dim = V.shape
+        keys, rep = [], []
+        for t in range(n_tables):
+            # seed-deterministic per (table, dim): every batch/worker
+            # regenerates identical banks, no broadcast needed
+            H = _hyperplanes(dim, nbits, seed + t)
+            b = _bucket_of(V, H).astype(np.uint64)
+            keys.append(b ^ (np.uint64(t + 1) << np.uint64(48)))
+            rep.append(np.arange(n, dtype=np.int64))
+        rep = pa.array(np.concatenate(rep))
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(keys)),
+                "vec_id": batch.column("vec_id").combine_chunks().take(rep),
+                "embedding": emb.take(rep),
+            }
+        )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        keep = order[np.flatnonzero(np.diff(ids[order], prepend=ids[order[0]] - 1))][:max_bucket]
+        if len(keep) < 2:
+            return empty
+        sub = group.take(pa.array(keep))
+        V = _normalize(_emb_matrix(sub))
+        sids = sub.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        C = np.round(V @ V.T, 6)
+        ia, ib = np.triu_indices(len(sids), 1)
+        hit = C[ia, ib] >= tau
+        return pa.table(
+            {"vec_a": pa.array(sids[ia[hit]]), "vec_b": pa.array(sids[ib[hit]]),
+             "cosine": pa.array(C[ia, ib][hit])}
+        )
+
+    banded = ds.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = banded.groupby("bkey").map_groups(bucket_fn, batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))

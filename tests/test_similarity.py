@@ -100,3 +100,40 @@ def test_embedding_dup_pairs_matches_numpy():
     for row, (a, b, c) in zip(got.itertuples(index=False), want):
         assert (row.vec_a, row.vec_b) == (a, b)
         assert row.cosine == pytest.approx(c, abs=0)
+
+
+def test_embedding_dup_pairs_lsh_recall_on_clusters(tmp_path):
+    """The no-broadcast LSH dup-pair path must recover near-identical
+    pairs: plant 100 duplicate pairs, require >= 90% pair recall and
+    exact cosines on everything it emits."""
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((100, 32))
+    V = np.concatenate([base, base + 0.02 * rng.standard_normal((100, 32)),
+                        rng.standard_normal((300, 32))])
+    ids = np.arange(len(V), dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(V.astype(np.float32).reshape(-1)), 32
+         ).cast(pa.list_(pa.float32()))}
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+    ds = ray.data.read_parquet(path)
+
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+
+    got = embedding_dup_pairs_lsh(ds, tau=0.9, nbits=8, n_tables=6).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(got.vec_a, got.vec_b)}
+    planted = {(i, i + 100) for i in range(100)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, recall
+    # emitted cosines are exact (match numpy on the full matrix)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Vn32 = (V.astype(np.float32)).astype(np.float64)
+    Vn32 = Vn32 / np.linalg.norm(Vn32, axis=1, keepdims=True)
+    for r in got.itertuples(index=False):
+        want = round(float(Vn32[int(r.vec_a)] @ Vn32[int(r.vec_b)]), 6)
+        assert r.cosine == pytest.approx(want, abs=1e-6)
