@@ -258,7 +258,7 @@ def main() -> None:
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
         t0 = time.perf_counter()
-        flag = run_flagship(sf, "/tmp/graft_bench_store")
+        flag = run_flagship(sf, "/tmp/graft_bench_store", warm_up=True)
         flagship_s = time.perf_counter() - t0
         queries = {"bloom_build": round(flag["build_s"], 3),
                    "bloom_probe": round(flag["probe_s"], 3)}
