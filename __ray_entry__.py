@@ -153,6 +153,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_sessions(sf_dir):
         return R.events_sessionize(sf_dir)
 
+    def ann_ivf(sf_dir):
+        import ray.data
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids, V = S.load_embeddings(sf_dir)
+        C = S.train_ivf_centroids(V[:: max(1, len(V) // 200)], n_clusters=16)
+        qids, Q = S.load_query_matrix(sf_dir, 10)
+        return S.ann_ivf(emb, qids, Q, C, k=5, nprobe=4)
+
     def dedup_embedding_lsh(sf_dir):
         import ray.data
 
@@ -420,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup_embedding,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "bloom_fpr_check": bloom_fpr_check,
         "multimodal_features": multimodal_features,

@@ -334,3 +334,104 @@ def embedding_dup_pairs_lsh(
     banded = ds.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
     pairs = banded.groupby("bkey").map_groups(bucket_fn, batch_format="pyarrow")
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# ------------------------------------------------------------------ IVF ANN
+def train_ivf_centroids(
+    sample: np.ndarray, n_clusters: int = 16, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """k-means-lite on a driver-side sample → L2-normalized centroids.
+
+    The sample is the documented small side (train on ~1e5 vectors even
+    for a 1e12 corpus — standard IVF practice); assignment and search
+    are fully distributed.
+    """
+    rng = np.random.default_rng(seed)
+    X = _normalize(sample)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+def ann_ivf(
+    ds: "Dataset",
+    qids: np.ndarray,
+    Q: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    k: int = 5,
+    nprobe: int = 3,
+):
+    """IVF approximate top-k: each vector belongs to its nearest
+    centroid's list; a query scans only its ``nprobe`` nearest lists.
+
+    Same distributed shape as :func:`ann_lsh` (map-only partial top-k
+    against a broadcast probe map, tiny per-query merge); the inverted
+    lists are implicit — each block computes its rows' assignments
+    locally, so "probing a list" is a mask, not a shuffle. At store
+    scale the assignment becomes a persisted column and blocks are
+    cluster-partitioned parquet, turning the mask into partition
+    pruning at the read.
+    """
+    import ray
+
+    qn = _normalize(Q)
+    probe_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    qref = ray.put((qids, qn, centroids, probe_lists))
+
+    class IVFTopK:
+        def __init__(self):
+            self.qids, self.Q, self.C, self.probe = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(_emb_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            assign = (V @ self.C.T).argmax(axis=1)
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(self.qids)):
+                mask = np.isin(assign, self.probe[j]) & (ids != self.qids[j])
+                if not mask.any():
+                    continue
+                cand_i = ids[mask]
+                cand_c = np.round(V[mask] @ self.Q[j], 6)
+                kk = min(k, len(cand_i))
+                order = np.lexsort((cand_i, -cand_c))[:kk]
+                out_q.append(np.full(kk, self.qids[j], dtype=np.int64))
+                out_v.append(cand_i[order])
+                out_c.append(cand_c[order])
+            if not out_q:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"qid": pa.array(np.concatenate(out_q)),
+                 "vec_id": pa.array(np.concatenate(out_v)),
+                 "cosine": pa.array(np.concatenate(out_c))}
+            )
+
+    partials = ds.map_batches(
+        IVFTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("qid").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        cos = group.column("cosine").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos))[:k]
+        return pa.table(
+            {"qid": pa.array(qid[order]), "vec_id": pa.array(vid[order]),
+             "cosine": pa.array(cos[order])}
+        )
+
+    out = partials.groupby("qid").map_groups(final_topk, batch_format="pyarrow")
+    df = out.to_pandas().sort_values(["qid", "cosine", "vec_id"], ascending=[True, False, True])
+    return df.reset_index(drop=True)

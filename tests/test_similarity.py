@@ -137,3 +137,39 @@ def test_embedding_dup_pairs_lsh_recall_on_clusters(tmp_path):
     for r in got.itertuples(index=False):
         want = round(float(Vn32[int(r.vec_a)] @ Vn32[int(r.vec_b)]), 6)
         assert r.cosine == pytest.approx(want, abs=1e-6)
+
+
+def test_ann_ivf_high_recall_on_clustered_data(tmp_path):
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((20, 32))
+    V = np.repeat(centers, 25, axis=0) + 0.05 * rng.standard_normal((500, 32))
+    ids = np.arange(500, dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(V.astype(np.float32).reshape(-1)), 32
+         ).cast(pa.list_(pa.float32()))}
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+    ds = ray.data.read_parquet(path)
+
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        _normalize,
+        ann_ivf,
+        ann_topk_exact,
+        train_ivf_centroids,
+    )
+
+    C = train_ivf_centroids(V[::3], n_clusters=20)
+    qids = ids[:20]
+    Q = _normalize(V[:20])
+    exact = ann_topk_exact(ds, qids, Q, k=5)
+    approx = ann_ivf(ds, qids, Q, C, k=5, nprobe=3)
+    exact_sets = exact.groupby("qid")["vec_id"].apply(set)
+    approx_sets = approx.groupby("qid")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.9, np.mean(recalls)
