@@ -467,7 +467,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) "
             "AS n_tok FROM documents"
         ),
-        "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
         # money columns have exactly 2 decimals: sums are computed in
         # scaled BIGINT on both sides (exact, order-independent), with one
         # deterministic double conversion at the end — see R.tpch_q1.

@@ -263,7 +263,7 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
     )
-    return kept.to_pandas()
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 # ------------------------------------------------------------ sessionization
