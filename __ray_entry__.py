@@ -123,7 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
             T.make_doc_token_stats_fn(), batch_format="pyarrow", zero_copy_batch=True
         )
-        return ds.to_pandas()
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
     def dedup_exact(sf_dir):
         return R.dedup_exact_documents(sf_dir)
@@ -465,7 +465,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count": (
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) "
-            "AS n_tok FROM documents"
+            "AS n_tok FROM documents ORDER BY doc_id"
         ),
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
         # money columns have exactly 2 decimals: sums are computed in
@@ -491,7 +491,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_semijoin": (
             "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
-            "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_retailprice >= 910.0)"
+            "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_retailprice >= 910.0) "
+            "ORDER BY l_orderkey, l_linenumber"
         ),
         "top_customers": (
             "SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue "

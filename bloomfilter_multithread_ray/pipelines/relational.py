@@ -183,7 +183,7 @@ def bloom_semijoin_lineitem(
     df = out.to_pandas()
     if df.empty:  # keep a stable schema even when nothing survives
         df = pd.DataFrame(columns=["l_orderkey", "l_linenumber", "l_partkey"]).astype("int64")
-    return df
+    return df.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
 # -------------------------------------------------------------- top-k join
