@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_exact(sf_dir):
         return R.dedup_exact_documents(sf_dir)
 
+    def curate_corpus(sf_dir):
+        return R.curate_corpus(sf_dir)
+
     def tpch_q1(sf_dir):
         return R.tpch_q1(sf_dir)
 
@@ -415,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_quantiles": ntok_quantiles,
         "token_count": token_count,
         "dedup_exact": dedup_exact,
+        "curate_corpus": curate_corpus,
         "tpch_q1": tpch_q1,
         "bloom_semijoin": bloom_semijoin,
         "top_customers": top_customers,
@@ -503,6 +507,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS hour, "
             "count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, hour ORDER BY event_type, hour"
+        ),
+        # curation chain: quality gate -> exact dedup -> per-source stats.
+        # avg_ttr: mean of per-doc (distinct/total) ratios, rounded 6 both
+        # sides; total_tok exact int sum.
+        "curate_corpus": (
+            "WITH t AS (SELECT doc_id, source, text, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+            "f AS (SELECT doc_id, source, text, len(w) AS n_tok, "
+            "CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr FROM t WHERE len(w) > 0), "
+            "g AS (SELECT * FROM f WHERE n_tok >= 20 AND n_tok <= 5000 AND ttr >= 0.2), "
+            "k AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY text) "
+            "SELECT source, count(*) AS n_docs, SUM(n_tok) AS total_tok, "
+            "ROUND(AVG(ttr), 6) AS avg_ttr "
+            "FROM g JOIN k USING (doc_id) GROUP BY source ORDER BY source"
         ),
         "distinct_by_source": (
             "SELECT source, count(DISTINCT tok) AS distinct_tokens FROM ("
