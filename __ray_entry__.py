@@ -518,7 +518,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr FROM t WHERE len(w) > 0), "
             "g AS (SELECT * FROM f WHERE n_tok >= 20 AND n_tok <= 5000 AND ttr >= 0.2), "
             "k AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY text) "
-            "SELECT source, count(*) AS n_docs, SUM(n_tok) AS total_tok, "
+            "SELECT source, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, "
             "ROUND(AVG(ttr), 6) AS avg_ttr "
             "FROM g JOIN k USING (doc_id) GROUP BY source ORDER BY source"
         ),
