@@ -75,7 +75,7 @@ def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
     Stands in for a codec: same payload always yields the same pixels
     (content-derived seed), so downstream tests are reproducible.
     """
-    seed = int(splitmix64(np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64))[()])
+    seed = int(splitmix64(np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64))[0])
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
