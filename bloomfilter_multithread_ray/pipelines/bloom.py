@@ -39,7 +39,7 @@ from ..functions.hashing import kgram_hashes_flat, partition_of
 from ..state import BloomFilter
 from ..state.base import Sketch, deserialize_sketch
 from ..stages.kgram import list_column_to_numpy, make_kgram_hash_fn
-from ..stages.sketch_agg import PartialMergeAgg, SketchAgg, make_partial_combiner
+from ..stages.sketch_agg import PartialMergeAgg, SketchAgg, make_partial_combiner  # noqa: F401
 
 if TYPE_CHECKING:
     from ray.data import Dataset
@@ -83,27 +83,12 @@ def build_partitioned_bloom(
             )
             return batch.set_column(batch.schema.get_field_index("part"), "part", base)
 
-        merge_agg = _MergeSketchAgg(on="sketch")
         sketches = (
             sketches.map_batches(unsalt, batch_format="pyarrow")
             .groupby("part")
-            .aggregate(merge_agg)
+            .aggregate(PartialMergeAgg(factory, on="sketch"))
         )
     return sketches
-
-
-class _MergeSketchAgg(SketchAgg):
-    """Aggregate already-serialized sketch blobs by merging them."""
-
-    def __init__(self, on: str = "sketch", alias_name: str = "sketch"):
-        super().__init__(lambda: None, on, kind="hashes", alias_name=alias_name)
-
-    def aggregate_block(self, block: pa.Table) -> bytes:
-        acc: Sketch | None = None
-        for blob in block.column(self._on_col):
-            s = deserialize_sketch(blob.as_py())
-            acc = s if acc is None else acc.merge(s)
-        return acc.serialize() if acc is not None else None
 
 
 def write_sketch_store(sketch_ds: "Dataset", path: str, manifest: dict) -> dict:
