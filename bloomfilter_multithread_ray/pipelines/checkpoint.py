@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from ..state.base import Sketch, deserialize_sketch
 from ..stages.kgram import make_kgram_hash_fn
-from ..stages.sketch_agg import SketchAgg
+from ..stages.sketch_agg import PartialMergeAgg, SketchAgg, make_partial_combiner  # noqa: F401
 
 if TYPE_CHECKING:
     pass
@@ -131,7 +131,12 @@ def incremental_build(
     ds = ray.data.read_parquet(todo, columns=[tokens_col])
     hash_fn = make_kgram_hash_fn(k, num_partitions, tokens_col=tokens_col)
     hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
-    sketches = hashed.groupby("part").aggregate(SketchAgg(factory, on="gh"))
+    # same optimized shape as the flagship build: map-side partial
+    # combine, then a blob-row groupby merge (live-object accumulators)
+    partials = hashed.map_batches(
+        make_partial_combiner(factory), batch_format="pyarrow", zero_copy_batch=True
+    )
+    sketches = partials.groupby("part").aggregate(PartialMergeAgg(factory))
 
     def add_metrics(batch: pa.Table) -> pa.Table:
         n_added, fill = [], []
