@@ -1,0 +1,69 @@
+"""Pipeline-level error bounds: each sketch-mode analytics pipeline vs
+its exact-mode twin on the documents table (the north-star criteria at
+the composition level; unit-level bounds live in test_sketches.py)."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(cols):
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=cols)
+
+
+def test_hll_within_bound_of_exact():
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+    from bloomfilter_multithread_ray.stages import text as T
+
+    exact = A.distinct_count_exact(_docs(["text"]), T.make_unique_tokens_fn())
+    est = A.distinct_count_hll(_docs(["text"]), T.make_token_hash_fn())
+    true = float(exact["distinct_tokens"][0])
+    rel = abs(est["estimate"][0] - true) / true
+    assert rel <= 3 * est["rel_error_bound"][0] + 0.05, (est, true)
+
+
+def test_cms_overestimates_within_eps():
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+    from bloomfilter_multithread_ray.stages import text as T
+
+    df = A.heavy_hitters_cms(
+        _docs(["text"]), T.make_explode_token_counts_fn(), T.make_token_hash_fn(), topk=20
+    )
+    # CMS guarantee: est >= true, est <= true + eps * total (w.h.p.)
+    assert (df["est_cnt"] >= df["cnt"]).all()
+    assert (df["est_cnt"] <= df["cnt"] + df["eps_bound"] + 1).all()
+
+
+@pytest.mark.parametrize("algo,rank_tol", [("tdigest", 0.02), ("kll", 0.05)])
+def test_quantile_sketches_rank_error(algo, rank_tol):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+    from bloomfilter_multithread_ray.stages import text as T
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stats_fn = T.make_doc_token_stats_fn()
+
+    def with_source(t: pa.Table) -> pa.Table:
+        s = stats_fn(t)
+        return s.append_column("source", t.column("source"))
+
+    ds = _docs(["doc_id", "text", "source"]).map_batches(
+        with_source, batch_format="pyarrow", zero_copy_batch=True
+    )
+    got = A.grouped_quantiles_sketch(ds, "n_tok", "source", algo=algo).set_index("source")
+
+    # exact per-group values for rank-error measurement
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"])
+    groups: dict[str, list[int]] = {}
+    for tx, src in zip(t.column("text").to_pylist(), t.column("source").to_pylist()):
+        groups.setdefault(src, []).append(len([w for w in tx.split(" ") if w]))
+    for src, vals in groups.items():
+        v = np.sort(np.array(vals, dtype=np.float64))
+        for q, name in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+            est = got.loc[src, name]
+            # rank of the estimate within the exact values
+            rank = np.searchsorted(v, est, side="right") / len(v)
+            assert abs(rank - q) <= rank_tol + 2.0 / len(v), (src, name, est, rank)
