@@ -145,6 +145,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_embedding",
         "ann_topk",
         "doc_quality",
+        "curate_corpus",
+        "events_sessions",
+        "ngram_jaccard",
     ]
     times: dict[str, float] = {}
     for name in names:

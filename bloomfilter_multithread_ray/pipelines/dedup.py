@@ -418,48 +418,112 @@ def ngram_jaccard_pairs(
 
     gram_ds = docs.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs_fn(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
-        )
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        ns = group.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids, ns = ids[order][:max_gram_df], ns[order][:max_gram_df]
-        if len(ids) < 2:
-            return empty
-        ia, ib = np.triu_indices(len(ids), 1)
+    # Both wide steps below are hash-partitioned map_groups over a
+    # FIXED number of partitions (not one group per gram / per pair):
+    # Ray's aggregate layer pays Python-level cost per GROUP, which is
+    # pathological at ~1M pair groups (measured 15s at sf0.1); with 64
+    # hash partitions each group call is one vectorized numpy kernel
+    # over ~1/64th of the rows (measured ~2s). Same-hash => same
+    # partition keeps co-location exact.
+    _NBITS = 21  # n_grams < 2^21; doc ids < 2^31 (fixture assumption)
+    P_SHUF = 64
+
+    def pack(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        gh = hash_strings(batch.column("gram").combine_chunks()).view(np.int64)
         return pa.table(
-            {"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib]),
-             "na": pa.array(ns[ia]), "nb": pa.array(ns[ib])}
+            {"gp": pa.array(np.abs(gh) % P_SHUF),
+             "gh": pa.array(gh),
+             "packed": pa.array((ids << _NBITS) | ns)}
         )
 
-    from ray.data.aggregate import Count, Max
-
-    inter = (
-        gram_ds.groupby("gram")
-        .map_groups(pairs_fn, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Count(alias_name="i"),
-            Max("na", alias_name="na"),
-            Max("nb", alias_name="nb"),
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """All grams whose hash lands in this partition → partial pair
+        counts, one vectorized pass (dedup, segment, triu-unrank)."""
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "i": pa.array([], pa.int64()),
+             "nanb": pa.array([], pa.int64())}
         )
+        gh = group.column("gh").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = group.column("packed").to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (gram, doc) postings, sorted by (gram, doc)
+        uniq = np.unique(np.stack([gh, packed], axis=1), axis=0)
+        gh, packed = uniq[:, 0], uniq[:, 1]
+        seg_starts = np.flatnonzero(np.diff(gh, prepend=gh[0] - 1)) if len(gh) else np.array([], np.int64)
+        if len(seg_starts) == 0:
+            return empty
+        lens = np.diff(np.concatenate([seg_starts, [len(gh)]]))
+        # cap posting lists (deterministic: lists are doc-sorted)
+        pos = np.arange(len(gh)) - np.repeat(seg_starts, lens)
+        keep = pos < max_gram_df
+        packed = packed[keep]
+        lens = np.minimum(lens, max_gram_df)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        npairs = (lens * (lens - 1)) // 2
+        total = int(npairs.sum())
+        if total == 0:
+            return empty
+        seg_of_pair = np.repeat(np.arange(len(lens)), npairs)
+        pair_start = np.concatenate([[0], np.cumsum(npairs)])
+        local = np.arange(total, dtype=np.int64) - pair_start[seg_of_pair]
+        L = lens[seg_of_pair]
+        M = (L * (L - 1)) // 2
+        rev = M - 1 - local
+        a = (L - 2 - ((np.sqrt(8.0 * rev + 1.0) - 1.0) // 2)).astype(np.int64)
+        b = (local - a * (L - 1) + a * (a - 1) // 2 + a + 1).astype(np.int64)
+        base = offs[seg_of_pair]
+        pa_packed, pb_packed = packed[base + a], packed[base + b]
+        ids_a, na = pa_packed >> _NBITS, pa_packed & ((1 << _NBITS) - 1)
+        ids_b, nb = pb_packed >> _NBITS, pb_packed & ((1 << _NBITS) - 1)
+        pair = (ids_a << 31) | ids_b
+        nanb = (na << _NBITS) | nb
+        upair, inv, cnt = np.unique(pair, return_inverse=True, return_counts=True)
+        first = np.zeros(len(upair), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(pair) - 1, -1, -1)
+        return pa.table(
+            {"pair": pa.array(upair), "i": pa.array(cnt.astype(np.int64)),
+             "nanb": pa.array(nanb[first])}
+        )
+
+    partials = (
+        gram_ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gp")
+        .map_groups(partition_pairs, batch_format="pyarrow")
     )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = i / (na + nb - i)
+    def add_pp(batch: pa.Table) -> pa.Table:
+        pair = batch.column("pair").to_numpy(zero_copy_only=False)
+        return batch.append_column("pp", pa.array((np.abs(pair) % P_SHUF)))
+
+    def finalize_partition(group: pa.Table) -> pa.Table:
+        pair = group.column("pair").to_numpy(zero_copy_only=False).astype(np.int64)
+        i = group.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        nanb = group.column("nanb").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pair, kind="stable")
+        pair, i, nanb = pair[order], i[order], nanb[order]
+        starts = np.flatnonzero(np.diff(pair, prepend=pair[0] - 1)) if len(pair) else np.array([], np.int64)
+        if len(starts) == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        isum = np.add.reduceat(i, starts)
+        upair, unanb = pair[starts], nanb[starts]
+        na = (unanb >> _NBITS).astype(np.float64)
+        nb = (unanb & ((1 << _NBITS) - 1)).astype(np.float64)
+        jac = isum.astype(np.float64) / (na + nb - isum)
         hit = jac >= threshold
         return pa.table(
-            {
-                "doc_a": batch.column("doc_a").combine_chunks().filter(pa.array(hit)),
-                "doc_b": batch.column("doc_b").combine_chunks().filter(pa.array(hit)),
-                "jaccard": pa.array(jac[hit]),
-            }
+            {"doc_a": pa.array((upair >> 31)[hit]),
+             "doc_b": pa.array((upair & ((1 << 31) - 1))[hit]),
+             "jaccard": pa.array(jac[hit])}
         )
 
-    return inter.map_batches(finalize, batch_format="pyarrow")
+    return (
+        partials.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(finalize_partition, batch_format="pyarrow")
+    )
