@@ -141,8 +141,14 @@ def _band_rows_fn(bands: int, rows_per_band: int):
     return fn
 
 
-def _bucket_pairs_fn(threshold: float, num_perm: int, max_bucket: int):
-    """Bucket group → verified pairs {doc_a, doc_b, est_jaccard}."""
+def _partition_bucket_pairs_fn(threshold: float, num_perm: int, max_bucket: int):
+    """One shuffle partition (many buckets) → verified pairs, vectorized.
+
+    Groups arrive partitioned by ``bkey % P``; inside, buckets are
+    segments of the bkey-sorted rows. Pair expansion reuses the
+    triangular unranking kernel; signature-agreement estimation is one
+    (pairs × num_perm) comparison.
+    """
 
     def fn(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -152,20 +158,41 @@ def _bucket_pairs_fn(threshold: float, num_perm: int, max_bucket: int):
         n = group.num_rows
         if n < 2:
             return empty
-        ids = np.asarray(group.column("doc_id").to_numpy(zero_copy_only=False), dtype=np.int64)
-        # dedupe docs repeated inside one bucket; deterministic order + cap
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        keep = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1))[:max_bucket]
-        if len(keep) < 2:
-            return empty
+        bkey = group.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         sig_col = group.column("sig")
         if isinstance(sig_col, pa.ChunkedArray):
             sig_col = sig_col.combine_chunks()
-        sig = np.asarray(sig_col.values).reshape(n, num_perm)[order][keep]
-        ids = ids[keep]
-        m = len(ids)
-        ia, ib = np.triu_indices(m, 1)
+        sig = np.asarray(sig_col.values).reshape(n, num_perm)
+        # sort by (bucket, doc); dedupe docs repeated within a bucket
+        order = np.lexsort((ids, bkey))
+        bkey, ids, sig = bkey[order], ids[order], sig[order]
+        same_as_prev = np.zeros(n, dtype=bool)
+        same_as_prev[1:] = (bkey[1:] == bkey[:-1]) & (ids[1:] == ids[:-1])
+        bkey, ids, sig = bkey[~same_as_prev], ids[~same_as_prev], sig[~same_as_prev]
+        n = len(ids)
+        starts = np.flatnonzero(np.diff(bkey, prepend=bkey[0] + np.uint64(1)))
+        lens = np.diff(np.concatenate([starts, [n]]))
+        # cap bucket size deterministically (doc-sorted)
+        pos = np.arange(n) - np.repeat(starts, lens)
+        keep = pos < max_bucket
+        ids, sig = ids[keep], sig[keep]
+        lens = np.minimum(lens, max_bucket)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        npairs = (lens * (lens - 1)) // 2
+        total = int(npairs.sum())
+        if total == 0:
+            return empty
+        seg = np.repeat(np.arange(len(lens)), npairs)
+        pair_start = np.concatenate([[0], np.cumsum(npairs)])
+        local = np.arange(total, dtype=np.int64) - pair_start[seg]
+        L = lens[seg]
+        M = (L * (L - 1)) // 2
+        rev = M - 1 - local
+        a = (L - 2 - ((np.sqrt(8.0 * rev + 1.0) - 1.0) // 2)).astype(np.int64)
+        b = (local - a * (L - 1) + a * (a - 1) // 2 + a + 1).astype(np.int64)
+        base = offs[seg]
+        ia, ib = base + a, base + b
         est = (sig[ia] == sig[ib]).mean(axis=1)
         hit = est >= threshold
         return pa.table(
@@ -201,8 +228,23 @@ def minhash_lsh_pairs(
     band_rows = sigs.map_batches(
         _band_rows_fn(bands, rows_per_band), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = band_rows.groupby("bkey").map_groups(
-        _bucket_pairs_fn(threshold, num_perm, max_bucket), batch_format="pyarrow"
+
+    # shuffle by bkey % P (fixed partition count), not one group per
+    # bucket: Ray pays per-GROUP overhead, pathological at millions of
+    # buckets; within a partition buckets are vectorized segments
+    P_SHUF = 64
+
+    def add_bp(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column("bp", pa.array((bk % np.uint64(P_SHUF)).astype(np.int32)))
+
+    pairs = (
+        band_rows.map_batches(add_bp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bp")
+        .map_groups(
+            _partition_bucket_pairs_fn(threshold, num_perm, max_bucket),
+            batch_format="pyarrow",
+        )
     )
     # same pair can surface in several bands → dedupe on the pair key
     from ray.data.aggregate import Max
@@ -327,22 +369,46 @@ def simhash_pairs(docs: "Dataset", *, max_hamming: int = 3, max_bucket: int = 51
             }
         )
 
-    def bucket_fn(group: pa.Table) -> pa.Table:
+    def partition_bucket_fn(group: pa.Table) -> pa.Table:
+        """One ckey-hash partition → exact-Hamming-verified pairs,
+        vectorized over all its buckets (segments of the sorted rows)."""
         empty = pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int32())}
         )
-        if group.num_rows < 2:
+        n = group.num_rows
+        if n < 2:
             return empty
+        ckey = group.column("ckey").to_numpy(zero_copy_only=False).astype(UINT64)
         ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         sh = group.column("simhash").to_numpy(zero_copy_only=False).astype(UINT64)
-        order = np.argsort(ids, kind="stable")
-        ids, sh = ids[order], sh[order]
-        keep = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1))[:max_bucket]
-        if len(keep) < 2:
-            return empty
+        order = np.lexsort((ids, ckey))
+        ckey, ids, sh = ckey[order], ids[order], sh[order]
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (ckey[1:] == ckey[:-1]) & (ids[1:] == ids[:-1])
+        ckey, ids, sh = ckey[~dup], ids[~dup], sh[~dup]
+        n = len(ids)
+        starts = np.flatnonzero(np.diff(ckey, prepend=ckey[0] + UINT64(1)))
+        lens = np.diff(np.concatenate([starts, [n]]))
+        pos = np.arange(n) - np.repeat(starts, lens)
+        keep = pos < max_bucket
         ids, sh = ids[keep], sh[keep]
-        ia, ib = np.triu_indices(len(ids), 1)
+        lens = np.minimum(lens, max_bucket)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        npairs = (lens * (lens - 1)) // 2
+        total = int(npairs.sum())
+        if total == 0:
+            return empty
+        seg = np.repeat(np.arange(len(lens)), npairs)
+        pair_start = np.concatenate([[0], np.cumsum(npairs)])
+        local = np.arange(total, dtype=np.int64) - pair_start[seg]
+        L = lens[seg]
+        M = (L * (L - 1)) // 2
+        rev = M - 1 - local
+        a = (L - 2 - ((np.sqrt(8.0 * rev + 1.0) - 1.0) // 2)).astype(np.int64)
+        b = (local - a * (L - 1) + a * (a - 1) // 2 + a + 1).astype(np.int64)
+        base = offs[seg]
+        ia, ib = base + a, base + b
         x = sh[ia] ^ sh[ib]
         ham = np.zeros(len(x), dtype=np.int32)
         for i in range(64):
@@ -355,7 +421,18 @@ def simhash_pairs(docs: "Dataset", *, max_hamming: int = 3, max_bucket: int = 51
 
     sims = docs.map_batches(make_simhash_fn(), batch_format="pyarrow", zero_copy_batch=True)
     banded = sims.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = banded.groupby("ckey").map_groups(bucket_fn, batch_format="pyarrow")
+
+    P_SHUF = 64  # fixed partitions; buckets = vectorized segments within
+
+    def add_cp(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ckey").to_numpy(zero_copy_only=False).astype(UINT64)
+        return batch.append_column("cp", pa.array((ck % UINT64(P_SHUF)).astype(np.int32)))
+
+    pairs = (
+        banded.map_batches(add_cp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cp")
+        .map_groups(partition_bucket_fn, batch_format="pyarrow")
+    )
     from ray.data.aggregate import Min
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
