@@ -271,119 +271,54 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Gap-based sessionization per user → one row per session:
     {user_id, session_start, session_end, n_events, sum_value}.
 
-    The classic streaming window op expressed Ray-Data-first: shuffle
-    once by ``user_id`` (``groupby.map_groups``), sort each user's
-    events in-memory (per-user event counts are bounded), cut sessions
-    where the gap exceeds the threshold. Floats: sum_value rounded to
-    2 dp for oracle parity.
+    The classic streaming window op expressed Ray-Data-first: ONE
+    shuffle keyed on ``user_id % P`` (fixed partition count — per-user
+    groups would pay Ray's per-group overhead at millions of users),
+    then each partition sessionizes ALL its users in one vectorized
+    pass: sort by (user, ts), session breaks where the user changes or
+    the gap exceeds the threshold, reduceat aggregates per session.
+    Floats: sum_value rounded to 2 dp for oracle parity.
     """
     import ray.data
 
     gap = np.timedelta64(gap_minutes * 60, "s")
+    P_SHUF = 64
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        ts = g["ts"].to_numpy()
-        new_session = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new_session) - 1
-        out = g.assign(sid=sid).groupby("sid").agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-            sum_value=("value", "sum"),
+    def add_up(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("up", pa.array((uid % P_SHUF).astype(np.int32)))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        n = len(uid)
+        new_session = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = uid[1:] == uid[:-1]
+            new_session[1:] = ~same_user | ((ts[1:] - ts[:-1]) > gap)
+        starts = np.flatnonzero(new_session)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "session_start": pa.array(ts[starts]),
+                "session_end": pa.array(ts[ends]),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "sum_value": pa.array(np.round(np.add.reduceat(val, starts), 2)),
+            }
         )
-        out["sum_value"] = out["sum_value"].round(2)
-        return out.reset_index(drop=True)
 
     ds = read(sf_dir, "events", columns=["user_id", "ts", "value"])
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = (
+        ds.map_batches(add_up, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("up")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
     return (
         out.to_pandas()
         .sort_values(["user_id", "session_start"])
         .reset_index(drop=True)
     )
-
-
-# ------------------------------------------------------------ corpus curation
-def curate_corpus(
-    sf_dir: str,
-    *,
-    min_tok: int = 20,
-    max_tok: int = 5000,
-    min_ttr: float = 0.2,
-) -> pd.DataFrame:
-    """Training-data curation chain: quality gate → exact dedup →
-    per-source corpus stats {source, n_docs, total_tok, avg_ttr}.
-
-    One streaming pass computes the per-doc features (vectorized),
-    the gate is a batch filter, dedup is the content-hash groupby, and
-    the final stats are a tiny grouped aggregate — the composition a
-    100 TB curation job runs, at fixture scale, with a DuckDB oracle.
-    """
-    from ray.data.aggregate import Count, Mean, Sum
-
-    from ..functions.hashing import hash_strings
-    from ..stages.quality import make_quality_fn
-
-    ds = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    qfn = make_quality_fn()
-
-    def features(t: pa.Table) -> pa.Table:
-        q = qfn(t)
-        # quality_fn drops zero-token rows; align the extra columns
-        keep = pa.array(np.isin(
-            t.column("doc_id").to_numpy(zero_copy_only=False),
-            q.column("doc_id").to_numpy(zero_copy_only=False),
-        ))
-        t = t.filter(keep)
-        h = hash_strings(t.column("text").combine_chunks()).view(np.int64)
-        return q.append_column("source", t.column("source")).append_column(
-            "h", pa.array(h)
-        )
-
-    feats = ds.map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
-
-    def gate(t: pa.Table) -> pa.Table:
-        n = t.column("n_tok").to_numpy(zero_copy_only=False)
-        ttr = t.column("ttr").to_numpy(zero_copy_only=False)
-        m = (n >= min_tok) & (n <= max_tok) & (ttr >= min_ttr)
-        return t.filter(pa.array(m))
-
-    gated = feats.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
-
-    # exact dedup: keep the min doc_id per content hash
-    from ray.data.aggregate import Min
-
-    kept_ids = (
-        gated.select_columns(["h", "doc_id"])
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
-    )
-    import ray
-
-    keep_ref = ray.put(
-        np.sort(kept_ids.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
-    )
-
-    def only_kept(t: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(np.isin(ids, keep)))
-
-    final = gated.map_batches(only_kept, batch_format="pyarrow", zero_copy_batch=True)
-    out = (
-        final.groupby("source")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_tok", alias_name="total_tok"),
-            Mean("ttr", alias_name="avg_ttr"),
-        )
-        .to_pandas()
-    )
-    out["avg_ttr"] = out["avg_ttr"].round(6)
-    out["total_tok"] = out["total_tok"].astype("int64")
-    return out.sort_values("source").reset_index(drop=True)
