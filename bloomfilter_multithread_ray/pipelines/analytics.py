@@ -37,7 +37,28 @@ def distinct_count_exact(ds: "Dataset", unique_fn, out_name: str = "distinct_tok
     bounded by distinct-per-batch, not total occurrences.
     """
     exploded = ds.map_batches(unique_fn, batch_format="pyarrow", zero_copy_batch=True)
-    n = exploded.groupby("tok").count().count()
+
+    # distinct via fixed hash partitions (not one Ray group per token —
+    # per-group overhead is pathological at web-scale vocabularies):
+    # each partition np.uniques its token hashes in one kernel
+    from ..functions.hashing import hash_strings
+
+    P_SHUF = 64
+
+    def add_tp(t: pa.Table) -> pa.Table:
+        h = hash_strings(t.column("tok").combine_chunks()).view(np.int64)
+        return pa.table({"tp": pa.array(np.abs(h) % P_SHUF), "th": pa.array(h)})
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        th = g.column("th").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(np.unique(th))], pa.int64())})
+
+    parts = (
+        exploded.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp")
+        .map_groups(count_distinct, batch_format="pyarrow")
+    )
+    n = int(parts.sum("n") or 0)
     return pd.DataFrame({out_name: pd.array([n], dtype="int64")})
 
 
@@ -59,10 +80,36 @@ def heavy_hitters_exact(ds: "Dataset", counts_fn, topk: int = 20) -> pd.DataFram
     (cnt desc, tok asc — deterministic ties) → limit.
     """
     partials = ds.map_batches(counts_fn, batch_format="pyarrow", zero_copy_batch=True)
-    from ray.data.aggregate import Sum
 
-    totals = partials.groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
-    top = totals.sort(["cnt", "tok"], descending=[True, False]).limit(topk)
+    # per-token sums inside fixed hash partitions; each partition emits
+    # only its local top-k (global top-k is a subset of the union), so
+    # the final sort sees P x topk rows regardless of vocabulary size
+    P_SHUF = 64
+
+    def add_tp(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        h = hash_strings(t.column("tok").combine_chunks()).view(np.int64)
+        return t.append_column("tp", pa.array(np.abs(h) % P_SHUF))
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = pd_.DataFrame(
+            {"tok": g.column("tok").to_pandas(),
+             "cnt": g.column("cnt").to_numpy(zero_copy_only=False)}
+        )
+        sums = df.groupby("tok", sort=False)["cnt"].sum().reset_index()
+        sums = sums.sort_values(["cnt", "tok"], ascending=[False, True]).head(topk)
+        return pa.table({"tok": pa.array(sums["tok"], pa.string()),
+                         "cnt": pa.array(sums["cnt"].to_numpy(dtype=np.int64))})
+
+    cand = (
+        partials.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp")
+        .map_groups(local_topk, batch_format="pyarrow")
+    )
+    top = cand.sort(["cnt", "tok"], descending=[True, False]).limit(topk)
     return top.to_pandas()
 
 
