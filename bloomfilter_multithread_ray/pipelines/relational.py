@@ -322,3 +322,85 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .sort_values(["user_id", "session_start"])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------ corpus curation
+def curate_corpus(
+    sf_dir: str,
+    *,
+    min_tok: int = 20,
+    max_tok: int = 5000,
+    min_ttr: float = 0.2,
+) -> pd.DataFrame:
+    """Training-data curation chain: quality gate → exact dedup →
+    per-source corpus stats {source, n_docs, total_tok, avg_ttr}.
+
+    One streaming pass computes the per-doc features (vectorized),
+    the gate is a batch filter, dedup is the content-hash groupby, and
+    the final stats are a tiny grouped aggregate — the composition a
+    100 TB curation job runs, at fixture scale, with a DuckDB oracle.
+    """
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from ..functions.hashing import hash_strings
+    from ..stages.quality import make_quality_fn
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    qfn = make_quality_fn()
+
+    def features(t: pa.Table) -> pa.Table:
+        q = qfn(t)
+        # quality_fn drops zero-token rows; align the extra columns
+        keep = pa.array(np.isin(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            q.column("doc_id").to_numpy(zero_copy_only=False),
+        ))
+        t = t.filter(keep)
+        h = hash_strings(t.column("text").combine_chunks()).view(np.int64)
+        return q.append_column("source", t.column("source")).append_column(
+            "h", pa.array(h)
+        )
+
+    feats = ds.map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = t.column("n_tok").to_numpy(zero_copy_only=False)
+        ttr = t.column("ttr").to_numpy(zero_copy_only=False)
+        m = (n >= min_tok) & (n <= max_tok) & (ttr >= min_ttr)
+        return t.filter(pa.array(m))
+
+    gated = feats.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exact dedup: keep the min doc_id per content hash
+    from ray.data.aggregate import Min
+
+    kept_ids = (
+        gated.select_columns(["h", "doc_id"])
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    import ray
+
+    keep_ref = ray.put(
+        np.sort(kept_ids.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
+    )
+
+    def only_kept(t: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, keep)))
+
+    final = gated.map_batches(only_kept, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        final.groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tok", alias_name="total_tok"),
+            Mean("ttr", alias_name="avg_ttr"),
+        )
+        .to_pandas()
+    )
+    out["avg_ttr"] = out["avg_ttr"].round(6)
+    out["total_tok"] = out["total_tok"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
