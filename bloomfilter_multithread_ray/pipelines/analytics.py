@@ -205,10 +205,39 @@ def distinct_count_by_group_exact(ds: "Dataset", unique_fn, by: str) -> pd.DataF
     shuffle volume bounded by distinct pairs per batch.
     """
     pairs = ds.map_batches(unique_fn, batch_format="pyarrow", zero_copy_batch=True)
-    uniq = pairs.groupby([by, "tok"]).count()
-    from ray.data.aggregate import Count
 
-    out = uniq.groupby(by).aggregate(Count(alias_name="distinct_tokens"))
+    # distinct (group, token) pairs inside fixed hash partitions; only
+    # the tiny per-group totals shuffle a second time
+    from ..functions.hashing import hash_strings
+
+    P_SHUF = 64
+
+    def add_tp(t: pa.Table) -> pa.Table:
+        h = hash_strings(t.column("tok").combine_chunks()).view(np.int64)
+        return pa.table(
+            {by: t.column(by), "th": pa.array(h), "tp": pa.array(np.abs(h) % P_SHUF)}
+        )
+
+    def partition_distinct(g: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = pd_.DataFrame(
+            {by: g.column(by).to_pandas(), "th": g.column("th").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        cnt = df.groupby(by, sort=False).size()
+        return pa.table(
+            {by: pa.array(cnt.index, pa.string()), "n": pa.array(cnt.to_numpy(dtype=np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        pairs.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp")
+        .map_groups(partition_distinct, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(Sum("n", alias_name="distinct_tokens"))
+    )
     return out.to_pandas().sort_values(by).reset_index(drop=True)
 
 
