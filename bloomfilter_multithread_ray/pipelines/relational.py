@@ -190,12 +190,37 @@ def bloom_semijoin_lineitem(
 def top_customers(sf_dir: str, topk: int = 10) -> pd.DataFrame:
     """Top customers by total order value: groupby-sum → top-k →
     broadcast join of the small dimension (names). {c_custkey, c_name, revenue}."""
-    import ray
-    from ray.data.aggregate import Sum
-
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
-    top = rev.sort(["revenue", "o_custkey"], descending=[True, False]).limit(topk).to_pandas()
+
+    # per-customer sums inside fixed hash partitions (one Ray group per
+    # customer pays per-group overhead at web scale); each partition
+    # emits its local top-k — the global top-k is a subset of the union
+    P_SHUF = 64
+
+    def add_cp(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return t.append_column("cp", pa.array((ck % P_SHUF).astype(np.int32)))
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_custkey": g.column("o_custkey").to_numpy(zero_copy_only=False),
+             "v": g.column("o_totalprice").to_numpy(zero_copy_only=False)}
+        )
+        sums = df.groupby("o_custkey", sort=False)["v"].sum().reset_index()
+        sums = sums.sort_values(["v", "o_custkey"], ascending=[False, True]).head(topk)
+        return pa.table(
+            {"o_custkey": pa.array(sums["o_custkey"].to_numpy(dtype=np.int64)),
+             "revenue": pa.array(sums["v"].to_numpy(dtype=np.float64))}
+        )
+
+    top = (
+        orders.map_batches(add_cp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cp")
+        .map_groups(local_topk, batch_format="pyarrow")
+        .sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(topk)
+        .to_pandas()
+    )
 
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
