@@ -269,24 +269,29 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     probability at 2^-64 per pair is negligible; a paranoid variant
     would groupby the text itself.
     """
-    from ray.data.aggregate import Min
-
     from ..functions.hashing import hash_strings
 
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    P_SHUF = 64
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = hash_strings(t["text"].combine_chunks())
-        # int64 view: Ray's sort-based groupby handles signed ints natively
+        h = hash_strings(t["text"].combine_chunks()).view(np.int64)
         return pa.table(
-            {"h": h.view(np.int64), "doc_id": t["doc_id"]}
+            {"hp": pa.array(np.abs(h) % P_SHUF), "h": pa.array(h), "doc_id": t["doc_id"]}
         )
+
+    def partition_min(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        first = np.flatnonzero(np.diff(h, prepend=h[0] - 1)) if len(h) else []
+        return pa.table({"doc_id": pa.array(ids[first])})
 
     kept = (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
+        .groupby("hp")
+        .map_groups(partition_min, batch_format="pyarrow")
     )
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
