@@ -382,6 +382,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return A.grouped_quantiles_sketch(ds, "n_tok", "source", algo="kll")
 
+    def corpus_sample(sf_dir):
+        # Bottom-k (KMV) uniform distinct sample of doc ids + distinct
+        # estimate — deterministic (content-hash order), so the DuckDB
+        # oracle reproduces it bit-for-bit by implementing splitmix64
+        # in SQL and taking the k smallest.
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.functions.hashing import splitmix64
+        from bloomfilter_multithread_ray.stages.sketch_agg import SketchAgg
+        from bloomfilter_multithread_ray.state import BottomKSample
+        from bloomfilter_multithread_ray.state.base import deserialize_sketch
+
+        def mix(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table({"gh": pa.array(splitmix64(ids))})
+
+        ds = _docs(sf_dir, ["doc_id"]).map_batches(
+            mix, batch_format="pyarrow", zero_copy_batch=True
+        )
+        res = ds.aggregate(SketchAgg(lambda: BottomKSample(100), on="gh"))
+        sk = deserialize_sketch(res["sketch"])
+        df = pd.DataFrame({"doc_id": sk.sample_ids(), "h": sk.sample_hashes()})
+        return df.sort_values("h").reset_index(drop=True)
+
     def sketch_lineage(sf_dir):
         # Checkpoint-resumable epoch build + per-partition lineage table.
         # Deterministic: seed-fixed corpus; a completed store is a no-op
@@ -428,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
         "sketch_lineage": sketch_lineage,
+        "corpus_sample": corpus_sample,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_keep": dedup_minhash_keep,
         "dedup_simhash": dedup_simhash,
@@ -521,6 +548,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, "
             "ROUND(AVG(ttr), 6) AS avg_ttr "
             "FROM g JOIN k USING (doc_id) GROUP BY source ORDER BY source"
+        ),
+        # bottom-k sample: splitmix64 reproduced in SQL (mulmod split to
+        # avoid int128 overflow), k smallest mixed hashes win
+        "corpus_sample": (
+            "WITH s0 AS (SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM documents), "
+            "x1 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h "
+            "FROM s2) "
+            "SELECT doc_id, h FROM s3 ORDER BY h LIMIT 100"
         ),
         "distinct_by_source": (
             "SELECT source, count(DISTINCT tok) AS distinct_tokens FROM ("

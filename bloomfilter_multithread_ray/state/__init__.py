@@ -6,3 +6,4 @@ from .tdigest import TDigest  # noqa: F401
 from .kll import KLL  # noqa: F401
 from .minhash import MinHash  # noqa: F401
 from .simhash import simhash64  # noqa: F401
+from .kmv import BottomKSample  # noqa: F401
