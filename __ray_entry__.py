@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["text", "source"]), T.make_token_hash_by_fn("source"), "source"
         )
 
+    def events_sliding(sf_dir):
+        return R.events_sliding(sf_dir)
+
     def events_sessions(sf_dir):
         return R.events_sessionize(sf_dir)
 
@@ -470,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_by_source": distinct_by_source,
         "distinct_by_source_hll": distinct_by_source_hll,
         "events_sessions": events_sessions,
+        "events_sliding": events_sliding,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
     }
@@ -572,6 +576,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(DISTINCT tok) AS distinct_tokens FROM ("
             "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t "
             "WHERE tok <> '' GROUP BY source ORDER BY source"
+        ),
+        # sliding windows: event at t -> k hop-aligned window starts
+        "events_sliding": (
+            "WITH w AS (SELECT event_type, value, "
+            "unnest(generate_series(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL 45 MINUTE, "
+            "time_bucket(INTERVAL 15 MINUTE, ts), INTERVAL 15 MINUTE)) AS window_start "
+            "FROM events) "
+            "SELECT event_type, window_start, count(*) AS n_events, "
+            "ROUND(SUM(value), 2) AS sum_value FROM w "
+            "GROUP BY event_type, window_start ORDER BY event_type, window_start"
         ),
         "events_sessions": (
             "WITH m AS (SELECT user_id, ts, value, "

@@ -434,3 +434,53 @@ def curate_corpus(
     out["avg_ttr"] = out["avg_ttr"].round(6)
     out["total_tok"] = out["total_tok"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def events_sliding(
+    sf_dir: str, window_minutes: int = 60, slide_minutes: int = 15
+) -> pd.DataFrame:
+    """Sliding-window aggregate: {event_type, window_start, n_events,
+    sum_value} for hop-aligned windows.
+
+    An event at t belongs to every window with start in
+    (t - window, t] aligned to the slide — emitted by a vectorized
+    flat expansion (window/slide rows per event) inside map_batches,
+    then a tumbling-style grouped aggregate. Completes the window
+    family: tumbling (events_hourly) / sliding / session
+    (events_sessionize).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    assert window_minutes % slide_minutes == 0
+    k = window_minutes // slide_minutes
+    slide = np.timedelta64(slide_minutes * 60, "s")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").combine_chunks()
+        # hop-aligned window starts covering each event
+        base = ts.astype("datetime64[s]").astype(np.int64) // (slide_minutes * 60)
+        n = len(ts)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        offsets = np.tile(np.arange(k, dtype=np.int64), n)
+        w_start = ((np.repeat(base, k) - offsets) * (slide_minutes * 60)).astype(
+            "datetime64[s]"
+        ).astype("datetime64[us]")
+        return pa.table(
+            {
+                "event_type": et.take(rep),
+                "window_start": pa.array(w_start),
+                "value": pa.array(np.repeat(val, k)),
+            }
+        )
+
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
