@@ -300,6 +300,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             topk=20,
         )
 
+    def source_overlap(sf_dir):
+        return A.source_overlap_exact(
+            _docs(sf_dir, ["text", "source"]), T.make_unique_tokens_by_fn("source"),
+            "src0", "src1",
+        )
+
+    def source_overlap_kmv(sf_dir):
+        return A.source_overlap_kmv(
+            _docs(sf_dir, ["text", "source"]), T.make_unique_tokens_by_fn("source"),
+            "src0", "src1",
+        )
+
     # ---- dedup family ----
     from bloomfilter_multithread_ray.pipelines import dedup as D
     from bloomfilter_multithread_ray.pipelines import similarity as S
@@ -472,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "distinct_by_source": distinct_by_source,
         "distinct_by_source_hll": distinct_by_source_hll,
+        "source_overlap": source_overlap,
+        "source_overlap_kmv": source_overlap_kmv,
         "events_sessions": events_sessions,
         "events_sliding": events_sliding,
         "lang_id": lang_id,
@@ -586,6 +600,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, window_start, count(*) AS n_events, "
             "ROUND(SUM(value), 2) AS sum_value FROM w "
             "GROUP BY event_type, window_start ORDER BY event_type, window_start"
+        ),
+        # exact set algebra over distinct tokens of two sources
+        "source_overlap": (
+            "WITH t AS (SELECT DISTINCT source, tok FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> '' AND source IN ('src0', 'src1')), "
+            "a AS (SELECT tok FROM t WHERE source = 'src0'), "
+            "b AS (SELECT tok FROM t WHERE source = 'src1'), "
+            "c AS (SELECT (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b, "
+            "(SELECT count(*) FROM a JOIN b USING (tok)) AS n_intersection) "
+            "SELECT n_a, n_b, n_intersection, n_a + n_b - n_intersection AS n_union, "
+            "CAST(n_intersection AS DOUBLE) / (n_a + n_b - n_intersection) AS jaccard FROM c"
         ),
         "events_sessions": (
             "WITH m AS (SELECT user_id, ts, value, "

@@ -256,3 +256,93 @@ def distinct_count_by_group_hll(ds: "Dataset", hash_fn, by: str, p: int = 14) ->
         out["estimate"].append(float(sk.estimate()))
         out["rel_error_bound"].append(sk.rel_error())
     return pd.DataFrame(out)
+
+
+# ------------------------------------------------------------------ set ops
+def source_overlap_exact(ds: "Dataset", unique_fn, src_a: str, src_b: str) -> pd.DataFrame:
+    """Exact distinct-token set algebra between two sources →
+    {n_a, n_b, n_intersection, n_union, jaccard}.
+
+    Partition-vectorized: (source, token-hash) pairs shuffle once on
+    ``hash % P``; each partition computes its local membership flags
+    for both sides in one numpy pass; only 5 counters per partition
+    shuffle again.
+    """
+    from ..functions.hashing import hash_strings
+
+    P_SHUF = 64
+
+    def add_tp(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        keep = (src == src_a) | (src == src_b)
+        t = t.filter(pa.array(keep))
+        h = hash_strings(t.column("tok").combine_chunks()).view(np.int64)
+        is_a = t.column("source").to_numpy(zero_copy_only=False) == src_a
+        return pa.table(
+            {"tp": pa.array(np.abs(h) % P_SHUF), "th": pa.array(h), "is_a": pa.array(is_a)}
+        )
+
+    def partition_sets(g: pa.Table) -> pa.Table:
+        th = g.column("th").to_numpy(zero_copy_only=False)
+        is_a = g.column("is_a").to_numpy(zero_copy_only=False)
+        ua = np.unique(th[is_a])
+        ub = np.unique(th[~is_a])
+        inter = len(np.intersect1d(ua, ub, assume_unique=True))
+        return pa.table(
+            {"n_a": pa.array([len(ua)], pa.int64()),
+             "n_b": pa.array([len(ub)], pa.int64()),
+             "n_i": pa.array([inter], pa.int64())}
+        )
+
+    pairs = ds.map_batches(unique_fn, batch_format="pyarrow", zero_copy_batch=True)
+    parts = (
+        pairs.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp")
+        .map_groups(partition_sets, batch_format="pyarrow")
+    )
+    df = parts.to_pandas().sum()
+    n_a, n_b, n_i = int(df.n_a), int(df.n_b), int(df.n_i)
+    n_u = n_a + n_b - n_i
+    return pd.DataFrame(
+        {"n_a": [n_a], "n_b": [n_b], "n_intersection": [n_i], "n_union": [n_u],
+         "jaccard": [float(n_i) / n_u if n_u else 0.0]}
+    )
+
+
+def source_overlap_kmv(
+    ds: "Dataset", unique_fn, src_a: str, src_b: str, k: int = 1024
+) -> pd.DataFrame:
+    """KMV-estimated overlap — the fixed-memory scale path.
+
+    Two bottom-k sketches (one per side) estimate each cardinality;
+    the Jaccard estimate is the sample-overlap ratio within the
+    union's bottom-k (Beyer et al. 2007). Bound-tested in pytest.
+    """
+    from ..functions.hashing import hash_strings
+    from ..state import BottomKSample
+
+    def side_hashes(t: pa.Table, side: str) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        tt = t.filter(pa.array(src == side))
+        return pa.table({"gh": hash_strings(tt.column("tok").combine_chunks())})
+
+    pairs = ds.map_batches(unique_fn, batch_format="pyarrow", zero_copy_batch=True)
+    sketches = {}
+    for side in (src_a, src_b):
+        hashed = pairs.map_batches(
+            lambda t, s=side: side_hashes(t, s), batch_format="pyarrow"
+        )
+        res = hashed.aggregate(SketchAgg(lambda: BottomKSample(k), on="gh"))
+        sketches[side] = deserialize_sketch(res["sketch"])
+    a, b = sketches[src_a], sketches[src_b]
+    union = BottomKSample(k)
+    union.merge(deserialize_sketch(a.serialize())).merge(deserialize_sketch(b.serialize()))
+    ub = union.sample_hashes()
+    in_both = np.isin(ub, a.sample_hashes()) & np.isin(ub, b.sample_hashes())
+    jac = float(in_both.mean()) if len(ub) else 0.0
+    est_union = union.estimate()
+    return pd.DataFrame(
+        {"est_a": [a.estimate()], "est_b": [b.estimate()],
+         "est_union": [est_union], "est_intersection": [jac * est_union],
+         "est_jaccard": [jac], "rel_error_bound": [a.rel_error()]}
+    )

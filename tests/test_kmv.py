@@ -65,3 +65,23 @@ def test_sketch_agg_path():
     direct = BottomKSample(64)
     direct.update_items(ids)
     assert np.array_equal(got.hashes, direct.hashes)
+
+
+def test_kmv_overlap_estimation_partial_sets():
+    """Jaccard estimation via bottom-k union sampling: planted overlap
+    of 1/3 must be recovered within the KMV error bound."""
+    rng = np.random.default_rng(9)
+    common = rng.integers(0, 1 << 40, 20_000)
+    only_a = rng.integers(1 << 41, 1 << 42, 20_000)
+    only_b = rng.integers(1 << 43, 1 << 44, 20_000)
+    a, b = BottomKSample(1024), BottomKSample(1024)
+    a.update_items(np.concatenate([common, only_a]))
+    b.update_items(np.concatenate([common, only_b]))
+    union = BottomKSample(1024)
+    union.merge(deserialize_sketch(a.serialize())).merge(deserialize_sketch(b.serialize()))
+    ub = union.sample_hashes()
+    jac = (np.isin(ub, a.sample_hashes()) & np.isin(ub, b.sample_hashes())).mean()
+    true = len(np.unique(common)) / len(
+        np.unique(np.concatenate([common, only_a, only_b]))
+    )
+    assert abs(jac - true) <= 5 * a.rel_error(), (jac, true)
