@@ -48,18 +48,52 @@ if TYPE_CHECKING:
 
 # ------------------------------------------------------------------ shingles
 def _doc_gram_hashes(batch: pa.Table, k: int, col: str = "text"):
-    """batch → (gram hashes, row starts, row ids with >=1 gram).
+    """batch → (gram hashes, row index per gram).
 
     Word-k-gram (shingle) hashes per document, via the same windowed
-    polynomial kernel the flagship uses for token k-grams.
+    polynomial kernel the flagship uses for token k-grams. Empty
+    tokens (consecutive/leading spaces) are dropped BEFORE windowing —
+    the same token set every other pipeline and the SQL oracles use,
+    so whitespace-only docs have no shingles at all.
     """
     toks = split_tokens(batch, col)
     flat = pc.list_flatten(toks)
-    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = offs - offs[0]
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs_all = offs_all - offs_all[0]
+    ne = np.asarray(nonempty).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(ne)])
+    offs = cum[offs_all]
     wh = hash_strings(flat)
     gh, row_idx, _ = kgram_hashes_flat(wh, offs, k)
     return gh, row_idx
+
+
+def _triu_expand(lens: np.ndarray):
+    """Vectorized within-segment pair expansion (shared kernel).
+
+    For segments of sizes ``lens`` laid out contiguously, returns
+    (seg, a, b): the segment ordinal and LOCAL (a < b) indices of every
+    unordered pair, in deterministic (segment, a, b) order — the
+    closed-form triangular unranking, exhaustively verified in
+    tests/test_dedup.py.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    npairs = (lens * (lens - 1)) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    seg = np.repeat(np.arange(len(lens)), npairs)
+    pair_start = np.concatenate([[0], np.cumsum(npairs)])
+    local = np.arange(total, dtype=np.int64) - pair_start[seg]
+    L = lens[seg]
+    M = (L * (L - 1)) // 2
+    rev = M - 1 - local
+    a = (L - 2 - ((np.sqrt(8.0 * rev + 1.0) - 1.0) // 2)).astype(np.int64)
+    b = (local - a * (L - 1) + a * (a - 1) // 2 + a + 1).astype(np.int64)
+    return seg, a, b
 
 
 def make_minhash_fn(k: int = 3, num_perm: int = 128, col: str = "text", id_col: str = "doc_id"):
@@ -179,31 +213,49 @@ def _partition_bucket_pairs_fn(threshold: float, num_perm: int, max_bucket: int)
         ids, sig = ids[keep], sig[keep]
         lens = np.minimum(lens, max_bucket)
         offs = np.concatenate([[0], np.cumsum(lens)])
-        npairs = (lens * (lens - 1)) // 2
-        total = int(npairs.sum())
-        if total == 0:
+        seg, a, b = _triu_expand(lens)
+        if len(seg) == 0:
             return empty
-        seg = np.repeat(np.arange(len(lens)), npairs)
-        pair_start = np.concatenate([[0], np.cumsum(npairs)])
-        local = np.arange(total, dtype=np.int64) - pair_start[seg]
-        L = lens[seg]
-        M = (L * (L - 1)) // 2
-        rev = M - 1 - local
-        a = (L - 2 - ((np.sqrt(8.0 * rev + 1.0) - 1.0) // 2)).astype(np.int64)
-        b = (local - a * (L - 1) + a * (a - 1) // 2 + a + 1).astype(np.int64)
         base = offs[seg]
         ia, ib = base + a, base + b
-        est = (sig[ia] == sig[ib]).mean(axis=1)
-        hit = est >= threshold
+        # verify in bounded chunks: the (pairs x num_perm) comparison
+        # matrix would be unbounded on duplicate-heavy partitions
+        CHUNK = 1 << 20
+        out_a, out_b, out_e = [], [], []
+        for lo in range(0, len(ia), CHUNK):
+            ca, cb = ia[lo : lo + CHUNK], ib[lo : lo + CHUNK]
+            est = (sig[ca] == sig[cb]).mean(axis=1)
+            hit = est >= threshold
+            out_a.append(ids[ca[hit]])
+            out_b.append(ids[cb[hit]])
+            out_e.append(est[hit])
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia[hit]]),
-                "doc_b": pa.array(ids[ib[hit]]),
-                "est_jaccard": pa.array(est[hit]),
+                "doc_a": pa.array(np.concatenate(out_a)),
+                "doc_b": pa.array(np.concatenate(out_b)),
+                "est_jaccard": pa.array(np.concatenate(out_e)),
             }
         )
 
     return fn
+
+
+def pick_lsh_bands(num_perm: int, threshold: float) -> int:
+    """Bands whose s-curve midpoint (1/b)^(1/r) sits just BELOW the
+    threshold, so a true threshold-Jaccard pair collides in >= 1 band
+    with high probability (recall at the threshold > 50%, rising
+    steeply above it). Chooses among divisors of num_perm."""
+    best, best_gap = num_perm, float("inf")
+    target = 0.85 * threshold
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        mid = (1.0 / b) ** (1.0 / r)
+        gap = abs(mid - target)
+        if gap < best_gap:
+            best, best_gap = b, gap
+    return best
 
 
 def minhash_lsh_pairs(
@@ -211,16 +263,20 @@ def minhash_lsh_pairs(
     *,
     k: int = 3,
     num_perm: int = 128,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.5,
     max_bucket: int = 256,
 ) -> "Dataset":
     """Near-duplicate pairs by MinHash-LSH → {doc_a, doc_b, est_jaccard}.
 
-    LSH s-curve midpoint ~ (1/bands)^(bands/num_perm); the defaults
-    (16 bands × 8 rows) center at ~0.71, catching >=0.5-Jaccard pairs
-    with high probability while keeping bucket collisions rare.
+    ``bands`` defaults to :func:`pick_lsh_bands`: tuned so the LSH
+    s-curve midpoint sits below ``threshold`` (e.g. threshold=0.5,
+    num_perm=128 → 32 bands × 4 rows, midpoint 0.42 → ~87% bucket
+    recall at 0.5-Jaccard, >99.9% at 0.7). A fixed 16×8 banding
+    (midpoint 0.71) would silently miss ~94% of 0.5-Jaccard pairs.
     """
+    if bands is None:
+        bands = pick_lsh_bands(num_perm, threshold)
     if num_perm % bands:
         raise ValueError("num_perm must divide into equal bands")
     rows_per_band = num_perm // bands
@@ -395,18 +451,9 @@ def simhash_pairs(docs: "Dataset", *, max_hamming: int = 3, max_bucket: int = 51
         ids, sh = ids[keep], sh[keep]
         lens = np.minimum(lens, max_bucket)
         offs = np.concatenate([[0], np.cumsum(lens)])
-        npairs = (lens * (lens - 1)) // 2
-        total = int(npairs.sum())
-        if total == 0:
+        seg, a, b = _triu_expand(lens)
+        if len(seg) == 0:
             return empty
-        seg = np.repeat(np.arange(len(lens)), npairs)
-        pair_start = np.concatenate([[0], np.cumsum(npairs)])
-        local = np.arange(total, dtype=np.int64) - pair_start[seg]
-        L = lens[seg]
-        M = (L * (L - 1)) // 2
-        rev = M - 1 - local
-        a = (L - 2 - ((np.sqrt(8.0 * rev + 1.0) - 1.0) // 2)).astype(np.int64)
-        b = (local - a * (L - 1) + a * (a - 1) // 2 + a + 1).astype(np.int64)
         base = offs[seg]
         ia, ib = base + a, base + b
         x = sh[ia] ^ sh[ib]
@@ -446,14 +493,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_gram_df: int = 64,
 ) -> "Dataset":
-    """EXACT word-k-gram Jaccard pairs >= threshold (DuckDB-checkable).
+    """Word-k-gram Jaccard pairs >= threshold (DuckDB-checkable).
 
-    Inverted index {gram, doc_id, n_grams} (distinct per doc, each row
-    carrying its doc's exact set size) → per-gram pair expansion (the
-    candidate join) → one groupby(["doc_a","doc_b"]) producing both
-    the intersection count and the two set sizes → Jaccard =
-    i / (|A| + |B| - i). Join-free: two shuffles total, both keyed on
-    content-derived keys.
+    Inverted index {gram_hash, doc_id, n_grams} (distinct per doc, each
+    row carrying its doc's exact set size) → per-gram pair expansion
+    (the candidate join) → partition-vectorized intersection counts →
+    Jaccard = i / (|A| + |B| - i). Join-free: two shuffles total, both
+    keyed on content-derived keys. Exact up to 64-bit shingle-hash
+    collisions (P[any] ~ n_grams² / 2^65 — the same stance as
+    dedup_exact; the DuckDB oracle compares over gram STRINGS and has
+    matched bit-for-bit on every fixture).
 
     ``max_gram_df`` caps pair expansion per gram — a gram shared by
     every doc (boilerplate) would otherwise emit O(df²) rows. Capped
@@ -463,33 +512,29 @@ def ngram_jaccard_pairs(
     """
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        toks = split_tokens(batch, "text")
-        flat = pc.list_flatten(toks)
-        nonempty = pc.not_equal(flat, "")
-        flat = flat.filter(nonempty)
-        offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs_all = offs_all - offs_all[0]
-        ne = np.asarray(nonempty).astype(np.int64)
-        cum = np.concatenate([[0], np.cumsum(ne)])
-        offs = cum[offs_all]
-        words = np.asarray(flat).astype(object)
+        # vectorized shingle hashes (shared kernel), distinct per doc
+        gh, row_idx = _doc_gram_hashes(batch, k, "text")
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        out_gram: list[str] = []
-        out_doc: list[int] = []
-        out_n: list[int] = []
-        for r in range(len(ids)):
-            w = words[offs[r] : offs[r + 1]]
-            if len(w) < k:
-                continue
-            grams = {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
-            out_gram.extend(grams)
-            out_doc.extend([ids[r]] * len(grams))
-            out_n.extend([len(grams)] * len(grams))
+        if len(gh) == 0:
+            return pa.table(
+                {"gh": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64())}
+            )
+        pairs = np.unique(
+            np.stack([row_idx, gh.view(np.int64)], axis=1), axis=0
+        )
+        rows, ghs = pairs[:, 0], pairs[:, 1]
+        per_row = np.bincount(rows, minlength=batch.num_rows).astype(np.int64)
+        out_ids = ids[rows]
+        if out_ids.size and not (0 <= out_ids.min() and out_ids.max() < (1 << 31)):
+            raise ValueError("doc_id out of [0, 2^31) — pair packing would corrupt")
+        if per_row.max(initial=0) >= (1 << _NBITS):
+            raise ValueError("n_grams >= 2^21 — pair packing would corrupt")
         return pa.table(
             {
-                "gram": pa.array(out_gram, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "n_grams": pa.array(out_n, pa.int64()),
+                "gh": pa.array(ghs),
+                "doc_id": pa.array(out_ids),
+                "n_grams": pa.array(per_row[rows]),
             }
         )
 
@@ -506,11 +551,9 @@ def ngram_jaccard_pairs(
     P_SHUF = 64
 
     def pack(batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import hash_strings
-
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ns = batch.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
-        gh = hash_strings(batch.column("gram").combine_chunks()).view(np.int64)
+        gh = batch.column("gh").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {"gp": pa.array(np.abs(gh) % P_SHUF),
              "gh": pa.array(gh),
@@ -539,18 +582,9 @@ def ngram_jaccard_pairs(
         packed = packed[keep]
         lens = np.minimum(lens, max_gram_df)
         offs = np.concatenate([[0], np.cumsum(lens)])
-        npairs = (lens * (lens - 1)) // 2
-        total = int(npairs.sum())
-        if total == 0:
+        seg_of_pair, a, b = _triu_expand(lens)
+        if len(seg_of_pair) == 0:
             return empty
-        seg_of_pair = np.repeat(np.arange(len(lens)), npairs)
-        pair_start = np.concatenate([[0], np.cumsum(npairs)])
-        local = np.arange(total, dtype=np.int64) - pair_start[seg_of_pair]
-        L = lens[seg_of_pair]
-        M = (L * (L - 1)) // 2
-        rev = M - 1 - local
-        a = (L - 2 - ((np.sqrt(8.0 * rev + 1.0) - 1.0) // 2)).astype(np.int64)
-        b = (local - a * (L - 1) + a * (a - 1) // 2 + a + 1).astype(np.int64)
         base = offs[seg_of_pair]
         pa_packed, pb_packed = packed[base + a], packed[base + b]
         ids_a, na = pa_packed >> _NBITS, pa_packed & ((1 << _NBITS) - 1)

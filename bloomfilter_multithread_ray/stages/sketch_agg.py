@@ -134,6 +134,11 @@ class SketchAgg(AggregateFnV2):
 
     def aggregate_block(self, block: pa.Table):
         col = block.column(self._on_col)
+        if col.null_count:
+            # AggregateFnV2's null-safety wraps accumulators, not blocks:
+            # without this a null would round-trip to NaN -> a garbage
+            # uint64 item / a NaN value inside the sketch
+            col = col.drop_null()
         if self._kind == "values":
             s = self._factory()
             arr = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)

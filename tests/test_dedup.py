@@ -10,6 +10,7 @@ exact pipeline where applicable.
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -120,3 +121,75 @@ def test_minhash_signature_determinism(docs_ds):
     b = make_minhash_fn()(t.slice(0, 100))
     # same doc -> same signature regardless of batch composition
     assert a.slice(0, 100).equals(b)
+
+
+def test_triu_expand_exhaustive():
+    from bloomfilter_multithread_ray.pipelines.dedup import _triu_expand
+
+    for lens in ([2], [5], [1], [0], [3, 1, 4, 2, 64]):
+        lens = np.array(lens, dtype=np.int64)
+        seg, a, b = _triu_expand(lens)
+        want = []
+        for s_i, L in enumerate(lens):
+            for i in range(L):
+                for j in range(i + 1, L):
+                    want.append((s_i, i, j))
+        assert list(zip(seg.tolist(), a.tolist(), b.tolist())) == want, lens
+
+
+def test_minhash_ignores_empty_tokens():
+    """Whitespace-only docs have NO shingles (no phantom near-dups);
+    trailing spaces don't change the signature."""
+    from bloomfilter_multithread_ray.pipelines.dedup import make_minhash_fn
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+         "text": pa.array(["   ", "    ", "a b c d", "a b c d "], pa.string())}
+    )
+    out = make_minhash_fn(k=3)(t)
+    ids = out.column("doc_id").to_pylist()
+    assert 1 not in ids and 2 not in ids  # no shingles at all
+    sigs = {i: s for i, s in zip(ids, out.column("sig").to_pylist())}
+    assert sigs[3] == sigs[4]  # trailing space is invisible
+
+
+def test_lsh_banding_adapts_to_threshold():
+    from bloomfilter_multithread_ray.pipelines.dedup import pick_lsh_bands
+
+    b5 = pick_lsh_bands(128, 0.5)
+    r5 = 128 // b5
+    mid = (1 / b5) ** (1 / r5)
+    assert mid < 0.5  # recall at the threshold > 50%
+    # bucket-collision prob for a true 0.5-Jaccard pair must be high
+    recall = 1 - (1 - 0.5**r5) ** b5
+    assert recall >= 0.8, (b5, recall)
+    # and a 0.8 threshold picks a tighter banding
+    b8 = pick_lsh_bands(128, 0.8)
+    assert b8 < b5
+
+
+def test_sketch_agg_drops_nulls():
+    from bloomfilter_multithread_ray.stages.sketch_agg import SketchAgg
+    from bloomfilter_multithread_ray.state import BloomFilter
+    from bloomfilter_multithread_ray.state.base import deserialize_sketch
+
+    agg = SketchAgg(lambda: BloomFilter(1 << 12, 4), on="gh")
+    clean = pa.table({"gh": pa.array([1, 2, 3], pa.uint64())})
+    dirty = pa.table({"gh": pa.array([1, None, 2, 3, None], pa.uint64())})
+    a = deserialize_sketch(agg.finalize(agg.aggregate_block(clean)))
+    b = deserialize_sketch(agg.finalize(agg.aggregate_block(dirty)))
+    assert np.array_equal(a.bits, b.bits)
+    assert b.n_added == 3  # nulls not counted
+
+
+def test_ngram_pack_width_validation():
+    from bloomfilter_multithread_ray.pipelines.dedup import ngram_jaccard_pairs
+    import ray.data
+
+    bad = pa.table(
+        {"doc_id": pa.array([1 << 40], pa.int64()),
+         "text": pa.array(["a b c d e"], pa.string())}
+    )
+    ds = ray.data.from_arrow(bad)
+    with pytest.raises(Exception, match="doc_id out of"):
+        ngram_jaccard_pairs(ds, k=3).take_all()
