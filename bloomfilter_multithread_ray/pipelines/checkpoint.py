@@ -100,15 +100,18 @@ def incremental_build(
     import ray.data
 
     os.makedirs(store, exist_ok=True)
+    # normalize through JSON so the comparison below sees exactly what a
+    # committed manifest would contain (default=str stringifies numpy
+    # scalars; tuples become lists) — otherwise an identical config
+    # would "mismatch" on resume
+    config = json.loads(
+        json.dumps({"k": k, "num_partitions": num_partitions, **factory_desc}, default=str)
+    )
     manifest = read_manifest(store)
     if manifest is None:
-        manifest = {
-            "config": {"k": k, "num_partitions": num_partitions, **factory_desc},
-            "input_path": input_path,
-            "epochs": [],
-        }
+        manifest = {"config": config, "input_path": input_path, "epochs": []}
     else:
-        if manifest["config"] != {"k": k, "num_partitions": num_partitions, **factory_desc}:
+        if manifest["config"] != config:
             raise ValueError("store config mismatch — refusing to mix sketch configs")
 
     done = processed_fragments(manifest)
@@ -149,6 +152,20 @@ def incremental_build(
         )
 
     sketches.map_batches(add_metrics, batch_format="pyarrow").write_parquet(sk_dir)
+    # durability barrier BEFORE the manifest references this epoch:
+    # fsync every epoch file (and the dir entry) so a crash after the
+    # manifest rename can never leave it pointing at torn parquet
+    for name in sorted(os.listdir(sk_dir)):
+        fd = os.open(os.path.join(sk_dir, name), os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    dfd = os.open(sk_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
     # metrics for the manifest (small: one row per partition)
     mtbl = pq.read_table(sk_dir, columns=["part", "n_added", "fill_ratio"])
@@ -173,12 +190,15 @@ def incremental_build(
 
 
 def build_to_completion(input_path: str, store: str, **kw) -> dict:
-    """Drive :func:`incremental_build` until every fragment is covered."""
+    """Drive :func:`incremental_build` until every fragment is covered.
+
+    Terminates on fragment-set coverage (not manifest identity), so an
+    empty input directory returns immediately instead of spinning.
+    """
     while True:
-        before = read_manifest(store)
-        after = incremental_build(input_path, store, **kw)
-        if before is not None and len(after["epochs"]) == len(before["epochs"]):
-            return after
+        manifest = incremental_build(input_path, store, **kw)
+        if set(_list_fragments(input_path)) <= processed_fragments(manifest):
+            return manifest
 
 
 def load_merged(store: str) -> dict[int, Sketch]:

@@ -68,6 +68,10 @@ def tpch_q1(sf_dir: str, ship_cutoff: str = "1998-09-02") -> pd.DataFrame:
         def cents(col):
             return np.rint(t[col].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
 
+        # int64 headroom note: charge_u6 is ~4e10/row, so Sum stays exact
+        # up to ~2e8 rows per GROUP (~TPC-H SF 150 in one group); beyond
+        # that the scaled sums must widen to decimal128 partials
+
         qty_c, price_c = cents("l_quantity"), cents("l_extendedprice")
         disc_c, tax_c = cents("l_discount"), cents("l_tax")
         disc_price_u4 = price_c * (100 - disc_c)  # units of 1e-4
@@ -379,13 +383,14 @@ def curate_corpus(
     qfn = make_quality_fn()
 
     def features(t: pa.Table) -> pa.Table:
+        # drop zero-token rows FIRST with the same mask the quality fn
+        # applies internally, so q's rows align 1:1 with t's (an isin on
+        # doc_id would silently break on duplicate ids)
+        from ..stages.quality import _row_layout
+
+        _, offs = _row_layout(t)
+        t = t.filter(pa.array(np.diff(offs) > 0))
         q = qfn(t)
-        # quality_fn drops zero-token rows; align the extra columns
-        keep = pa.array(np.isin(
-            t.column("doc_id").to_numpy(zero_copy_only=False),
-            q.column("doc_id").to_numpy(zero_copy_only=False),
-        ))
-        t = t.filter(keep)
         h = hash_strings(t.column("text").combine_chunks()).view(np.int64)
         return q.append_column("source", t.column("source")).append_column(
             "h", pa.array(h)
@@ -399,7 +404,10 @@ def curate_corpus(
         m = (n >= min_tok) & (n <= max_tok) & (ttr >= min_ttr)
         return t.filter(pa.array(m))
 
-    gated = feats.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize once: the gated features feed BOTH the dedup pass and
+    # the final aggregate — without this the read+features+gate pipeline
+    # executes twice
+    gated = feats.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     # exact dedup: keep the min doc_id per content hash
     from ray.data.aggregate import Min
@@ -412,6 +420,10 @@ def curate_corpus(
     )
     import ray
 
+    # broadcast of the kept-id set: fine while survivors fit one worker
+    # (fixture scale); the at-scale form replaces this with a second
+    # shuffle-side semi-join on the content hash (groupby h -> min ==
+    # self), which never materializes ids on the driver
     keep_ref = ray.put(
         np.sort(kept_ids.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
     )

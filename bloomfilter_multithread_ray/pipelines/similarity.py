@@ -75,6 +75,11 @@ def ann_topk_exact(ds: "Dataset", qids: np.ndarray, Q: np.ndarray, k: int = 5):
             self.qids, self.Q = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
             V = _normalize(_emb_matrix(batch))
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             C = np.round(V @ self.Q.T, 6)  # (n, nq) — ranking on rounded values
@@ -167,6 +172,11 @@ def ann_lsh(
             self.qids, self.Q, self.H, self.probe = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
             V = _normalize(_emb_matrix(batch))
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             buckets = _bucket_of(V, self.H)
@@ -237,17 +247,23 @@ def embedding_dup_pairs(ds: "Dataset", all_ids: np.ndarray, allV: np.ndarray, ta
             self.ids, self.V = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
             B = _normalize(_emb_matrix(batch))
             bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             C = np.round(B @ self.V.T, 6)
-            # keep ordered pairs a < b only (each unordered pair once)
-            left = np.repeat(bids, len(self.ids))
-            right = np.tile(self.ids, len(bids))
-            cos = C.reshape(-1)
-            hit = (cos >= tau) & (left < right)
+            # hit-sized allocations only: index math instead of full
+            # repeat/tile arrays (those would triple peak memory vs C)
+            idx = np.flatnonzero(C.reshape(-1) >= tau)
+            a = bids[idx // len(self.ids)]
+            b = self.ids[idx % len(self.ids)]
+            keep = a < b  # each unordered pair once
             return pa.table(
-                {"vec_a": pa.array(left[hit]), "vec_b": pa.array(right[hit]),
-                 "cosine": pa.array(cos[hit])}
+                {"vec_a": pa.array(a[keep]), "vec_b": pa.array(b[keep]),
+                 "cosine": pa.array(C.reshape(-1)[idx[keep]])}
             )
 
     return ds.map_batches(BlockPairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
@@ -286,6 +302,12 @@ def embedding_dup_pairs_lsh(
     from ray.data.aggregate import Max
 
     def band_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bkey": pa.array([], pa.uint64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "embedding": batch.column("embedding")}
+            )
         V = _normalize(_emb_matrix(batch))
         n, dim = V.shape
         keys, rep = [], []
@@ -392,6 +414,11 @@ def ann_ivf(
             self.qids, self.Q, self.C, self.probe = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
             V = _normalize(_emb_matrix(batch))
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             assign = (V @ self.C.T).argmax(axis=1)

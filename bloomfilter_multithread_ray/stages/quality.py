@@ -95,9 +95,8 @@ def _char_bigram_counts(texts: pa.Array) -> "tuple[np.ndarray, np.ndarray]":
     b = np.frombuffer(joined.encode("utf-8", "ignore"), dtype=np.uint8)
     lengths = s.str.encode("utf-8").str.len().to_numpy(dtype=np.int64)
     n = len(s)
-    mat = np.zeros((n, _NBUCKETS), dtype=np.float64)
     if len(b) < 2:
-        return mat, lengths
+        return np.zeros((n, _NBUCKETS), dtype=np.float64), lengths
     big = b[:-1].astype(np.uint64) << UINT64(8) | b[1:].astype(np.uint64)
     bucket = (splitmix64(big) % UINT64(_NBUCKETS)).astype(np.int64)
     # row of each bigram start; separator bigrams (containing \x00) dropped
@@ -106,8 +105,11 @@ def _char_bigram_counts(texts: pa.Array) -> "tuple[np.ndarray, np.ndarray]":
     pos = np.arange(len(big))
     row = np.searchsorted(starts, pos, side="right") - 1
     valid = (b[:-1] != 0) & (b[1:] != 0)
-    np.add.at(mat, (row[valid], bucket[valid]), 1.0)
-    return mat, lengths
+    # one bincount over flat (row, bucket) keys — much faster than a
+    # scattered np.add.at into the dense matrix
+    flat_keys = row[valid] * _NBUCKETS + bucket[valid]
+    mat = np.bincount(flat_keys, minlength=n * _NBUCKETS).reshape(n, _NBUCKETS)
+    return mat.astype(np.float64), lengths
 
 
 def fit_langid_profiles(sample_texts, sample_langs) -> tuple[np.ndarray, list]:
@@ -185,9 +187,11 @@ def make_fingerprint_fn(
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         n_rows = batch.num_rows
+        # row_idx is sorted: O(grams) boundary lookup, not O(rows x grams)
+        bounds = np.searchsorted(row_idx, np.arange(n_rows + 1))
         fps: list[np.ndarray] = []
         for r in range(n_rows):
-            g = gh[row_idx == r]
+            g = gh[bounds[r] : bounds[r + 1]]
             if len(g) == 0:
                 fps.append(np.empty(0, dtype=UINT64))
                 continue

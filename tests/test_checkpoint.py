@@ -91,3 +91,24 @@ def test_uncommitted_epoch_dir_is_replayed(corpus, tmp_path):
     one = str(tmp_path / "one_shot")
     build_to_completion(corpus, one, **CFG)
     assert _bits(load_merged(store)) == _bits(load_merged(one))
+
+
+def test_empty_input_returns_immediately(tmp_path):
+    empty_in = str(tmp_path / "empty_in")
+    import os
+
+    os.makedirs(empty_in, exist_ok=True)
+    m = build_to_completion(empty_in, str(tmp_path / "store"), **CFG)
+    assert m["epochs"] == []
+
+
+def test_numpy_config_values_resume_cleanly(corpus, tmp_path):
+    import numpy as np
+
+    store = str(tmp_path / "store")
+    cfg = dict(CFG, factory_desc={"algo": "bloom", "bits": np.int64(1 << 16)})
+    cfg2 = dict(CFG, factory_desc={"algo": "bloom", "bits": np.int64(1 << 16)})
+    incremental_build(corpus, store, max_fragments=2, **cfg)
+    # resume with an equal (but freshly built, numpy-typed) config
+    build_to_completion(corpus, store, **cfg2)
+    assert len(read_manifest(store)["epochs"]) >= 2
