@@ -76,8 +76,10 @@ def entry() -> Any:
             gh = g.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
             member = np.zeros(len(gh), dtype=bool)
             for p in np.unique(part):
-                m = part == p
-                member[m] = self.shards[int(p)].contains(gh[m])
+                shard = self.shards.get(int(p))  # absent partition => non-member
+                if shard is not None:
+                    m = part == p
+                    member[m] = shard.contains(gh[m])
             return pa.table(
                 {"doc_id": g.column("doc_id"), "pos": g.column("pos"), "member": member}
             )

@@ -30,11 +30,14 @@ if TYPE_CHECKING:
 
 # --------------------------------------------------------------- distinct
 def distinct_count_exact(ds: "Dataset", unique_fn, out_name: str = "distinct_tokens") -> pd.DataFrame:
-    """Exact global distinct count → 1-row DataFrame {out_name}.
+    """Global distinct count → 1-row DataFrame {out_name}.
 
     ``unique_fn`` is a per-batch combiner emitting already-deduped
-    {tok} rows; the groupby then counts groups. Shuffle volume is
-    bounded by distinct-per-batch, not total occurrences.
+    {tok} rows; distinct counting then runs over 64-bit token hashes
+    inside fixed hash partitions. Exact up to 64-bit collisions
+    (P[any] ~ n²/2^65 — same stance as dedup_exact; every fixture
+    matches the string-exact DuckDB oracle bit-for-bit). Shuffle
+    volume is bounded by distinct-per-batch, not total occurrences.
     """
     exploded = ds.map_batches(unique_fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -66,7 +69,8 @@ def distinct_count_hll(ds: "Dataset", hash_fn, p: int = 14) -> pd.DataFrame:
     """HLL estimate of global distinct → 1-row {estimate, rel_error_bound}."""
     hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
     res = hashed.aggregate(SketchAgg(lambda: HyperLogLog(p), on="gh"))
-    hll = deserialize_sketch(res["sketch"])
+    blob = res["sketch"] if res else None
+    hll = deserialize_sketch(blob) if blob is not None else HyperLogLog(p)
     return pd.DataFrame(
         {"estimate": [float(hll.estimate())], "rel_error_bound": [hll.rel_error()]}
     )
@@ -198,7 +202,8 @@ def grouped_quantiles_sketch(
 
 # ------------------------------------------------------- grouped distinct
 def distinct_count_by_group_exact(ds: "Dataset", unique_fn, by: str) -> pd.DataFrame:
-    """Exact distinct count per group → {by, distinct_tokens}.
+    """Distinct count per group (64-bit-hash exact, see
+    distinct_count_exact) → {by, distinct_tokens}.
 
     ``unique_fn`` emits per-batch-deduped {by, tok}; the double
     groupby collapses to (by, tok) pairs then counts per group —
@@ -260,7 +265,8 @@ def distinct_count_by_group_hll(ds: "Dataset", hash_fn, by: str, p: int = 14) ->
 
 # ------------------------------------------------------------------ set ops
 def source_overlap_exact(ds: "Dataset", unique_fn, src_a: str, src_b: str) -> pd.DataFrame:
-    """Exact distinct-token set algebra between two sources →
+    """Distinct-token set algebra (64-bit-hash exact, see
+    distinct_count_exact) between two sources →
     {n_a, n_b, n_intersection, n_union, jaccard}.
 
     Partition-vectorized: (source, token-hash) pairs shuffle once on
@@ -300,7 +306,13 @@ def source_overlap_exact(ds: "Dataset", unique_fn, src_a: str, src_b: str) -> pd
         .groupby("tp")
         .map_groups(partition_sets, batch_format="pyarrow")
     )
-    df = parts.to_pandas().sum()
+    pdf = parts.to_pandas()
+    if pdf.empty:  # neither source present -> well-defined zero row
+        return pd.DataFrame(
+            {"n_a": [0], "n_b": [0], "n_intersection": [0], "n_union": [0],
+             "jaccard": [0.0]}
+        )
+    df = pdf.sum()
     n_a, n_b, n_i = int(df.n_a), int(df.n_b), int(df.n_i)
     n_u = n_a + n_b - n_i
     return pd.DataFrame(
@@ -333,7 +345,8 @@ def source_overlap_kmv(
             lambda t, s=side: side_hashes(t, s), batch_format="pyarrow"
         )
         res = hashed.aggregate(SketchAgg(lambda: BottomKSample(k), on="gh"))
-        sketches[side] = deserialize_sketch(res["sketch"])
+        blob = res["sketch"] if res else None
+        sketches[side] = deserialize_sketch(blob) if blob is not None else BottomKSample(k)
     a, b = sketches[src_a], sketches[src_b]
     union = BottomKSample(k)
     union.merge(deserialize_sketch(a.serialize())).merge(deserialize_sketch(b.serialize()))

@@ -116,6 +116,13 @@ def write_sketch_store(sketch_ds: "Dataset", path: str, manifest: dict) -> dict:
 
     os.makedirs(path, exist_ok=True)
     sk_dir = os.path.join(path, "sketches")
+    manifest_path = os.path.join(path, "manifest.json")
+    if os.path.exists(manifest_path):
+        # invalidate the commit marker BEFORE touching sketch files: a
+        # crash mid-rebuild must not leave a manifest describing
+        # deleted/partial data (consumers use its existence as the
+        # completed-store check)
+        os.remove(manifest_path)
     if os.path.exists(sk_dir):
         # stale files from a previous store at this path would be read
         # alongside the new ones (write_parquet generates fresh file
@@ -124,12 +131,14 @@ def write_sketch_store(sketch_ds: "Dataset", path: str, manifest: dict) -> dict:
 
         shutil.rmtree(sk_dir)
     with_metrics = sketch_ds.map_batches(add_metrics, batch_format="pyarrow")
-    with_metrics.write_parquet(sk_dir)
+    # hive-partitioned by part: the routed probe opens exactly ONE
+    # part=N directory per group instead of filter-scanning the store
+    with_metrics.write_parquet(sk_dir, partition_cols=["part"])
     manifest = dict(manifest, created_unix=time.time())
     tmp = os.path.join(path, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, default=str)
-    os.replace(tmp, os.path.join(path, "manifest.json"))  # atomic commit marker
+    os.replace(tmp, manifest_path)  # atomic commit marker
     return manifest
 
 
@@ -283,14 +292,13 @@ def probe_bloom_routed(
 
     def probe_group(group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
-        tbl = pads.dataset(sk_dir, format="parquet").to_table(
-            columns=["part", "sketch"], filter=pads.field("part") == part
-        )
+        part_dir = os.path.join(sk_dir, f"part={part}")
         gh = group.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
-        if tbl.num_rows:
+        if os.path.isdir(part_dir):
+            tbl = pads.dataset(part_dir, format="parquet").to_table(columns=["sketch"])
             shard = deserialize_sketch(tbl.column("sketch")[0].as_py())
             member = shard.contains(gh)
-        else:
+        else:  # partition absent from the build => non-member
             member = np.zeros(len(gh), dtype=bool)
         return pa.table(
             {

@@ -128,11 +128,11 @@ class KLL(Sketch):
 
     def _payload(self) -> bytes:
         head = struct.pack(
-            "<IqqIddI",
+            "<IqqQddI",
             self.k,
             self.n,
             self._compactions,
-            self.seed & 0xFFFFFFFF,
+            self.seed & 0xFFFFFFFFFFFFFFFF,
             self.min,
             self.max,
             len(self.levels),
@@ -145,10 +145,10 @@ class KLL(Sketch):
 
     @classmethod
     def _from_payload(cls, buf: memoryview) -> "KLL":
-        k, n, compactions, seed, mn, mx, n_levels = struct.unpack_from("<IqqIddI", buf, 0)
+        k, n, compactions, seed, mn, mx, n_levels = struct.unpack_from("<IqqQddI", buf, 0)
         s = cls(k, seed)
         s.n, s._compactions, s.min, s.max = n, compactions, mn, mx
-        off = struct.calcsize("<IqqIddI")
+        off = struct.calcsize("<IqqQddI")
         s.levels = []
         for _ in range(n_levels):
             (ln,) = struct.unpack_from("<q", buf, off)

@@ -42,13 +42,15 @@ class TDigest(Sketch):
     # -- updates ----------------------------------------------------------
     def update_values(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
         v = np.asarray(values, dtype=np.float64).ravel()
-        v = v[~np.isnan(v)]
+        finite = ~np.isnan(v)
+        v = v[finite]
         if v.size == 0:
             return
         w = (
             np.ones_like(v)
             if weights is None
-            else np.asarray(weights, dtype=np.float64).ravel()
+            # filter weights with the SAME mask so pairs stay aligned
+            else np.asarray(weights, dtype=np.float64).ravel()[finite]
         )
         self.min = min(self.min, float(v.min()))
         self.max = max(self.max, float(v.max()))

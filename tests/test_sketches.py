@@ -277,3 +277,28 @@ def test_pickle_roundtrip():
     bf.update_hashes(_hashes(100))
     bf2 = pickle.loads(pickle.dumps(bf))
     assert np.array_equal(bf.bits, bf2.bits)
+
+
+def test_tdigest_nan_values_with_weights_stay_aligned():
+    from bloomfilter_multithread_ray.state import TDigest
+
+    d = TDigest()
+    d.update_values(np.array([1.0, np.nan, 3.0]), weights=np.array([1.0, 2.0, 3.0]))
+    assert d.total == 4.0  # NaN's weight dropped with its value
+    assert d.quantile(0.0) == 1.0 and d.quantile(1.0) == 3.0
+
+
+def test_kll_seed_survives_serialization():
+    from bloomfilter_multithread_ray.state import KLL
+    from bloomfilter_multithread_ray.state.base import deserialize_sketch
+
+    big_seed = (1 << 32) + 5
+    a = KLL(k=64, seed=big_seed)
+    b = deserialize_sketch(a.serialize())
+    assert b.seed == big_seed
+    # identical compaction randomness after round-trip
+    vals = np.random.default_rng(1).normal(size=5000)
+    a.update_values(vals)
+    b.update_values(vals)
+    for q in (0.1, 0.5, 0.9):
+        assert a.quantile(q) == b.quantile(q)
