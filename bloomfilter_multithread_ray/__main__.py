@@ -15,8 +15,9 @@ implements the *intended* contract over the three pipeline shapes:
   (replaces the reference's bounded output ring).
 - ``split``: entry point C (the dead ``splitIntoFile`` consumer,
   ``src/SkmerSplitter.cpp:15-59``) — k-gram rows written as
-  hash-partitioned parquet (``--explode`` = one row per k-gram, the
-  ``split_skmer_into_kmers`` flag).
+  hash-partitioned parquet, one row per k-gram (``--explode`` adds
+  the doc_id/pos identity columns — the ``split_skmer_into_kmers``
+  flag's identity-preserving mode).
 
 Inputs are input_hint-schema parquet (doc_id, tokens, n_tok, source).
 Owns its Ray session (guarded init; the driver contract in
@@ -55,7 +56,8 @@ def main(argv=None) -> int:
     s.add_argument("out_dir")
     s.add_argument("-k", type=int, default=8)
     s.add_argument("-P", "--partitions", type=int, default=64)
-    s.add_argument("--explode", action="store_true", help="one row per k-gram (else per-doc gram lists)")
+    s.add_argument("--explode", action="store_true",
+                   help="add doc_id/pos identity columns (rows are always one per k-gram)")
 
     args = ap.parse_args(argv)
 
@@ -95,13 +97,18 @@ def _run(args) -> int:
         with open(f"{args.store}/manifest.json") as f:
             cfg = json.load(f)
         ds = ray.data.read_parquet(args.query_in, columns=["doc_id", "tokens"])
+        canonical = bool(cfg.get("canonical", False))  # must match the build
         if args.routed:
             out = probe_bloom_routed(
-                ds, args.store, k=cfg["k"], num_partitions=cfg["num_partitions"]
+                ds, args.store, k=cfg["k"], num_partitions=cfg["num_partitions"],
+                canonical=canonical,
             )
         else:
             shards, _ = load_sketch_store(args.store)
-            out = probe_bloom(ds, shards, k=cfg["k"], num_partitions=cfg["num_partitions"])
+            out = probe_bloom(
+                ds, shards, k=cfg["k"], num_partitions=cfg["num_partitions"],
+                canonical=canonical,
+            )
         if args.sorted:
             out = out.sort(["doc_id", "pos"])
         out.write_parquet(args.result_out)
@@ -120,7 +127,10 @@ def _run(args) -> int:
         # hash-partitioned layout: one directory per partition — the
         # resumable-output shape (skip finished partitions on re-run)
         grams.write_parquet(args.out_dir, partition_cols=["part"])
-        print(json.dumps({"out": args.out_dir, "rows": grams.count()}))
+        # count from the written output's metadata — re-counting the
+        # lazy `grams` would re-execute the whole pipeline
+        n = ray.data.read_parquet(args.out_dir).count()
+        print(json.dumps({"out": args.out_dir, "rows": n}))
         return 0
 
     return 2

@@ -50,6 +50,11 @@ def generate_sequences_table(
     rng = np.random.default_rng([seed, start_id])
     lengths = _lengths(rng, n_rows)
     total = int(lengths.sum())
+    if total >= (1 << 31):
+        raise ValueError(
+            f"{total} tokens exceed int32 list offsets — generate in chunks "
+            "(write_sequences_parquet does this automatically)"
+        )
     flat = ((rng.zipf(zipf_s, size=total) - 1) % vocab).astype(np.int32)
     offsets = np.zeros(n_rows + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
@@ -118,6 +123,11 @@ def write_sequences_parquet(
     >= 32 row groups at bench scale so the Ray read fans out.
     """
     os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        # a smaller regeneration at the same path must not leave old
+        # fragments behind (readers take the whole directory)
+        if stale.startswith("part-") and stale.endswith(".parquet"):
+            os.remove(os.path.join(path, stale))
     file_no = 0
     for start in range(0, n_rows, rows_per_file):
         n = min(rows_per_file, n_rows - start)

@@ -30,7 +30,8 @@ def list_column_to_numpy(tbl: pa.Table, col: str) -> tuple[np.ndarray, np.ndarra
     chunked = tbl.column(col)
     flats, all_offsets = [], []
     base = 0
-    for chunk in chunked.chunks if isinstance(chunked, pa.ChunkedArray) else [chunked]:
+    chunks = chunked.chunks if isinstance(chunked, pa.ChunkedArray) else [chunked]
+    for i, chunk in enumerate(chunks):
         offs = chunk.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = chunk.values.to_numpy(zero_copy_only=False)
         lo, hi = int(offs[0]), int(offs[-1])
@@ -38,8 +39,10 @@ def list_column_to_numpy(tbl: pa.Table, col: str) -> tuple[np.ndarray, np.ndarra
             vals = vals[lo:hi]
             offs = offs - lo
         flats.append(vals)
-        # skip the leading 0 of subsequent chunks to chain offsets
-        all_offsets.append(offs + base if base == 0 else offs[1:] + base)
+        # skip the leading 0 of SUBSEQUENT chunks (by chunk ordinal —
+        # `base == 0` would misfire when earlier chunks carry zero
+        # values, inserting a phantom row)
+        all_offsets.append(offs + base if i == 0 else offs[1:] + base)
         base += len(vals)
     flat = flats[0] if len(flats) == 1 else np.concatenate(flats)
     offsets = all_offsets[0] if len(all_offsets) == 1 else np.concatenate(all_offsets)

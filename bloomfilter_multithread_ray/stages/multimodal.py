@@ -198,10 +198,21 @@ class AudioFeatures:
         except ImportError:
             self._sf = None  # raw-PCM fallback (DETERMINISTIC-FAKE-DECODE family)
 
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self._sf is not None:
+            import io
+
+            try:  # real container parse when a codec is available
+                data, _rate = self._sf.read(io.BytesIO(payload), dtype="int16")
+                return np.asarray(data).reshape(-1)
+            except Exception:
+                pass  # not a recognized container -> raw-PCM fallback
+        return np.frombuffer(payload[: (len(payload) // 2) * 2], dtype=np.int16)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for payload in batch.column("payload").to_pylist():
-            pcm = np.frombuffer(payload[: (len(payload) // 2) * 2], dtype=np.int16)
+            pcm = self._decode(payload)
             if len(pcm) == 0:
                 feats.append(np.zeros(4, np.float32))
                 continue

@@ -40,8 +40,10 @@ def make_explode_token_counts_fn(col: str = "text"):
         toks = split_tokens(batch, col)
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))
-        uniq, counts = np.unique(np.asarray(flat), return_counts=True)
-        return pa.table({"tok": pa.array(uniq, pa.string()), "cnt": counts.astype(np.int64)})
+        vc = pc.value_counts(flat)  # stays in Arrow memory, no per-str objects
+        return pa.table(
+            {"tok": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
 
     return fn
 
@@ -53,7 +55,7 @@ def make_unique_tokens_fn(col: str = "text"):
         toks = split_tokens(batch, col)
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))
-        return pa.table({"tok": pa.array(np.unique(np.asarray(flat)), pa.string())})
+        return pa.table({"tok": pc.unique(flat)})
 
     return fn
 
@@ -108,9 +110,16 @@ def make_word_kgram_hash_fn(
     def fn(batch: pa.Table) -> pa.Table:
         toks = split_tokens(batch, col)
         flat = pc.list_flatten(toks)
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs_all = offs_all - offs_all[0]
+        ne = np.asarray(nonempty).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(ne)])
+        offs = cum[offs_all]  # empties dropped: same token set as every
+        # other consumer and the SQL oracles (whitespace runs invisible)
         wh = hash_strings(flat)
-        gh, row_idx, pos = kgram_hashes_flat(wh, offs - offs[0], k)
+        gh, row_idx, pos = kgram_hashes_flat(wh, offs, k)
         part = partition_of(gh, num_partitions)
         cols: dict[str, object] = {"part": part, "gh": gh}
         if with_identity:

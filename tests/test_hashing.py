@@ -87,3 +87,19 @@ def test_partition_of_range_and_balance():
 def test_hash64_ints_seeded():
     x = np.arange(50)
     assert not np.array_equal(hash64_ints(x), hash64_ints(x, seed=1))
+
+
+
+def test_list_column_to_numpy_empty_leading_chunk():
+    """A leading chunk with only empty lists must not shift row indices
+    (regression: base==0 was used as a first-chunk proxy)."""
+    import pyarrow as pa
+
+    from bloomfilter_multithread_ray.stages.kgram import list_column_to_numpy
+
+    c1 = pa.array([[], []], type=pa.list_(pa.int32()))
+    c2 = pa.array([[1, 2, 3], [4, 5]], type=pa.list_(pa.int32()))
+    tbl = pa.table({"tokens": pa.chunked_array([c1, c2])})
+    flat, offs = list_column_to_numpy(tbl, "tokens")
+    assert list(flat) == [1, 2, 3, 4, 5]
+    assert list(offs) == [0, 0, 0, 3, 5]  # 4 rows -> 5 offsets
