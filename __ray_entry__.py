@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["text", "source"]), T.make_token_hash_by_fn("source"), "source"
         )
 
+    def events_asof(sf_dir):
+        return R.events_asof(sf_dir)
+
     def events_sliding(sf_dir):
         return R.events_sliding(sf_dir)
 
@@ -490,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_kmv": source_overlap_kmv,
         "events_sessions": events_sessions,
         "events_sliding": events_sliding,
+        "events_asof": events_asof,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
     }
@@ -592,6 +596,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(DISTINCT tok) AS distinct_tokens FROM ("
             "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t "
             "WHERE tok <> '' GROUP BY source ORDER BY source"
+        ),
+        # as-of self-join: LAG over (user, ts, event_id) order
+        "events_asof": (
+            "SELECT event_id, user_id, ts, value, "
+            "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value "
+            "FROM events ORDER BY event_id"
         ),
         # sliding windows: event at t -> k hop-aligned window starts
         "events_sliding": (

@@ -496,3 +496,54 @@ def events_sliding(
     )
     out["sum_value"] = out["sum_value"].round(2)
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def events_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join (self): each event annotated with the most recent
+    PRIOR event's value for the same user → {event_id, user_id, ts,
+    value, prev_value} (prev_value NaN for a user's first event).
+
+    The custom-operator case Ray Data has no primitive for (SURVEY §2
+    custom-operators note): implemented as ONE shuffle on
+    ``user_id % P`` + a per-partition vectorized sort/segment/shift —
+    the same fixed-partition pattern as sessionization. The general
+    two-table as-of join is the identical kernel over the union of
+    both inputs with a side tag. Exact: values are carried, never
+    recomputed, so the LAG-window SQL oracle matches bit-for-bit.
+    """
+    import ray.data
+
+    P_SHUF = 64
+
+    def add_up(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("up", pa.array((uid % P_SHUF).astype(np.int32)))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # deterministic order incl. equal timestamps: (user, ts, event_id)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val, eid = uid[order], ts[order], val[order], eid[order]
+        prev = np.empty(len(val))
+        prev[0] = np.nan
+        prev[1:] = np.where(uid[1:] == uid[:-1], val[:-1], np.nan)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "ts": pa.array(ts),
+                "value": pa.array(val),
+                "prev_value": pa.array(prev),
+            }
+        )
+
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = (
+        ds.map_batches(add_up, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("up")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
