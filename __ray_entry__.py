@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["text", "source"]), T.make_token_hash_by_fn("source"), "source"
         )
 
+    def range_join_bands(sf_dir):
+        return R.range_join_price_bands(sf_dir)
+
     def events_asof(sf_dir):
         return R.events_asof(sf_dir)
 
@@ -494,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events_sessions,
         "events_sliding": events_sliding,
         "events_asof": events_asof,
+        "range_join_bands": range_join_bands,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
     }
@@ -596,6 +600,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(DISTINCT tok) AS distinct_tokens FROM ("
             "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t "
             "WHERE tok <> '' GROUP BY source ORDER BY source"
+        ),
+        # overlapping-interval range join vs an inline VALUES band table
+        "range_join_bands": (
+            "WITH bands(band_id, lo, hi) AS (VALUES (0, 800.0, 920.0), (1, 850.0, 970.0), (2, 900.0, 1020.0), (3, 950.0, 1070.0), (4, 1000.0, 1120.0), (5, 1050.0, 1170.0), (6, 1100.0, 1220.0), (7, 1150.0, 1270.0), (8, 1200.0, 1320.0), (9, 1250.0, 1370.0)) "
+            "SELECT p_partkey, band_id FROM part JOIN bands "
+            "ON p_retailprice >= lo AND p_retailprice < hi "
+            "ORDER BY p_partkey, band_id"
         ),
         # as-of self-join: LAG over (user, ts, event_id) order
         "events_asof": (

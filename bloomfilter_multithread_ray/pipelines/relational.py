@@ -547,3 +547,40 @@ def events_asof(sf_dir: str) -> pd.DataFrame:
         .map_groups(per_partition, batch_format="pyarrow")
     )
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+PRICE_BANDS = [(i, 800.0 + 50.0 * i, 920.0 + 50.0 * i) for i in range(10)]
+
+
+def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: parts matched to every OVERLAPPING price
+    band → {p_partkey, band_id}.
+
+    Bands overlap (width 120, stride 50), so this is a genuine
+    non-equi join — not expressible as bucketing — of the kind Ray
+    Data has no primitive for (SURVEY custom-operators note). Small
+    interval side broadcast once; each batch does one vectorized
+    (rows × bands) interval test and emits the matching pairs. For a
+    large interval side the same kernel runs after interval
+    partitioning (split bands into coarse buckets, shuffle both sides
+    by bucket).
+    """
+    import ray
+
+    bands = np.array(PRICE_BANDS, dtype=np.float64)
+    bands_ref = ray.put(bands)
+
+    def match(t: pa.Table) -> pa.Table:
+        b = ray.get(bands_ref)
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        keys = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = (price[:, None] >= b[None, :, 1]) & (price[:, None] < b[None, :, 2])
+        rows, cols = np.nonzero(hit)
+        return pa.table(
+            {"p_partkey": pa.array(keys[rows]),
+             "band_id": pa.array(b[cols, 0].astype(np.int64))}
+        )
+
+    ds = read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    out = ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values(["p_partkey", "band_id"]).reset_index(drop=True)
