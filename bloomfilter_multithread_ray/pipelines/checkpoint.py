@@ -71,6 +71,13 @@ def _commit_manifest(store: str, manifest: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _manifest_path(store))
+    # the rename IS the commit point — fsync the directory entry too,
+    # else a power-fail can lose the rename despite the fsynced data
+    dfd = os.open(store, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def processed_fragments(manifest: dict | None) -> set[str]:
@@ -89,6 +96,7 @@ def incremental_build(
     num_partitions: int,
     tokens_col: str = "tokens",
     max_fragments: int | None = None,
+    allow_input_change: bool = False,
 ) -> dict:
     """Process up-to ``max_fragments`` not-yet-consumed fragments as one
     epoch; returns the committed manifest. No-op (returns the current
@@ -113,6 +121,13 @@ def incremental_build(
     else:
         if manifest["config"] != config:
             raise ValueError("store config mismatch — refusing to mix sketch configs")
+        if manifest.get("input_path") != input_path and not allow_input_change:
+            # resuming against a different input would silently merge two
+            # corpora's fragments into one lineage
+            raise ValueError(
+                f"store was built from {manifest.get('input_path')!r}, resume asked "
+                f"for {input_path!r} — pass allow_input_change=True to merge corpora"
+            )
 
     done = processed_fragments(manifest)
     todo = [f for f in _list_fragments(input_path) if f not in done]

@@ -510,6 +510,10 @@ def ngram_jaccard_pairs(
     shared gram is boilerplate; with the default no cap binds on the
     test tables (asserted in tests), keeping SQL parity exact.
     """
+    # defined BEFORE the UDF closures below so the closure cells are
+    # filled even if a caller pickles the UDFs eagerly
+    _NBITS = 21  # n_grams < 2^21; doc ids < 2^31 (fixture assumption)
+    P_SHUF = 64
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         # vectorized shingle hashes (shared kernel), distinct per doc
@@ -547,8 +551,6 @@ def ngram_jaccard_pairs(
     # hash partitions each group call is one vectorized numpy kernel
     # over ~1/64th of the rows (measured ~2s). Same-hash => same
     # partition keeps co-location exact.
-    _NBITS = 21  # n_grams < 2^21; doc ids < 2^31 (fixture assumption)
-    P_SHUF = 64
 
     def pack(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -369,10 +369,16 @@ def curate_corpus(
     """Training-data curation chain: quality gate → exact dedup →
     per-source corpus stats {source, n_docs, total_tok, avg_ttr}.
 
-    One streaming pass computes the per-doc features (vectorized),
-    the gate is a batch filter, dedup is the content-hash groupby, and
-    the final stats are a tiny grouped aggregate — the composition a
-    100 TB curation job runs, at fixture scale, with a DuckDB oracle.
+    One streaming pass computes the per-doc features (vectorized), the
+    gate is a batch filter on UNROUNDED ratios (the oracle gates
+    unrounded and rounds only the final AVG — gating on a 6-dp display
+    value would diverge within ~5e-7 of the threshold), dedup is a
+    shuffle-side semi-join on the content hash (keep min doc_id per
+    hash INSIDE fixed hash partitions — no driver materialization, no
+    broadcast of the kept-id set, so the keep step scales with the
+    shuffle, not with driver memory), and the final stats are a tiny
+    grouped aggregate — the composition a 100 TB curation job runs, at
+    fixture scale, with a DuckDB oracle.
     """
     from ray.data.aggregate import Count, Mean, Sum
 
@@ -380,7 +386,8 @@ def curate_corpus(
     from ..stages.quality import make_quality_fn
 
     ds = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    qfn = make_quality_fn()
+    qfn = make_quality_fn(round_dp=None)
+    P_SHUF = 64
 
     def features(t: pa.Table) -> pa.Table:
         # drop zero-token rows FIRST with the same mask the quality fn
@@ -396,44 +403,31 @@ def curate_corpus(
             "h", pa.array(h)
         )
 
-    feats = ds.map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
-
-    def gate(t: pa.Table) -> pa.Table:
+    def gate_and_key(t: pa.Table) -> pa.Table:
         n = t.column("n_tok").to_numpy(zero_copy_only=False)
         ttr = t.column("ttr").to_numpy(zero_copy_only=False)
-        m = (n >= min_tok) & (n <= max_tok) & (ttr >= min_ttr)
-        return t.filter(pa.array(m))
+        t = t.filter(pa.array((n >= min_tok) & (n <= max_tok) & (ttr >= min_ttr)))
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        return t.append_column("hp", pa.array(np.abs(h) % P_SHUF))
 
-    # materialize once: the gated features feed BOTH the dedup pass and
-    # the final aggregate — without this the read+features+gate pipeline
-    # executes twice
-    gated = feats.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    def keep_min_per_hash(g: pa.Table) -> pa.Table:
+        # all rows of a content hash land in one partition: survivors
+        # are the rows whose doc_id is the min for their hash — one
+        # vectorized sort/segment pass, full rows carried through
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h))
+        first = np.zeros(len(h), dtype=bool)
+        if len(h):
+            first[order] = np.diff(h[order], prepend=h[order[0]] - 1) != 0
+        return g.filter(pa.array(first))
 
-    # exact dedup: keep the min doc_id per content hash
-    from ray.data.aggregate import Min
-
-    kept_ids = (
-        gated.select_columns(["h", "doc_id"])
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
+    final = (
+        ds.map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(gate_and_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hp")
+        .map_groups(keep_min_per_hash, batch_format="pyarrow")
     )
-    import ray
-
-    # broadcast of the kept-id set: fine while survivors fit one worker
-    # (fixture scale); the at-scale form replaces this with a second
-    # shuffle-side semi-join on the content hash (groupby h -> min ==
-    # self), which never materializes ids on the driver
-    keep_ref = ray.put(
-        np.sort(kept_ids.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
-    )
-
-    def only_kept(t: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(np.isin(ids, keep)))
-
-    final = gated.map_batches(only_kept, batch_format="pyarrow", zero_copy_batch=True)
     out = (
         final.groupby("source")
         .aggregate(

@@ -42,8 +42,21 @@ def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = np.asarray(arr.values, dtype=np.float32)
-    dim = len(flat) // max(1, batch.num_rows)
+    if arr.null_count:
+        raise ValueError(f"null rows in embedding column {col!r}")
+    # flatten() is offset/null-aware (arr.values on a sliced array would
+    # silently misalign every vector); dim from offsets, not division
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    if batch.num_rows == 0:
+        return flat.reshape(0, 0)
+    if isinstance(arr, pa.FixedSizeListArray):
+        dim = arr.type.list_size
+    else:
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths != widths[0]).any():
+            raise ValueError("ragged embedding column — expected fixed dim")
+        dim = int(widths[0]) if len(widths) else 0
     return flat.reshape(batch.num_rows, dim)
 
 

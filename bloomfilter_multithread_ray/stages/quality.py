@@ -38,13 +38,20 @@ def _row_layout(batch: pa.Table, col: str = "text"):
     return flat, cum[offs_all]
 
 
-def make_quality_fn(col: str = "text", id_col: str = "doc_id"):
+def make_quality_fn(col: str = "text", id_col: str = "doc_id", round_dp: int | None = 6):
     """batch → {doc_id, n_tok, avg_tok_len, ttr, stop_ratio}.
 
     ttr = type-token ratio (distinct/total); all ratios are one double
-    division, rounded to 6 dp (DuckDB-oracle parity). Rows with zero
-    tokens are dropped (same ``WHERE len(w) > 0`` on the SQL side).
+    division, rounded to ``round_dp`` dp (DuckDB-oracle parity for the
+    per-doc display query). Pass ``round_dp=None`` for raw ratios —
+    consumers that GATE or AVERAGE on a ratio must use the unrounded
+    value (a doc within ~5e-7 of a threshold would otherwise diverge
+    from an oracle that gates unrounded). Rows with zero tokens are
+    dropped (same ``WHERE len(w) > 0`` on the SQL side).
     """
+
+    def _r(x: np.ndarray) -> np.ndarray:
+        return np.round(x, round_dp) if round_dp is not None else x
 
     def fn(batch: pa.Table) -> pa.Table:
         flat, offs = _row_layout(batch, col)
@@ -72,9 +79,9 @@ def make_quality_fn(col: str = "text", id_col: str = "doc_id"):
             {
                 "doc_id": ids,
                 "n_tok": pa.array(counts[nz].astype(np.int32)),
-                "avg_tok_len": pa.array(np.round(sum_len / n, 6)),
-                "ttr": pa.array(np.round(n_distinct / n, 6)),
-                "stop_ratio": pa.array(np.round(n_stop / n, 6)),
+                "avg_tok_len": pa.array(_r(sum_len / n)),
+                "ttr": pa.array(_r(n_distinct / n)),
+                "stop_ratio": pa.array(_r(n_stop / n)),
             }
         )
 

@@ -112,3 +112,18 @@ def test_numpy_config_values_resume_cleanly(corpus, tmp_path):
     # resume with an equal (but freshly built, numpy-typed) config
     build_to_completion(corpus, store, **cfg2)
     assert len(read_manifest(store)["epochs"]) >= 2
+
+
+def test_input_path_change_refused(corpus, tmp_path):
+    """Resuming a store against a different input dir must be refused
+    (silently merging two corpora's fragments into one lineage) unless
+    explicitly overridden."""
+    store = str(tmp_path / "store")
+    incremental_build(corpus, store, max_fragments=1, **CFG)
+    other = str(tmp_path / "other_corpus")
+    write_sequences_parquet(other, 100, seed=12, rows_per_file=100)
+    with pytest.raises(ValueError, match="resume asked"):
+        incremental_build(other, store, **CFG)
+    # explicit override merges (the deliberate multi-corpus case)
+    m = incremental_build(other, store, allow_input_change=True, **CFG)
+    assert len(m["epochs"]) == 2
