@@ -310,9 +310,20 @@ def embedding_dup_pairs_lsh(
     every stage is a plain content-keyed shuffle. Recall vs the exact
     pairs is asserted on clustered fixtures in tests; emitted pairs
     are always exact (cos >= tau verified).
+
+    Shuffle shape: rows route on ``bkey % P`` (fixed partition count),
+    NOT one Ray group per bucket — per-GROUP overhead at millions of
+    buckets is the measured scale trap (BASELINE.md); inside a
+    partition buckets are segments of the bkey-sorted rows and pair
+    verification is one chunked gather-dot kernel (same pattern as
+    ``dedup.minhash_lsh_pairs``).
     """
     import ray  # noqa: F401  (parity with sibling pipelines)
     from ray.data.aggregate import Max
+
+    from .dedup import _triu_expand
+
+    P_SHUF = 64
 
     def band_fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -343,31 +354,66 @@ def embedding_dup_pairs_lsh(
             }
         )
 
-    def bucket_fn(group: pa.Table) -> pa.Table:
+    def add_bp(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column("bp", pa.array((bk % np.uint64(P_SHUF)).astype(np.int32)))
+
+    def partition_fn(group: pa.Table) -> pa.Table:
+        """One shuffle partition (many buckets) → verified pairs.
+
+        Buckets are segments of the (bkey, vec_id)-sorted rows; pair
+        expansion is the shared triangular-unranking kernel; cosine
+        verification is a chunked gather-dot (no per-bucket Python)."""
         empty = pa.table(
             {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64())}
         )
-        if group.num_rows < 2:
+        n = group.num_rows
+        if n < 2:
             return empty
+        bkey = group.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        keep = order[np.flatnonzero(np.diff(ids[order], prepend=ids[order[0]] - 1))][:max_bucket]
-        if len(keep) < 2:
+        V = _normalize(_emb_matrix(group))
+        order = np.lexsort((ids, bkey))
+        bkey, ids, V = bkey[order], ids[order], V[order]
+        # a vector appears once per table; within a bucket dedupe ids
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (bkey[1:] == bkey[:-1]) & (ids[1:] == ids[:-1])
+        bkey, ids, V = bkey[~dup], ids[~dup], V[~dup]
+        n = len(ids)
+        starts = np.flatnonzero(np.diff(bkey, prepend=bkey[0] + np.uint64(1)))
+        lens = np.diff(np.concatenate([starts, [n]]))
+        pos = np.arange(n) - np.repeat(starts, lens)
+        keep = pos < max_bucket  # deterministic cap (vec_id-sorted)
+        ids, V = ids[keep], V[keep]
+        lens = np.minimum(lens, max_bucket)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        seg, a, b = _triu_expand(lens)
+        if len(seg) == 0:
             return empty
-        sub = group.take(pa.array(keep))
-        V = _normalize(_emb_matrix(sub))
-        sids = sub.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        C = np.round(V @ V.T, 6)
-        ia, ib = np.triu_indices(len(sids), 1)
-        hit = C[ia, ib] >= tau
+        base = offs[seg]
+        ia, ib = base + a, base + b
+        CHUNK = 1 << 20  # bound the (pairs × dim) gather on dup-heavy partitions
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ia), CHUNK):
+            ca, cb = ia[lo : lo + CHUNK], ib[lo : lo + CHUNK]
+            cos = np.round(np.einsum("ij,ij->i", V[ca], V[cb]), 6)
+            hit = cos >= tau
+            out_a.append(ids[ca[hit]])
+            out_b.append(ids[cb[hit]])
+            out_c.append(cos[hit])
         return pa.table(
-            {"vec_a": pa.array(sids[ia[hit]]), "vec_b": pa.array(sids[ib[hit]]),
-             "cosine": pa.array(C[ia, ib][hit])}
+            {"vec_a": pa.array(np.concatenate(out_a)),
+             "vec_b": pa.array(np.concatenate(out_b)),
+             "cosine": pa.array(np.concatenate(out_c))}
         )
 
     banded = ds.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = banded.groupby("bkey").map_groups(bucket_fn, batch_format="pyarrow")
+    pairs = (
+        banded.map_batches(add_bp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bp")
+        .map_groups(partition_fn, batch_format="pyarrow")
+    )
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
 
 
