@@ -180,10 +180,19 @@ def make_fingerprint_fn(
     """batch → {doc_id, fp: list<uint64>, fp_min: uint64}.
 
     Winnowing: hash word k-grams, slide a ``window``-wide window over
-    the gram-hash stream keeping each window's min (rightmost-min
-    rule), dedupe consecutive picks. Guarantees any shared run of
-    ``window + k - 1`` tokens between two docs shares a fingerprint.
+    the gram-hash stream keeping each window's min, deduplicated per
+    doc. Guarantees any shared run of ``window + k - 1`` tokens
+    between two docs shares a fingerprint.
+
+    Fully vectorized across the batch: ONE ``sliding_window_view``
+    min over the flat gram stream with row-boundary masking (a window
+    is valid iff its first and last gram share a row), short rows
+    (< window grams) folded in via a per-row ``minimum.reduceat`` —
+    no per-row Python loop (the batch analog of the per-doc loop this
+    replaced; same outputs, asserted in tests).
     """
+    from numpy.lib.stride_tricks import sliding_window_view
+
     from ..functions.hashing import kgram_hashes_flat
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -194,32 +203,51 @@ def make_fingerprint_fn(
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         n_rows = batch.num_rows
-        # row_idx is sorted: O(grams) boundary lookup, not O(rows x grams)
-        bounds = np.searchsorted(row_idx, np.arange(n_rows + 1))
-        fps: list[np.ndarray] = []
-        for r in range(n_rows):
-            g = gh[bounds[r] : bounds[r + 1]]
-            if len(g) == 0:
-                fps.append(np.empty(0, dtype=UINT64))
-                continue
-            if len(g) <= window:
-                fps.append(np.array([g.min()], dtype=UINT64))
-                continue
-            from numpy.lib.stride_tricks import sliding_window_view
-
-            mins = sliding_window_view(g, window).min(axis=1)
-            keep = np.flatnonzero(np.diff(mins, prepend=mins[0] + UINT64(1)))
-            fps.append(np.unique(mins[keep]).astype(UINT64))
+        # per-row gram counts / starts (row_idx is sorted)
+        cnt = np.bincount(row_idx, minlength=n_rows).astype(np.int64) if len(gh) else np.zeros(n_rows, np.int64)
+        row_start = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        pick_rows, pick_vals = [], []
+        # rows with 1..window grams contribute their single global min;
+        # reduceat runs over ALL nonzero rows (its segments span start
+        # to next-listed start, so listing only the short rows would
+        # bleed across row boundaries), then short rows are selected
+        nz = cnt > 0
+        short = (cnt > 0) & (cnt <= window)
+        if short.any():
+            row_mins = np.minimum.reduceat(gh, row_start[nz])
+            pick_rows.append(np.flatnonzero(short))
+            pick_vals.append(row_mins[short[nz]])
+        # rows with > window grams: stream-wide window mins, masked to
+        # windows that sit entirely inside one row
+        if len(gh) >= window:
+            mins = sliding_window_view(gh, window).min(axis=1)
+            valid = row_idx[: len(mins)] == row_idx[window - 1 :]
+            long_row = cnt[row_idx[: len(mins)]] > window
+            m = valid & long_row
+            pick_rows.append(row_idx[: len(mins)][m])
+            pick_vals.append(mins[m])
+        if pick_rows:
+            rows = np.concatenate(pick_rows)
+            vals = np.concatenate(pick_vals).astype(UINT64)
+            order = np.lexsort((vals, rows))
+            rows, vals = rows[order], vals[order]
+            keep = np.ones(len(rows), dtype=bool)  # dedupe (row, val)
+            keep[1:] = (rows[1:] != rows[:-1]) | (vals[1:] != vals[:-1])
+            rows, vals = rows[keep], vals[keep]
+        else:
+            rows = np.empty(0, dtype=np.int64)
+            vals = np.empty(0, dtype=UINT64)
+        per_row = np.bincount(rows, minlength=n_rows)
         offsets = np.zeros(n_rows + 1, dtype=np.int32)
-        np.cumsum([len(f) for f in fps], out=offsets[1:])
-        values = np.concatenate(fps) if fps else np.empty(0, UINT64)
-        fp_min = np.array(
-            [f.min() if len(f) else UINT64(0) for f in fps], dtype=UINT64
-        )
+        np.cumsum(per_row, out=offsets[1:])
+        # values are row-major and ascending per row → min is first
+        fp_min = np.zeros(n_rows, dtype=UINT64)
+        has = per_row > 0
+        fp_min[has] = vals[offsets[:-1][has]]
         return pa.table(
             {
                 "doc_id": ids,
-                "fp": pa.ListArray.from_arrays(pa.array(offsets), pa.array(values)),
+                "fp": pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals)),
                 "fp_min": pa.array(fp_min),
             }
         )

@@ -92,3 +92,43 @@ def test_langid_pipeline_runs_on_testdata():
     assert len(out) == 500
     assert set(out.columns) == {"doc_id", "lang_pred", "lang_score"}
     assert out.lang_pred.isin(["de", "en", "es", "fr", "zh"]).all()
+
+
+def test_fingerprint_vectorized_matches_scalar_reference():
+    """The batch-vectorized winnowing kernel must equal a per-row
+    scalar implementation (row-boundary masking is the risky part)."""
+    import numpy as np
+    import pyarrow as pa
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from bloomfilter_multithread_ray.functions.hashing import (
+        hash_strings,
+        kgram_hashes_flat,
+    )
+    from bloomfilter_multithread_ray.stages.quality import make_fingerprint_fn
+
+    rng = np.random.default_rng(3)
+    k, w = 3, 4
+    vocab = [f"w{i}" for i in range(12)]
+    texts = []
+    for n in [0, 1, 2, k - 1, k, k + 1, k + w - 2, k + w - 1, 20, 57]:
+        texts.append(" ".join(rng.choice(vocab, size=n)) if n else "")
+    tbl = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts)})
+    out = make_fingerprint_fn(k=k, window=w)(tbl)
+
+    for r, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        wh = hash_strings(pa.array(toks)) if toks else np.empty(0, np.uint64)
+        offs = np.array([0, len(toks)], dtype=np.int64)
+        g, _, _ = kgram_hashes_flat(wh, offs, k)
+        if len(g) == 0:
+            expect = np.empty(0, np.uint64)
+        elif len(g) <= w:
+            expect = np.array([g.min()], np.uint64)
+        else:
+            expect = np.unique(sliding_window_view(g, w).min(axis=1))
+        got = np.sort(np.asarray(out.column("fp")[r].as_py(), dtype=np.uint64))
+        assert np.array_equal(got, np.sort(expect)), f"row {r}"
+        fpm = np.uint64(out.column("fp_min")[r].as_py())
+        assert fpm == (expect.min() if len(expect) else np.uint64(0))
