@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from ..state import CountMinSketch, HyperLogLog, KLL, TDigest
 from ..state.base import deserialize_sketch
-from ..stages.sketch_agg import SketchAgg
+from ..stages.sketch_agg import PartialMergeAgg, SketchAgg
 
 if TYPE_CHECKING:
     from ray.data import Dataset
@@ -124,24 +124,54 @@ def heavy_hitters_cms(
     topk: int = 20,
     width: int = 1 << 16,
     depth: int = 5,
+    mg_capacity: int = 4096,
 ) -> pd.DataFrame:
-    """CMS-estimated counts for the exact top-k candidate set.
+    """Fully sketch-side heavy hitters: Misra-Gries candidates + CMS
+    frequency estimates → {tok, lower_cnt, est_cnt, err_bound, eps_bound}.
 
-    The CMS is the scale path for *frequencies* (fixed memory); the
-    candidate identities here come from the exact path so the output is
-    self-describing: {tok, cnt (exact), est_cnt (CMS), eps_bound}.
+    Candidate IDENTITIES come from a mergeable Misra-Gries summary
+    (per-block partial → tree merge; any item with frequency >
+    n/(capacity+1) is guaranteed tracked), NOT from the exact
+    pipeline — so this is a true fixed-memory scale path: no per-token
+    shuffle, no exact side pass. Two bounds sandwich each truth:
+    MG counter (lower, undercount <= err_bound) and CMS estimate
+    (upper, overcount <= eps_bound w.h.p.); both asserted against
+    exact counts in pytest.
     """
-    cand = heavy_hitters_exact(ds, counts_fn, topk)
+    from ..state import MisraGries
+
+    mg_factory = lambda: MisraGries(mg_capacity)  # noqa: E731
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        s = mg_factory()
+        s.update_items(
+            batch.column("tok").to_pylist(),
+            batch.column("cnt").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"partial": pa.array([s.serialize()], pa.binary())})
+
+    counted = ds.map_batches(counts_fn, batch_format="pyarrow", zero_copy_batch=True)
+    partials = counted.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
+    res_mg = partials.aggregate(PartialMergeAgg(mg_factory))
+    blob = res_mg["sketch"] if res_mg else None
+    mg = deserialize_sketch(blob) if blob is not None else mg_factory()
+    toks, lower = mg.topk(topk)
+
     hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
     res = hashed.aggregate(SketchAgg(lambda: CountMinSketch(width=width, depth=depth), on="gh"))
     cms = deserialize_sketch(res["sketch"])
     from ..functions.hashing import hash_strings
 
-    est = cms.estimate_hashes(hash_strings(cand["tok"]))
-    cand = cand.copy()
-    cand["est_cnt"] = est
-    cand["eps_bound"] = float(cms.eps * cms.total)
-    return cand
+    est = cms.estimate_hashes(hash_strings(pd.Series(toks, dtype="string")))
+    return pd.DataFrame(
+        {
+            "tok": pd.array(toks, dtype="object"),
+            "lower_cnt": lower,
+            "est_cnt": est,
+            "err_bound": int(mg.error_bound()),
+            "eps_bound": float(cms.eps * cms.total),
+        }
+    )
 
 
 # --------------------------------------------------------------- quantiles

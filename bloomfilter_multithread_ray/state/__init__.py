@@ -7,3 +7,4 @@ from .kll import KLL  # noqa: F401
 from .minhash import MinHash  # noqa: F401
 from .simhash import simhash64  # noqa: F401
 from .kmv import BottomKSample  # noqa: F401
+from .misra_gries import MisraGries  # noqa: F401

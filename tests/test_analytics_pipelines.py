@@ -26,15 +26,23 @@ def test_hll_within_bound_of_exact():
 
 
 def test_cms_overestimates_within_eps():
+    """Sketch-side heavy hitters: MG candidates must recover the exact
+    top-k, MG counters lower-bound truth within err_bound, CMS
+    estimates upper-bound truth within eps_bound."""
     from bloomfilter_multithread_ray.pipelines import analytics as A
     from bloomfilter_multithread_ray.stages import text as T
 
+    exact = A.heavy_hitters_exact(_docs(["text"]), T.make_explode_token_counts_fn(), topk=20)
     df = A.heavy_hitters_cms(
         _docs(["text"]), T.make_explode_token_counts_fn(), T.make_token_hash_fn(), topk=20
     )
-    # CMS guarantee: est >= true, est <= true + eps * total (w.h.p.)
-    assert (df["est_cnt"] >= df["cnt"]).all()
-    assert (df["est_cnt"] <= df["cnt"] + df["eps_bound"] + 1).all()
+    true = dict(zip(exact["tok"], exact["cnt"]))
+    # candidate set: generous capacity on the fixture vocab -> exact
+    assert list(df["tok"]) == list(exact["tok"])
+    for _, r in df.iterrows():
+        t = int(true[r["tok"]])
+        assert r["lower_cnt"] <= t <= r["lower_cnt"] + r["err_bound"]
+        assert t <= r["est_cnt"] <= t + r["eps_bound"] + 1
 
 
 @pytest.mark.parametrize("algo,rank_tol", [("tdigest", 0.02), ("kll", 0.05)])

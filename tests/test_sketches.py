@@ -302,3 +302,56 @@ def test_kll_seed_survives_serialization():
     b.update_values(vals)
     for q in (0.1, 0.5, 0.9):
         assert a.quantile(q) == b.quantile(q)
+
+
+def test_misra_gries_bounds_and_guaranteed_tracking():
+    """MG guarantee: true-err <= counter <= true; any item with
+    frequency > n/(capacity+1) is tracked — under a SMALL capacity on
+    a skewed stream."""
+    import numpy as np
+
+    from bloomfilter_multithread_ray.state import MisraGries
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: item i has weight ~ 1/(i+1)
+    items = np.repeat([f"t{i}" for i in range(200)], (1000 / np.arange(1, 201)).astype(int))
+    rng.shuffle(items)
+    true = {k: int(v) for k, v in zip(*np.unique(items, return_counts=True))}
+    n = len(items)
+    cap = 16
+    s = MisraGries(cap)
+    for lo in range(0, n, 997):  # uneven batches
+        s.update_items(items[lo : lo + 997])
+    assert s.n_total == n
+    assert s.error_bound() <= n // (cap + 1)
+    for k, t in true.items():
+        c = s.estimate(k)
+        assert c <= t <= c + s.error_bound(), k
+        if t > n / (cap + 1):
+            assert k in s.counters, f"guaranteed heavy item {k} untracked"
+
+
+def test_misra_gries_merge_matches_single_pass_bounds():
+    """Merged partials keep the MG bound (mergeable-summaries merge);
+    serialization round-trips."""
+    import numpy as np
+
+    from bloomfilter_multithread_ray.state import MisraGries
+    from bloomfilter_multithread_ray.state.base import deserialize_sketch
+
+    rng = np.random.default_rng(7)
+    items = np.repeat([f"t{i}" for i in range(100)], (500 / np.arange(1, 101)).astype(int))
+    rng.shuffle(items)
+    true = {k: int(v) for k, v in zip(*np.unique(items, return_counts=True))}
+    n, cap = len(items), 12
+    parts = np.array_split(items, 7)
+    merged = MisraGries(cap)
+    for p in parts:
+        s = MisraGries(cap)
+        s.update_items(p)
+        merged.merge(deserialize_sketch(s.serialize()))
+    assert merged.n_total == n
+    assert merged.error_bound() <= n // (cap + 1)
+    for k, t in true.items():
+        c = merged.estimate(k)
+        assert c <= t <= c + merged.error_bound(), k
