@@ -158,6 +158,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def range_join_bands(sf_dir):
         return R.range_join_price_bands(sf_dir)
 
+    def join_orders_customer(sf_dir):
+        # the general hash-partitioned equi-join operator (large×large
+        # shape: both sides shuffle on hash(key) % P, no broadcast)
+        import ray.data
+
+        from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        out = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner")
+        df = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        return df[["o_orderkey", "o_custkey", "c_name", "o_totalprice"]]
+
+    def anti_join_customers_no_orders(sf_dir):
+        # anti-join mode of the same operator: customers with no
+        # high-value order (row filter pushed into the read)
+        import pandas as pd
+        import ray.data
+
+        from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        import pyarrow.dataset as pads
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pads.field("o_totalprice") > 300000.0,
+        )
+        out = hash_join(cust, orders, on="c_custkey", right_on="o_custkey", how="anti")
+        df = out.to_pandas()
+        if df.empty:
+            df = pd.DataFrame({"c_custkey": pd.array([], dtype="int64"), "c_name": []})
+        return df.sort_values("c_custkey").reset_index(drop=True)
+
     def events_asof(sf_dir):
         return R.events_asof(sf_dir)
 
@@ -498,6 +539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": events_sliding,
         "events_asof": events_asof,
         "range_join_bands": range_join_bands,
+        "join_orders_customer": join_orders_customer,
+        "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
     }
@@ -607,6 +650,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, band_id FROM part JOIN bands "
             "ON p_retailprice >= lo AND p_retailprice < hi "
             "ORDER BY p_partkey, band_id"
+        ),
+        "join_orders_customer": (
+            "SELECT o_orderkey, o_custkey, c_name, o_totalprice "
+            "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"
+        ),
+        "anti_join_customers_no_orders": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) "
+            "ORDER BY c_custkey"
         ),
         # as-of self-join: LAG over (user, ts, event_id) order
         "events_asof": (

@@ -1,0 +1,107 @@
+"""General hash equi-join operator vs pandas-merge ground truth:
+inner/left/semi/anti, int and string keys, null keys, schema
+stability on partitions with empty sides."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+
+def _mk(df: pd.DataFrame, blocks: int = 3):
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+@pytest.fixture(scope="module")
+def sides():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=200).astype("int64"),
+            "lv": rng.integers(0, 1000, size=200).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(20, 60, size=80).astype("int64"),
+            "rv": rng.standard_normal(80).round(6),
+        }
+    )
+    return left, right
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)[sorted(df.columns)]
+
+
+def test_inner_matches_pandas(sides):
+    left, right = sides
+    got = hash_join(_mk(left), _mk(right), on="k", how="inner", num_partitions=8).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    pd.testing.assert_frame_equal(_sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"]))
+
+
+def test_left_matches_pandas(sides):
+    left, right = sides
+    got = hash_join(_mk(left), _mk(right), on="k", how="left", num_partitions=8).to_pandas()
+    want = left.merge(right, on="k", how="left")
+    pd.testing.assert_frame_equal(_sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"]))
+
+
+def test_semi_and_anti_partition_left(sides):
+    left, right = sides
+    semi = hash_join(_mk(left), _mk(right), on="k", how="semi", num_partitions=8).to_pandas()
+    anti = hash_join(_mk(left), _mk(right), on="k", how="anti", num_partitions=8).to_pandas()
+    keys = set(right["k"])
+    assert set(semi["k"]) <= keys
+    assert set(anti["k"]).isdisjoint(keys)
+    both = pd.concat([semi, anti])
+    pd.testing.assert_frame_equal(_sorted(both, ["k", "lv"]), _sorted(left, ["k", "lv"]))
+    # semi/anti output only the left columns
+    assert list(semi.columns) == ["k", "lv"]
+
+
+def test_string_keys_and_collision_suffix():
+    left = pd.DataFrame({"k": ["a", "b", "c", "c"], "v": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["c", "d"], "v": [30, 40]})
+    got = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="inner", num_partitions=4).to_pandas()
+    want = left.merge(right, on="k", how="inner", suffixes=("", "_r"))
+    pd.testing.assert_frame_equal(_sorted(got, ["k", "v"]), _sorted(want, ["k", "v"]))
+    assert "v_r" in got.columns
+
+
+def test_null_keys_never_match():
+    left = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"), "lv": [10, 20, 30]})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "rv": [100, 200]})
+    inner = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="inner").to_pandas()
+    assert list(inner["k"]) == [1]
+    lj = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="left").to_pandas()
+    assert len(lj) == 3 and lj.loc[lj["k"].isna(), "rv"].isna().all()
+    anti = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="anti").to_pandas()
+    assert sorted(anti["lv"]) == [20, 30]  # null key kept by anti
+
+
+def test_right_on_differing_names(sides):
+    left, right = sides
+    r2 = right.rename(columns={"k": "rk"})
+    got = hash_join(
+        _mk(left), _mk(r2), on="k", right_on="rk", how="inner", num_partitions=8
+    ).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    pd.testing.assert_frame_equal(_sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"]))
+
+
+def test_schema_stable_with_empty_right_partitions():
+    # a right side whose keys all land in few partitions: other
+    # partitions see an empty right table — schema must not flip
+    left = pd.DataFrame({"k": np.arange(50, dtype="int64"), "lv": np.arange(50, dtype="int64")})
+    right = pd.DataFrame({"k": np.array([7], dtype="int64"), "rv": np.array([70], dtype="int64")})
+    got = hash_join(_mk(left, 4), _mk(right, 1), on="k", how="left", num_partitions=16)
+    t = pa.concat_tables(got.to_arrow_refs() and [ray.get(r) for r in got.to_arrow_refs()])
+    assert t.schema.field("rv").type == pa.int64()
+    df = t.to_pandas()
+    assert len(df) == 50 and df.loc[df.k == 7, "rv"].iloc[0] == 70
