@@ -372,8 +372,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def dedup_minhash_keep(sf_dir):
+        # fully distributed keep-set: connected components (pointer-
+        # jumping label propagation) + hash-partitioned anti join —
+        # no driver union-find (equality with it is pytest-asserted)
+        from bloomfilter_multithread_ray.pipelines.graph import keep_set_distributed
+
         docs = _docs(sf_dir, ["doc_id", "text"])
-        return D.keep_set_from_pairs(docs, D.minhash_lsh_pairs(docs, threshold=0.5))
+        kept = keep_set_distributed(docs, D.minhash_lsh_pairs(docs, threshold=0.5))
+        return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def dedup_ngram_components(sf_dir):
+        # connected components over the EXACT (oracle-checkable) n-gram
+        # Jaccard pairs -> {node, comp}; DuckDB oracle = recursive-CTE
+        # transitive closure + min label
+        from bloomfilter_multithread_ray.pipelines.graph import connected_components
+
+        pairs = D.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.5)
+        comp = connected_components(pairs)
+        return comp.to_pandas().sort_values("node").reset_index(drop=True)
 
     def dedup_simhash(sf_dir):
         pairs = D.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
@@ -521,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": corpus_sample,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_keep": dedup_minhash_keep,
+        "dedup_ngram_components": dedup_ngram_components,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
         "dedup_embedding": dedup_embedding,
@@ -714,6 +731,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY doc_a, doc_b"
+        ),
+        # connected components over the exact n-gram-Jaccard pairs:
+        # recursive transitive closure (UNION dedup => terminates),
+        # component label = min reachable node
+        "dedup_ngram_components": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "p AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "reach(n, m) AS (SELECT a, a FROM edges UNION "
+            "SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m) "
+            "SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n ORDER BY node"
         ),
         # cosine rounded to 6 dp on both sides (double math both sides)
         "dedup_embedding": (

@@ -26,9 +26,11 @@ the reference's minimizer routing (``src/SkmerExtractor.cpp:164``).
 Hot buckets (e.g. a boilerplate gram shared by millions of docs) are
 capped at ``max_bucket`` with a deterministic sample — the
 documented trade: candidate recall within a pathological bucket, never
-correctness of emitted pairs. Connected components for the keep-set
-run driver-side over the *pair list* (|pairs| << |docs|); the scale
-path is iterative hash-partitioned label propagation.
+correctness of emitted pairs. The keep-set runs fully distributed via
+``graph.connected_components`` (pointer-jumping label propagation) +
+``graph.keep_set_distributed`` (anti join); the driver union-find in
+:func:`keep_set_from_pairs` remains as the small-scale cross-check
+(equality asserted in tests/test_graph.py).
 """
 
 from __future__ import annotations

