@@ -43,6 +43,15 @@ def main(argv=None) -> int:
     b.add_argument("-m", "--bits", type=int, default=1 << 22, help="bits per partition")
     b.add_argument("-K", "--hashes", type=int, default=4, help="1 = reference parity mode")
     b.add_argument("--salt-bits", type=int, default=0)
+    b.add_argument(
+        "--canonical", action="store_true",
+        help="canonicalize each k-gram with its reverse (strand-agnostic)",
+    )
+    b.add_argument(
+        "--revcomp", action="store_true",
+        help="with --canonical: reverse-COMPLEMENT canonicalization over the "
+        "DNA code table A:0 C:1 T:2 G:3 (the reference's ntHash NTC64 behavior)",
+    )
 
     p = sub.add_parser("probe")
     p.add_argument("query_in")
@@ -77,6 +86,8 @@ def _run(args) -> int:
     if args.cmd == "build":
         from .pipelines.bloom import build_and_store
 
+        if args.revcomp and not args.canonical:
+            raise SystemExit("--revcomp requires --canonical")
         ds = ray.data.read_parquet(args.data_in, columns=["tokens"])
         manifest = build_and_store(
             ds,
@@ -85,6 +96,8 @@ def _run(args) -> int:
             num_partitions=args.partitions,
             bits_per_partition=args.bits,
             num_hashes=args.hashes,
+            canonical=args.canonical,
+            complement="dna" if args.revcomp else None,
             salt_bits=args.salt_bits,
         )
         print(json.dumps({"store": args.store, "config": {kk: manifest[kk] for kk in
@@ -98,16 +111,17 @@ def _run(args) -> int:
             cfg = json.load(f)
         ds = ray.data.read_parquet(args.query_in, columns=["doc_id", "tokens"])
         canonical = bool(cfg.get("canonical", False))  # must match the build
+        complement = cfg.get("complement")  # e.g. "dna" (revcomp builds)
         if args.routed:
             out = probe_bloom_routed(
                 ds, args.store, k=cfg["k"], num_partitions=cfg["num_partitions"],
-                canonical=canonical,
+                canonical=canonical, complement=complement,
             )
         else:
             shards, _ = load_sketch_store(args.store)
             out = probe_bloom(
                 ds, shards, k=cfg["k"], num_partitions=cfg["num_partitions"],
-                canonical=canonical,
+                canonical=canonical, complement=complement,
             )
         if args.sorted:
             out = out.sort(["doc_id", "pos"])

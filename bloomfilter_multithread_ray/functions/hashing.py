@@ -32,6 +32,23 @@ _SM_M2 = UINT64(0x94D049BB133111EB)
 # polynomial base for k-gram window hashing (odd 64-bit constant)
 _POLY_B = UINT64(0x9E3779B97F4A7C15)
 
+# 2-bit DNA complement under the reference's code table A:0 C:1 T:2 G:3
+# (``src/Kmer.cpp:28-31``): A<->T, C<->G  ==  code XOR 2. Used for true
+# reverse-COMPLEMENT canonical hashing (ntHash NTC64 analog,
+# ``src/SkmerExtractor.cpp:65-74``; complement decode ``src/Kmer.cpp:56-74``).
+DNA_COMPLEMENT = np.array([2, 3, 0, 1], dtype=np.int64)
+
+
+def resolve_complement(spec) -> np.ndarray | None:
+    """None | "dna" | token-id lookup array → complement table."""
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        if spec == "dna":
+            return DNA_COMPLEMENT
+        raise ValueError(f"unknown complement alphabet {spec!r}")
+    return np.asarray(spec, dtype=np.int64)
+
 
 def splitmix64(x: np.ndarray | int) -> np.ndarray:
     """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64.
@@ -104,6 +121,7 @@ def kgram_hashes_flat(
     k: int,
     *,
     canonical: bool = False,
+    complement: np.ndarray | str | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """k-gram hashes for a batch of variable-length token rows.
 
@@ -117,6 +135,14 @@ def kgram_hashes_flat(
             the analog of the reference's canonical fwd/revcomp hashing
             (``src/SkmerExtractor.cpp:65-90``). Off by default: for
             token streams direction is meaningful.
+        complement: with ``canonical``, a token-id complement lookup
+            (or the alias ``"dna"`` for the reference's A:0 C:1 T:2
+            G:3 code, A<->T / C<->G) — the reverse strand is then the
+            reverse-COMPLEMENT, matching ntHash's NTC64
+            (``src/SkmerExtractor.cpp:65-74``): a probe of the
+            opposite DNA strand finds the same canonical hashes
+            (tested in tests/test_hashing.py). Without it, canonical
+            reverses only (token-stream palindrome canonicalization).
 
     Returns:
         (hashes, row_index, pos): one entry per k-gram that fits
@@ -136,7 +162,17 @@ def kgram_hashes_flat(
     u = splitmix64(flat.astype(UINT64, copy=False))  # pre-mix small token ids
     H = _poly_window(u, k)
     if canonical and len(H):
-        Hr = _poly_window(u[::-1], k)[::-1]
+        comp = resolve_complement(complement)
+        if comp is None:
+            ur = u[::-1]
+        else:
+            fi = flat.astype(np.int64, copy=False)
+            if fi.min() < 0 or fi.max() >= len(comp):
+                raise ValueError(
+                    f"token id outside complement table [0, {len(comp)})"
+                )
+            ur = splitmix64(comp[fi].astype(UINT64))[::-1]
+        Hr = _poly_window(ur, k)[::-1]
         H = np.minimum(H, Hr)
     H = splitmix64(H)
 

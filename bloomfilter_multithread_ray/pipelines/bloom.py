@@ -53,6 +53,7 @@ def build_partitioned_bloom(
     bits_per_partition: int,
     num_hashes: int = 4,
     canonical: bool = False,
+    complement=None,
     salt_bits: int = 0,
     tokens_col: str = "tokens",
 ) -> "Dataset":
@@ -64,7 +65,8 @@ def build_partitioned_bloom(
     the sketches are mergeable (SURVEY §4 skew).
     """
     hash_fn = make_kgram_hash_fn(
-        k, num_partitions, tokens_col=tokens_col, canonical=canonical, salt_bits=salt_bits
+        k, num_partitions, tokens_col=tokens_col, canonical=canonical,
+        complement=complement, salt_bits=salt_bits
     )
     factory = lambda: BloomFilter(bits_per_partition, num_hashes)  # noqa: E731
     hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -172,6 +174,7 @@ class BloomProbe:
         k: int,
         num_partitions: int,
         canonical: bool = False,
+        complement=None,
         salt_bits: int = 0,
         tokens_col: str = "tokens",
         id_col: str = "doc_id",
@@ -193,12 +196,15 @@ class BloomProbe:
         self.k = k
         self.num_partitions = num_partitions
         self.canonical = canonical
+        self.complement = complement
         self.tokens_col = tokens_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, offsets = list_column_to_numpy(batch, self.tokens_col)
-        gh, row_idx, pos = kgram_hashes_flat(flat, offsets, self.k, canonical=self.canonical)
+        gh, row_idx, pos = kgram_hashes_flat(
+            flat, offsets, self.k, canonical=self.canonical, complement=self.complement
+        )
         part = partition_of(gh, self.num_partitions)
         member = np.zeros(len(gh), dtype=bool)
         for p in np.unique(part):
@@ -223,6 +229,7 @@ def probe_bloom(
     k: int,
     num_partitions: int,
     canonical: bool = False,
+    complement=None,
     concurrency: int = 4,
     batch_size: int | None = 1024,
     tokens_col: str = "tokens",
@@ -251,6 +258,7 @@ def probe_bloom(
             k=k,
             num_partitions=num_partitions,
             canonical=canonical,
+            complement=complement,
             tokens_col=tokens_col,
             id_col=id_col,
         ),
@@ -268,6 +276,7 @@ def probe_bloom_routed(
     k: int,
     num_partitions: int,
     canonical: bool = False,
+    complement=None,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
 ) -> "Dataset":
@@ -285,7 +294,7 @@ def probe_bloom_routed(
 
     hash_fn = make_kgram_hash_fn(
         k, num_partitions, tokens_col=tokens_col, canonical=canonical,
-        with_identity=True, id_col=id_col,
+        complement=complement, with_identity=True, id_col=id_col,
     )
     hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
     sk_dir = os.path.join(store_path, "sketches")
@@ -320,6 +329,7 @@ def build_and_store(
     bits_per_partition: int,
     num_hashes: int = 4,
     canonical: bool = False,
+    complement: str | None = None,
     salt_bits: int = 0,
 ) -> dict:
     """Build phase end-to-end: corpus → sketch store on disk."""
@@ -330,6 +340,7 @@ def build_and_store(
         bits_per_partition=bits_per_partition,
         num_hashes=num_hashes,
         canonical=canonical,
+        complement=complement,
         salt_bits=salt_bits,
     )
     manifest = {
@@ -339,6 +350,7 @@ def build_and_store(
         "bits_per_partition": bits_per_partition,
         "num_hashes": num_hashes,
         "canonical": canonical,
+        "complement": complement,
         "salt_bits": salt_bits,
     }
     return write_sketch_store(sk, store_path, manifest)

@@ -57,6 +57,7 @@ def make_kgram_hash_fn(
     id_col: str = "doc_id",
     with_identity: bool = False,
     canonical: bool = False,
+    complement=None,
     salt_bits: int = 0,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the per-batch k-gram hashing UDF.
@@ -76,7 +77,9 @@ def make_kgram_hash_fn(
 
     def fn(batch: pa.Table) -> pa.Table:
         flat, offsets = list_column_to_numpy(batch, tokens_col)
-        gh, row_idx, pos = kgram_hashes_flat(flat, offsets, k, canonical=canonical)
+        gh, row_idx, pos = kgram_hashes_flat(
+            flat, offsets, k, canonical=canonical, complement=complement
+        )
         part = partition_of(gh, num_partitions)
         if salt_bits:
             salt = (gh >> np.uint64(40)) & np.uint64((1 << salt_bits) - 1)
