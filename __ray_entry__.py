@@ -171,7 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = ray.data.read_parquet(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
         )
-        out = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner")
+        out = hash_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+            num_partitions=32,
+        )
         df = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
         return df[["o_orderkey", "o_custkey", "c_name", "o_totalprice"]]
 
@@ -378,7 +381,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from bloomfilter_multithread_ray.pipelines.graph import keep_set_distributed
 
         docs = _docs(sf_dir, ["doc_id", "text"])
-        kept = keep_set_distributed(docs, D.minhash_lsh_pairs(docs, threshold=0.5))
+        kept = keep_set_distributed(
+            docs, D.minhash_lsh_pairs(docs, threshold=0.5), num_partitions=16
+        )
         return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
     def dedup_ngram_components(sf_dir):
@@ -388,7 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from bloomfilter_multithread_ray.pipelines.graph import connected_components
 
         pairs = D.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.5)
-        comp = connected_components(pairs)
+        comp = connected_components(pairs, num_partitions=16)
         return comp.to_pandas().sort_values("node").reset_index(drop=True)
 
     def dedup_simhash(sf_dir):

@@ -59,18 +59,47 @@ def _min_label_per_node(g: pa.Table) -> pa.Table:
     )
 
 
+def _cc_arrays(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory CC over edge arrays: id-compress, then min-label
+    propagation with pointer doubling (O(E log d), all numpy).
+
+    The kernel the one-partition endgame runs; exactly the same
+    labeling the distributed rounds converge to."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ea, lab[eb])
+        np.minimum.at(lab, eb, lab[ea])
+        lab = lab[lab]  # pointer doubling
+        if np.array_equal(lab, old):
+            break
+    return nodes, nodes[lab]
+
+
 def connected_components(
     pairs: "Dataset",
     cols: tuple[str, str] = ("doc_a", "doc_b"),
     *,
     num_partitions: int = 64,
     max_iters: int = 50,
+    local_cutoff: int = 2_000_000,
 ) -> "Dataset":
     """Pairs (undirected edges, non-negative int64 ids) → labels
     ``{node, comp}`` where ``comp`` is the component's min node id.
 
     One row per node appearing in ``pairs`` (isolated docs never enter
     the pair list and are trivially their own component).
+
+    Hybrid execution: when the (already materialized) edge list is at
+    most ``local_cutoff`` rows it collapses into ONE partition and a
+    single vectorized kernel — a pair list that small gains nothing
+    from O(log d) cluster-wide rounds, each of which costs two
+    all-to-all shuffles of fixed latency. Above the cutoff (the 100 TB
+    regime: billions of candidate pairs) the iterative
+    pointer-doubling rounds run; ``local_cutoff=0`` forces them (used
+    by tests to exercise the distributed path end-to-end).
     """
     a_col, b_col = cols
     P = num_partitions
@@ -88,9 +117,35 @@ def connected_components(
 
     edges = pairs.map_batches(sym_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
+    if edges.count() <= 2 * local_cutoff:  # sym_edges doubled the rows
+        def local_cc(g: pa.Table) -> pa.Table:
+            src = g.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = g.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(src) == 0:
+                return pa.table({"node": pa.array([], pa.int64()), "comp": pa.array([], pa.int64())})
+            nodes, comp = _cc_arrays(src, dst)
+            return pa.table({"node": pa.array(nodes), "comp": pa.array(comp)})
+
+        def to_one(t: pa.Table) -> pa.Table:
+            return t.append_column("one", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+        return (
+            edges.map_batches(to_one, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("one")
+            .map_groups(local_cc, batch_format="pyarrow")
+        )
+
     def init_labels(g: pa.Table) -> pa.Table:
-        uniq = np.unique(g.column("src").to_numpy(zero_copy_only=False).astype(np.int64))
-        return pa.table({"node": pa.array(uniq), "lab": pa.array(uniq)})
+        # L0(v) = min(v, direct neighbors) — one vectorized pass over
+        # the partition's (src-sorted) edges; saves a propagation round
+        src = g.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = g.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.diff(src, prepend=src[0] - 1)) if len(src) else np.array([], np.int64)
+        nodes = src[starts]
+        lab = np.minimum(nodes, np.minimum.reduceat(dst, starts) if len(starts) else nodes)
+        return pa.table({"node": pa.array(nodes), "lab": pa.array(lab)})
 
     labels = edges.groupby("ep").map_groups(init_labels, batch_format="pyarrow").materialize()
 

@@ -31,10 +31,11 @@ def _uf_components(pairs: pd.DataFrame) -> dict[int, int]:
     return {int(n): find(int(n)) for n in nodes}
 
 
-def _cc(pairs_df: pd.DataFrame, **kw) -> pd.DataFrame:
+def _cc(pairs_df: pd.DataFrame, *, local_cutoff: int = 0, **kw) -> pd.DataFrame:
+    # local_cutoff=0 forces the DISTRIBUTED rounds (the path under test)
     ds = ray.data.from_pandas(pairs_df).repartition(3)
     return (
-        connected_components(ds, num_partitions=8, **kw)
+        connected_components(ds, num_partitions=8, local_cutoff=local_cutoff, **kw)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
@@ -73,6 +74,20 @@ def test_two_components_and_permuted_ids():
     got = _cc(pairs)
     comp = dict(zip(got["node"], got["comp"]))
     assert comp == {5: 5, 13: 13, 44: 13, 907: 13, 5000: 13} or comp == _uf_components(pairs)
+
+
+def test_local_endgame_equals_distributed_rounds():
+    """The one-partition endgame kernel and the iterative rounds must
+    produce the identical labeling."""
+    rng = np.random.default_rng(29)
+    pairs = pd.DataFrame(
+        {"doc_a": rng.integers(0, 150, 120).astype("int64"),
+         "doc_b": rng.integers(0, 150, 120).astype("int64")}
+    )
+    pairs = pairs[pairs.doc_a != pairs.doc_b].reset_index(drop=True)
+    dist = _cc(pairs, local_cutoff=0)
+    local = _cc(pairs, local_cutoff=10**9)
+    pd.testing.assert_frame_equal(local, dist)
 
 
 def test_keep_set_distributed_equals_driver_union_find():
