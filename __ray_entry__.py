@@ -211,6 +211,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_sessions(sf_dir):
         return R.events_sessionize(sf_dir)
 
+    def events_topk_per_user(sf_dir):
+        return R.events_topk_per_user(sf_dir, topk=3)
+
+    def token_count_regex(sf_dir):
+        # "BPE-ish" regex lexer token counts (RE2 in Arrow and DuckDB)
+        ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            T.make_regex_token_count_fn(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
     def ann_ivf(sf_dir):
         import ray.data
 
@@ -558,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": source_overlap,
         "source_overlap_kmv": source_overlap_kmv,
         "events_sessions": events_sessions,
+        "events_topk_per_user": events_topk_per_user,
+        "token_count_regex": token_count_regex,
         "events_sliding": events_sliding,
         "events_asof": events_asof,
         "range_join_bands": range_join_bands,
@@ -720,6 +732,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+        ),
+        # per-user top-3 by (value desc, event_id): ROW_NUMBER window
+        "events_topk_per_user": (
+            "SELECT user_id, event_id, ts, value FROM ("
+            "SELECT user_id, event_id, ts, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
+            "FROM events) WHERE rn <= 3 ORDER BY user_id, value DESC, event_id"
+        ),
+        # BPE-ish regex lexer (RE2 both sides): letter runs | digit runs
+        # | single non-alnum-non-space symbol
+        "token_count_regex": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_tok_re "
+            "FROM documents ORDER BY doc_id"
         ),
         # exact word-3-gram Jaccard >= 0.5 over distinct shingles; floats
         # are a single int division on both sides -> bit-identical.

@@ -543,6 +543,52 @@ def events_asof(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+# ------------------------------------------------------ per-group top-k rank
+def events_topk_per_user(sf_dir: str, topk: int = 3) -> pd.DataFrame:
+    """Windowed ranking: each user's top-k events by (value desc,
+    event_id asc) → {user_id, event_id, ts, value}.
+
+    The ROW_NUMBER-over-partition analog, Ray-Data-first: ONE shuffle
+    on ``user_id % P`` (fixed partitions — per-user groups would pay
+    Ray's per-group overhead at millions of users), then each partition
+    ranks ALL its users in one vectorized lexsort/segment pass.
+    Values are carried, never recomputed → bit-exact vs the SQL
+    window oracle.
+    """
+    P_SHUF = 64
+
+    def add_up(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("up", pa.array((uid % P_SHUF).astype(np.int32)))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, -val, uid))
+        uid, eid, ts, val = uid[order], eid[order], ts[order], val[order]
+        starts = np.flatnonzero(np.diff(uid, prepend=uid[0] - 1)) if len(uid) else np.array([], np.int64)
+        lens = np.diff(np.concatenate([starts, [len(uid)]]))
+        rank = np.arange(len(uid)) - np.repeat(starts, lens)
+        keep = rank < topk
+        return pa.table(
+            {"user_id": pa.array(uid[keep]), "event_id": pa.array(eid[keep]),
+             "ts": pa.array(ts[keep]), "value": pa.array(val[keep])}
+        )
+
+    ds = read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    out = (
+        ds.map_batches(add_up, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("up")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    df = out.to_pandas()
+    return df.sort_values(
+        ["user_id", "value", "event_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
 PRICE_BANDS = [(i, 800.0 + 50.0 * i, 920.0 + 50.0 * i) for i in range(10)]
 
 

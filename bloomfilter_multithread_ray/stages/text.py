@@ -72,6 +72,36 @@ def make_token_hash_fn(col: str = "text", seed: int = 0):
     return fn
 
 
+# BPE-ish lexer: letter runs | digit runs | single non-space symbol —
+# the "whitespace + a BPE-ish regex" token-counting pair. RE2 syntax,
+# evaluated by Arrow here and by DuckDB (also RE2) in the oracle, so
+# counts match exactly.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def make_regex_token_count_fn(
+    pattern: str = BPE_ISH_PATTERN, col: str = "text", id_col: str = "doc_id"
+):
+    """batch → {doc_id, n_tok_re}: tokens per doc under a regex lexer.
+
+    Fully Arrow-vectorized: ``pc.count_substring_regex`` counts
+    non-overlapping leftmost matches (same semantics as DuckDB's
+    ``len(regexp_extract_all(...))``) — no per-row Python regex calls.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = pc.count_substring_regex(arr, pattern)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids, "n_tok_re": pc.cast(n, pa.int32())})
+
+    return fn
+
+
 def make_doc_token_stats_fn(col: str = "text", id_col: str = "doc_id"):
     """batch → {doc_id, n_tok} per-document token counts."""
 
