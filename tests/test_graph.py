@@ -109,3 +109,23 @@ def test_keep_set_distributed_equals_driver_union_find():
         .tolist()
     )
     assert got == want
+
+
+def test_cc_arrays_property_random_graphs():
+    """Property sweep: the local CC kernel equals union-find over many
+    random graph shapes (sparse, dense, stars, chains, self-loop-free)."""
+    from bloomfilter_multithread_ray.pipelines.graph import _cc_arrays
+
+    rng = np.random.default_rng(41)
+    for trial in range(25):
+        n = int(rng.integers(2, 120))
+        m = int(rng.integers(1, 4 * n))
+        a = rng.integers(0, n, m).astype(np.int64)
+        b = rng.integers(0, n, m).astype(np.int64)
+        keep = a != b
+        if not keep.any():
+            continue
+        a, b = a[keep], b[keep]
+        nodes, comp = _cc_arrays(a, b)
+        want = _uf_components(pd.DataFrame({"doc_a": a, "doc_b": b}))
+        assert dict(zip(nodes, comp)) == want, f"trial {trial}"

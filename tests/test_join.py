@@ -105,3 +105,40 @@ def test_schema_stable_with_empty_right_partitions():
     assert t.schema.field("rv").type == pa.int64()
     df = t.to_pandas()
     assert len(df) == 50 and df.loc[df.k == 7, "rv"].iloc[0] == 70
+
+
+def test_hot_key_skew_correctness():
+    """A pathological hot key (80% of left rows, heavy right dup) must
+    produce the exact pandas cross-product semantics — the degenerate
+    one-partition case the docstring documents."""
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {"k": np.where(rng.random(500) < 0.8, 7, rng.integers(0, 50, 500)).astype("int64"),
+         "lv": np.arange(500, dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"k": np.concatenate([np.full(20, 7), np.arange(0, 50)]).astype("int64"),
+         "rv": np.arange(70, dtype="int64")}
+    )
+    got = hash_join(_mk(left, 4), _mk(right, 2), on="k", how="inner", num_partitions=8).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(_sorted(got, ["k", "lv", "rv"]), _sorted(want, ["k", "lv", "rv"]))
+
+
+def test_join_streams_large_inputs():
+    """lineitem x part at sf0.1 (~600k x 20k rows): the join must
+    complete lazily (count() without driver materialization) and match
+    DuckDB's row count."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.1"
+    li = ray.data.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    part = ray.data.read_parquet(f"{sf}/part.parquet", columns=["p_partkey", "p_retailprice"])
+    out = hash_join(li, part, on="l_partkey", right_on="p_partkey", how="inner", num_partitions=32)
+    n = out.count()
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet') l "
+        f"JOIN read_parquet('{sf}/part.parquet') p ON l.l_partkey = p.p_partkey"
+    ).fetchone()[0]
+    assert n == want

@@ -94,3 +94,38 @@ def test_value_sketch_merge_within_bound(cut_fracs, tree_seed):
             lo = np.searchsorted(xs, est, side="left") / len(x)
             hi = np.searchsorted(xs, est, side="right") / len(x)
             assert max(lo - q, q - hi, 0.0) < tol
+
+
+def test_misra_gries_merge_associativity_random_trees():
+    """MG bound holds under arbitrary merge trees / partition cuts
+    (north-rule merge-associativity criterion for the new family)."""
+    import numpy as np
+
+    from bloomfilter_multithread_ray.state import MisraGries
+    from bloomfilter_multithread_ray.state.base import deserialize_sketch
+
+    rng = np.random.default_rng(17)
+    items = np.repeat([f"w{i}" for i in range(80)], (400 / np.arange(1, 81)).astype(int))
+    rng.shuffle(items)
+    true = {k: int(v) for k, v in zip(*np.unique(items, return_counts=True))}
+    n, cap = len(items), 10
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        cuts = np.sort(r.choice(np.arange(1, n), size=6, replace=False))
+        parts = np.split(items, cuts)
+        sketches = []
+        for p in parts:
+            s = MisraGries(cap)
+            if len(p):
+                s.update_items(p)
+            sketches.append(s)
+        # random merge tree
+        while len(sketches) > 1:
+            i = int(r.integers(0, len(sketches) - 1))
+            sketches[i].merge(deserialize_sketch(sketches.pop(i + 1).serialize()))
+        m = sketches[0]
+        assert m.n_total == n
+        assert m.error_bound() <= n // (cap + 1)
+        for k, t in true.items():
+            c = m.estimate(k)
+            assert c <= t <= c + m.error_bound(), (seed, k)
