@@ -402,9 +402,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transitive closure + min label
         from bloomfilter_multithread_ray.pipelines.graph import connected_components
 
+        import pandas as pd
+
         pairs = D.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.5)
         comp = connected_components(pairs, num_partitions=16)
-        return comp.to_pandas().sort_values("node").reset_index(drop=True)
+        df = comp.to_pandas()
+        if df.empty:  # stable schema when the corpus has no dup pairs
+            df = pd.DataFrame({"node": pd.array([], dtype="int64"),
+                               "comp": pd.array([], dtype="int64")})
+        return df.sort_values("node").reset_index(drop=True)
 
     def dedup_simhash(sf_dir):
         pairs = D.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)

@@ -47,14 +47,16 @@ def _key_partition(col: pa.ChunkedArray | pa.Array, P: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        vals = col.to_numpy(zero_copy_only=False)
-        valid = ~pd.isna(vals)
-        h = np.zeros(len(vals), dtype=np.uint64)
-        if valid.any():
-            h[valid] = hash64_ints(np.asarray(vals[valid], dtype=np.int64))
+        # fill_null BEFORE to_numpy: a null-bearing int64 column would
+        # otherwise detour through float64 and round keys >2^53, making
+        # the two sides of a join hash DIFFERENT values for the same key
+        valid = ~np.asarray(col.is_null()) if col.null_count else np.ones(len(col), bool)
+        ints = col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        h = np.where(valid, hash64_ints(ints), np.uint64(0))
     else:
         h = hash_strings(col)
-        h = np.where(np.asarray(col.is_null()), np.uint64(0), h)
+        if col.null_count:
+            h = np.where(np.asarray(col.is_null()), np.uint64(0), h)
     return (h % np.uint64(P)).astype(np.int32)
 
 
@@ -78,6 +80,19 @@ def hash_join(
         raise ValueError(f"how must be one of {_HOWS}")
     right_on = right_on or on
     l_schema, r_schema = left.schema(), right.schema()  # ray.data.Schema
+    # a fully-empty dataset (0 blocks) has no schema at all — resolve
+    # the join degenerately instead of crashing on schema access
+    if l_schema is None or not l_schema.names:
+        return left  # no left rows: every `how` yields an empty result
+    if r_schema is None or not r_schema.names:
+        if how == "anti":
+            return left  # nothing to subtract
+        if how == "semi":
+            return left.limit(0)
+        raise ValueError(
+            f"hash_join(how={how!r}): right side has no schema (empty "
+            "dataset) — inner/left output columns are underdetermined"
+        )
     l_cols = list(l_schema.names)
     if how in ("semi", "anti"):
         r_cols = [right_on]  # prune: only the key crosses the shuffle
@@ -87,9 +102,17 @@ def hash_join(
     r_out = [c for c in r_cols if c != right_on]
     def _pa_type(t) -> pa.DataType:
         # ray.data.Schema.types holds pyarrow types for arrow-backed
-        # blocks but numpy/python types for pandas-backed ones
+        # blocks but numpy/pandas-extension types for pandas-backed ones
         if isinstance(t, pa.DataType):
             return t
+        if isinstance(t, pd.api.extensions.ExtensionDtype):
+            pa_dt = getattr(t, "pyarrow_dtype", None)  # pd.ArrowDtype
+            if pa_dt is not None:
+                return pa_dt
+            try:  # masked dtypes (Int64, boolean, ...) expose numpy_dtype
+                return pa.from_numpy_dtype(t.numpy_dtype)
+            except (TypeError, AttributeError):
+                return pa.string()
         try:
             if np.dtype(t) == np.dtype("O"):
                 return pa.string()
@@ -97,8 +120,24 @@ def hash_join(
         except TypeError:
             return pa.string()
 
-    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
-    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    def _types_of(schema) -> dict:
+        # Schema.types can hold None for pandas-extension-dtype columns;
+        # the wrapped base_schema still knows the dtype (e.g. Int64Dtype)
+        types = list(schema.types)
+        base = getattr(schema, "base_schema", None)
+        base_types = list(getattr(base, "types", [])) if base is not None else []
+        out = {}
+        for i, n in enumerate(schema.names):
+            t = types[i]
+            if t is None and i < len(base_types):
+                t = base_types[i]
+            if t is None:
+                raise ValueError(f"hash_join: cannot determine dtype of column {n!r}")
+            out[n] = _pa_type(t)
+        return out
+
+    l_types = _types_of(l_schema)
+    r_types = _types_of(r_schema)
 
     # fixed output schema (pandas->arrow inference would flip types on
     # partitions whose right side is empty / all-null)
@@ -126,40 +165,75 @@ def hash_join(
                 present = own is not None and (
                     (side == 0 and not cname.startswith("__r_")) or side == 1
                 ) and own in t.column_names
-                arrays.append(t.column(own).combine_chunks() if present else pa.nulls(n, ctype))
+                if present:
+                    col = t.column(own).combine_chunks()
+                    if col.type != ctype:
+                        # an all-null block arrives null-typed; other
+                        # mismatches surface here as a clear cast error
+                        col = col.cast(ctype)
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(n, ctype))
                 names.append(cname)
             return pa.Table.from_arrays(arrays, names=names)
 
         return fn
 
-    tagged = left.map_batches(
-        pack(0, on), batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        right.map_batches(pack(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
+    # one sentinel row per partition (side=-1, dropped in the kernel):
+    # guarantees every group task sees >= 1 row, so the merge kernel
+    # ALWAYS runs and emits a schema-typed (possibly empty) table. Ray
+    # otherwise emits SCHEMA-LESS empty blocks for rowless tasks and
+    # skips map_batches UDFs on them — downstream to_pandas would then
+    # union-concat mixed schemas and promote int64 columns to float64
+    # (rounding values >2^53).
+    import ray.data as _rd
+
+    sentinels = _rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(np.arange(num_partitions, dtype=np.int32)),
+             pa.array(np.full(num_partitions, -1, dtype=np.int8))]
+            + [pa.nulls(num_partitions, t) for _, t in carrier],
+            names=["__jp", "__side"] + [n for n, _ in carrier],
+        )
+    )
+
+    tagged = (
+        left.map_batches(pack(0, on), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            right.map_batches(pack(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .union(sentinels)
     )
 
     rename_r = {c: (c + suffix if c in set(l_cols) else c) for c in r_out}
 
     def merge_partition(g: pa.Table) -> pa.Table:
-        # split sides in ARROW first: converting the carrier (typed
-        # nulls in the absent side's columns) to pandas would coerce
-        # int64 columns to float64 and lose >2^53 key precision
+        # split sides in ARROW first, then merge on ArrowDtype-backed
+        # frames: a plain to_pandas would coerce null-bearing int64
+        # columns (and left-join NaN fills) to float64, silently
+        # rounding values >2^53 before the cast back to int64
         import pyarrow.compute as pc
 
-        side = g.column("__side")
+        side = g.column("__side")  # -1 rows are partition sentinels
         lt = g.filter(pc.equal(side, 0)).select(l_cols)
         rt = g.filter(pc.equal(side, 1)).select([f"__r_{c}" for c in r_cols])
         rt = rt.rename_columns([on if c == right_on else rename_r[c] for c in r_cols])
-        ldf = lt.to_pandas()
+        ldf = lt.to_pandas(types_mapper=pd.ArrowDtype)
         if how in ("semi", "anti"):
-            keys = set(rt.to_pandas()[on].dropna())
+            keys = set(rt.to_pandas(types_mapper=pd.ArrowDtype)[on].dropna())
             mask = ldf[on].isin(keys) & ldf[on].notna()
             out = ldf[mask] if how == "semi" else ldf[~mask]
-            return pa.Table.from_pandas(out, preserve_index=False, schema=out_schema)
-        rdf = rt.to_pandas()
+            # strip pandas metadata: ArrowDtype frames would otherwise
+            # leak dtype hints into downstream to_pandas conversions
+            return pa.Table.from_pandas(
+                out, preserve_index=False, schema=out_schema
+            ).replace_schema_metadata(None)
+        rdf = rt.to_pandas(types_mapper=pd.ArrowDtype)
         rdf = rdf[rdf[on].notna()]
         merged = ldf.merge(rdf, on=on, how=how)
         merged = merged[[f.name for f in out_schema]]
-        return pa.Table.from_pandas(merged, preserve_index=False, schema=out_schema)
+        return pa.Table.from_pandas(
+            merged, preserve_index=False, schema=out_schema
+        ).replace_schema_metadata(None)
 
     return tagged.groupby("__jp").map_groups(merge_partition, batch_format="pyarrow")

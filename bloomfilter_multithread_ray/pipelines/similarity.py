@@ -261,6 +261,8 @@ def build_ivf_store(ds: "Dataset", centroids: np.ndarray, store_path: str) -> No
     C = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("cluster", pa.array([], pa.int32()))
         V = _normalize(_emb_matrix(batch))
         a = (V @ ray.get(C).T).argmax(axis=1).astype(np.int32)
         return batch.append_column("cluster", pa.array(a))

@@ -50,7 +50,7 @@ class MisraGries(Sketch):
         """Absorb items (any str iterable / arrow array) with optional
         multiplicities. Pre-aggregates via np.unique, then one dict
         pass over the UNIQUE items (vocab-bounded, not row-bounded)."""
-        arr = np.asarray(items if not hasattr(items, "to_numpy") else items, dtype=object)
+        arr = np.asarray(items, dtype=object)
         if counts is None:
             uniq, cnt = np.unique(arr.astype(str), return_counts=True)
             cnt = cnt.astype(np.int64)
@@ -109,15 +109,17 @@ class MisraGries(Sketch):
 
     # ------------------------------------------------------------- serialize
     def _payload(self) -> bytes:
-        keys, vals = (
-            list(self.counters.keys()),
-            np.fromiter(self.counters.values(), dtype=np.int64, count=len(self.counters)),
-        )
-        kb = "\x00".join(keys).encode("utf-8")
+        """Length-prefixed keys (int32 byte lengths + concatenated
+        utf-8) — a delimiter-joined layout would corrupt on tokens
+        containing the delimiter byte."""
+        keys = [k.encode("utf-8") for k in self.counters.keys()]
+        vals = np.fromiter(self.counters.values(), dtype=np.int64, count=len(keys))
+        lens = np.array([len(k) for k in keys], dtype=np.int32)
         return (
             struct.pack("<qqqq", self.capacity, self.n_total, self.err, len(keys))
             + vals.tobytes()
-            + kb
+            + lens.tobytes()
+            + b"".join(keys)
         )
 
     @classmethod
@@ -125,8 +127,13 @@ class MisraGries(Sketch):
         capacity, n_total, err, n = struct.unpack_from("<qqqq", buf, 0)
         off = 32
         vals = np.frombuffer(buf, dtype=np.int64, count=n, offset=off)
-        kb = bytes(buf[off + 8 * n :]).decode("utf-8")
-        keys = kb.split("\x00") if n else []
+        off += 8 * n
+        lens = np.frombuffer(buf, dtype=np.int32, count=n, offset=off)
+        off += 4 * n
+        blob = bytes(buf[off:])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        keys = [blob[s:e].decode("utf-8") for s, e in zip(starts, ends)]
         s = cls(capacity)
         s.counters = dict(zip(keys, vals.tolist()))
         s.n_total, s.err = n_total, err

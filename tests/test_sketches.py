@@ -355,3 +355,17 @@ def test_misra_gries_merge_matches_single_pass_bounds():
     for k, t in true.items():
         c = merged.estimate(k)
         assert c <= t <= c + merged.error_bound(), k
+
+
+def test_misra_gries_serialization_handles_delimiter_bytes():
+    """Tokens containing NUL (or any byte) must round-trip exactly —
+    length-prefixed key serialization."""
+    from bloomfilter_multithread_ray.state import MisraGries
+    from bloomfilter_multithread_ray.state.base import deserialize_sketch
+
+    s = MisraGries(8)
+    s.update_items(["a\x00b", "plain", "a\x00b", "x\x00", "\x00", ""])
+    r = deserialize_sketch(s.serialize())
+    assert r.counters == s.counters
+    assert r.estimate("a\x00b") == 2 and r.estimate("plain") == 1
+    assert r.n_total == s.n_total and r.err == s.err
