@@ -85,8 +85,18 @@ def run_flagship(sf: float, store_dir: str, *, warm_up: int = 0, reps: int = 1) 
     import ray
 
     cpus_avail = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = max(32, cpus_avail)
     path = ensure_corpus(sf)
+    # block-count rule from the measured sweep (BASELINE.md): floor of
+    # max(32, cpus) for pipelining, growing with data so on-disk blocks
+    # stay ~5 MB (sf2.0/303MB @ 32 cpus: 32 blocks 6.7M tok/s, 64
+    # blocks 12.0M, 128 blocks 9.4M; sf0.5/78MB: 32 blocks best at
+    # both 8 and 32 cpus)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    nblocks = max(32, cpus_avail, total_bytes // (5 << 20))
 
     def _build():
         ds = ray.data.read_parquet(
