@@ -145,6 +145,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_hourly(sf_dir):
         return _round(R.events_hourly(sf_dir), ["sum_value"])
 
+    def heavy_hitters_by_source(sf_dir):
+        return A.heavy_hitters_by_group(
+            _docs(sf_dir, ["text", "source"]),
+            T.make_explode_token_counts_by_fn("source"),
+            "source",
+            topk=5,
+        )
+
     def distinct_by_source(sf_dir):
         return A.distinct_count_by_group_exact(
             _docs(sf_dir, ["text", "source"]), T.make_unique_tokens_by_fn("source"), "source"
@@ -569,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr_check": bloom_fpr_check,
         "multimodal_features": multimodal_features,
         "doc_quality": doc_quality,
+        "heavy_hitters_by_source": heavy_hitters_by_source,
         "distinct_by_source": distinct_by_source,
         "distinct_by_source_hll": distinct_by_source_hll,
         "source_overlap": source_overlap,
@@ -678,6 +687,15 @@ def oracle_sql() -> dict[str, str]:
             "s3 AS (SELECT doc_id, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h "
             "FROM s2) "
             "SELECT doc_id, h FROM s3 ORDER BY h LIMIT 100"
+        ),
+        # per-source top-5 tokens: ROW_NUMBER window, ties (cnt desc, tok)
+        "heavy_hitters_by_source": (
+            "SELECT source, tok, cnt FROM ("
+            "SELECT source, tok, count(*) AS cnt, "
+            "row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, tok) AS rn "
+            "FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> '' GROUP BY source, tok) "
+            "WHERE rn <= 5 ORDER BY source, cnt DESC, tok"
         ),
         "distinct_by_source": (
             "SELECT source, count(DISTINCT tok) AS distinct_tokens FROM ("

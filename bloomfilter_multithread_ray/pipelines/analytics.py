@@ -174,6 +174,56 @@ def heavy_hitters_cms(
     )
 
 
+def heavy_hitters_by_group(
+    ds: "Dataset", counts_fn, by: str, topk: int = 5
+) -> pd.DataFrame:
+    """Per-group top-k token counts → {by, tok, cnt} (grouped ranking).
+
+    Same fixed-partition shape as the global top-k: counts shuffle on
+    ``hash(tok) % P`` (all of one token's counts land together, so
+    local per-(group, token) sums are exact), each partition emits its
+    local per-group top-k, and the tiny final merge re-ranks
+    P × groups × topk rows. Ties deterministic: (cnt desc, tok asc).
+    """
+    from ..functions.hashing import hash_strings
+
+    P_SHUF = 64
+
+    partials = ds.map_batches(counts_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_tp(t: pa.Table) -> pa.Table:
+        h = hash_strings(t.column("tok").combine_chunks()).view(np.int64)
+        return t.append_column("tp", pa.array(np.abs(h) % P_SHUF))
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        sums = df.groupby([by, "tok"], sort=False)["cnt"].sum().reset_index()
+        sums = sums.sort_values(["cnt", "tok"], ascending=[False, True])
+        top = sums.groupby(by, sort=False).head(topk)
+        return pa.table(
+            {by: pa.array(top[by], pa.string()), "tok": pa.array(top["tok"], pa.string()),
+             "cnt": pa.array(top["cnt"].to_numpy(dtype=np.int64))}
+        )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values(["cnt", "tok"], ascending=[False, True]).head(topk)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
+        partials.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp")
+        .map_groups(local_topk, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+    out = cand.to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values(
+        [by, "cnt", "tok"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
 # --------------------------------------------------------------- quantiles
 def grouped_quantiles_exact(
     ds: "Dataset",

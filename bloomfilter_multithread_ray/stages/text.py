@@ -48,6 +48,33 @@ def make_explode_token_counts_fn(col: str = "text"):
     return fn
 
 
+def make_explode_token_counts_by_fn(by_col: str = "source", col: str = "text"):
+    """batch → {by, tok, cnt} partial counts per (group, token)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = split_tokens(batch, col)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        ne = np.asarray(nonempty).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(ne)])
+        counts = np.diff(cum[offs])
+        by = batch.column(by_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({by_col: np.repeat(by, counts), "tok": np.asarray(flat)})
+        agg = df.groupby([by_col, "tok"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {by_col: pa.array(agg[by_col], pa.string()),
+             "tok": pa.array(agg["tok"], pa.string()),
+             "cnt": pa.array(agg["cnt"].to_numpy(dtype=np.int64))}
+        )
+
+    return fn
+
+
 def make_unique_tokens_fn(col: str = "text"):
     """batch → {tok} with per-batch dedupe (shrinks the distinct shuffle)."""
 
