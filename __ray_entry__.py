@@ -517,6 +517,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = pd.DataFrame({"doc_id": sk.sample_ids(), "h": sk.sample_hashes()})
         return df.sort_values("h").reset_index(drop=True)
 
+    def corpus_sample_weighted(sf_dir):
+        # length-weighted doc sample (A-ES keys from derived randomness
+        # — deterministic, partitioning-independent; distribution
+        # asserted in pytest)
+        import pyarrow as pa
+
+        stats_fn = T.make_doc_token_stats_fn()
+        ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            stats_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+        df = A.weighted_sample(ds, "n_tok", id_col="doc_id", k=50, seed=7)
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def sketch_lineage(sf_dir):
         # Checkpoint-resumable epoch build + per-partition lineage table.
         # Deterministic: seed-fixed corpus; a completed store is a no-op
@@ -564,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_quantiles_kll": ntok_quantiles_kll,
         "sketch_lineage": sketch_lineage,
         "corpus_sample": corpus_sample,
+        "corpus_sample_weighted": corpus_sample_weighted,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_keep": dedup_minhash_keep,
         "dedup_ngram_components": dedup_ngram_components,

@@ -343,6 +343,52 @@ def distinct_count_by_group_hll(ds: "Dataset", hash_fn, by: str, p: int = 14) ->
     return pd.DataFrame(out)
 
 
+def weighted_sample(
+    ds: "Dataset",
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Weighted random sample WITHOUT replacement: P(doc in sample) ∝
+    its weight (Efraimidis-Spirakis A-ES keys: key = u^(1/w), keep the
+    top-k) → {id_col, weight_col} sorted by key desc.
+
+    Randomness is DERIVED (splitmix64 of the id hash ⊕ seed), so the
+    sample is deterministic and partitioning-independent — re-running
+    on a re-sharded corpus yields the identical sample. Distribution
+    correctness (inclusion frequency ∝ weight across seeds) is
+    asserted in pytest. Scale shape: per-block partial top-k
+    (combiner), final merge sees k × blocks rows.
+    """
+    from ..functions.hashing import hash64_ints, hash_strings
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_integer(ids.type):
+            h = hash64_ints(ids.to_numpy(zero_copy_only=False).astype(np.int64), seed=seed or 1)
+        else:
+            h = hash_strings(ids, seed=seed or 1)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0  # (0, 1]
+        with np.errstate(divide="ignore"):
+            key = u ** (1.0 / np.maximum(w, 1e-300))
+        key = np.where(w > 0, key, -1.0)  # zero-weight rows never sampled
+        order = np.argsort(-key, kind="stable")[:k]
+        return pa.table(
+            {id_col: ids.take(pa.array(order, pa.int64())),
+             weight_col: t.column(weight_col).combine_chunks().take(pa.array(order, pa.int64())),
+             "akey": pa.array(key[order])}
+        )
+
+    partials = ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = partials.to_pandas()  # k × blocks rows — tiny
+    df = df[df["akey"] >= 0].sort_values("akey", ascending=False).head(k)
+    return df.drop(columns=["akey"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ set ops
 def source_overlap_exact(ds: "Dataset", unique_fn, src_a: str, src_b: str) -> pd.DataFrame:
     """Distinct-token set algebra (64-bit-hash exact, see

@@ -75,3 +75,40 @@ def test_quantile_sketches_rank_error(algo, rank_tol):
             # rank of the estimate within the exact values
             rank = np.searchsorted(v, est, side="right") / len(v)
             assert abs(rank - q) <= rank_tol + 2.0 / len(v), (src, name, est, rank)
+
+
+def test_weighted_sample_distribution_and_determinism():
+    """A-ES weighted sampling: inclusion frequency tracks weight across
+    seeds; identical sample under re-sharding (derived randomness)."""
+    import numpy as np
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    n = 400
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype="int64"),
+         # two weight classes: heavy docs 10x the light ones
+         "n_tok": np.where(np.arange(n) < 40, 1000, 100).astype("int32")}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    # determinism + partitioning independence
+    s1 = A.weighted_sample(ds, "n_tok", k=50, seed=3)
+    s2 = A.weighted_sample(ray.data.from_pandas(df).repartition(9), "n_tok", k=50, seed=3)
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+
+    # inclusion frequency: heavy docs (10% of rows, ~53% of weight)
+    # must be sampled far more often than light ones
+    heavy_rate, light_rate = [], []
+    for seed in range(1, 21):
+        s = A.weighted_sample(ds, "n_tok", k=50, seed=seed)
+        got = set(s["doc_id"])
+        heavy_rate.append(len([d for d in got if d < 40]) / 40)
+        light_rate.append(len([d for d in got if d >= 40]) / 360)
+    h, l = np.mean(heavy_rate), np.mean(light_rate)
+    assert h > 3 * l, (h, l)
+    # zero-weight rows never sampled
+    dfz = df.copy(); dfz.loc[dfz.doc_id >= 10, "n_tok"] = 0
+    sz = A.weighted_sample(ray.data.from_pandas(dfz).repartition(3), "n_tok", k=50, seed=5)
+    assert set(sz["doc_id"]) <= set(range(10))

@@ -38,3 +38,51 @@ def test_cli_build_probe_split(tmp_path):
 
     out = run("split", corpus, split, "-k", "4", "-P", "8", "--explode")
     assert out["rows"] == t.num_rows  # same gram count both paths
+
+
+def test_cli_build_probe_revcomp(ray_session, tmp_path):
+    """--canonical --revcomp builds persist complement='dna' and the
+    probe of the reverse-complement strand is all-member."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloomfilter_multithread_ray.__main__ import _run
+    from bloomfilter_multithread_ray.functions.hashing import DNA_COMPLEMENT
+
+    rng = np.random.default_rng(9)
+    seqs = [rng.integers(0, 4, size=80).astype(np.int32) for _ in range(4)]
+    data = str(tmp_path / "data.parquet")
+    query = str(tmp_path / "query.parquet")
+    pq.write_table(pa.table(
+        {"doc_id": pa.array([f"s{i}" for i in range(4)]),
+         "tokens": pa.array([list(map(int, s)) for s in seqs], pa.list_(pa.int32()))}
+    ), data)
+    pq.write_table(pa.table(
+        {"doc_id": pa.array([f"s{i}" for i in range(4)]),
+         "tokens": pa.array(
+             [list(map(int, DNA_COMPLEMENT[s][::-1])) for s in seqs], pa.list_(pa.int32())
+         )}
+    ), query)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "result")
+
+    import argparse
+    ns = argparse.Namespace(
+        cmd="build", data_in=data, store=store, k=9, partitions=8,
+        bits=1 << 16, hashes=4, salt_bits=0, canonical=True, revcomp=True,
+    )
+    assert _run(ns) == 0
+    cfg = json.load(open(f"{store}/manifest.json"))
+    assert cfg["complement"] == "dna" and cfg["canonical"] is True
+
+    ns = argparse.Namespace(
+        cmd="probe", query_in=query, store=store, result_out=out,
+        routed=False, sorted=False,
+    )
+    assert _run(ns) == 0
+    res = pq.read_table(out)
+    assert res.num_rows == 4 * (80 - 9 + 1)
+    assert all(res.column("member").to_pylist())
