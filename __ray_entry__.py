@@ -521,8 +521,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # length-weighted doc sample (A-ES keys from derived randomness
         # — deterministic, partitioning-independent; distribution
         # asserted in pytest)
-        import pyarrow as pa
-
         stats_fn = T.make_doc_token_stats_fn()
         ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
             stats_fn, batch_format="pyarrow", zero_copy_batch=True

@@ -197,27 +197,28 @@ def heavy_hitters_by_group(
 
     def local_topk(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
-        sums = df.groupby([by, "tok"], sort=False)["cnt"].sum().reset_index()
+        # dropna=False: a NULL group is a group (SQL GROUP BY semantics)
+        sums = df.groupby([by, "tok"], sort=False, dropna=False)["cnt"].sum().reset_index()
         sums = sums.sort_values(["cnt", "tok"], ascending=[False, True])
-        top = sums.groupby(by, sort=False).head(topk)
+        top = sums.groupby(by, sort=False, dropna=False).head(topk)
         return pa.table(
             {by: pa.array(top[by], pa.string()), "tok": pa.array(top["tok"], pa.string()),
              "cnt": pa.array(top["cnt"].to_numpy(dtype=np.int64))}
         )
 
-    def final_topk(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        df = df.sort_values(["cnt", "tok"], ascending=[False, True]).head(topk)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
     cand = (
         partials.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("tp")
         .map_groups(local_topk, batch_format="pyarrow")
-        .groupby(by)
-        .map_groups(final_topk, batch_format="pyarrow")
     )
+    # final re-rank of the tiny candidate set (P × groups × topk rows)
+    # runs driver-side — a second distributed shuffle for it would be
+    # pure task-launch overhead
     out = cand.to_pandas()
+    if out.empty:
+        return pd.DataFrame({by: [], "tok": [], "cnt": pd.array([], dtype="int64")})
+    out = out.sort_values(["cnt", "tok"], ascending=[False, True])
+    out = out.groupby(by, sort=False, dropna=False).head(topk)
     out["cnt"] = out["cnt"].astype("int64")
     return out.sort_values(
         [by, "cnt", "tok"], ascending=[True, False, True]
@@ -367,10 +368,12 @@ def weighted_sample(
         ids = t.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        # seed + 1: keeps every seed value distinct (hash64_ints treats
+        # seed=0 as "unseeded", which would alias two seeds)
         if pa.types.is_integer(ids.type):
-            h = hash64_ints(ids.to_numpy(zero_copy_only=False).astype(np.int64), seed=seed or 1)
+            h = hash64_ints(ids.to_numpy(zero_copy_only=False).astype(np.int64), seed=seed + 1)
         else:
-            h = hash_strings(ids, seed=seed or 1)
+            h = hash_strings(ids, seed=seed + 1)
         w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
         u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0  # (0, 1]
         with np.errstate(divide="ignore"):

@@ -230,7 +230,7 @@ def probe_bloom(
     num_partitions: int,
     canonical: bool = False,
     complement=None,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     batch_size: int | None = 1024,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
@@ -241,8 +241,17 @@ def probe_bloom(
     actor's ``ray.get`` maps the same plasma buffer zero-copy, so N
     actors share one in-memory copy per node instead of each paying a
     deserialize + unpack of the whole store.
+
+    ``concurrency`` defaults to about half the cluster's CPUs (capped
+    at 12): an actor pool equal to the WHOLE cluster starves the
+    upstream read / downstream aggregate operators and deadlocks the
+    stream (measured at num_cpus=4 with concurrency=4 — BASELINE.md).
     """
     import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, min(12, cpus // 2))
 
     payload: dict[int, object] = {}
     for p, s in shards.items():

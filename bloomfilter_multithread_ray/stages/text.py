@@ -48,24 +48,36 @@ def make_explode_token_counts_fn(col: str = "text"):
     return fn
 
 
+def _flat_nonempty_with_counts(batch: pa.Table, col: str):
+    """tokenized batch → (flat NON-EMPTY tokens, per-row counts).
+
+    The shared row-alignment kernel for the grouped token feeds: the
+    empty-token filter must shift the row offsets consistently (the
+    `offs - offs[0]` slice normalization carries the chunk-offset fix
+    from round 1 — keep every consumer on this one copy).
+    """
+    toks = split_tokens(batch, col)
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    ne = np.asarray(nonempty).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(ne)])
+    return flat, np.diff(cum[offs])
+
+
 def make_explode_token_counts_by_fn(by_col: str = "source", col: str = "text"):
     """batch → {by, tok, cnt} partial counts per (group, token)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        toks = split_tokens(batch, col)
-        flat = pc.list_flatten(toks)
-        nonempty = pc.not_equal(flat, "")
-        flat = flat.filter(nonempty)
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]
-        ne = np.asarray(nonempty).astype(np.int64)
-        cum = np.concatenate([[0], np.cumsum(ne)])
-        counts = np.diff(cum[offs])
+        flat, counts = _flat_nonempty_with_counts(batch, col)
         by = batch.column(by_col).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({by_col: np.repeat(by, counts), "tok": np.asarray(flat)})
-        agg = df.groupby([by_col, "tok"], sort=False).size().reset_index(name="cnt")
+        # dropna=False: a NULL group is a group (SQL GROUP BY semantics)
+        agg = df.groupby([by_col, "tok"], sort=False, dropna=False).size().reset_index(name="cnt")
         return pa.table(
             {by_col: pa.array(agg[by_col], pa.string()),
              "tok": pa.array(agg["tok"], pa.string()),
@@ -220,15 +232,7 @@ def make_token_hash_by_fn(by_col: str = "source", col: str = "text", seed: int =
     """batch → {by, gh} one hash per occurrence, tagged with the group."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = split_tokens(batch, col)
-        flat = pc.list_flatten(toks)
-        nonempty = pc.not_equal(flat, "")
-        flat = flat.filter(nonempty)
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]
-        ne = np.asarray(nonempty).astype(np.int64)
-        cum = np.concatenate([[0], np.cumsum(ne)])
-        counts = np.diff(cum[offs])
+        flat, counts = _flat_nonempty_with_counts(batch, col)
         by = batch.column(by_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {by_col: pa.array(np.repeat(by, counts), pa.string()),
