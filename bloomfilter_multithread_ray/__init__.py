@@ -5,8 +5,9 @@ A from-scratch rebuild of the capabilities of
 membership build + probe over streamed sequences; reference entry point
 ``src/main.cpp:58``) as an idiomatic Ray Data engine, widened per the
 north rule to the full mergeable-sketch family (Bloom, HyperLogLog,
-count-min, t-digest, KLL, MinHash, SimHash) plus the relational and
-training-data operators a 100 TB pipeline needs.
+count-min, t-digest, KLL, MinHash, SimHash, bottom-k/KMV,
+Misra-Gries) plus the relational, graph (connected components),
+join, and training-data operators a 100 TB pipeline needs.
 
 Layout
 ------

@@ -5,3 +5,5 @@ from .bloom import (  # noqa: F401
     probe_bloom,
     build_and_store,
 )
+from .graph import connected_components, keep_set_distributed  # noqa: F401
+from .join import hash_join  # noqa: F401
