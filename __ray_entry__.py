@@ -399,8 +399,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from bloomfilter_multithread_ray.pipelines.graph import keep_set_distributed
 
         docs = _docs(sf_dir, ["doc_id", "text"])
+        # dedupe=False: CC tolerates duplicate edges, skipping the
+        # pair-dedup sort-shuffle (same keep-set, one less all-to-all)
         kept = keep_set_distributed(
-            docs, D.minhash_lsh_pairs(docs, threshold=0.5), num_partitions=16
+            docs,
+            D.minhash_lsh_pairs(docs, threshold=0.5, dedupe=False),
+            num_partitions=16,
         )
         return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 

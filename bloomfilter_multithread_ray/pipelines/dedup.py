@@ -268,8 +268,14 @@ def minhash_lsh_pairs(
     bands: int | None = None,
     threshold: float = 0.5,
     max_bucket: int = 256,
+    dedupe: bool = True,
 ) -> "Dataset":
     """Near-duplicate pairs by MinHash-LSH → {doc_a, doc_b, est_jaccard}.
+
+    ``dedupe=False`` skips the final pair-dedup groupby (a full
+    sort-shuffle): a pair surfacing in several bands is then emitted
+    once per band. Consumers with multiset-tolerant semantics —
+    connected components / keep-set construction — save that shuffle.
 
     ``bands`` defaults to :func:`pick_lsh_bands`: tuned so the LSH
     s-curve midpoint sits below ``threshold`` (e.g. threshold=0.5,
@@ -304,6 +310,8 @@ def minhash_lsh_pairs(
             batch_format="pyarrow",
         )
     )
+    if not dedupe:
+        return pairs
     # same pair can surface in several bands → dedupe on the pair key
     from ray.data.aggregate import Max
 

@@ -129,3 +129,21 @@ def test_cc_arrays_property_random_graphs():
         nodes, comp = _cc_arrays(a, b)
         want = _uf_components(pd.DataFrame({"doc_a": a, "doc_b": b}))
         assert dict(zip(nodes, comp)) == want, f"trial {trial}"
+
+
+def test_keep_set_from_raw_band_pairs_equals_deduped():
+    """dedupe=False pair feed (duplicate edges per band) must yield the
+    identical keep-set — CC is multiset-tolerant."""
+    from bloomfilter_multithread_ray.pipelines.dedup import minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    kept_dedup = sorted(
+        keep_set_distributed(docs, minhash_lsh_pairs(docs, threshold=0.5))
+        .to_pandas()["doc_id"]
+    )
+    kept_raw = sorted(
+        keep_set_distributed(docs, minhash_lsh_pairs(docs, threshold=0.5, dedupe=False))
+        .to_pandas()["doc_id"]
+    )
+    assert kept_raw == kept_dedup
