@@ -94,9 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from bloomfilter_multithread_ray.stages import text as T
 
     def _docs(sf_dir, cols):
-        import ray.data
-
-        return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+        # size-aware block count (see relational.read): downstream
+        # shuffles pay fixed latency per upstream block
+        return R.read(sf_dir, "documents", cols)
 
     # ---- exact mode (DuckDB-checkable) ----
     def distinct_tokens(sf_dir):
@@ -173,12 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from bloomfilter_multithread_ray.pipelines.join import hash_join
 
-        orders = ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
-        )
-        cust = ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-        )
+        orders = R.read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = R.read(sf_dir, "customer", ["c_custkey", "c_name"])
         out = hash_join(
             orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
             num_partitions=32,
@@ -194,15 +190,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from bloomfilter_multithread_ray.pipelines.join import hash_join
 
-        cust = ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-        )
+        cust = R.read(sf_dir, "customer", ["c_custkey", "c_name"])
         import pyarrow.dataset as pads
 
         orders = ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey"],
             filter=pads.field("o_totalprice") > 300000.0,
+            override_num_blocks=8,
         )
         out = hash_join(cust, orders, on="c_custkey", right_on="o_custkey", how="anti")
         df = out.to_pandas()
@@ -232,9 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_ivf(sf_dir):
         import ray.data
 
-        emb = ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
+        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
         ids, V = S.load_embeddings(sf_dir)
         C = S.train_ivf_centroids(V[:: max(1, len(V) // 200)], n_clusters=16)
         qids, Q = S.load_query_matrix(sf_dir, 10)
@@ -243,9 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_embedding_lsh(sf_dir):
         import ray.data
 
-        emb = ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
+        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
         pairs = S.embedding_dup_pairs_lsh(emb, tau=0.4, nbits=6, n_tables=6)
         return (
             pairs.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
@@ -439,9 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_embedding(sf_dir):
         import ray.data
 
-        emb = ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
+        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
         ids, V = S.load_embeddings(sf_dir)
         pairs = S.embedding_dup_pairs(emb, ids, V, tau=0.4)
         return (
@@ -452,18 +441,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_topk(sf_dir):
         import ray.data
 
-        emb = ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
+        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
         qids, Q = S.load_query_matrix(sf_dir, 10)
         return S.ann_topk_exact(emb, qids, Q, k=5)
 
     def ann_lsh(sf_dir):
         import ray.data
 
-        emb = ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
+        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
         qids, Q = S.load_query_matrix(sf_dir, 10)
         return S.ann_lsh(emb, qids, Q, k=5)
 
