@@ -128,7 +128,9 @@ def run_flagship(sf: float, store_dir: str, *, warm_up: int = 0, reps: int = 1) 
     # operators (a pool equal to the whole cluster deadlocks the stream)
     t0 = time.perf_counter()
     probe = probe_bloom(
-        ray.data.read_parquet(path, columns=["doc_id", "tokens"]),
+        ray.data.read_parquet(
+            path, columns=["doc_id", "tokens"], override_num_blocks=nblocks
+        ),
         shards,
         k=BLOOM["k"],
         num_partitions=BLOOM["num_partitions"],
