@@ -3,36 +3,32 @@
 The round-1 keep-set ran union-find over the pair list on the driver
 (`dedup.keep_set_from_pairs`) — a driver-memory scale-killer at 100 TB
 (VERDICT round 1, wrong #2). This module is the distributed
-replacement: iterative hash-partitioned min-label propagation with
-pointer jumping.
+replacement: **alternating star contraction** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14):
 
-Algorithm (per round, two fixed-P shuffles, everything vectorized):
+    repeat:  E <- large-star(E);  E <- small-star(E)   until E stable
 
-1. every node starts labeled with itself;
-2. messages: each undirected edge delivers each endpoint's current
-   label to the other endpoint; each node also messages itself
-   (keeps its label) AND plants a jump edge ``(L(v) -> v)`` so the
-   next round delivers ``L(L(v))`` to v (pointer DOUBLING — rounds
-   grow with log(diameter), not diameter);
-3. new label = min over received messages. Labels are monotone
-   non-increasing and bounded below by the component minimum, so the
-   fixpoint (no label changed) IS the component labeling; the driver
-   detects it with a one-row Sum aggregate per round (labels only
-   decrease, so an unchanged sum means an unchanged labeling).
+- large-star(u): every neighbor v > u re-attaches to m = min(Γ(u)∪{u});
+- small-star(u): u and its smaller neighbors attach to m = min(Γ⁻(u)).
 
-Invariant that keeps the node set closed: initial labels are node
-ids, min-combining never invents ids, so every message target
-(edge endpoint, self, or label value) is an original endpoint —
-the output has exactly one row per node appearing in the pair list.
+Each operation is ONE fixed-P shuffle keyed on the center node + one
+numpy segment kernel per partition (sort / reduceat / local dedup) —
+never one Ray group per node (BASELINE.md per-GROUP overhead note).
+The edge set CONTRACTS toward a star forest {(v, component-min)}, so
+total work across rounds is a small multiple of |E| and round count is
+O(log² n) proven / single digits in practice — measured on a 2M-edge
+near-critical random graph: 7 rounds / 29 s at 32 cpus, vs 60 rounds
+/ 275 s for the pointer-halving label propagation it replaced.
+Convergence is detected with a (count, multiset-checksum) pair per
+round (two tiny aggregates); nothing lands on the driver. E
+materializes once per operation (the iterative-algorithm exception),
+coalesced back to P blocks each time — sort output block counts track
+their input, so skipping the coalesce makes rounds grow linearly.
 
-Per round the edge/label rows shuffle on ``node % P`` with a FIXED
-partition count and one numpy kernel per partition (sort +
-searchsorted + minimum.reduceat) — never one Ray group per node
-(BASELINE.md per-GROUP overhead note). The pair list streams through
-the object store; nothing lands on the driver except the 1-row
-convergence aggregate. Labels materialize once per round (the
-iterative-algorithm exception to no-mid-pipeline-materialize: each
-round's labels feed the next round's lookup AND the convergence sum).
+Canonical invariants: E holds each undirected edge once as (u > v),
+self-loop-free; same-u rows share a partition, so per-partition dedup
+is global. Input self-pairs ride along as singleton labels (the
+output keeps one row per node appearing in the pair list).
 """
 
 from __future__ import annotations
@@ -143,93 +139,146 @@ def connected_components(
             pa.table({"node": pa.array(nodes), "comp": pa.array(comp)})
         )
 
-    def init_labels(g: pa.Table) -> pa.Table:
-        # L0(v) = min(v, direct neighbors) — one vectorized pass over
-        # the partition's (src-sorted) edges; saves a propagation round
-        src = g.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = g.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(src, kind="stable")
-        src, dst = src[order], dst[order]
-        starts = np.flatnonzero(np.diff(src, prepend=src[0] - 1)) if len(src) else np.array([], np.int64)
-        nodes = src[starts]
-        lab = np.minimum(nodes, np.minimum.reduceat(dst, starts) if len(starts) else nodes)
-        return pa.table({"node": pa.array(nodes), "lab": pa.array(lab)})
+    # ---------------- distributed path: alternating star contraction
+    # (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    # SoCC'14): repeat  E <- large-star(E); E <- small-star(E)  until E
+    # is stable. Both operations are one fixed-P shuffle + one numpy
+    # segment kernel; unlike label propagation the EDGE SET CONTRACTS
+    # toward stars (v -> component-min), so total work across rounds is
+    # a small multiple of |E|, and round count is O(log^2 n) proven /
+    # single digits in practice (the 2M-edge stress graph: 7 rounds vs
+    # 60 for pointer-halving label propagation).
+    #
+    # Invariant: E is canonical (u > v), self-loop-free, deduplicated
+    # per u-partition (same u => same partition, so per-partition
+    # dedup is global). Self-pairs in the INPUT only matter for the
+    # node-appears contract; their nodes ride along as singletons.
 
-    labels = edges.groupby("ep").map_groups(init_labels, batch_format="pyarrow").materialize()
-
-    def edge_carrier(t: pa.Table) -> pa.Table:
+    def canonicalize(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src > dst  # sym_edges emitted both directions; keep one
         return pa.table(
-            {"ep": t.column("ep"), "src": t.column("src"), "dst": t.column("dst"),
-             "lab": pa.array(np.full(t.num_rows, -1, dtype=np.int64))}
+            {"ep": pa.array((src[keep] % P).astype(np.int32)),
+             "u": pa.array(src[keep]), "v": pa.array(dst[keep])}
         )
 
-    def label_carrier(t: pa.Table) -> pa.Table:
-        """Two row kinds per label: the label row itself (src's
-        partition, used for lookups + self message) and a JUMP EDGE
-        ``(src=L(v), dst=v)`` — resolved like any edge, it delivers
-        ``L(L(v))`` to v next round (pointer doubling → rounds grow
-        with log(diameter), verified on a 400-node chain in tests)."""
-        node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = t.column("lab").to_numpy(zero_copy_only=False).astype(np.int64)
-        jump = lab != node
-        src = np.concatenate([node, lab[jump]])
-        dst = np.concatenate([node, node[jump]])
-        labv = np.concatenate([lab, np.full(int(jump.sum()), -1, dtype=np.int64)])
-        return pa.table(
-            {"ep": pa.array((src % P).astype(np.int32)),
-             "src": pa.array(src), "dst": pa.array(dst), "lab": pa.array(labv)}
-        )
+    def singleton_nodes(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.unique(src[src == dst])
+        return pa.table({"node": pa.array(s), "lab": pa.array(s)})
 
-    def resolve_partition(g: pa.Table) -> pa.Table:
-        """One src-partition → all outgoing messages:
-        edge-resolved (dst, lab(src)), self (node, lab), and pointer
-        jump (L(node), lab)."""
-        lab_np = g.column("lab").to_numpy(zero_copy_only=False).astype(np.int64)
-        src_np = g.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        lab_mask = lab_np >= 0
-        ln, lv = src_np[lab_mask], lab_np[lab_mask]
-        order = np.argsort(ln, kind="stable")
-        ln, lv = ln[order], lv[order]
-        es = src_np[~lab_mask]
-        ed = g.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)[~lab_mask]
-        if len(es):
-            idx = np.searchsorted(ln, es)
-            if len(ln) == 0 or (idx >= len(ln)).any() or (ln[idx] != es).any():
-                raise RuntimeError("edge endpoint missing from label set (invariant breach)")
-            msg_node = np.concatenate([ed, ln])
-            msg_lab = np.concatenate([lv[idx], lv])
-        else:
-            msg_node, msg_lab = ln, lv
-        return pa.table(
-            {"np_": pa.array((msg_node % P).astype(np.int32)),
-             "node": pa.array(msg_node), "lab": pa.array(msg_lab)}
-        )
+    singles = edges.map_batches(singleton_nodes, batch_format="pyarrow", zero_copy_batch=True)
+    E = edges.map_batches(canonicalize, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    prev_sum: int | None = None
+    _CK = np.uint64(0x9E3779B97F4A7C15)
+
+    def _checksum_cols(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        from ..functions.hashing import splitmix64
+
+        with np.errstate(over="ignore"):
+            h = splitmix64(splitmix64(u.astype(np.uint64)) + v.astype(np.uint64) * _CK)
+        return (h >> np.uint64(34)).astype(np.int64)  # 30-bit: Sum-safe
+
+    def star_op(large: bool):
+        def expand(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            if large:
+                # every endpoint is a center; neighbors via both directions
+                c = np.concatenate([u, v])
+                n = np.concatenate([v, u])
+            else:
+                c, n = u, v  # canonical u > v: center = max, nbr = min
+            return pa.table(
+                {"cp": pa.array((c % P).astype(np.int32)), "c": pa.array(c), "n": pa.array(n)}
+            )
+
+        def kernel(g: pa.Table) -> pa.Table:
+            c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((n, c))
+            c, n = c[order], n[order]
+            dup = np.zeros(len(c), dtype=bool)
+            dup[1:] = (c[1:] == c[:-1]) & (n[1:] == n[:-1])
+            c, n = c[~dup], n[~dup]
+            if len(c) == 0:
+                e = pa.array([], pa.int64())
+                return pa.table({"ep": pa.array([], pa.int32()), "u": e, "v": e,
+                                 "h": e})
+            starts = np.flatnonzero(np.diff(c, prepend=c[0] - 1))
+            lens = np.diff(np.concatenate([starts, [len(c)]]))
+            min_n = n[starts]  # n ascending within segment
+            if large:
+                m = np.minimum(c[starts], min_n)
+                m_full = np.repeat(m, lens)
+                mask = n > c  # emit (nbr, m) for larger neighbors
+                out_u, out_v = n[mask], m_full[mask]
+            else:
+                m = min_n  # center is the max endpoint; min nbr < c
+                m_full = np.repeat(m, lens)
+                mask = n != m_full  # smaller nbrs attach to m
+                out_u = np.concatenate([n[mask], c[starts]])
+                out_v = np.concatenate([m_full[mask], m])
+            # output is canonical (out_u > out_v) by construction;
+            # dedupe locally to bound growth
+            if len(out_u):
+                o = np.lexsort((out_v, out_u))
+                out_u, out_v = out_u[o], out_v[o]
+                d = np.zeros(len(out_u), dtype=bool)
+                d[1:] = (out_u[1:] == out_u[:-1]) & (out_v[1:] == out_v[:-1])
+                out_u, out_v = out_u[~d], out_v[~d]
+            return pa.table(
+                {"ep": pa.array((out_u % P).astype(np.int32)),
+                 "u": pa.array(out_u), "v": pa.array(out_v),
+                 "h": pa.array(_checksum_cols(out_u, out_v))}
+            )
+
+        return expand, kernel
+
+    prev_state: tuple[int, int] | None = None
     for _ in range(max_iters):
-        tagged = edges.map_batches(
-            edge_carrier, batch_format="pyarrow", zero_copy_batch=True
-        ).union(labels.map_batches(label_carrier, batch_format="pyarrow", zero_copy_batch=True))
-        labels = (
-            tagged.groupby("ep")
-            .map_groups(resolve_partition, batch_format="pyarrow")
-            .groupby("np_")
-            .map_groups(_min_label_per_node, batch_format="pyarrow")
-            # coalesce (no shuffle): sort-shuffle output block count
-            # tracks its INPUT block count, so without this the labels
-            # dataset gains +input blocks every round and per-round
-            # latency grows linearly (measured: 3.5 s -> 52 s by round
-            # 10 on a 2M-edge graph; constant ~3.5 s with the coalesce)
-            .repartition(P, shuffle=False)
-            .materialize()
-        )
-        cur_sum = int(labels.sum("lab") or 0)
-        if prev_sum is not None and cur_sum == prev_sum:
+        for large in (True, False):
+            expand, kernel = star_op(large)
+            E = (
+                E.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("cp")
+                .map_groups(kernel, batch_format="pyarrow")
+                # coalesce (no shuffle): sort output block count tracks
+                # its input block count — without this E gains blocks
+                # every round and round latency grows linearly
+                .repartition(P, shuffle=False)
+                .materialize()
+            )
+        state = (E.count(), int(E.sum("h") or 0))
+        if state == prev_state:
             break
-        prev_sum = cur_sum
+        prev_state = state
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
 
+    # at the fixpoint E is a star forest {(v, root)}: labels are the
+    # edges plus a self-label per root (and input self-pair singletons)
+    def star_labels(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(np.concatenate([u, v])),
+             "lab": pa.array(np.concatenate([v, v]))}
+        )
+
+    def add_np(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        return t.append_column("np_", pa.array((node % P).astype(np.int32)))
+
+    labels = (
+        E.map_batches(star_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .union(singles)
+        .map_batches(add_np, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("np_")
+        .map_groups(_min_label_per_node, batch_format="pyarrow")
+    )
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "comp"]),
         batch_format="pyarrow",

@@ -147,3 +147,14 @@ def test_keep_set_from_raw_band_pairs_equals_deduped():
         .to_pandas()["doc_id"]
     )
     assert kept_raw == kept_dedup
+
+
+def test_self_pairs_appear_as_singletons():
+    """A node appearing only in a self-pair still gets an output row
+    (comp = itself) — the node-appears contract."""
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 7, 9], "doc_b": [2, 7, 9]}
+    ).astype("int64")
+    got = _cc(pairs)  # forced distributed path
+    comp = dict(zip(got["node"], got["comp"]))
+    assert comp == {1: 1, 2: 1, 7: 7, 9: 9}
