@@ -321,7 +321,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df
 
     # ---- text analysis ----
+    from bloomfilter_multithread_ray.pipelines import text_stats as TS
     from bloomfilter_multithread_ray.stages import quality as Q
+
+    def tfidf_top_terms(sf_dir):
+        return TS.tfidf_top_terms(sf_dir, topk=3)
+
+    def vocab_coverage(sf_dir):
+        return TS.vocab_coverage(sf_dir, vocab_size=100)
 
     def doc_quality(sf_dir):
         ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -578,6 +585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr_check": bloom_fpr_check,
         "multimodal_features": multimodal_features,
         "doc_quality": doc_quality,
+        "tfidf_top_terms": tfidf_top_terms,
+        "vocab_coverage": vocab_coverage,
         "heavy_hitters_by_source": heavy_hitters_by_source,
         "distinct_by_source": distinct_by_source,
         "distinct_by_source_hll": distinct_by_source_hll,
@@ -818,6 +827,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.vec_id < b.vec_id "
             "WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4 "
             "ORDER BY vec_a, vec_b"
+        ),
+        # tf-idf top-3 per doc: idf = ln(N/df); ranking by the ROUNDED
+        # score (desc, term asc) on both sides -> identical order
+        "tfidf_top_terms": (
+            "WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term), "
+            "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n FROM documents), "
+            "s AS (SELECT doc_id, tf.term, tf, "
+            "ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf "
+            "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n), "
+            "r AS (SELECT doc_id, term, tf, tfidf, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s) "
+            "SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3 "
+            "ORDER BY doc_id, tfidf DESC, term"
+        ),
+        # top-100 vocabulary coverage: integer sums, one rounded division
+        "vocab_coverage": (
+            "WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "c AS (SELECT tok, COUNT(*) AS cnt FROM w GROUP BY tok), "
+            "t AS (SELECT SUM(cnt) AS total FROM c), "
+            "v AS (SELECT cnt FROM c ORDER BY cnt DESC, tok LIMIT 100) "
+            "SELECT CAST(100 AS INT) AS vocab_size, CAST(t.total AS BIGINT) AS total_tokens, "
+            "ROUND(CAST((SELECT SUM(cnt) FROM v) AS DOUBLE) / t.total, 6) AS coverage FROM t"
         ),
         "doc_quality": (
             "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "

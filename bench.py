@@ -190,6 +190,55 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _burn(args) -> int:
+    """Cache-resident uint64 mul/xor loop — pure-CPU yardstick."""
+    import numpy as np
+
+    seconds = args
+    a = np.arange(100_000, dtype=np.uint64)  # ~800 KB, L2-resident
+    b = a.copy()
+    g = np.uint64(0x9E3779B97F4A7C15)
+    for _ in range(50):  # warm pages + code paths, untimed
+        np.multiply(a, g, out=b)
+        np.bitwise_xor(b, a, out=b)
+    t_end = time.perf_counter() + seconds
+    it = 0
+    while time.perf_counter() < t_end:
+        np.multiply(a, g, out=b)
+        np.bitwise_xor(b, a, out=b)
+        it += 1
+    return it
+
+
+def run_cpu_ceiling(low: int = 8, high: int = 32, seconds: float = 5.0) -> dict:
+    """Hardware scaling ceiling, independent of Ray and of this engine.
+
+    Runs an embarrassingly-parallel, cache-resident (no DRAM traffic,
+    no shuffle, no Python in the loop) numpy kernel on ``low`` and
+    ``high`` worker processes and reports aggregate throughput at both.
+    The resulting efficiency is the PHYSICAL upper bound any job can
+    reach between those two parallelism levels on this host — if the
+    box exposes SMT siblings or overcommitted vCPUs past its physical
+    cores, even a perfectly parallel job lands below 1.0 here.
+    """
+    import multiprocessing as mp
+
+    agg = {}
+    for n in (low, high):
+        with mp.Pool(n) as p:
+            agg[n] = sum(p.map(_burn, [seconds] * n))
+    eff = (agg[high] / agg[low]) / (high / low)
+    return {
+        "metric": "cpu_scaling_ceiling",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "procs_low": low,
+        "procs_high": high,
+        "iters_low": agg[low],
+        "iters_high": agg[high],
+    }
+
+
 def scaling_child(sf: float, num_cpus: int) -> None:
     import ray
 
@@ -266,6 +315,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpu-ceiling", action="store_true",
+                    help="measure the host's hardware scaling ceiling "
+                         "(pure-CPU, Ray-free) between --low and --high procs")
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--_scaling-child", type=int, default=None, dest="scaling_child")
@@ -275,6 +327,10 @@ def main() -> None:
 
     if args.scaling_child is not None:
         scaling_child(sf, args.scaling_child)
+        return
+
+    if args.cpu_ceiling:
+        print(json.dumps(run_cpu_ceiling(args.low, args.high)))
         return
 
     if args.scaling:

@@ -176,17 +176,16 @@ def kgram_hashes_flat(
         H = np.minimum(H, Hr)
     H = splitmix64(H)
 
-    # valid window starts: start >= row_start and start + k <= row_end
-    nw = len(H)
-    starts = np.arange(nw, dtype=np.int64)
-    # row of each start position
-    row_of_start = np.searchsorted(offsets, starts, side="right") - 1
-    row_end = offsets[row_of_start + 1]
-    valid = starts + k <= row_end
-    starts = starts[valid]
-    row_index = row_of_start[valid]
-    pos = (starts - offsets[row_index]).astype(np.int32)
-    return H[valid], row_index, pos
+    # valid window starts per row, by segment arithmetic (O(n), no
+    # searchsorted): row i contributes max(len_i - k + 1, 0) windows
+    # starting at offsets[i]
+    lens = np.diff(offsets)
+    wins = np.maximum(lens - k + 1, 0)
+    row_index = np.repeat(np.arange(len(wins), dtype=np.int64), wins)
+    cw = np.concatenate(([0], np.cumsum(wins)))
+    pos = (np.arange(cw[-1], dtype=np.int64) - cw[row_index]).astype(np.int32)
+    starts = offsets[row_index] + pos
+    return H[starts], row_index, pos
 
 
 def kgram_hashes(tokens_list, k: int, **kw) -> list[np.ndarray]:
@@ -208,4 +207,8 @@ def partition_of(hashes: np.ndarray, num_partitions: int) -> np.ndarray:
     note on #3/#6: minimizer partitioning is skewed by construction;
     uniform hash mod preserves correctness with better balance).
     """
-    return (np.asarray(hashes, dtype=UINT64) % UINT64(num_partitions)).astype(np.int32)
+    h = np.asarray(hashes, dtype=UINT64)
+    if num_partitions & (num_partitions - 1) == 0:
+        # power of two → bit mask (same result as %, cheaper per element)
+        return (h & UINT64(num_partitions - 1)).astype(np.int32)
+    return (h % UINT64(num_partitions)).astype(np.int32)

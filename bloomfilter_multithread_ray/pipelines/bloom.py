@@ -64,16 +64,29 @@ def build_partitioned_bloom(
     un-salted by a second tiny merge groupby — possible only because
     the sketches are mergeable (SURVEY §4 skew).
     """
-    hash_fn = make_kgram_hash_fn(
-        k, num_partitions, tokens_col=tokens_col, canonical=canonical,
-        complement=complement, salt_bits=salt_bits
-    )
     factory = lambda: BloomFilter(bits_per_partition, num_hashes)  # noqa: E731
-    hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
-    # map-side combine: one partial per (block, part) so the shuffle
-    # moves blob rows, not per-gram hash rows
-    partials = hashed.map_batches(
-        make_partial_combiner(factory), batch_format="pyarrow", zero_copy_batch=True
+    combiner = make_partial_combiner(factory)
+
+    # fused hash + map-side combine: one UDF goes tokens → sparse
+    # partial blobs at the numpy level, never materializing the
+    # intermediate (part, gh) Arrow table (a 1M-row round-trip per
+    # block); the shuffle still moves O(blocks × partitions) blob
+    # rows, not hash rows
+    def hash_and_combine(batch: pa.Table) -> pa.Table:
+        flat, offsets = list_column_to_numpy(batch, tokens_col)
+        gh, _, _ = kgram_hashes_flat(
+            flat, offsets, k, canonical=canonical, complement=complement
+        )
+        part = partition_of(gh, num_partitions)
+        if salt_bits:
+            salt = (gh >> np.uint64(40)) & np.uint64((1 << salt_bits) - 1)
+            part = (
+                part.astype(np.int64) * (1 << salt_bits) + salt.astype(np.int64)
+            ).astype(np.int32)
+        return combiner.from_arrays(part, gh)
+
+    partials = ds.map_batches(
+        hash_and_combine, batch_format="pyarrow", zero_copy_batch=True
     )
     sketches = partials.groupby("part").aggregate(PartialMergeAgg(factory))
     if salt_bits:

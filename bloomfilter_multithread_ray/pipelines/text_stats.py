@@ -1,0 +1,171 @@
+"""Corpus-level text statistics: TF-IDF term ranking and vocabulary
+coverage.
+
+Training-data curation operators over the ``documents`` table, built on
+the same fixed-partition shuffle discipline as the rest of the repo
+(BASELINE.md "wide-operator scale pattern"): fine-grained keys (term,
+doc) never become Ray groups — every wide step shuffles on
+``hash(key) % P`` with fixed P and runs one vectorized kernel per
+partition.
+
+Reference lineage: the reference's only "frequency" structure is the
+Bloom build's per-partition accumulation (``src/SkmerSplitter.cpp:80-85``);
+these operators are the north-rule widening of that grouped-aggregate
+shape to document statistics (SURVEY §2 coverage note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash_strings
+from ..stages.text import _flat_nonempty_with_counts
+from .relational import read
+
+P_SHUF = 64
+
+
+def _doc_term_tf(batch: pa.Table, id_col: str = "doc_id", col: str = "text") -> pa.Table:
+    """batch → {doc_id, term, tf, tpart} — per-document term frequencies.
+
+    One document lives in exactly one row, so per-batch (doc, term)
+    aggregation is already globally distinct — the downstream term
+    shuffle moves one row per (doc, term), never per occurrence.
+    """
+    flat, counts = _flat_nonempty_with_counts(batch, col)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"doc_id": np.repeat(ids, counts), "term": np.asarray(flat)})
+    agg = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+    tpart = (hash_strings(agg["term"]) % np.uint64(P_SHUF)).astype(np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array(agg["doc_id"].to_numpy()),
+            "term": pa.array(agg["term"], pa.string()),
+            "tf": pa.array(agg["tf"].to_numpy(np.int64)),
+            "tpart": pa.array(tpart),
+        }
+    )
+
+
+def tfidf_top_terms(sf_dir: str, topk: int = 3, round_dp: int = 6) -> pd.DataFrame:
+    """Top-``topk`` TF-IDF terms per document.
+
+    tf = raw term count in the document; idf = ln(N / df) with
+    df = number of documents containing the term, N = total documents.
+    Ranking uses the ROUNDED score (desc, then term asc) so the order
+    is bit-identical to the SQL oracle.
+
+    Scale shape: two fixed-P shuffles —
+      1. by ``hash(term) % P``: every (doc, term) row of one term lands
+         in one partition, so df and the per-row score are computed in
+         one vectorized pass (no separate DF table, no join);
+      2. by ``doc_id % P``: per-document ranking in one sort +
+         ``groupby.head`` per partition.
+    Nothing driver-side is O(corpus); the result is O(docs × topk).
+    """
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def score_terms(g: pa.Table) -> pa.Table:
+        gdf = g.to_pandas()
+        df_per_term = gdf.groupby("term", sort=False)["term"].transform("size")
+        idf = np.log(float(n_docs) / df_per_term.to_numpy(np.float64))
+        tfidf = np.round(gdf["tf"].to_numpy(np.float64) * idf, round_dp)
+        dpart = (gdf["doc_id"].to_numpy(np.int64) % P_SHUF).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(gdf["doc_id"].to_numpy()),
+                "term": pa.array(gdf["term"], pa.string()),
+                "tf": pa.array(gdf["tf"].to_numpy(np.int64)),
+                "tfidf": pa.array(tfidf),
+                "dpart": pa.array(dpart),
+            }
+        )
+
+    def rank_per_doc(g: pa.Table) -> pa.Table:
+        gdf = (
+            g.to_pandas()
+            .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
+            .groupby("doc_id", sort=False)
+            .head(topk)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(gdf["doc_id"].to_numpy()),
+                "term": pa.array(gdf["term"], pa.string()),
+                "tf": pa.array(gdf["tf"].to_numpy(np.int64)),
+                "tfidf": pa.array(gdf["tfidf"].to_numpy(np.float64)),
+            }
+        )
+
+    out = (
+        docs.map_batches(_doc_term_tf, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tpart")
+        .map_groups(score_terms, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(rank_per_doc, batch_format="pyarrow")
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+def vocab_coverage(sf_dir: str, vocab_size: int = 100, round_dp: int = 6) -> pd.DataFrame:
+    """Coverage of the top-``vocab_size`` vocabulary: the fraction of
+    all token occurrences captured by the most frequent terms
+    (tokenizer-design yardstick: how big must V be to cover the corpus).
+
+    Scale shape: per-batch partial counts (`value_counts` combiner) →
+    one fixed-P shuffle on ``hash(term) % P`` → per-partition total +
+    local top-V (cnt desc, term asc) → driver merges P × V candidate
+    rows (every global top-V term is in its partition's local top-V
+    because all rows of one term share a partition). Driver work is
+    O(P × V), never O(vocab).
+    """
+    from ..stages.text import make_explode_token_counts_fn
+
+    docs = read(sf_dir, "documents", ["text"])
+    explode = make_explode_token_counts_fn()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        t = explode(batch)
+        part = (hash_strings(t.column("tok").to_pandas()) % np.uint64(P_SHUF)).astype(
+            np.int32
+        )
+        return t.append_column("part", pa.array(part))
+
+    def local_top(g: pa.Table) -> pa.Table:
+        gdf = g.to_pandas()
+        totals = gdf.groupby("tok", sort=False)["cnt"].sum().reset_index()
+        ptotal = int(totals["cnt"].sum())
+        top = totals.sort_values(["cnt", "tok"], ascending=[False, True]).head(vocab_size)
+        part = int(gdf["part"].iloc[0]) if len(gdf) else -1
+        return pa.table(
+            {
+                "part": pa.array(np.full(len(top), part, np.int32)),
+                "tok": pa.array(top["tok"], pa.string()),
+                "cnt": pa.array(top["cnt"].to_numpy(np.int64)),
+                "ptotal": pa.array(np.full(len(top), ptotal, np.int64)),
+            }
+        )
+
+    cand = (
+        docs.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(local_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = int(cand.drop_duplicates("part")["ptotal"].sum())
+    top = cand.sort_values(["cnt", "tok"], ascending=[False, True]).head(vocab_size)
+    covered = int(top["cnt"].sum())
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.array([vocab_size], dtype="int32"),
+            "total_tokens": pd.array([total], dtype="int64"),
+            "coverage": [round(covered / total, round_dp)],
+        }
+    )

@@ -223,9 +223,7 @@ def make_partial_combiner(factory: Callable[[], Sketch], on: str = "gh"):
     """
     helper = SketchAgg(factory, on=on)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        part = batch.column("part").to_numpy(zero_copy_only=False)
-        gh = batch.column(on).to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    def from_arrays(part: np.ndarray, gh: np.ndarray) -> pa.Table:
         order = np.argsort(part, kind="stable")
         part_s, gh_s = part[order], gh[order]
         bounds = np.flatnonzero(np.diff(part_s, prepend=part_s[0] - 1)) if len(part_s) else []
@@ -258,6 +256,12 @@ def make_partial_combiner(factory: Callable[[], Sketch], on: str = "gh"):
              "partial": pa.array(blobs, pa.binary())}
         )
 
+    def fn(batch: pa.Table) -> pa.Table:
+        part = batch.column("part").to_numpy(zero_copy_only=False)
+        gh = batch.column(on).to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        return from_arrays(part, gh)
+
+    fn.from_arrays = from_arrays  # array-level entry for fused stages
     return fn
 
 
