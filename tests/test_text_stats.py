@@ -1,0 +1,97 @@
+"""TF-IDF and vocabulary-coverage pipeline tests (synthetic corpus +
+DuckDB cross-check, plus edge cases the fixture tables don't cover)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bloomfilter_multithread_ray.pipelines import text_stats as TS
+
+
+@pytest.fixture(scope="module")
+def mini_corpus(tmp_path_factory, ray_session):
+    """Tiny deterministic corpus with ties, repeats, and an empty doc."""
+    d = tmp_path_factory.mktemp("text_stats_sf")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "apple banana apple cherry",
+                "banana banana date",
+                "apple cherry cherry cherry",
+                "",  # no tokens → no tf-idf rows
+                "egg egg egg egg",  # unique-term doc: idf = ln(5/1)
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": pa.array([0] * 5, pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+TFIDF_SQL = (
+    "WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term), "
+    "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT COUNT(*) AS n FROM documents), "
+    "s AS (SELECT doc_id, tf.term, tf, ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf "
+    "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n), "
+    "r AS (SELECT doc_id, term, tf, tfidf, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s) "
+    "SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 2 "
+    "ORDER BY doc_id, tfidf DESC, term"
+)
+
+
+def test_tfidf_matches_duckdb_on_mini_corpus(mini_corpus):
+    got = TS.tfidf_top_terms(mini_corpus, topk=2)
+    exp = _oracle(mini_corpus, TFIDF_SQL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # the empty doc contributes no rows
+    assert 4 not in set(got["doc_id"])
+    # doc 5's only term has df=1 → idf = ln(5), tf = 4
+    egg = got[got["doc_id"] == 5]
+    assert list(egg["term"]) == ["egg"]
+    assert egg["tfidf"].iloc[0] == pytest.approx(round(4 * np.log(5.0), 6))
+
+
+def test_tfidf_tie_breaks_by_term(mini_corpus):
+    # doc 1: apple(tf2) vs banana/cherry(tf1). banana and cherry both
+    # appear in 2 docs → identical scores; term asc must pick banana.
+    got = TS.tfidf_top_terms(mini_corpus, topk=3)
+    d1 = got[got["doc_id"] == 1].reset_index(drop=True)
+    assert list(d1["term"]) == sorted(d1["term"], key=lambda t: (-d1[d1.term == t].tfidf.iloc[0], t))
+
+
+def test_vocab_coverage_mini(mini_corpus):
+    got = TS.vocab_coverage(mini_corpus, vocab_size=2)
+    # counts: cherry 4, egg 4, apple 3, banana 3, date 1 → total 15;
+    # top-2 by (cnt desc, term asc) = cherry, egg → 8/15
+    assert int(got["total_tokens"].iloc[0]) == 15
+    assert got["coverage"].iloc[0] == pytest.approx(round(8 / 15, 6))
+    assert int(got["vocab_size"].iloc[0]) == 2
+
+
+def test_vocab_coverage_full_vocab_is_one(mini_corpus):
+    got = TS.vocab_coverage(mini_corpus, vocab_size=100)
+    assert got["coverage"].iloc[0] == pytest.approx(1.0)
