@@ -182,6 +182,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
         return df[["o_orderkey", "o_custkey", "c_name", "o_totalprice"]]
 
+    def full_join_customer_order_counts(sf_dir):
+        # full-outer mode of the same operator. The two sides are
+        # filtered to overlapping-but-distinct key ranges so the result
+        # exercises all three row classes (left-only / both / right-only)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+        cust = R.read(sf_dir, "customer", ["c_custkey", "c_name"]).filter(
+            expr="c_custkey <= 200"
+        )
+
+        def count_orders(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            ck = ck[ck >= 100]
+            u, c = np.unique(ck, return_counts=True)
+            return pa.table(
+                {"o_custkey": pa.array(u, pa.int64()),
+                 "n_orders": pa.array(c.astype(np.int64))}
+            )
+
+        from ray.data.aggregate import Sum
+
+        orders = (
+            R.read(sf_dir, "orders", ["o_custkey"])
+            .map_batches(count_orders, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("o_custkey")
+            .aggregate(Sum("n_orders", alias_name="n_orders"))
+        )
+        out = hash_join(
+            cust, orders, on="c_custkey", right_on="o_custkey", how="full",
+            num_partitions=16,
+        )
+        df = out.to_pandas()
+        return df.sort_values(
+            ["c_custkey", "c_name"], na_position="last"
+        ).reset_index(drop=True)
+
     def anti_join_customers_no_orders(sf_dir):
         # anti-join mode of the same operator: customers with no
         # high-value order (row filter pushed into the read)
@@ -599,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events_asof,
         "range_join_bands": range_join_bands,
         "join_orders_customer": join_orders_customer,
+        "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -727,6 +769,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) "
             "ORDER BY c_custkey"
+        ),
+        # full-outer mode: key coalesced across sides (USING semantics);
+        # sides filtered to overlapping ranges so left-only / both /
+        # right-only rows all occur
+        "full_join_customer_order_counts": (
+            "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey, c.c_name, o.n_orders "
+            "FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 200) c "
+            "FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
+            "WHERE o_custkey >= 100 GROUP BY o_custkey) o "
+            "ON c.c_custkey = o.o_custkey ORDER BY c_custkey"
         ),
         # as-of self-join: LAG over (user, ts, event_id) order
         "events_asof": (

@@ -20,9 +20,11 @@ partition's pandas merge, which is the same behavior a sort-merge
 shuffle join exhibits — salting belongs above this operator (carry a
 salt column into the key, as the Bloom build does).
 
-Supported: how in {"inner", "left", "semi", "anti"}; integer or
-string keys; SQL NULL-key semantics (NULL never matches: dropped for
-inner/semi, kept unmatched for left, kept for anti).
+Supported: how in {"inner", "left", "right", "full", "semi", "anti"};
+integer or string keys; SQL NULL-key semantics (NULL never matches:
+dropped for inner/semi, kept unmatched for left/right/full on their
+own side, kept for anti). ``full``/``right`` coalesce the key column
+across sides (SQL ``USING(key)`` semantics).
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ from ..functions.hashing import hash64_ints, hash_strings
 if TYPE_CHECKING:
     from ray.data import Dataset
 
-_HOWS = ("inner", "left", "semi", "anti")
+_HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
 
 def _key_partition(col: pa.ChunkedArray | pa.Array, P: int) -> np.ndarray:
@@ -83,7 +85,12 @@ def hash_join(
     # a fully-empty dataset (0 blocks) has no schema at all — resolve
     # the join degenerately instead of crashing on schema access
     if l_schema is None or not l_schema.names:
-        return left  # no left rows: every `how` yields an empty result
+        if how in ("right", "full"):
+            raise ValueError(
+                f"hash_join(how={how!r}): left side has no schema (empty "
+                "dataset) — output columns are underdetermined"
+            )
+        return left  # no left rows: every other `how` yields an empty result
     if r_schema is None or not r_schema.names:
         if how == "anti":
             return left  # nothing to subtract
@@ -229,8 +236,21 @@ def hash_join(
                 out, preserve_index=False, schema=out_schema
             ).replace_schema_metadata(None)
         rdf = rt.to_pandas(types_mapper=pd.ArrowDtype)
-        rdf = rdf[rdf[on].notna()]
-        merged = ldf.merge(rdf, on=on, how=how)
+        if how in ("right", "full"):
+            # SQL: a NULL right key never matches but the row is kept
+            # (unmatched, left columns null). pandas merge would MATCH
+            # NaN keys across sides, so split them out and re-append.
+            rnull = rdf[rdf[on].isna()]
+            rdf = rdf[rdf[on].notna()]
+            merged = ldf.merge(rdf, on=on, how="outer" if how == "full" else "right")
+            if len(rnull):
+                out_cols = [f.name for f in out_schema]
+                merged = pd.concat(
+                    [merged, rnull.reindex(columns=out_cols)], ignore_index=True
+                )
+        else:
+            rdf = rdf[rdf[on].notna()]
+            merged = ldf.merge(rdf, on=on, how=how)
         merged = merged[[f.name for f in out_schema]]
         return pa.Table.from_pandas(
             merged, preserve_index=False, schema=out_schema

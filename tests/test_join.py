@@ -207,3 +207,54 @@ def test_null_bearing_key_column_keeps_big_keys_exact():
     right = pd.DataFrame({"k": pd.array([big, None], dtype="Int64"), "rv": pd.array([9, 8], dtype="Int64")})
     got = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="inner", num_partitions=8).to_pandas()
     assert len(got) == 1 and int(got["k"].iloc[0]) == big and int(got["rv"].iloc[0]) == 9
+
+
+def test_full_outer_matches_duckdb(sides):
+    import duckdb
+
+    left, right = sides
+    got = hash_join(_mk(left), _mk(right), on="k", how="full", num_partitions=8).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        "SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l FULL JOIN r ON l.k = r.k"
+    ).df()
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "lv", "rv"]).astype({"k": "float64", "lv": "float64"}),
+        _sorted(want, ["k", "lv", "rv"]).astype({"k": "float64", "lv": "float64"}),
+        check_dtype=False,
+    )
+
+
+def test_right_matches_duckdb(sides):
+    import duckdb
+
+    left, right = sides
+    got = hash_join(_mk(left), _mk(right), on="k", how="right", num_partitions=8).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        "SELECT r.k AS k, lv, rv FROM l RIGHT JOIN r ON l.k = r.k"
+    ).df()
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["k", "rv", "lv"]).astype({"k": "float64", "lv": "float64"}),
+        _sorted(want, ["k", "rv", "lv"]).astype({"k": "float64", "lv": "float64"}),
+        check_dtype=False,
+    )
+
+
+def test_full_outer_null_keys_kept_unmatched():
+    left = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"), "lv": [10, 20, 30]})
+    right = pd.DataFrame({"k": pd.array([1, None, 4], dtype="Int64"), "rv": [100, 200, 400]})
+    got = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="full", num_partitions=4).to_pandas()
+    # SQL FULL JOIN: 1 matches; null-key rows from BOTH sides survive
+    # unmatched; 3 (left-only) and 4 (right-only) survive unmatched
+    assert len(got) == 5
+    matched = got[got["lv"].notna() & got["rv"].notna()]
+    assert list(matched["k"]) == [1]
+    null_rows = got[got["k"].isna()]
+    assert len(null_rows) == 2  # one per side, never joined to each other
+    assert set(got.loc[got["rv"].isna(), "lv"].dropna()) == {20, 30}
+    assert set(got.loc[got["lv"].isna(), "rv"].dropna()) == {200, 400}
