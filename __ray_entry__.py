@@ -371,6 +371,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def vocab_coverage(sf_dir):
         return TS.vocab_coverage(sf_dir, vocab_size=100)
 
+    def length_filter_percentile(sf_dir):
+        return TS.length_filter_percentile(sf_dir, q_lo=0.05, q_hi=0.95)
+
+    def pack_sequences(sf_dir):
+        return TS.pack_sequences(sf_dir, seq_len=64)
+
     def doc_quality(sf_dir):
         ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
             Q.make_quality_fn(), batch_format="pyarrow", zero_copy_batch=True
@@ -628,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "tfidf_top_terms": tfidf_top_terms,
         "vocab_coverage": vocab_coverage,
+        "length_filter_percentile": length_filter_percentile,
+        "pack_sequences": pack_sequences,
         "heavy_hitters_by_source": heavy_hitters_by_source,
         "distinct_by_source": distinct_by_source,
         "distinct_by_source_hll": distinct_by_source_hll,
@@ -895,6 +903,26 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s) "
             "SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3 "
             "ORDER BY doc_id, tfidf DESC, term"
+        ),
+        # length-outlier curation: exact discrete quantiles (histogram
+        # walk = quantile_disc semantics, index ceil(q*n)-1), inclusive band
+        "length_filter_percentile": (
+            "WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS INT) AS n_tok FROM documents), "
+            "q AS (SELECT quantile_disc(n_tok, 0.05) AS lo, "
+            "quantile_disc(n_tok, 0.95) AS hi FROM t) "
+            "SELECT doc_id, n_tok FROM t, q WHERE n_tok BETWEEN lo AND hi "
+            "ORDER BY doc_id"
+        ),
+        # fixed-length sequence chunk plan: ceil(n/64) chunks per doc,
+        # last chunk carries the remainder
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS n FROM documents) "
+            "SELECT doc_id, CAST(c AS INT) AS chunk_id, "
+            "CAST(LEAST(64, n - 64 * c) AS INT) AS chunk_len "
+            "FROM (SELECT doc_id, n, unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS c "
+            "FROM t) ORDER BY doc_id, chunk_id"
         ),
         # top-100 vocabulary coverage: integer sums, one rounded division
         "vocab_coverage": (

@@ -114,6 +114,108 @@ def tfidf_top_terms(sf_dir: str, topk: int = 3, round_dp: int = 6) -> pd.DataFra
     )
 
 
+def _ntok_fn(batch: pa.Table) -> pa.Table:
+    """batch → {doc_id, n_tok} (whitespace words, empties dropped)."""
+    _, counts = _flat_nonempty_with_counts(batch, "text")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tok": pa.array(counts.astype(np.int32)),
+        }
+    )
+
+
+def length_filter_percentile(
+    sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95
+) -> pd.DataFrame:
+    """Length-outlier curation: keep documents whose token count lies
+    within the corpus's [q_lo, q_hi] discrete quantiles (inclusive).
+
+    The quantiles are EXACT and computed distributedly as a value
+    histogram: per-batch ``value_counts`` of n_tok → ``groupby(n_tok)``
+    sum → the driver sees one row per DISTINCT length (bounded, e.g.
+    ≤ max sequence length — never O(docs)) and walks the cumulative
+    histogram. Discrete-quantile index = ceil(q·n) − 1 (DuckDB
+    ``quantile_disc`` semantics, verified empirically) so the SQL
+    oracle matches exactly. The filter pass re-derives n_tok per batch
+    — two streaming passes, no driver materialization of documents.
+    """
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = _ntok_fn(batch)
+        vc = t.column("n_tok").value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {
+                "n_tok": vc.field("values"),
+                "cnt": pa.array(
+                    vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hrows = (
+        docs.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_tok")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("n_tok")
+    )
+    n = int(hrows["cnt"].sum())
+    cum = hrows["cnt"].cumsum().to_numpy()
+    vals = hrows["n_tok"].to_numpy()
+
+    def q_disc(q: float) -> int:
+        rank = int(np.ceil(q * n))  # 1-based rank of the quantile value
+        return int(vals[np.searchsorted(cum, max(rank, 1))])
+
+    lo, hi = q_disc(q_lo), q_disc(q_hi)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = _ntok_fn(batch)
+        ntok = t.column("n_tok").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ntok >= lo) & (ntok <= hi)))
+
+    out = docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 64) -> pd.DataFrame:
+    """Training-sequence chunk plan: split each document into
+    fixed-length token windows (stride = seq_len, boundary-respecting)
+    → {doc_id, chunk_id, chunk_len}. The map-only row-expansion shape
+    of sequence packing; at scale the same kernel emits the token
+    payloads alongside (here the plan columns are enough to verify)."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    L = int(seq_len)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        t = _ntok_fn(batch)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = -(-n // L)  # ceil; 0 chunks for empty docs
+        rep = np.repeat(np.arange(len(ids)), nch)
+        cw = np.concatenate(([0], np.cumsum(nch)))
+        cid = (np.arange(cw[-1], dtype=np.int64) - cw[rep]).astype(np.int32)
+        clen = np.minimum(L, n[rep] - L * cid.astype(np.int64)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rep]),
+                "chunk_id": pa.array(cid),
+                "chunk_len": pa.array(clen),
+            }
+        )
+
+    out = docs.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        out.to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+
+
 def vocab_coverage(sf_dir: str, vocab_size: int = 100, round_dp: int = 6) -> pd.DataFrame:
     """Coverage of the top-``vocab_size`` vocabulary: the fraction of
     all token occurrences captured by the most frequent terms

@@ -95,3 +95,25 @@ def test_vocab_coverage_mini(mini_corpus):
 def test_vocab_coverage_full_vocab_is_one(mini_corpus):
     got = TS.vocab_coverage(mini_corpus, vocab_size=100)
     assert got["coverage"].iloc[0] == pytest.approx(1.0)
+
+
+def test_length_filter_percentile_mini(mini_corpus):
+    # lengths: doc1=4, doc2=3, doc3=4, doc4=0, doc5=4 → sorted [0,3,4,4,4]
+    # q_disc(0.05): rank ceil(.25)=1 → 0; q_disc(0.95): rank ceil(4.75)=5 → 4
+    got = TS.length_filter_percentile(mini_corpus, q_lo=0.05, q_hi=0.95)
+    assert set(got["doc_id"]) == {1, 2, 3, 4, 5}
+    # tighter band drops the empty doc and the length-3 doc
+    got2 = TS.length_filter_percentile(mini_corpus, q_lo=0.5, q_hi=1.0)
+    assert set(got2["doc_id"]) == {1, 3, 5}
+
+
+def test_pack_sequences_mini(mini_corpus):
+    got = TS.pack_sequences(mini_corpus, seq_len=3)
+    # doc1 (4 tokens) → chunks of 3 + 1; doc4 (0 tokens) → none
+    d1 = got[got["doc_id"] == 1]
+    assert list(d1["chunk_id"]) == [0, 1]
+    assert list(d1["chunk_len"]) == [3, 1]
+    assert 4 not in set(got["doc_id"])
+    # total chunk_len reconstructs each doc's token count
+    tot = got.groupby("doc_id")["chunk_len"].sum().to_dict()
+    assert tot == {1: 4, 2: 3, 3: 4, 5: 4}
