@@ -62,6 +62,63 @@ def _key_partition(col: pa.ChunkedArray | pa.Array, P: int) -> np.ndarray:
     return (h % np.uint64(P)).astype(np.int32)
 
 
+def _broadcast_join(
+    left: "Dataset", right: "Dataset", on: str, right_on: str, how: str, suffix: str
+) -> "Dataset":
+    """Map-only small-side join: right is ``ray.put`` once (zero-copy
+    plasma reads in every task), each left batch joins against it with
+    the Arrow (Acero) hash-join kernel — no shuffle, no pandas."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    l_schema = left.schema()
+    if l_schema is None or not l_schema.names:
+        return left
+    l_cols = list(l_schema.names)
+
+    if how in ("semi", "anti"):
+        right = right.select_columns([right_on])
+    # permissive promote: an all-null block arrives null-typed and must
+    # unify with its siblings' real dtype
+    rtab = pa.concat_tables(
+        ray.get(right.to_arrow_refs()), promote_options="permissive"
+    )
+    key = rtab.column(right_on)
+    if key.null_count:  # SQL: null keys never match
+        rtab = rtab.filter(pc.is_valid(key))
+
+    if how in ("semi", "anti"):
+        keys_ref = ray.put(rtab.column(right_on).combine_chunks().unique())
+
+        def filter_fn(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            mask = pc.fill_null(pc.is_in(batch.column(on), value_set=keys), False)
+            if how == "anti":
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+        return left.map_batches(filter_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    r_out = [c for c in rtab.column_names if c != right_on]
+    rename = {c: (c + suffix if c in set(l_cols) else c) for c in r_out}
+    rtab = rtab.rename_columns(
+        [right_on if c == right_on else rename[c] for c in rtab.column_names]
+    )
+    out_cols = l_cols + [rename[c] for c in r_out]
+    rref = ray.put(rtab)
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def join_fn(batch: pa.Table) -> pa.Table:
+        rt = ray.get(rref)
+        joined = batch.join(
+            rt, keys=[on], right_keys=[right_on], join_type=join_type
+        )
+        return joined.select(out_cols)
+
+    return left.map_batches(join_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def hash_join(
     left: "Dataset",
     right: "Dataset",
@@ -71,15 +128,28 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 64,
     suffix: str = "_r",
+    broadcast: bool = False,
 ) -> "Dataset":
     """Distributed equi-join; returns a Dataset (lazy, streaming).
 
     Output columns: ``semi``/``anti`` -> exactly the left columns;
     ``inner``/``left`` -> left columns then right non-key columns
     (name collisions get ``suffix``).
+
+    ``broadcast=True`` switches to the small-right-side plan: the right
+    side is materialized once, ``ray.put`` into the object store, and
+    every left batch merges against the shared copy — a map-only join
+    with NO shuffle of either side (the left stream never moves). Same
+    results as the shuffle plan (tested); use when the right side fits
+    in a worker's heap. ``full``/``right`` are not broadcastable (the
+    right side's unmatched rows would be emitted once per left block).
     """
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}")
+    if broadcast:
+        if how in ("right", "full"):
+            raise ValueError(f"broadcast join does not support how={how!r}")
+        return _broadcast_join(left, right, on, right_on or on, how, suffix)
     right_on = right_on or on
     l_schema, r_schema = left.schema(), right.schema()  # ray.data.Schema
     # a fully-empty dataset (0 blocks) has no schema at all — resolve

@@ -258,3 +258,33 @@ def test_full_outer_null_keys_kept_unmatched():
     assert len(null_rows) == 2  # one per side, never joined to each other
     assert set(got.loc[got["rv"].isna(), "lv"].dropna()) == {20, 30}
     assert set(got.loc[got["lv"].isna(), "rv"].dropna()) == {200, 400}
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_broadcast_join_equals_shuffle_join(sides, how):
+    left, right = sides
+    kw = dict(on="k", how=how)
+    got_b = hash_join(_mk(left), _mk(right), broadcast=True, **kw).to_pandas()
+    got_s = hash_join(_mk(left), _mk(right), num_partitions=8, **kw).to_pandas()
+    cols = list(got_s.columns)
+    pd.testing.assert_frame_equal(
+        _sorted(got_b, cols), _sorted(got_s, cols), check_dtype=False
+    )
+
+
+def test_broadcast_join_null_keys_and_suffix():
+    left = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"), "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "v": [100, 200]})
+    inner = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="inner", broadcast=True).to_pandas()
+    assert list(inner["k"]) == [1] and "v_r" in inner.columns
+    lj = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="left", broadcast=True).to_pandas()
+    assert len(lj) == 3 and lj.loc[lj["k"].isna(), "v_r"].isna().all()
+    anti = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="anti", broadcast=True).to_pandas()
+    assert set(anti["v"]) == {20, 30}  # null-key left row never matches
+
+
+def test_broadcast_join_rejects_full_and_right(sides):
+    left, right = sides
+    for how in ("full", "right"):
+        with pytest.raises(ValueError):
+            hash_join(_mk(left), _mk(right), on="k", how=how, broadcast=True)
