@@ -174,6 +174,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "join_orders_customer",
         "dedup_minhash_keep",
         "dedup_ngram_components",
+        "tfidf_top_terms",
+        "vocab_coverage",
+        "length_filter_percentile",
+        "full_join_customer_order_counts",
     ]
     times: dict[str, float] = {}
     for name in names:
