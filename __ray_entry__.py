@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_topk_per_user(sf_dir):
         return R.events_topk_per_user(sf_dir, topk=3)
 
+    def events_rolling_mean(sf_dir):
+        return R.events_rolling_mean(sf_dir, window=5)
+
     def token_count_regex(sf_dir):
         # "BPE-ish" regex lexer token counts (RE2 in Arrow and DuckDB)
         ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -643,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_kmv": source_overlap_kmv,
         "events_sessions": events_sessions,
         "events_topk_per_user": events_topk_per_user,
+        "events_rolling_mean": events_rolling_mean,
         "token_count_regex": token_count_regex,
         "events_sliding": events_sliding,
         "events_asof": events_asof,
@@ -833,6 +837,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, ts, value, "
             "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
             "FROM events) WHERE rn <= 3 ORDER BY user_id, value DESC, event_id"
+        ),
+        # trailing-window mean: ROWS 4 PRECEDING frame, deterministic
+        # (ts, event_id) order, rounded on both sides
+        "events_rolling_mean": (
+            "SELECT event_id, user_id, ts, value, "
+            "ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_mean "
+            "FROM events ORDER BY event_id"
         ),
         # BPE-ish regex lexer (RE2 both sides): letter runs | digit runs
         # | single non-alnum-non-space symbol

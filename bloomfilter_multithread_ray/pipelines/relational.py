@@ -560,6 +560,65 @@ def events_asof(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def events_rolling_mean(sf_dir: str, window: int = 5, round_dp: int = 6) -> pd.DataFrame:
+    """Trailing-window aggregate: each event annotated with the mean of
+    its user's last ``window`` values (ROWS window-1 PRECEDING..CURRENT,
+    deterministic (ts, event_id) order) → {event_id, user_id, ts, value,
+    roll_mean}.
+
+    Same fixed-partition shape as :func:`events_asof`: one shuffle on
+    ``user_id % P``, then a single vectorized pass per partition —
+    cumulative sums with segment-boundary resets computed via a
+    shifted-cumsum difference, no per-user Python loop. Partial windows
+    at each user's start average over the rows seen so far, matching
+    the SQL frame semantics.
+    """
+    import ray.data  # noqa: F401
+
+    P_SHUF = 64
+    W = int(window)
+
+    def add_up(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("up", pa.array((uid % P_SHUF).astype(np.int32)))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val, eid = uid[order], ts[order], val[order], eid[order]
+        n = len(val)
+        starts = np.flatnonzero(np.diff(uid, prepend=uid[0] - 1)) if n else np.array([], np.int64)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        seg_start = np.repeat(starts, lens)  # segment start per row
+        idx = np.arange(n)
+        cs = np.concatenate(([0.0], np.cumsum(val)))
+        # trailing frame [lo, i]: lo = max(seg_start, i - W + 1)
+        lo = np.maximum(seg_start, idx - W + 1)
+        s = cs[idx + 1] - cs[lo]
+        cnt = idx - lo + 1
+        roll = np.round(s / cnt, round_dp)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "ts": pa.array(ts),
+                "value": pa.array(val),
+                "roll_mean": pa.array(roll),
+            }
+        )
+
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = (
+        ds.map_batches(add_up, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("up")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------ per-group top-k rank
 def events_topk_per_user(sf_dir: str, topk: int = 3) -> pd.DataFrame:
     """Windowed ranking: each user's top-k events by (value desc,

@@ -112,3 +112,23 @@ def test_weighted_sample_distribution_and_determinism():
     dfz = df.copy(); dfz.loc[dfz.doc_id >= 10, "n_tok"] = 0
     sz = A.weighted_sample(ray.data.from_pandas(dfz).repartition(3), "n_tok", k=50, seed=5)
     assert set(sz["doc_id"]) <= set(range(10))
+
+
+def test_events_rolling_mean_partial_windows(ray_session, testdata_dir):
+    """First rows of each user average over the rows seen so far (SQL
+    frame semantics), full windows use exactly `window` rows."""
+    import numpy as np
+
+    from bloomfilter_multithread_ray.pipelines.relational import events_rolling_mean
+
+    df = events_rolling_mean(testdata_dir, window=5)
+    g = df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id")
+    first = g.head(1)
+    # a user's first event's rolling mean equals its own value
+    assert np.allclose(first["roll_mean"], first["value"].round(6))
+    # spot-check one full window by brute force
+    u = df["user_id"].value_counts().idxmax()
+    rows = df[df["user_id"] == u].sort_values(["ts", "event_id"]).reset_index(drop=True)
+    i = len(rows) - 1
+    want = round(rows["value"].iloc[i - 4 : i + 1].mean(), 6)
+    assert abs(rows["roll_mean"].iloc[i] - want) < 1e-9
