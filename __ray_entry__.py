@@ -720,13 +720,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type, hour ORDER BY event_type, hour"
         ),
         # curation chain: quality gate -> exact dedup -> per-source stats.
-        # avg_ttr: mean of per-doc (distinct/total) ratios, rounded 6 both
-        # sides; total_tok exact int sum.
+        # ttr is rounded to 6dp BEFORE the gate and the AVG on both sides
+        # (the pipeline's quality fn emits a 6dp-rounded ttr, so the gate and
+        # mean see the rounded value); total_tok exact int sum.
         "curate_corpus": (
             "WITH t AS (SELECT doc_id, source, text, "
             "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
             "f AS (SELECT doc_id, source, text, len(w) AS n_tok, "
-            "CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr FROM t WHERE len(w) > 0), "
+            "ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr FROM t WHERE len(w) > 0), "
             "g AS (SELECT * FROM f WHERE n_tok >= 20 AND n_tok <= 5000 AND ttr >= 0.2), "
             "k AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY text) "
             "SELECT source, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok, "
