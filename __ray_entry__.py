@@ -604,6 +604,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         build_to_completion(corpus, store, **cfg)  # resume the rest
         return lineage_table(store).to_pandas()
 
+    # ---- corpus curation (decontamination / sampling / mixing) ----
+    def decontaminate(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import curation as C
+
+        pairs = C.decontaminate_pairs(
+            _docs(sf_dir, ["doc_id", "text", "source"]),
+            bench_source="src0", k=3, threshold=0.5,
+        )
+        return (
+            pairs.to_pandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+        )
+
+    def stratified_sample(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import curation as C
+
+        return C.stratified_sample(
+            _docs(sf_dir, ["doc_id", "source"]), per_source=5
+        )
+
+    def mix_to_budget(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import curation as C
+
+        return C.mix_to_budget(
+            _docs(sf_dir, ["doc_id", "text", "source"]), budget_tokens=500
+        )
+
+    def normalize_text(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import curation as C
+
+        out = C.normalize_text(_docs(sf_dir, ["doc_id", "text"]))
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -656,6 +688,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "decontaminate": decontaminate,
+        "stratified_sample": stratified_sample,
+        "mix_to_budget": mix_to_budget,
+        "normalize_text": normalize_text,
     }
 
 
@@ -968,5 +1004,78 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT qid, vec_id, cosine, "
             "row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM s) "
             "SELECT qid, vec_id, cosine FROM r WHERE rn <= 5 ORDER BY qid, cosine DESC, vec_id"
+        ),
+        # benchmark decontamination: word-3-gram CONTAINMENT of every
+        # non-src0 doc against the src0 benchmark set; the float is one
+        # int division on both sides -> bit-identical
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, source, gram FROM ("
+            "SELECT doc_id, source, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) "
+            "WHERE a.source <> 'src0' AND b.source = 'src0' GROUP BY 1, 2) "
+            "SELECT doc_id, bench_id, CAST(i AS DOUBLE) / sa.n AS containment "
+            "FROM inter JOIN sizes sa USING (doc_id) "
+            "WHERE CAST(i AS DOUBLE) / sa.n >= 0.5 ORDER BY doc_id, bench_id"
+        ),
+        # deterministic stratified sample: splitmix64(doc_id) reproduced
+        # in SQL (same mulmod chain as corpus_sample), 5 smallest per source
+        "stratified_sample": (
+            "WITH s0 AS (SELECT doc_id, source, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM documents), "
+            "x1 AS (SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, source, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, source, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, source, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h "
+            "FROM s2), "
+            "r AS (SELECT source, doc_id, h, "
+            "row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM s3) "
+            "SELECT source, doc_id, h FROM r WHERE rn <= 5 ORDER BY source, h"
+        ),
+        # token-budget corpus mixing: greedy prefix in splitmix64 order
+        # per source; admit while the running total BEFORE the doc < 500
+        "mix_to_budget": (
+            "WITH s0 AS (SELECT doc_id, source, text, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM documents), "
+            "x1 AS (SELECT doc_id, source, text, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, source, text, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, source, text, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, source, text, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, source, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h, "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok FROM s2), "
+            "w AS (SELECT source, doc_id, n_tok, h, "
+            "COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM s3) "
+            "SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok, h FROM w "
+            "WHERE tok_before < 500 ORDER BY source, h"
+        ),
+        # stopword-removal normalization (map-only text rewrite)
+        "normalize_text": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "f AS (SELECT doc_id, len(w) AS n_all, "
+            "list_filter(w, x -> NOT list_contains(['the','a','of','and','in','to','is'], x)) AS kept "
+            "FROM t) "
+            "SELECT doc_id, array_to_string(kept, ' ') AS clean_text, "
+            "CAST(len(kept) AS BIGINT) AS n_kept, CAST(n_all - len(kept) AS BIGINT) AS n_removed "
+            "FROM f ORDER BY doc_id"
         ),
     }

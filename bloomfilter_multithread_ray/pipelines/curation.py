@@ -1,0 +1,326 @@
+"""Training-corpus curation operators: benchmark decontamination,
+stratified sampling, token-budget source mixing, stopword
+normalization.
+
+These are the LLM-data-pipeline widening of the reference's
+membership-filter pattern (`src/SkmerSplitter.cpp:91-151` probe = "is
+this item in the reference set?"): decontamination asks the same
+question at document granularity against a benchmark corpus, and the
+sampling/mixing operators are the deterministic selection counterpart
+(reference analog: the hash-derived routing `src/SkmerExtractor.cpp:164`
+— content-derived pseudo-randomness instead of RNG state, so results
+are partitioning- and concurrency-independent).
+
+All wide steps follow the repo's fixed-partition shuffle discipline
+(BASELINE.md "wide-operator scale pattern"): fine-grained keys (gram,
+pair) shuffle on ``hash % P`` with fixed small P and run one
+vectorized kernel per partition; only bounded keys (source) become
+real Ray groups.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import UINT64, splitmix64
+from ..stages.quality import STOPWORDS
+from ..stages.text import _flat_nonempty_with_counts
+
+if TYPE_CHECKING:
+    from ray.data import Dataset
+
+_NBITS = 21  # n_grams < 2^21; doc ids < 2^31 (fixture assumption)
+_BENCH_BIT = 62  # side flag above the id field in the packed posting
+P_SHUF = 64
+
+
+# ------------------------------------------------------- decontamination
+def decontaminate_pairs(
+    docs: "Dataset",
+    *,
+    bench_source: str = "src0",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 64,
+) -> "Dataset":
+    """Benchmark decontamination: (candidate, benchmark) document pairs
+    whose word-k-gram CONTAINMENT — |grams(cand) ∩ grams(bench)| /
+    |grams(cand)| — meets ``threshold``. Candidates are every document
+    NOT in ``bench_source``; the benchmark set is ``bench_source``.
+
+    Containment (not Jaccard) is the decontamination metric: a short
+    benchmark item fully embedded in a long training document must
+    flag, however large the training doc is.
+
+    Scale shape — the cross-side variant of ``ngram_jaccard_pairs``'
+    join-free inverted index (two content-keyed fixed-P shuffles):
+
+      1. distinct (gram, doc) postings with the side flag packed into
+         bit 62 of the posting int (sort order then puts candidates
+         before benchmarks inside each gram segment for free);
+      2. shuffle on ``|gram_hash| % P``; per partition one vectorized
+         kernel expands each gram's candidate×benchmark cross product
+         (never candidate×candidate — df caps apply per side);
+      3. shuffle partial pair counts on ``|pair| % P``; containment =
+         Σi / n_cand per pair, threshold filter.
+
+    ``max_gram_df`` caps each SIDE's posting list per gram
+    (deterministic: lists are doc-sorted). A capped gram can only
+    lower recall for pairs whose every shared gram is boilerplate; the
+    default cap is asserted non-binding on the fixtures so SQL parity
+    stays exact.
+    """
+    from .dedup import _doc_gram_hashes
+
+    bench = str(bench_source)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        gh, row_idx = _doc_gram_hashes(batch, k, "text")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_b = pc.equal(batch.column("source"), bench).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"gh": pa.array([], pa.int64()), "packed": pa.array([], pa.int64())}
+        )
+        if len(gh) == 0:
+            return empty
+        # distinct (gram, doc) postings within the batch (combiner)
+        uniq = np.unique(np.stack([row_idx, gh.view(np.int64)], axis=1), axis=0)
+        rows, ghs = uniq[:, 0], uniq[:, 1]
+        per_row = np.bincount(rows, minlength=batch.num_rows).astype(np.int64)
+        out_ids = ids[rows]
+        if out_ids.size and not (0 <= out_ids.min() and out_ids.max() < (1 << 31)):
+            raise ValueError("doc_id out of [0, 2^31) — pair packing would corrupt")
+        if per_row.max(initial=0) >= (1 << _NBITS):
+            raise ValueError(f"n_grams >= 2^{_NBITS} — pair packing would corrupt")
+        packed = (
+            (is_b[rows].astype(np.int64) << _BENCH_BIT)
+            | (out_ids << _NBITS)
+            | per_row[rows]
+        )
+        return pa.table({"gh": pa.array(ghs), "packed": pa.array(packed)})
+
+    def add_gp(batch: pa.Table) -> pa.Table:
+        gh = batch.column("gh").to_numpy(zero_copy_only=False)
+        return batch.append_column("gp", pa.array(np.abs(gh) % P_SHUF))
+
+    def partition_cross_pairs(group: pa.Table) -> pa.Table:
+        """All grams hashed into this partition → partial (cand, bench)
+        intersection counts, one vectorized pass."""
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "i": pa.array([], pa.int64()),
+             "n_cand": pa.array([], pa.int64())}
+        )
+        gh = group.column("gh").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = group.column("packed").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(gh) == 0:
+            return empty
+        # global distinct + sort by (gram, side, doc): bench bit is the
+        # top payload bit, so candidates precede benchmarks per gram
+        uniq = np.unique(np.stack([gh, packed], axis=1), axis=0)
+        gh, packed = uniq[:, 0], uniq[:, 1]
+        side = (packed >> _BENCH_BIT).astype(np.int64)
+        # per-(gram, side) run positions → deterministic df cap per side
+        run_key_change = np.diff(gh, prepend=gh[0] - 1).astype(bool) | np.diff(
+            side, prepend=-1
+        ).astype(bool)
+        run_starts = np.flatnonzero(run_key_change)
+        run_lens = np.diff(np.concatenate([run_starts, [len(gh)]]))
+        pos_in_run = np.arange(len(gh)) - np.repeat(run_starts, run_lens)
+        keep = pos_in_run < max_gram_df
+        gh, packed, side = gh[keep], packed[keep], side[keep]
+        if len(gh) == 0:
+            return empty
+        # per-gram segment geometry after the cap
+        seg_starts = np.flatnonzero(np.diff(gh, prepend=gh[0] - 1))
+        seg_lens = np.diff(np.concatenate([seg_starts, [len(gh)]]))
+        seg_of_post = np.repeat(np.arange(len(seg_starts)), seg_lens)
+        nb = np.bincount(seg_of_post, weights=side, minlength=len(seg_starts)).astype(
+            np.int64
+        )
+        nc = seg_lens - nb
+        t = nc * nb  # cross-product size per gram
+        total = int(t.sum())
+        if total == 0:
+            return empty
+        offs_t = np.concatenate([[0], np.cumsum(t)])
+        rep = np.repeat(np.arange(len(t)), t)
+        p = np.arange(total, dtype=np.int64) - offs_t[rep]
+        c_idx = seg_starts[rep] + p % nc[rep]
+        b_idx = seg_starts[rep] + nc[rep] + p // nc[rep]
+        idmask = (1 << 31) - 1
+        cand_packed, bench_packed = packed[c_idx], packed[b_idx]
+        cand_id = (cand_packed >> _NBITS) & idmask
+        bench_id = (bench_packed >> _NBITS) & idmask
+        n_cand = cand_packed & ((1 << _NBITS) - 1)
+        pair = (cand_id << 31) | bench_id
+        upair, inv, cnt = np.unique(pair, return_inverse=True, return_counts=True)
+        first = np.zeros(len(upair), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(pair) - 1, -1, -1)
+        return pa.table(
+            {"pair": pa.array(upair), "i": pa.array(cnt.astype(np.int64)),
+             "n_cand": pa.array(n_cand[first])}
+        )
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        pair = batch.column("pair").to_numpy(zero_copy_only=False)
+        return batch.append_column("pp", pa.array(np.abs(pair) % P_SHUF))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "bench_id": pa.array([], pa.int64()),
+             "containment": pa.array([], pa.float64())}
+        )
+        pair = group.column("pair").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pair) == 0:
+            return empty
+        i = group.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_cand = group.column("n_cand").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pair, kind="stable")
+        pair, i, n_cand = pair[order], i[order], n_cand[order]
+        starts = np.flatnonzero(np.diff(pair, prepend=pair[0] - 1))
+        isum = np.add.reduceat(i, starts)
+        upair, uncand = pair[starts], n_cand[starts]
+        containment = isum.astype(np.float64) / uncand.astype(np.float64)
+        hit = containment >= threshold
+        return pa.table(
+            {"doc_id": pa.array((upair >> 31)[hit]),
+             "bench_id": pa.array((upair & ((1 << 31) - 1))[hit]),
+             "containment": pa.array(containment[hit])}
+        )
+
+    return (
+        docs.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gp")
+        .map_groups(partition_cross_pairs, batch_format="pyarrow")
+        .map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------ deterministic sampling
+def _mix_ids(batch: pa.Table, cols: list[str]) -> pa.Table:
+    """project ``cols`` + append h = splitmix64(doc_id) (bijective on
+    int64, so ordering by h is a total order — no tiebreak needed)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    t = batch.select(cols)
+    return t.append_column("h", pa.array(splitmix64(ids)))
+
+
+def stratified_sample(docs: "Dataset", *, per_source: int = 5) -> pd.DataFrame:
+    """Deterministic stratified sample: the ``per_source`` smallest
+    ``splitmix64(doc_id)`` values per source — a uniform random-looking
+    draw that is reproducible and independent of partitioning.
+
+    Scale shape: per-batch partial bottom-k per source (the combiner —
+    each batch forwards ≤ k rows per source it saw), then one shuffle
+    keyed on source (bounded group count: sources are an O(100)
+    catalog, never a fine-grained key) with a vectorized final
+    bottom-k per group. Driver result is O(sources × k).
+    """
+    kk = int(per_source)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _mix_ids(batch, ["source", "doc_id"])
+        df = t.to_pandas().sort_values("h").groupby("source", sort=False).head(kk)
+        return pa.table(
+            {"source": pa.array(df["source"], pa.string()),
+             "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+             "h": pa.array(df["h"].to_numpy(np.uint64))}
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values("h").head(kk)
+        return pa.Table.from_pandas(df, preserve_index=False).select(
+            ["source", "doc_id", "h"]
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    return (
+        out.to_pandas().sort_values(["source", "h"]).reset_index(drop=True)
+    )
+
+
+def mix_to_budget(docs: "Dataset", *, budget_tokens: int = 500) -> pd.DataFrame:
+    """Token-budget corpus mixing: per source, admit documents in
+    deterministic ``splitmix64(doc_id)`` order until the source's token
+    budget is reached. A document is admitted iff the tokens admitted
+    before it are still under budget (so one document may overflow the
+    budget — the standard greedy prefix rule, and the SQL-checkable
+    one: running-sum-before < budget).
+
+    Scale shape: the map pass computes {source, doc_id, n_tok, h}
+    (token counts per batch, vectorized); the only wide step keys on
+    source (bounded catalog) and runs one sort+cumsum kernel per
+    group. Output is the admitted plan — O(admitted docs), the thing a
+    downstream training-data writer consumes.
+    """
+    B = int(budget_tokens)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        _, counts = _flat_nonempty_with_counts(batch, "text")
+        t = _mix_ids(batch, ["source", "doc_id"])
+        return t.append_column("n_tok", pa.array(counts.astype(np.int64)))
+
+    def admit(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values("h")
+        cum_before = df["n_tok"].cumsum().shift(fill_value=0)
+        df = df[cum_before < B]
+        return pa.table(
+            {"source": pa.array(df["source"], pa.string()),
+             "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+             "n_tok": pa.array(df["n_tok"].to_numpy(np.int64)),
+             "h": pa.array(df["h"].to_numpy(np.uint64))}
+        )
+
+    out = (
+        docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(admit, batch_format="pyarrow")
+    )
+    return out.to_pandas().sort_values(["source", "h"]).reset_index(drop=True)
+
+
+# --------------------------------------------------- text normalization
+def normalize_text(docs: "Dataset") -> "Dataset":
+    """Stopword-removal normalization (map-only): text → cleaned text
+    with stopwords and empty tokens dropped, plus kept/removed counts.
+    The whole batch stays in Arrow — flat token filter + offset
+    rebuild + ``binary_join``; no per-row Python.
+
+    At scale this is the shape of every tokenize-normalize-rewrite
+    pass (lowercasing, unicode NFC, boilerplate stripping): pure
+    ``map_batches``, no shuffle, output streamed to the sink.
+    """
+    stop_set = pa.array(list(STOPWORDS))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_nonempty_with_counts(batch, "text")
+        is_stop = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        row_of = np.repeat(np.arange(n_rows), counts)
+        n_stop = np.bincount(row_of, weights=is_stop, minlength=n_rows).astype(np.int64)
+        kept_mask = ~is_stop
+        kept_counts = counts - n_stop
+        new_offs = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+        kept_flat = flat.filter(pa.array(kept_mask))
+        lists = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept_flat)
+        clean_text = pc.binary_join(lists, " ")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "clean_text": clean_text,
+             "n_kept": pa.array(kept_counts.astype(np.int64)),
+             "n_removed": pa.array(n_stop)}
+        )
+
+    return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
