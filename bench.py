@@ -178,6 +178,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "vocab_coverage",
         "length_filter_percentile",
         "full_join_customer_order_counts",
+        "decontaminate",
+        "mix_to_budget",
+        "normalize_text",
     ]
     times: dict[str, float] = {}
     for name in names:
