@@ -259,9 +259,12 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 
     Ray Data has no event-time windows; a tumbling window IS a grouped
     aggregate on the truncated timestamp (ray_guide streaming note) —
-    no per-key ordering assumption needed for count/sum.
+    no per-key ordering assumption needed for count/sum. Group count
+    grows with the stream's time span (hours × types), so the
+    aggregate runs through ``grouped_agg``'s fixed-partition combiner
+    rather than Ray's per-group Aggregate.
     """
-    from ray.data.aggregate import Count, Sum
+    from .agg import grouped_agg
 
     ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
@@ -271,10 +274,10 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
             {"event_type": t["event_type"], "hour": hour, "value": t["value"]}
         )
 
-    out = (
-        ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    out = grouped_agg(
+        ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+        {"n_events": ("count", None), "sum_value": ("sum", "value")},
     )
     return (
         out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)

@@ -1,0 +1,108 @@
+"""Unit tests for pipelines/agg.py grouped_agg."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(ray, table: pa.Table, parallelism=3):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(parallelism)
+
+
+def test_grouped_agg_all_kinds_match_pandas(ray_session):
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    k = rng.integers(0, 400, n)
+    v = rng.normal(size=n) * 10
+    t = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v)})
+    out = (
+        grouped_agg(
+            _ds(ray_session, t, 5),
+            "k",
+            {
+                "n": ("count", None),
+                "s": ("sum", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+                "avg": ("mean", "v"),
+            },
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": k, "v": v})
+        .groupby("k")
+        .agg(n=("v", "size"), s=("v", "sum"), mn=("v", "min"),
+             mx=("v", "max"), avg=("v", "mean"))
+        .reset_index()
+    )
+    assert len(out) == len(want)
+    assert (out.k.values == want.k.values).all()
+    assert (out.n.values == want.n.values).all()
+    np.testing.assert_allclose(out.s.values, want.s.values)
+    np.testing.assert_allclose(out.mn.values, want.mn.values)
+    np.testing.assert_allclose(out.mx.values, want.mx.values)
+    np.testing.assert_allclose(out.avg.values, want.avg.values)
+
+
+def test_grouped_agg_composite_string_key_and_nulls(ray_session):
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", None, "y", None, "x"]),
+            "b": pa.array([1, 1, 2, 2, 2, None], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    out = (
+        grouped_agg(
+            _ds(ray_session, t, 3), ["a", "b"], {"n": ("count", None), "s": ("sum", "v")}
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # SQL GROUP BY: null key values form their own groups
+    assert len(out) == 4
+    rows = {(r.a, None if pd.isna(r.b) else int(r.b)): (r.n, r.s) for r in out.itertuples()}
+    assert rows[("x", 1)] == (2, 3.0)
+    assert rows[("x", None)] == (1, 6.0)
+    assert rows[("y", 2)] == (1, 4.0)
+    assert rows[(None, 2)] == (2, 8.0)
+
+
+def test_grouped_agg_partitioning_independent(ray_session):
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {"k": pa.array(rng.integers(0, 50, 2000), pa.int64()),
+         "v": pa.array(rng.integers(0, 100, 2000), pa.int64())}
+    )
+    outs = []
+    for par in (1, 4, 9):
+        outs.append(
+            grouped_agg(_ds(ray_session, t, par), "k", {"s": ("sum", "v")})
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_grouped_agg_rejects_unknown_kind(ray_session):
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1.0])})
+    with pytest.raises(ValueError, match="unknown kind"):
+        grouped_agg(_ds(ray_session, t, 1), "k", {"x": ("median", "v")})
