@@ -632,6 +632,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = C.normalize_text(_docs(sf_dir, ["doc_id", "text"]))
         return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def epoch_shuffle(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import curation as C
+
+        plan = C.epoch_shuffle_plan(_docs(sf_dir, ["doc_id"]), epoch=1)
+        return plan.to_pandas().sort_values("rank").reset_index(drop=True)
+
+    # ---- semi-structured (JSON props / regex scrub) ----
+    def json_field_stats(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import structured as S
+
+        out = S.json_field_stats(
+            R.read(sf_dir, "events", ["event_type", "props"]), field="k"
+        )
+        return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+    def redact_events(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import structured as S
+
+        out = S.redact_patterns(
+            R.read(sf_dir, "events", ["event_id", "props"]),
+            col="props",
+            rules=(("number", r"\d+", "<NUM>"),),
+            keep_cols=("event_id",),
+        )
+        return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -688,6 +714,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample,
         "mix_to_budget": mix_to_budget,
         "normalize_text": normalize_text,
+        "epoch_shuffle": epoch_shuffle,
+        "json_field_stats": json_field_stats,
+        "redact_events": redact_events,
     }
 
 
@@ -1062,6 +1091,43 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM s3) "
             "SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok, h FROM w "
             "WHERE tok_before < 500 ORDER BY source, h"
+        ),
+        # epoch-1 deterministic shuffle: h = splitmix64(doc_id XOR
+        # splitmix64(2)); rank = dense 0-based position in h order
+        "epoch_shuffle": (
+            "WITH s0 AS (SELECT doc_id, (CAST(xor(CAST(doc_id AS UBIGINT), "
+            "CAST(10905525725756348110 AS UBIGINT)) AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM documents), "
+            "x1 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h "
+            "FROM s2) "
+            "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
+            "FROM s3 ORDER BY rank"
+        ),
+        # JSON int-field stats per event type (RE2 extract both sides)
+        "json_field_stats": (
+            "WITH x AS (SELECT event_type, TRY_CAST(regexp_extract(props, "
+            "'\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS v FROM events) "
+            "SELECT event_type, COUNT(*) AS n_events, COUNT(v) AS n_with_field, "
+            "CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_field, "
+            "CAST(SUM(v) AS DOUBLE) / COUNT(v) AS avg_field "
+            "FROM x GROUP BY event_type ORDER BY event_type"
+        ),
+        # regex scrub of the props column (RE2 replace, global)
+        "redact_events": (
+            "SELECT event_id, regexp_replace(props, '\\d+', '<NUM>', 'g') AS redacted, "
+            "CAST(len(regexp_extract_all(props, '\\d+')) AS BIGINT) AS n_number, "
+            "CAST(len(regexp_extract_all(props, '\\d+')) AS BIGINT) AS n_redactions "
+            "FROM events ORDER BY event_id"
         ),
         # stopword-removal normalization (map-only text rewrite)
         "normalize_text": (

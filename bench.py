@@ -181,6 +181,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "decontaminate",
         "mix_to_budget",
         "normalize_text",
+        "epoch_shuffle",
+        "json_field_stats",
+        "redact_events",
     ]
     times: dict[str, float] = {}
     for name in names:

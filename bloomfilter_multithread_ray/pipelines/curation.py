@@ -324,3 +324,94 @@ def normalize_text(docs: "Dataset") -> "Dataset":
         )
 
     return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- epoch shuffle / global rank
+def global_rank_uniform(
+    keyed: "Dataset", *, key_col: str = "h", num_buckets: int = 64
+) -> "Dataset":
+    """Distributed row_number (0-based, ascending by ``key_col``) for a
+    UNIFORMLY-distributed uint64 key — the total-order primitive behind
+    epoch shuffling, deterministic train/eval splits, and resumable
+    sharded writes.
+
+    Because the key is uniform, its top bits ARE the range partitioner
+    (no sampling pass needed): bucket = h >> (64 - log2 B).
+
+      pass 1: per-batch bucket histogram → driver folds B ints into
+              prefix offsets (O(B) driver state, never O(rows));
+      pass 2: shuffle on bucket, per-bucket sort + ``offset + arange``.
+
+    Input is materialized once (key + payload only — callers project
+    first) so the histogram pass doesn't recompute upstream; blocks
+    spill to the object store at scale rather than living on the
+    driver.
+    """
+    B = int(num_buckets)
+    if B < 2 or B & (B - 1):
+        raise ValueError("num_buckets must be a power of two >= 2")
+    shift = np.uint64(64 - (B.bit_length() - 1))
+
+    payload = [c for c in keyed.schema().names if c != key_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__b", pa.array((h >> shift).astype(np.int32)))
+
+    bucketed = keyed.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def hist(t: pa.Table) -> pa.Table:
+        b = t.column("__b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"b": pa.array(np.arange(B, dtype=np.int64)),
+             "n": pa.array(np.bincount(b, minlength=B).astype(np.int64))}
+        )
+
+    hdf = bucketed.map_batches(
+        hist, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    counts = np.zeros(B, dtype=np.int64)
+    np.add.at(counts, hdf["b"].to_numpy(), hdf["n"].to_numpy())
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        b = int(g.column("__b")[0].as_py())
+        h = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(h, kind="stable")
+        cols = {"rank": pa.array(offsets[b] + np.arange(len(h), dtype=np.int64)),
+                key_col: pa.array(h[order])}
+        for c in payload:
+            cols[c] = g.column(c).combine_chunks().take(pa.array(order))
+        return pa.table(cols)
+
+    return bucketed.groupby("__b").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def epoch_shuffle_plan(
+    docs: "Dataset", *, epoch: int = 0, num_buckets: int = 64
+) -> "Dataset":
+    """Deterministic epoch-shuffle plan: {rank, h, doc_id} where rank
+    is the document's 0-based position in epoch ``epoch``'s global
+    training order — ``splitmix64(doc_id XOR seed(epoch))`` order, a
+    distinct uniform permutation per epoch that is reproducible and
+    independent of partitioning, cluster size, and run count (unlike
+    ``Dataset.random_shuffle``). Downstream writers consume the plan
+    as the shard assignment: shard = rank // shard_size.
+    """
+    from ..functions.hashing import hash64_ints
+
+    seed = int(splitmix64(np.uint64(epoch + 1)))
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"h": pa.array(hash64_ints(ids, seed=seed)),
+             "doc_id": pa.array(ids.astype(np.int64))}
+        )
+
+    keyed = docs.select_columns(["doc_id"]).map_batches(
+        key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return global_rank_uniform(keyed, key_col="h", num_buckets=num_buckets)
