@@ -638,6 +638,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         plan = C.epoch_shuffle_plan(_docs(sf_dir, ["doc_id"]), epoch=1)
         return plan.to_pandas().sort_values("rank").reset_index(drop=True)
 
+    def assign_splits(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import curation as C
+
+        out = C.assign_splits(_docs(sf_dir, ["doc_id"]))
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def corpus_shards(sf_dir):
+        # resumable shard sink: manifest of epoch-1 training shards
+        # written under a fresh scratch dir (contents checked via the
+        # SQL-derivable manifest; file side effects land in /tmp)
+        import tempfile
+
+        from bloomfilter_multithread_ray.pipelines import curation as C
+
+        out_dir = tempfile.mkdtemp(prefix="graft_shards_", dir="/tmp")
+        m = C.write_training_shards(
+            _docs(sf_dir, ["doc_id", "text"]), out_dir, epoch=1, shard_size=100
+        )
+        return m
+
     # ---- semi-structured (JSON props / regex scrub) ----
     def json_field_stats(sf_dir):
         from bloomfilter_multithread_ray.pipelines import structured as S
@@ -715,6 +735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_to_budget": mix_to_budget,
         "normalize_text": normalize_text,
         "epoch_shuffle": epoch_shuffle,
+        "assign_splits": assign_splits,
+        "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
         "redact_events": redact_events,
     }
@@ -1112,6 +1134,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # deterministic train/val/test assignment: bucket =
+        # splitmix64(doc_id) % 1000; [0,50) test, [50,100) val
+        "assign_splits": (
+            "WITH s0 AS (SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM documents), "
+            "x1 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) "
+            "% 1000 AS BIGINT) AS bucket FROM s2) "
+            "SELECT doc_id, bucket, CASE WHEN bucket < 50 THEN 'test' "
+            "WHEN bucket < 100 THEN 'val' ELSE 'train' END AS split "
+            "FROM s3 ORDER BY doc_id"
+        ),
+        # shard manifest of the epoch-1 training order (shard_size=100):
+        # same splitmix chain as epoch_shuffle, shard = rank // 100
+        "corpus_shards": (
+            "WITH s0 AS (SELECT doc_id, (CAST(xor(CAST(doc_id AS UBIGINT), "
+            "CAST(10905525725756348110 AS UBIGINT)) AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM documents), "
+            "x1 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h "
+            "FROM s2), "
+            "r AS (SELECT row_number() OVER (ORDER BY h) - 1 AS rank FROM s3) "
+            "SELECT CAST(rank // 100 AS BIGINT) AS shard, COUNT(*) AS n_docs, "
+            "MIN(rank) AS rank_min, MAX(rank) AS rank_max, FALSE AS skipped "
+            "FROM r GROUP BY 1 ORDER BY shard"
         ),
         # JSON int-field stats per event type (RE2 extract both sides)
         "json_field_stats": (

@@ -182,6 +182,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mix_to_budget",
         "normalize_text",
         "epoch_shuffle",
+        "assign_splits",
+        "corpus_shards",
         "json_field_stats",
         "redact_events",
     ]

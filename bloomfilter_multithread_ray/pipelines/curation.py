@@ -415,3 +415,123 @@ def epoch_shuffle_plan(
         key, batch_format="pyarrow", zero_copy_batch=True
     )
     return global_rank_uniform(keyed, key_col="h", num_buckets=num_buckets)
+
+
+# --------------------------------------------- split / shard assignment
+def assign_splits(
+    docs: "Dataset",
+    *,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    seed: int = 0,
+) -> "Dataset":
+    """Deterministic train/val/test assignment: {doc_id, bucket, split}
+    with ``bucket = splitmix64(doc_id XOR seed) % 1000`` — buckets
+    [0, test) → test, [test, test+val) → val, rest → train.
+
+    Content-keyed (map-only, no shuffle, no RNG state): a document's
+    split never changes when the corpus grows, is re-partitioned, or
+    is re-read — the property that keeps eval sets stable across
+    pipeline re-runs, which ``Dataset.random_shuffle``-style splits
+    do not have.
+    """
+    from ..functions.hashing import hash64_ints
+
+    tp, vp = int(test_permille), int(val_permille)
+    if tp < 0 or vp < 0 or tp + vp > 1000:
+        raise ValueError("permille bounds must be >= 0 and sum <= 1000")
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        b = (hash64_ints(ids, seed=seed) % np.uint64(1000)).astype(np.int64)
+        split = np.where(b < tp, "test", np.where(b < tp + vp, "val", "train"))
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)),
+             "bucket": pa.array(b),
+             "split": pa.array(split)}
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def write_training_shards(
+    docs: "Dataset",
+    out_dir: str,
+    *,
+    epoch: int = 0,
+    shard_size: int = 1000,
+    num_partitions: int = P_SHUF,
+    skip_existing: bool = True,
+) -> pd.DataFrame:
+    """Materialize epoch ``epoch``'s training order as resumable
+    parquet shards: ``{out_dir}/shard={s}/part.parquet`` holds ranks
+    ``[s*shard_size, (s+1)*shard_size)`` sorted by rank. Returns the
+    manifest {shard, n_docs, rank_min, rank_max, skipped}.
+
+    Scale shape: the epoch-shuffle plan (rank per doc) joins back to
+    the payload on ``doc_id`` (shuffle equi-join — both sides are
+    corpus-sized), shards route on ``shard % P`` (FIXED Ray group
+    count; a group task writes every shard hashed to it, so millions
+    of shards never mean millions of Ray groups), and each shard is
+    exactly one file written atomically (tmp + rename). A re-run
+    with ``skip_existing`` rewrites only missing shards — the failed
+    run's completed partitions are skipped, never re-shuffled into
+    different contents, because rank assignment is deterministic.
+    """
+    import os
+
+    from .join import hash_join
+
+    S = int(shard_size)
+    P = int(num_partitions)
+    os.makedirs(out_dir, exist_ok=True)
+
+    plan = epoch_shuffle_plan(docs, epoch=epoch)
+    joined = hash_join(plan, docs, on="doc_id", num_partitions=P)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        shard = (r // S).astype(np.int64)
+        t = t.append_column("shard", pa.array(shard))
+        return t.append_column("sp", pa.array((shard % P).astype(np.int32)))
+
+    def write_partition(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        shard = g.column("shard").to_numpy(zero_copy_only=False)
+        rank = g.column("rank").to_numpy(zero_copy_only=False)
+        rows = []
+        for s in np.unique(shard):
+            sel = np.flatnonzero(shard == s)
+            sel = sel[np.argsort(rank[sel], kind="stable")]
+            sub = g.drop_columns(["sp"]).take(pa.array(sel))
+            d = os.path.join(out_dir, f"shard={int(s)}")
+            path = os.path.join(d, "part.parquet")
+            skipped = skip_existing and os.path.exists(path)
+            if not skipped:
+                os.makedirs(d, exist_ok=True)
+                tmp = path + ".tmp"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, path)  # atomic publish: no torn shards
+            rows.append(
+                {"shard": int(s), "n_docs": len(sel),
+                 "rank_min": int(rank[sel].min()), "rank_max": int(rank[sel].max()),
+                 "skipped": bool(skipped)}
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("shard", pa.int64()), ("n_docs", pa.int64()),
+                 ("rank_min", pa.int64()), ("rank_max", pa.int64()),
+                 ("skipped", pa.bool_())]
+            ),
+        )
+
+    manifest = (
+        joined.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sp")
+        .map_groups(write_partition, batch_format="pyarrow")
+    )
+    return manifest.to_pandas().sort_values("shard").reset_index(drop=True)

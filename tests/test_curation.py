@@ -84,6 +84,57 @@ def test_mix_to_budget_greedy_prefix_rule(ray_session):
     assert (out.n_tok == 10).all()
 
 
+def test_assign_splits_stable_under_corpus_growth(ray_session):
+    small = [{"doc_id": i, "text": "t"} for i in range(200)]
+    big = [{"doc_id": i, "text": "t"} for i in range(400)]
+    a = (
+        C.assign_splits(_docs_ds(ray_session, small))
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    b = (
+        C.assign_splits(_docs_ds(ray_session, big, 5))
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    # every doc keeps its split when the corpus doubles
+    assert (b.loc[a.index] == a).all()
+    assert set(b.unique()) <= {"train", "val", "test"}
+    # ~10% held out at the default 50/50 permille (loose bound)
+    frac = (b != "train").mean()
+    assert 0.02 < frac < 0.25
+
+
+def test_write_training_shards_roundtrip_and_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(57)]
+    out = str(tmp_path / "shards")
+    m1 = C.write_training_shards(
+        _docs_ds(ray_session, rows), out, epoch=0, shard_size=10, num_partitions=4
+    )
+    assert m1.n_docs.sum() == 57 and not m1.skipped.any()
+    assert m1.shard.tolist() == list(range(6))  # ceil(57/10)
+    # every doc exactly once; ranks contiguous and sorted inside shards
+    seen, next_rank = set(), 0
+    for s in m1.shard:
+        t = pq.read_table(os.path.join(out, f"shard={s}", "part.parquet"))
+        r = t.column("rank").to_pylist()
+        assert r == list(range(next_rank, next_rank + len(r)))
+        next_rank += len(r)
+        seen.update(t.column("doc_id").to_pylist())
+    assert seen == set(range(57))
+    # resume: delete two shards, re-run -> only those rewritten
+    for s in (1, 4):
+        os.remove(os.path.join(out, f"shard={s}", "part.parquet"))
+    m2 = C.write_training_shards(
+        _docs_ds(ray_session, rows, 7), out, epoch=0, shard_size=10, num_partitions=4
+    )
+    assert set(m2[~m2.skipped].shard) == {1, 4}
+    t = pq.read_table(os.path.join(out, "shard=1", "part.parquet"))
+    assert t.column("rank").to_pylist() == list(range(10, 20))
+
+
 def test_normalize_text_counts_and_empty(ray_session):
     rows = [
         {"doc_id": 0, "text": "the cat of the house"},
