@@ -145,6 +145,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_hourly(sf_dir):
         return _round(R.events_hourly(sf_dir), ["sum_value"])
 
+    def events_hourly_distinct(sf_dir):
+        return R.events_hourly_distinct(sf_dir)
+
+    def events_value_p95(sf_dir):
+        out = A.grouped_quantile_disc(
+            R.read(sf_dir, "events", ["event_type", "value"]),
+            "event_type", "value", 0.95,
+        )
+        return out.rename(columns={"value": "p95"})
+
     def heavy_hitters_by_source(sf_dir):
         return A.heavy_hitters_by_group(
             _docs(sf_dir, ["text", "source"]),
@@ -689,6 +699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": bloom_semijoin,
         "top_customers": top_customers,
         "events_hourly": events_hourly,
+        "events_hourly_distinct": events_hourly_distinct,
+        "events_value_p95": events_value_p95,
         "distinct_tokens_hll": distinct_tokens_hll,
         "heavy_hitters_cms": heavy_hitters_cms,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
@@ -801,6 +813,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS hour, "
             "count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, hour ORDER BY event_type, hour"
+        ),
+        # exact windowed COUNT DISTINCT (user-partitioned dedup shuffle)
+        "events_hourly_distinct": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type, hour ORDER BY event_type, hour"
+        ),
+        # exact per-type p95 (PERCENTILE_DISC == quantile_disc: element
+        # at 0-based index ceil(q*n)-1 — bit-identical doubles)
+        "events_value_p95": (
+            "SELECT event_type, quantile_disc(value, 0.95) AS p95 "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         # curation chain: quality gate -> exact dedup -> per-source stats.
         # ttr is rounded to 6dp BEFORE the gate and the AVG on both sides

@@ -181,6 +181,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "decontaminate",
         "mix_to_budget",
         "normalize_text",
+        "events_hourly_distinct",
+        "events_value_p95",
         "epoch_shuffle",
         "assign_splits",
         "corpus_shards",

@@ -488,3 +488,158 @@ def source_overlap_kmv(
          "est_union": [est_union], "est_intersection": [jac * est_union],
          "est_jaccard": [jac], "rel_error_bound": [a.rel_error()]}
     )
+
+
+# ------------------------------------------- exact grouped percentiles
+def _sortable_u64(v: np.ndarray) -> np.ndarray:
+    """float64 -> uint64 whose unsigned order == the floats' order
+    (IEEE-754 total order trick: flip sign bit for non-negatives,
+    flip ALL bits for negatives)."""
+    u = np.ascontiguousarray(v, dtype=np.float64).view(np.uint64)
+    neg = (u >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~u, u | np.uint64(0x8000000000000000))
+
+
+def grouped_quantile_disc(
+    ds: "Dataset",
+    key: str,
+    col: str,
+    q: float,
+    *,
+    bits_per_pass: int = 16,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """EXACT per-group discrete quantile (``quantile_disc`` /
+    PERCENTILE_DISC semantics: the element at 0-based index
+    ceil(q·n)−1 of the group's sorted values) → {key, value}.
+
+    No per-group sort and no per-group materialization — the group's
+    values never sit in one place. Iterative radix narrowing over the
+    float's order-preserving uint64 image: each round histograms the
+    next ``bits_per_pass`` bits WITHIN the surviving prefix per group
+    (one fixed-partition ``grouped_agg`` count over (key, bucket));
+    the driver walks each group's cumulative histogram (O(groups ×
+    2^bits) tiny rows) and keeps only the bucket containing the
+    target rank. Each histogram row also carries the bucket's exact
+    value range (min/max of the order-mapped u64), so a group whose
+    target bucket holds ONE distinct value resolves immediately — in
+    practice nearly every group exits after round 1 (2^16 buckets vs
+    typical per-group cardinality); the 64/bits-round worst case only
+    materializes under adversarial bit-level clustering, and even a
+    fully-degenerate group (all values equal) resolves exactly, with
+    no "collect the candidate bucket" fallback and no skew
+    assumption. Rounds are small streaming jobs reading {key, col}.
+
+    Scale: shuffle volume per round is O(groups × 2^bits × blocks)
+    partial rows; driver state O(groups × 2^bits). Null values are
+    excluded (SQL aggregate semantics); NaN is rejected (no SQL
+    total-order equivalent).
+    """
+    from .agg import grouped_agg
+
+    B = int(bits_per_pass)
+    if not 1 <= B <= 32 or 64 % B:
+        raise ValueError("bits_per_pass must divide 64 and be in [1, 32]")
+    rounds = 64 // B
+    mask_b = np.uint64((1 << B) - 1)
+
+    # per-group narrowing state: prefix (resolved high bits) and the
+    # 0-based rank of the target within the prefix's value run
+    state: dict = {}  # key -> [prefix_u64, rank_remaining]
+    resolved: dict = {}  # key -> exact sortable u64
+
+    SIGN = np.uint64(0x8000000000000000)
+
+    for rnd in range(rounds):
+        if rnd and not state:
+            break  # every group resolved via the bucket min==max exit
+        shift = np.uint64(64 - B * (rnd + 1))
+        # vectorized row filter for this round: key -> surviving prefix
+        prefix_map = pd.Series(
+            {kk: np.uint64(v[0]) for kk, v in state.items()}, dtype="uint64"
+        )
+
+        def hist(t: pa.Table) -> pa.Table:
+            kcol = t.column(key)
+            varr = t.column(col)
+            valid = ~np.asarray(pa.compute.is_null(varr).combine_chunks())
+            v = varr.to_numpy(zero_copy_only=False)[valid]
+            if np.isnan(v).any():
+                raise ValueError("grouped_quantile_disc: NaN values unsupported")
+            k = kcol.to_numpy(zero_copy_only=False)[valid]
+            u = _sortable_u64(v)
+            if rnd:
+                pref_shift = np.uint64(64 - B * rnd)
+                want = pd.Series(k).map(prefix_map)  # NaN for resolved-out keys
+                known = want.notna().to_numpy()
+                wantu = np.zeros(len(u), dtype=np.uint64)
+                wantu[known] = want[known].to_numpy(dtype=np.uint64)
+                keep = known & ((u >> pref_shift) == wantu)
+                u, k = u[keep], k[keep]
+            bucket = ((u >> shift) & mask_b).astype(np.int64)
+            # carry the bucket's exact value range: u64 order-mapped to
+            # int64 (xor the sign bit) so grouped_agg's min/max apply
+            s64 = (u ^ SIGN).view(np.int64)
+            return pa.table(
+                {key: pa.array(k), "bucket": pa.array(bucket),
+                 "s": pa.array(s64)}
+            )
+
+        hdf = grouped_agg(
+            ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+            [key, "bucket"],
+            {"cnt": ("count", None), "smin": ("min", "s"), "smax": ("max", "s")},
+            num_partitions=num_partitions,
+        ).to_pandas()
+
+        new_state = {}
+        for kk, grp in hdf.groupby(key, sort=False):
+            grp = grp.sort_values("bucket")
+            c = grp["cnt"].to_numpy()
+            if rnd == 0:
+                n = int(c.sum())
+                if n == 0:
+                    continue
+                rank = int(np.ceil(q * n)) - 1
+                rank = min(max(rank, 0), n - 1)
+            else:
+                rank = state[kk][1]
+            cum = np.cumsum(c)
+            i = int(np.searchsorted(cum, rank + 1))
+            b = int(grp["bucket"].to_numpy()[i])
+            before = int(cum[i - 1]) if i else 0
+            smin = np.uint64(np.int64(grp["smin"].to_numpy()[i])) ^ SIGN
+            smax = np.uint64(np.int64(grp["smax"].to_numpy()[i])) ^ SIGN
+            if smin == smax:
+                # one distinct value left in the target bucket — done,
+                # whatever rank inside it (values identical)
+                resolved[kk] = smin
+                continue
+            prev = state.get(kk, (np.uint64(0), 0))[0] if rnd else np.uint64(0)
+            new_state[kk] = [
+                (np.uint64(prev) << np.uint64(B)) | np.uint64(b),
+                rank - before,
+            ]
+        state = new_state
+
+    for kk, (prefix, _r) in state.items():
+        resolved[kk] = np.uint64(prefix)  # all 64 bits narrowed
+
+    return (
+        pd.DataFrame(
+            {key: list(resolved.keys()),
+             "value": [_unsort_u64(v) for v in resolved.values()]}
+        )
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+
+
+def _unsort_u64(u: np.uint64) -> float:
+    """Inverse of _sortable_u64 for a scalar."""
+    u = np.uint64(u)
+    if u >> np.uint64(63):  # was non-negative: clear the flipped sign bit
+        raw = u ^ np.uint64(0x8000000000000000)
+    else:  # was negative: all bits were flipped
+        raw = ~u
+    return float(np.array([raw], dtype=np.uint64).view(np.float64)[0])

@@ -284,6 +284,51 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_hourly_distinct(sf_dir: str, num_partitions: int = 64) -> pd.DataFrame:
+    """Exact windowed COUNT(DISTINCT): {event_type, hour, n_users} —
+    distinct users per event type per tumbling hour.
+
+    Distinct-count is the one grouped aggregate that can't pre-sum, so
+    the dedup itself is the wide step: per-batch distinct
+    (type, hour, user) triples (arrow ``group_by`` with no aggregates
+    — the combiner: shuffle volume is distinct-per-batch, not event
+    volume), shuffle on ``user % P`` (FIXED partition count; identical
+    triples co-locate because the user id does), per-partition global
+    distinct + count per (type, hour), then a tiny ``grouped_agg`` sum
+    of the per-partition partial counts. The approximate counterpart
+    at much lower shuffle cost is the grouped-HLL pipeline
+    (``distinct_by_source_hll``) — this is the exact anchor.
+    """
+    from .agg import grouped_agg
+
+    P = int(num_partitions)
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def distinct_triples(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        trip = pa.table(
+            {"event_type": t["event_type"], "hour": hour, "user_id": t["user_id"]}
+        ).group_by(["event_type", "hour", "user_id"]).aggregate([])
+        uid = trip.column("user_id").to_numpy(zero_copy_only=False)
+        return trip.append_column("up", pa.array((uid % P).astype(np.int32)))
+
+    def partition_counts(g: pa.Table) -> pa.Table:
+        d = g.group_by(["event_type", "hour", "user_id"]).aggregate([])
+        c = d.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return c.rename_columns(["event_type", "hour", "cnt"])
+
+    out = grouped_agg(
+        ds.map_batches(distinct_triples, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("up")
+        .map_groups(partition_counts, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        {"n_users": ("sum", "cnt")},
+    )
+    return (
+        out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    )
+
+
 # -------------------------------------------------------------- exact dedup
 def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     """Exact text dedup: keep MIN(doc_id) per distinct text → {doc_id}.

@@ -132,3 +132,61 @@ def test_events_rolling_mean_partial_windows(ray_session, testdata_dir):
     i = len(rows) - 1
     want = round(rows["value"].iloc[i - 4 : i + 1].mean(), 6)
     assert abs(rows["roll_mean"].iloc[i] - want) < 1e-9
+
+
+def test_grouped_quantile_disc_exact_vs_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import grouped_quantile_disc
+
+    rng = np.random.default_rng(17)
+    g = np.repeat(["a", "b", "c", "d"], 500)
+    v = np.concatenate(
+        [rng.normal(0, 1, 500), rng.exponential(3, 500),
+         -rng.exponential(2, 500), np.full(500, -1.5)]  # incl. all-equal group
+    )
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    for q in (0.05, 0.5, 0.95, 1.0):
+        out = grouped_quantile_disc(rd.from_arrow(t).repartition(6), "g", "v", q)
+        for key in "abcd":
+            vals = np.sort(v[g == key])
+            idx = min(max(int(np.ceil(q * len(vals))) - 1, 0), len(vals) - 1)
+            want = vals[idx]
+            got = float(out.set_index("g").loc[key, "value"])
+            assert got == want, (q, key, got, want)
+
+
+def test_grouped_quantile_disc_null_values_excluded(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import grouped_quantile_disc
+
+    t = pa.table(
+        {"g": pa.array(["a"] * 5), "v": pa.array([1.0, None, 3.0, None, 2.0])}
+    )
+    out = grouped_quantile_disc(rd.from_arrow(t).repartition(2), "g", "v", 0.5)
+    assert float(out.value[0]) == 2.0  # median of {1,2,3}, nulls ignored
+
+
+def test_events_hourly_distinct_matches_pandas(ray_session, testdata_dir):
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.relational import (
+        events_hourly_distinct,
+    )
+
+    got = events_hourly_distinct(testdata_dir)
+    ev = pd.read_parquet(f"{testdata_dir}/events.parquet",
+                         columns=["event_type", "ts", "user_id"])
+    ev["hour"] = ev.ts.dt.floor("h")
+    want = (
+        ev.groupby(["event_type", "hour"])["user_id"].nunique().reset_index()
+        .rename(columns={"user_id": "n_users"})
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.n_users.values == want.n_users.values).all()
