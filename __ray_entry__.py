@@ -668,6 +668,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return m
 
+    def lm_perplexity(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.lm import lm_perplexity as LM
+
+        out = LM(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     # ---- semi-structured (JSON props / regex scrub) ----
     def json_field_stats(sf_dir):
         from bloomfilter_multithread_ray.pipelines import structured as S
@@ -747,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_to_budget": mix_to_budget,
         "normalize_text": normalize_text,
         "epoch_shuffle": epoch_shuffle,
+        "lm_perplexity": lm_perplexity,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
@@ -1158,6 +1165,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # self-trained byte/char-bigram LM perplexity per doc (add-one
+        # smoothing over the observed alphabet; p = (C2+1)/(C1+V));
+        # double math both sides, compare layer rounds to 6dp
+        "lm_perplexity": (
+            "WITH big AS (SELECT doc_id, unnest(list_transform(range(1, len(text)), "
+            "i -> substr(text, CAST(i AS INT), 2))) AS b FROM documents WHERE len(text) >= 2), "
+            "c2 AS (SELECT b, count(*) AS c FROM big GROUP BY b), "
+            "c1 AS (SELECT substr(b, 1, 1) AS c1ch, SUM(c) AS n FROM c2 GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT u) AS V FROM "
+            "(SELECT unnest(string_split(text, '')) AS u FROM documents)), "
+            "sc AS (SELECT g.doc_id, count(*) AS m, "
+            "-avg(ln((c2.c + 1.0) / (c1.n + v.V))) AS nll "
+            "FROM big g JOIN c2 ON g.b = c2.b "
+            "JOIN c1 ON substr(g.b, 1, 1) = c1.c1ch CROSS JOIN v GROUP BY g.doc_id) "
+            "SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams, exp(nll) AS ppl "
+            "FROM sc ORDER BY doc_id"
         ),
         # deterministic train/val/test assignment: bucket =
         # splitmix64(doc_id) % 1000; [0,50) test, [50,100) val
