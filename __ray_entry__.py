@@ -668,6 +668,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return m
 
+    def label_centroids(sf_dir):
+        import ray.data
+
+        from bloomfilter_multithread_ray.pipelines.similarity import (
+            label_centroids as LC,
+        )
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+        return LC(emb)
+
     def lm_perplexity(sf_dir):
         from bloomfilter_multithread_ray.pipelines.lm import lm_perplexity as LM
 
@@ -754,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": normalize_text,
         "epoch_shuffle": epoch_shuffle,
         "lm_perplexity": lm_perplexity,
+        "label_centroids": label_centroids,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
@@ -1165,6 +1178,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # per-label embedding centroid, long form (1-based dim index);
+        # f32 values averaged in double on both sides
+        "label_centroids": (
+            "SELECT label, i, AVG(embedding[CAST(i AS INT)]) AS c "
+            "FROM embeddings CROSS JOIN range(1, 65) t(i) "
+            "GROUP BY label, i ORDER BY label, i"
         ),
         # self-trained byte/char-bigram LM perplexity per doc (add-one
         # smoothing over the observed alphabet; p = (C2+1)/(C1+V));

@@ -184,6 +184,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_hourly_distinct",
         "events_value_p95",
         "lm_perplexity",
+        "label_centroids",
         "epoch_shuffle",
         "assign_splits",
         "corpus_shards",

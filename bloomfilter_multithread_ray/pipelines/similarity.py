@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 if TYPE_CHECKING:
@@ -582,3 +583,49 @@ def ann_ivf(
     out = partials.groupby("qid").map_groups(final_topk, batch_format="pyarrow")
     df = out.to_pandas().sort_values(["qid", "cosine", "vec_id"], ascending=[True, False, True])
     return df.reset_index(drop=True)
+
+
+# ------------------------------------------------------ label centroids
+def label_centroids(emb: "Dataset", *, col: str = "embedding") -> pd.DataFrame:
+    """Per-label embedding centroid (grouped vector mean) → long-form
+    {label, i, c} with i the 1-based dimension index — the class-
+    prototype computation behind centroid classifiers, cluster
+    seeding, and embedding-drift monitoring.
+
+    Scale shape: each batch collapses to one (sum_vec, n) partial per
+    label it saw (labels are a bounded catalog), so the driver folds
+    O(labels × blocks) small rows — the vector payload never
+    shuffles. Sums run in float64 regardless of storage dtype; the
+    mean is one divide at the end.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, col).astype(np.float64, copy=False)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), m.shape[1]))
+        np.add.at(sums, inv, m)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {"label": pa.array(ulab),
+             "n": pa.array(n),
+             "s": pa.array(list(sums), pa.list_(pa.float64()))}
+        )
+
+    pdf = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = []
+    for lab, grp in pdf.groupby("label"):
+        tot = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+        n = int(grp["n"].sum())
+        c = tot / n
+        rows.append(
+            pd.DataFrame(
+                {"label": int(lab), "i": np.arange(1, len(c) + 1), "c": c}
+            )
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["label", "i"])
+        .reset_index(drop=True)
+    )

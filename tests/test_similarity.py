@@ -201,3 +201,25 @@ def test_ivf_store_partition_pruned_equals_in_memory(tmp_path):
     # pruning is real: fewer cluster dirs read than exist when nprobe < n_clusters
     n_dirs = len([d for d in os.listdir(store) if d.startswith("cluster=")])
     assert n_dirs >= 2
+
+
+def test_label_centroids_match_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.similarity import label_centroids
+
+    rng = np.random.default_rng(23)
+    lab = rng.integers(0, 4, 300)
+    mat = rng.normal(size=(300, 8)).astype(np.float32)
+    t = pa.table(
+        {"label": pa.array(lab.astype(np.int32)),
+         "embedding": pa.array(list(mat), pa.list_(pa.float32()))}
+    )
+    out = label_centroids(rd.from_arrow(t).repartition(5))
+    assert len(out) == 4 * 8
+    for l in range(4):
+        want = mat[lab == l].astype(np.float64).sum(axis=0) / (lab == l).sum()
+        got = out[out.label == l].sort_values("i").c.to_numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-12)
