@@ -668,6 +668,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return m
 
+    def top_pmi_bigrams(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.text_stats import (
+            top_pmi_bigrams as TP,
+        )
+
+        return TP(sf_dir, topk=20, min_count=5)
+
     def label_centroids(sf_dir):
         import ray.data
 
@@ -767,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": epoch_shuffle,
         "lm_perplexity": lm_perplexity,
         "label_centroids": label_centroids,
+        "top_pmi_bigrams": top_pmi_bigrams,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
@@ -1178,6 +1186,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # top word-bigram collocations by PMI (rounded-6dp rank,
+        # lexicographic tiebreak; identical double-math order)
+        "top_pmi_bigrams": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "mm AS (SELECT CAST(SUM(len(w)) AS DOUBLE) AS M FROM toks), "
+            "nn AS (SELECT CAST(SUM(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END) AS DOUBLE) AS N FROM toks), "
+            "uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t), "
+            "bc AS (SELECT bg, count(*) AS c12 FROM ("
+            "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || chr(31) || w[i+1])) AS bg "
+            "FROM toks WHERE len(w) >= 2) GROUP BY bg), "
+            "sp AS (SELECT string_split(bg, chr(31))[1] AS w1, "
+            "string_split(bg, chr(31))[2] AS w2, c12 FROM bc), "
+            "p AS (SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, "
+            "ROUND(ln(CAST(c12 AS DOUBLE) * mm.M * mm.M / (nn.N * u1.c * u2.c)), 6) AS pmi "
+            "FROM sp JOIN uc u1 ON u1.t = sp.w1 JOIN uc u2 ON u2.t = sp.w2 "
+            "CROSS JOIN mm CROSS JOIN nn WHERE c12 >= 5) "
+            "SELECT w1, w2, c12, pmi FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20"
         ),
         # per-label embedding centroid, long form (1-based dim index);
         # f32 values averaged in double on both sides

@@ -271,3 +271,136 @@ def vocab_coverage(sf_dir: str, vocab_size: int = 100, round_dp: int = 6) -> pd.
             "coverage": [round(covered / total, round_dp)],
         }
     )
+
+
+# ----------------------------------------------------- PMI collocations
+def top_pmi_bigrams(
+    sf_dir: str, topk: int = 20, min_count: int = 5, round_dp: int = 6
+) -> pd.DataFrame:
+    """Top-``topk`` word-bigram collocations by pointwise mutual
+    information: ``pmi = ln(c12 · M² / (N · c1 · c2))`` with c12 the
+    bigram count, c1/c2 the unigram counts, M total tokens, N total
+    bigrams. Bigrams below ``min_count`` are excluded (the standard
+    PMI noise gate). Ranking uses the ROUNDED pmi (desc) then (w1, w2)
+    lexicographic, so order is bit-identical to the SQL oracle.
+
+    Scale shape — the unigram table is NEVER broadcast (web-scale
+    vocab doesn't fit a worker): three content-keyed fixed-P shuffles,
+
+      1. per-batch partial bigram + unigram counts (tagged rows, one
+         pass over documents);
+      2. shuffle on ``hash(w1) % P``: globalize counts, attach c1 to
+         each bigram (unigram global rows re-emitted — they live in
+         the same partition under the next shuffle too);
+      3. shuffle on ``hash(w2) % P``: attach c2, gate on min_count,
+         compute pmi, per-partition local top-k;
+
+    then an O(P × k) driver merge. Totals M and N come from the tiny
+    per-batch partial sums, not a separate corpus pass.
+    """
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_nonempty_with_counts(batch, "text")
+        w = np.asarray(flat)
+        # within-row consecutive pairs (drop cross-row junk pairs)
+        if len(w) >= 2:
+            ends = np.cumsum(counts) - 1  # last token index per row
+            keep = np.ones(len(w) - 1, dtype=bool)
+            keep[ends[ends < len(w) - 1]] = False
+            w1, w2 = w[:-1][keep], w[1:][keep]
+        else:
+            w1 = w2 = w[:0]
+        bdf = (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False).size().reset_index(name="c")
+        )
+        udf = pd.DataFrame({"w1": w}).groupby("w1", sort=False).size().reset_index(name="c")
+        udf["w2"] = None
+        out = pd.concat([bdf, udf[["w1", "w2", "c"]]], ignore_index=True)
+        p1 = (hash_strings(out["w1"]) % np.uint64(P_SHUF)).astype(np.int32)
+        return pa.table(
+            {"w1": pa.array(out["w1"], pa.string()),
+             "w2": pa.array(out["w2"], pa.string()),
+             "c": pa.array(out["c"].to_numpy(np.int64)),
+             "p1": pa.array(p1)}
+        )
+
+    part = docs.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # totals from the tagged partials (tiny aggregates, no extra pass)
+    import pyarrow.compute as _pc
+
+    def totals(t: pa.Table) -> pa.Table:
+        isu = _pc.is_null(t.column("w2")).combine_chunks().to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(c[isu].sum())]),
+                         "n": pa.array([int(c[~isu].sum())])})
+
+    tot = part.map_batches(totals, batch_format="pyarrow").to_pandas()
+    M, N = float(tot["m"].sum()), float(tot["n"].sum())
+
+    def attach_c1(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        isu = df["w2"].isna()
+        uni = df[isu].groupby("w1", sort=False)["c"].sum()
+        big = df[~isu].groupby(["w1", "w2"], sort=False)["c"].sum().reset_index()
+        big["c1"] = big["w1"].map(uni).to_numpy(np.int64)
+        p2 = (hash_strings(big["w2"]) % np.uint64(P_SHUF)).astype(np.int32)
+        out = pa.table(
+            {"w1": pa.array(big["w1"], pa.string()),
+             "w2": pa.array(big["w2"], pa.string()),
+             "c": pa.array(big["c"].to_numpy(np.int64)),
+             "c1": pa.array(big["c1"].to_numpy(np.int64)),
+             "p2": pa.array(p2)}
+        )
+        # global unigram rows ride along: same hash key -> same
+        # partition under the p2 shuffle (w2 null, c1 null)
+        urows = uni.reset_index()
+        up = (hash_strings(urows["w1"]) % np.uint64(P_SHUF)).astype(np.int32)
+        utab = pa.table(
+            {"w1": pa.array(urows["w1"], pa.string()),
+             "w2": pa.array([None] * len(urows), pa.string()),
+             "c": pa.array(urows["c"].to_numpy(np.int64)),
+             "c1": pa.array([None] * len(urows), pa.int64()),
+             "p2": pa.array(up)}
+        )
+        return pa.concat_tables([out, utab])
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        isu = df["w2"].isna()
+        uni = df[isu].set_index("w1")["c"]
+        big = df[~isu].copy()
+        big = big[big["c"] >= min_count]
+        if big.empty:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "c12": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64())}
+            )
+        c2 = big["w2"].map(uni).to_numpy(np.float64)
+        pmi = np.log(
+            big["c"].to_numpy(np.float64) * M * M
+            / (N * big["c1"].to_numpy(np.float64) * c2)
+        ).round(round_dp)
+        big = big.assign(pmi=pmi).sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]
+        ).head(topk)
+        return pa.table(
+            {"w1": pa.array(big["w1"], pa.string()),
+             "w2": pa.array(big["w2"], pa.string()),
+             "c12": pa.array(big["c"].to_numpy(np.int64)),
+             "pmi": pa.array(big["pmi"].to_numpy(np.float64))}
+        )
+
+    out = (
+        part.groupby("p1").map_groups(attach_c1, batch_format="pyarrow")
+        .groupby("p2").map_groups(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["pmi", "w1", "w2"], ascending=[False, True, True])
+        .head(topk)
+        .reset_index(drop=True)
+    )
+    return out

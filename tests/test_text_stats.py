@@ -117,3 +117,23 @@ def test_pack_sequences_mini(mini_corpus):
     # total chunk_len reconstructs each doc's token count
     tot = got.groupby("doc_id")["chunk_len"].sum().to_dict()
     assert tot == {1: 4, 2: 3, 3: 4, 5: 4}
+
+
+def test_top_pmi_bigrams_known_corpus(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import top_pmi_bigrams
+
+    # "x y" always co-occurs (strong collocation); "a b" co-occurs at
+    # chance among shuffled fillers
+    rng = np.random.default_rng(4)
+    docs = []
+    for i in range(60):
+        filler = list(rng.permutation(["a", "b", "c", "d"] * 3))
+        docs.append({"doc_id": i, "text": " ".join(["x", "y"] + filler)})
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet")
+    out = top_pmi_bigrams(str(tmp_path), topk=5, min_count=5)
+    assert (out.w1.iloc[0], out.w2.iloc[0]) == ("x", "y")
+    assert out.c12.iloc[0] == 60
+    assert (out.pmi.values == np.sort(out.pmi.values)[::-1]).all()
