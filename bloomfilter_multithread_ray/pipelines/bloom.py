@@ -220,11 +220,24 @@ class BloomProbe:
         )
         part = partition_of(gh, self.num_partitions)
         member = np.zeros(len(gh), dtype=bool)
-        for p in np.unique(part):
-            mask = part == p
-            shard = self.shards.get(int(p))
-            if shard is not None:
-                member[mask] = shard.contains(gh[mask])
+        if len(gh):
+            # sort-segment by partition instead of one boolean-mask scan
+            # per partition: the mask loop re-reads the full gh/part
+            # arrays P times (64x the memory traffic), which saturates
+            # DRAM when a whole actor pool probes concurrently —
+            # measured 8x UDF slowdown at concurrency=8 vs solo
+            order = np.argsort(part, kind="stable")
+            psort = part[order]
+            ghs = gh[order]
+            starts = np.flatnonzero(np.diff(psort, prepend=psort[0] - 1))
+            bounds = np.append(starts, len(psort))
+            member_s = np.zeros(len(ghs), dtype=bool)
+            for i, a in enumerate(starts):
+                b = bounds[i + 1]
+                shard = self.shards.get(int(psort[a]))
+                if shard is not None:
+                    member_s[a:b] = shard.contains(ghs[a:b])
+            member[order] = member_s
         ids = batch.column(self.id_col).combine_chunks()
         return pa.table(
             {
