@@ -668,6 +668,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return m
 
+    def bloom_new_docs(sf_dir):
+        return R.dedup_new_against_corpus(sf_dir, new_source="src0")
+
+    def events_value_p95_tdigest(sf_dir):
+        return A.grouped_quantile_tdigest(
+            R.read(sf_dir, "events", ["event_type", "value"]),
+            "event_type", "value", qs=(0.5, 0.95), names=("p50", "p95"),
+        )
+
     def top_pmi_bigrams(sf_dir):
         from bloomfilter_multithread_ray.pipelines.text_stats import (
             top_pmi_bigrams as TP,
@@ -775,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": lm_perplexity,
         "label_centroids": label_centroids,
         "top_pmi_bigrams": top_pmi_bigrams,
+        "bloom_new_docs": bloom_new_docs,
+        "events_value_p95_tdigest": events_value_p95_tdigest,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
@@ -1186,6 +1197,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # incremental dedup: new-batch (src0) docs whose text is absent
+        # from the rest of the corpus (Bloom prune + exact hash verify
+        # on the Ray side = plain NOT EXISTS on text here)
+        "bloom_new_docs": (
+            "SELECT doc_id FROM documents a WHERE source = 'src0' "
+            "AND NOT EXISTS (SELECT 1 FROM documents b "
+            "WHERE b.source <> 'src0' AND b.text = a.text) ORDER BY doc_id"
         ),
         # top word-bigram collocations by PMI (rounded-6dp rank,
         # lexicographic tiebreak; identical double-math order)

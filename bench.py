@@ -185,6 +185,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_p95",
         "lm_perplexity",
         "label_centroids",
+        "top_pmi_bigrams",
+        "bloom_new_docs",
         "epoch_shuffle",
         "assign_splits",
         "corpus_shards",

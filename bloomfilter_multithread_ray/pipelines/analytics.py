@@ -643,3 +643,34 @@ def _unsort_u64(u: np.uint64) -> float:
     else:  # was negative: all bits were flipped
         raw = ~u
     return float(np.array([raw], dtype=np.uint64).view(np.float64)[0])
+
+
+def grouped_quantile_tdigest(
+    ds: "Dataset",
+    by: str,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    names: tuple[str, ...] = ("p50", "p95"),
+    compression: float = 200.0,
+) -> pd.DataFrame:
+    """Sketch-mode grouped quantiles: one mergeable t-digest per group
+    → {by, *names}. The approximate counterpart of
+    ``grouped_quantile_disc`` — per-block partial digests (KBs) travel
+    instead of values, one shuffle of sketch bytes keyed on the
+    bounded group catalog; accuracy bound asserted in pytest against
+    the exact operator.
+    """
+    rows = (
+        ds.groupby(by)
+        .aggregate(SketchAgg(lambda: TDigest(compression), on=col, kind="values"))
+        .take_all()
+    )
+    out: dict = {by: []}
+    for n in names:
+        out[n] = []
+    for r in sorted(rows, key=lambda r: r[by]):
+        sk = deserialize_sketch(r["sketch"])
+        out[by].append(r[by])
+        for n, q in zip(names, qs):
+            out[n].append(float(sk.quantile(q)))
+    return pd.DataFrame(out)

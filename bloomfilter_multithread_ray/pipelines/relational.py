@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash64_ints
+from ..functions.hashing import hash64_ints, hash_strings
 from ..state import BloomFilter
 
 if TYPE_CHECKING:
@@ -205,6 +205,90 @@ def bloom_semijoin_lineitem(
     if df.empty:  # keep a stable schema even when nothing survives
         df = pd.DataFrame(columns=["l_orderkey", "l_linenumber", "l_partkey"]).astype("int64")
     return df.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def dedup_new_against_corpus(
+    sf_dir: str,
+    new_source: str = "src0",
+    bloom_bits: int = 1 << 22,
+    num_hashes: int = 4,
+) -> pd.DataFrame:
+    """Incremental dedup: {doc_id} of new-batch documents
+    (``source == new_source``) whose text does NOT already appear in
+    the existing corpus (every other source) — the reference's
+    build+probe composition (`src/main.cpp` phase 1 build, phase 2
+    probe `src/SkmerSplitter.cpp:91-151`) applied to content-hash
+    membership, the shape of "dedupe today's crawl against the store".
+
+    EXACT result despite the sketch: the corpus content-hash Bloom is
+    broadcast and the probe splits the new batch into definitely-new
+    rows (Bloom negative — no false negatives, these never enter a
+    shuffle) and candidate duplicates (Bloom positive — exact-verified
+    by the general ``hash_join(how="anti")`` on the 64-bit content
+    hash, shuffling only candidates + corpus hashes, never text). At a
+    realistic dup rate the verify shuffle carries a few percent of the
+    new batch — the Bloom prunes the rest, which is the entire point
+    of the reference's architecture.
+    """
+    from ..state import BloomFilter
+    from ..state.base import deserialize_sketch
+    from ..stages.sketch_agg import SketchAgg
+    from .join import hash_join
+
+    import ray
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    new_s = str(new_source)
+
+    def hashes(t: pa.Table) -> pa.Table:
+        h = hash_strings(t.column("text").combine_chunks())
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "gh": pa.array(h.view(np.int64)),
+             "is_new": pc.equal(t.column("source"), new_s)}
+        )
+
+    hashed = docs.map_batches(
+        hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed by build + two probe passes
+
+    old = hashed.filter(expr="is_new == False").select_columns(["gh"])
+    res = old.aggregate(
+        SketchAgg(lambda: BloomFilter(bloom_bits, num_hashes), on="gh")
+    )
+    bf = deserialize_sketch(res["sketch"]) if res and res.get("sketch") is not None \
+        else BloomFilter(bloom_bits, num_hashes)
+    bf_ref = ray.put(("bloom_bits", bf.num_bits, bf.num_hashes, bf.n_added, bf.bits))
+
+    class Probe:
+        def __init__(self, keep_member: bool):
+            _, nb, nh, na, bits = ray.get(bf_ref)
+            self.bf = BloomFilter.from_bits(nb, nh, bits, na)
+            self.keep_member = keep_member
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self.bf.contains(
+                t.column("gh").to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+            return t.filter(pa.array(m if self.keep_member else ~m))
+
+    new = hashed.filter(expr="is_new == True").select_columns(["doc_id", "gh"])
+    definite = new.map_batches(
+        Probe, fn_constructor_kwargs={"keep_member": False},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=2,
+    ).select_columns(["doc_id"])
+    cand = new.map_batches(
+        Probe, fn_constructor_kwargs={"keep_member": True},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=2,
+    )
+    verified = hash_join(
+        cand, old, on="gh", how="anti", num_partitions=16
+    ).select_columns(["doc_id"])
+
+    df = definite.union(verified).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"doc_id": pd.array([], dtype="int64")})
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 # -------------------------------------------------------------- top-k join

@@ -190,3 +190,52 @@ def test_events_hourly_distinct_matches_pandas(ray_session, testdata_dir):
     )
     assert len(got) == len(want)
     assert (got.n_users.values == want.n_users.values).all()
+
+
+def test_grouped_quantile_tdigest_within_bound(ray_session, testdata_dir):
+    import numpy as np
+
+    from bloomfilter_multithread_ray.pipelines.analytics import (
+        grouped_quantile_disc,
+        grouped_quantile_tdigest,
+    )
+    from bloomfilter_multithread_ray.pipelines.relational import read
+
+    ev = read(testdata_dir, "events", ["event_type", "value"])
+    approx = grouped_quantile_tdigest(
+        ev, "event_type", "value", qs=(0.95,), names=("p95",)
+    )
+    # t-digest guarantees RANK accuracy, not value accuracy: the p95
+    # estimate must land between the exact p90 and p99 of its group
+    lo = grouped_quantile_disc(
+        read(testdata_dir, "events", ["event_type", "value"]),
+        "event_type", "value", 0.90,
+    ).rename(columns={"value": "lo"})
+    hi = grouped_quantile_disc(
+        read(testdata_dir, "events", ["event_type", "value"]),
+        "event_type", "value", 0.99,
+    ).rename(columns={"value": "hi"})
+    m = approx.merge(lo, on="event_type").merge(hi, on="event_type")
+    assert (m.p95 >= m.lo).all() and (m.p95 <= m.hi).all()
+
+
+def test_dedup_new_against_corpus_synthetic(ray_session, tmp_path):
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.relational import (
+        dedup_new_against_corpus,
+    )
+
+    corpus = [
+        {"doc_id": i, "text": f"existing document number {i}", "source": "old"}
+        for i in range(50)
+    ]
+    new = [
+        {"doc_id": 100, "text": "existing document number 7", "source": "new"},  # dup
+        {"doc_id": 101, "text": "a genuinely new document", "source": "new"},
+        {"doc_id": 102, "text": "another new one", "source": "new"},
+        {"doc_id": 103, "text": "existing document number 49", "source": "new"},  # dup
+    ]
+    pd.DataFrame(corpus + new).to_parquet(tmp_path / "documents.parquet")
+    out = dedup_new_against_corpus(str(tmp_path), new_source="new")
+    assert out.doc_id.tolist() == [101, 102]
