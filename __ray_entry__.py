@@ -668,6 +668,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return m
 
+    def source_kl(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.text_stats import (
+            source_kl_divergence,
+        )
+
+        return source_kl_divergence(sf_dir)
+
     def bloom_new_docs(sf_dir):
         return R.dedup_new_against_corpus(sf_dir, new_source="src0")
 
@@ -785,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": label_centroids,
         "top_pmi_bigrams": top_pmi_bigrams,
         "bloom_new_docs": bloom_new_docs,
+        "source_kl": source_kl,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
@@ -1197,6 +1205,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # per-source vocabulary KL divergence from the corpus unigram
+        # distribution (no smoothing needed: p_s>0 implies q>0); same
+        # per-term double expression both sides, rounded at 6dp
+        "source_kl": (
+            "WITH toks AS (SELECT source, unnest(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS tok FROM documents), "
+            "st AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "ns AS (SELECT source, SUM(c) AS n FROM st GROUP BY 1), "
+            "ct AS (SELECT tok, SUM(c) AS c2 FROM st GROUP BY 1), "
+            "nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS N FROM st) "
+            "SELECT st.source, CAST(ns.n AS BIGINT) AS n_tok, "
+            "ROUND(SUM((st.c / CAST(ns.n AS DOUBLE)) * "
+            "ln((st.c / CAST(ns.n AS DOUBLE)) / (ct.c2 / nn.N))), 6) AS kl "
+            "FROM st JOIN ns USING (source) JOIN ct USING (tok) CROSS JOIN nn "
+            "GROUP BY st.source, ns.n ORDER BY st.source"
         ),
         # incremental dedup: new-batch (src0) docs whose text is absent
         # from the rest of the corpus (Bloom prune + exact hash verify

@@ -404,3 +404,91 @@ def top_pmi_bigrams(
         .reset_index(drop=True)
     )
     return out
+
+
+# --------------------------------------------- source distribution drift
+def source_kl_divergence(sf_dir: str, round_dp: int = 6) -> pd.DataFrame:
+    """Per-source vocabulary drift: {source, n_tok, kl} where
+    ``kl = Σ_t p_s(t) · ln(p_s(t) / q(t))`` — the KL divergence of each
+    source's token unigram distribution from the whole-corpus
+    distribution. The monitoring statistic for "did this crawl slice
+    drift from the mix" in a training-data pipeline.
+
+    Every term t with ``p_s(t) > 0`` also has ``q(t) > 0`` (the corpus
+    includes the source), so the sum is always finite — no smoothing
+    needed, which keeps the SQL oracle exact.
+
+    Scale shape: per-batch partial (source, token) counts → one
+    fixed-P shuffle on ``hash(token) % P`` (all counts of a token
+    co-locate; sources ride along) → per-partition global (source,
+    token) counts and corpus token counts → each partition emits its
+    partial KL contribution per source (sources × P tiny rows) →
+    driver sum. Totals (per source and corpus) come from the same
+    partials. Two passes over nothing — one shuffle total, vocabulary
+    never leaves its partition.
+    """
+    docs = read(sf_dir, "documents", ["text", "source"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_nonempty_with_counts(batch, "text")
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"source": np.repeat(src, counts), "tok": np.asarray(flat)}
+        ).groupby(["source", "tok"], sort=False).size().reset_index(name="c")
+        tp = (hash_strings(df["tok"]) % np.uint64(P_SHUF)).astype(np.int32)
+        return pa.table(
+            {"source": pa.array(df["source"], pa.string()),
+             "tok": pa.array(df["tok"], pa.string()),
+             "c": pa.array(df["c"].to_numpy(np.int64)),
+             "tp": pa.array(tp)}
+        )
+
+    part = docs.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # totals per source (and corpus-wide) — per-batch partial sums of
+    # the partials, never a driver materialization of (source, tok) rows
+    def tot_fn(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": t.column("source").to_pandas(),
+             "c": t.column("c").to_numpy(zero_copy_only=False)}
+        ).groupby("source", sort=False)["c"].sum().reset_index()
+        return pa.table({"source": pa.array(df["source"], pa.string()),
+                         "c": pa.array(df["c"].to_numpy(np.int64))})
+
+    tdf = part.map_batches(tot_fn, batch_format="pyarrow").to_pandas()
+    n_s = tdf.groupby("source")["c"].sum()  # tokens per source
+    N = float(n_s.sum())
+
+    n_s_map = {s: float(v) for s, v in n_s.items()}
+
+    def partition_kl(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": g.column("source").to_pandas(),
+             "tok": g.column("tok").to_pandas(),
+             "c": g.column("c").to_numpy(zero_copy_only=False)}
+        )
+        st = df.groupby(["source", "tok"], sort=False)["c"].sum().reset_index()
+        ct = st.groupby("tok", sort=False)["c"].sum()
+        c_st = st["c"].to_numpy(np.float64)
+        c_t = st["tok"].map(ct).to_numpy(np.float64)
+        ns = st["source"].map(n_s_map).to_numpy(np.float64)
+        contrib = (c_st / ns) * np.log((c_st / ns) / (c_t / N))
+        out = (
+            st.assign(k=contrib).groupby("source", sort=False)["k"].sum().reset_index()
+        )
+        return pa.table({"source": pa.array(out["source"], pa.string()),
+                         "k": pa.array(out["k"].to_numpy(np.float64))})
+
+    kdf = (
+        part.groupby("tp").map_groups(partition_kl, batch_format="pyarrow")
+        .to_pandas().groupby("source")["k"].sum().reset_index()
+    )
+    kdf["n_tok"] = kdf["source"].map(n_s).astype("int64")
+    kdf["kl"] = kdf["k"].round(round_dp)
+    return (
+        kdf[["source", "n_tok", "kl"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )

@@ -137,3 +137,30 @@ def test_top_pmi_bigrams_known_corpus(ray_session, tmp_path):
     assert (out.w1.iloc[0], out.w2.iloc[0]) == ("x", "y")
     assert out.c12.iloc[0] == 60
     assert (out.pmi.values == np.sort(out.pmi.values)[::-1]).all()
+
+
+def test_source_kl_divergence_properties(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import source_kl_divergence
+
+    # source "same" mirrors the corpus mix; source "skewed" doesn't
+    docs = []
+    for i in range(40):
+        docs.append({"doc_id": i, "text": "a b c d", "source": "same"})
+    for i in range(40, 80):
+        docs.append({"doc_id": i, "text": "a a a a", "source": "skewed"})
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet")
+    out = source_kl_divergence(str(tmp_path))
+    kl = out.set_index("source").kl
+    assert kl["skewed"] > kl["same"] >= 0
+    # exact check vs closed form: p_same uniform(4) vs corpus q
+    q = np.array([ (40 + 160) , 40, 40, 40], dtype=float)  # a, b, c, d counts
+    q = q / q.sum()
+    p_same = np.array([0.25, 0.25, 0.25, 0.25])
+    want_same = float(np.sum(p_same * np.log(p_same / q)))
+    p_skew = np.array([1.0])
+    want_skew = float(np.sum(p_skew * np.log(p_skew / q[:1])))
+    assert kl["same"] == round(want_same, 6)
+    assert kl["skewed"] == round(want_skew, 6)
