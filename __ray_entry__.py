@@ -668,6 +668,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return m
 
+    def textrank(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.text_stats import (
+            textrank_keywords,
+        )
+
+        return textrank_keywords(sf_dir, iters=10, topk=20)
+
     def source_kl(sf_dir):
         from bloomfilter_multithread_ray.pipelines.text_stats import (
             source_kl_divergence,
@@ -793,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_pmi_bigrams": top_pmi_bigrams,
         "bloom_new_docs": bloom_new_docs,
         "source_kl": source_kl,
+        "textrank": textrank,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
@@ -1205,6 +1213,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # TextRank keywords: 10-iteration PageRank (d=0.85) over the
+        # undirected distinct adjacent-word graph, no self-loops;
+        # recursive-CTE power iteration, rank rounded at 6dp
+        "textrank": (
+            "WITH RECURSIVE toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "p0 AS (SELECT unnest(list_transform(range(1, len(w)), "
+            "i -> w[i] || chr(31) || w[i+1])) AS pg FROM toks WHERE len(w) >= 2), "
+            "e1 AS (SELECT DISTINCT string_split(pg, chr(31))[1] AS a, "
+            "string_split(pg, chr(31))[2] AS b FROM p0), "
+            # NOTE: inside WITH RECURSIVE, DuckDB parses a CTE whose top
+            # level is a UNION as a recursive definition (the UNION no
+            # longer dedups); keep the union one level down
+            "e AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM e1 WHERE a <> b "
+            "UNION ALL SELECT b, a FROM e1 WHERE a <> b)), "
+            "nodes AS (SELECT DISTINCT a AS nd FROM e), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nodes), "
+            "deg AS (SELECT a, count(*) AS d FROM e GROUP BY a), "
+            "pr(iter, node, r) AS ("
+            "SELECT 0, nd, 1.0 / nn.N FROM nodes CROSS JOIN nn "
+            "UNION ALL "
+            "SELECT iter + 1, e.b, 0.15 / nn.N + 0.85 * SUM(pr.r / deg.d) "
+            "FROM pr JOIN e ON e.a = pr.node JOIN deg ON deg.a = e.a CROSS JOIN nn "
+            "WHERE iter < 10 GROUP BY iter + 1, e.b, nn.N) "
+            "SELECT node AS tok, ROUND(r, 6) AS rank FROM pr WHERE iter = 10 "
+            "ORDER BY ROUND(r, 6) DESC, tok LIMIT 20"
         ),
         # per-source vocabulary KL divergence from the corpus unigram
         # distribution (no smoothing needed: p_s>0 implies q>0); same

@@ -187,6 +187,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "label_centroids",
         "top_pmi_bigrams",
         "bloom_new_docs",
+        "source_kl",
+        "textrank",
         "epoch_shuffle",
         "assign_splits",
         "corpus_shards",

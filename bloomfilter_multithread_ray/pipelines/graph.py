@@ -312,3 +312,71 @@ def keep_set_distributed(
         docs.select_columns([id_col]), drop, on=id_col, right_on="node", how="anti",
         num_partitions=num_partitions,
     )
+
+
+# ------------------------------------------------------------- PageRank
+def pagerank(
+    edges: "Dataset",
+    n_nodes: int,
+    *,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "s",
+    dst_col: str = "d",
+) -> np.ndarray:
+    """Fixed-iteration PageRank over an integer-id edge Dataset →
+    float64 rank vector of length ``n_nodes``.
+
+    r_{t+1}(v) = (1−d)/N + d · Σ_{(u,v)∈E} r_t(u)/deg(u), r_0 = 1/N.
+
+    Iteration pattern: the EDGES never move — they are materialized
+    once, partitioned however they landed, and every iteration is one
+    map-only pass that ``ray.put``-broadcasts the current rank vector
+    (O(N) float64 — a node catalog, bounded the way a vocabulary is)
+    and emits per-block partial contribution vectors folded on the
+    driver. No shuffle per iteration. When the rank vector outgrows a
+    worker (web-graph N), the documented scale path is the
+    shuffle-per-iteration form of ``connected_components``: rank rows
+    keyed on hash(node) % P joining co-partitioned edges.
+
+    Dangling nodes (deg 0) contribute nothing; their own rank stays at
+    the teleport term — callers with dangling semantics redistribute
+    explicitly.
+    """
+    import ray
+
+    N = int(n_nodes)
+    edges = edges.materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False)
+        return pa.table({"deg": pa.array(np.bincount(s, minlength=N).astype(np.int64))})
+
+    deg = np.zeros(N, dtype=np.int64)
+    for b in edges.map_batches(
+        deg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        deg += b.column("deg").to_numpy(zero_copy_only=False).reshape(-1, N).sum(axis=0) \
+            if len(b) != N else b.column("deg").to_numpy(zero_copy_only=False)
+
+    safe_deg = np.maximum(deg, 1)
+    r = np.full(N, 1.0 / N)
+    for _ in range(int(iters)):
+        r_ref = ray.put(r / safe_deg)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            w = ray.get(r_ref)
+            s = t.column(src_col).to_numpy(zero_copy_only=False)
+            d = t.column(dst_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"c": pa.array(np.bincount(d, weights=w[s], minlength=N))}
+            )
+
+        acc = np.zeros(N)
+        for b in edges.map_batches(
+            contrib, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            acc += c.reshape(-1, N).sum(axis=0) if len(c) != N else c
+        r = (1.0 - damping) / N + damping * acc
+    return r

@@ -492,3 +492,123 @@ def source_kl_divergence(sf_dir: str, round_dp: int = 6) -> pd.DataFrame:
         .sort_values("source")
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------- TextRank keywords
+def textrank_keywords(
+    sf_dir: str,
+    iters: int = 10,
+    topk: int = 20,
+    damping: float = 0.85,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Corpus keywords by TextRank (Mihalcea & Tarau 2004): PageRank
+    over the undirected word co-occurrence graph (distinct adjacent
+    token pairs, both directions, self-loops dropped) → top-``topk``
+    {tok, rank}, ranked by the 6-dp-rounded score then token.
+
+    Scale shape: the edge set is built by a fixed-P content-keyed
+    dedup shuffle and stays distributed; iterations are map-only
+    passes broadcasting the O(vocab) rank vector
+    (``graph.pagerank``). The only driver state is the vocabulary
+    catalog and the rank vector — the same size class, both bounded
+    by vocabulary, not corpus.
+    """
+    from .graph import pagerank
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    # vocabulary catalog (sorted) — distinct tokens via per-batch
+    # unique + fixed-P distinct; O(vocab) on the driver
+    def uniq(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_nonempty_with_counts(batch, "text")
+        u = np.unique(np.asarray(flat))
+        tp = (hash_strings(pd.Series(u)) % np.uint64(P_SHUF)).astype(np.int32)
+        return pa.table({"tok": pa.array(u, pa.string()), "tp": pa.array(tp)})
+
+    def distinct_tok(g: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(g.column("tok").to_pandas()))
+        return pa.table({"tok": pa.array(u, pa.string())})
+
+    vocab = np.sort(
+        docs.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp").map_groups(distinct_tok, batch_format="pyarrow")
+        .to_pandas()["tok"].to_numpy()
+    )
+    V = len(vocab)
+    if V == 0:
+        return pd.DataFrame({"tok": pd.array([], dtype="object"),
+                             "rank": pd.array([], dtype="float64")})
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_nonempty_with_counts(batch, "text")
+        ids = np.searchsorted(vocab, np.asarray(flat))
+        if len(ids) >= 2:
+            ends = np.cumsum(counts) - 1
+            keep = np.ones(len(ids) - 1, dtype=bool)
+            keep[ends[ends < len(ids) - 1]] = False
+            a, b = ids[:-1][keep], ids[1:][keep]
+            ok = a != b
+            a, b = a[ok], b[ok]
+        else:
+            a = b = ids[:0]
+        # both directions, batch-local distinct (the combiner)
+        s = np.concatenate([a, b])
+        d = np.concatenate([b, a])
+        e = np.unique(s.astype(np.int64) * V + d.astype(np.int64))
+        return pa.table(
+            {"s": pa.array((e // V).astype(np.int64)),
+             "d": pa.array((e % V).astype(np.int64)),
+             "ep": pa.array(((e % P_SHUF)).astype(np.int32))}
+        )
+
+    def distinct_edges(g: pa.Table) -> pa.Table:
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        e = np.unique(s * V + d)
+        return pa.table({"s": pa.array(e // V), "d": pa.array(e % V)})
+
+    edges = (
+        docs.map_batches(edge_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ep").map_groups(distinct_edges, batch_format="pyarrow")
+    ).materialize()
+
+    # the graph's node set is the ENGAGED vocabulary (tokens that occur
+    # in at least one edge) — a token seen only alone / only next to
+    # itself is not a node, and N in the teleport term must match
+    def endpoints(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        m = np.zeros(V, dtype=bool)
+        m[s] = True
+        m[d] = True
+        return pa.table({"m": pa.array(m)})
+
+    eng = np.zeros(V, dtype=bool)
+    for b in edges.map_batches(
+        endpoints, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        eng |= (
+            b.column("m").to_numpy(zero_copy_only=False).reshape(-1, V).any(axis=0)
+        )
+    nodes = np.flatnonzero(eng)
+    if len(nodes) == 0:
+        return pd.DataFrame({"tok": pd.array([], dtype="object"),
+                             "rank": pd.array([], dtype="float64")})
+    remap = np.full(V, -1, dtype=np.int64)
+    remap[nodes] = np.arange(len(nodes))
+    remap_ref = remap  # closure capture (O(vocab), the documented size class)
+
+    def compact(t: pa.Table) -> pa.Table:
+        s = remap_ref[t.column("s").to_numpy(zero_copy_only=False)]
+        d = remap_ref[t.column("d").to_numpy(zero_copy_only=False)]
+        return pa.table({"s": pa.array(s), "d": pa.array(d)})
+
+    edges_c = edges.map_batches(compact, batch_format="pyarrow", zero_copy_batch=True)
+    r = pagerank(edges_c, len(nodes), iters=iters, damping=damping)
+    df = pd.DataFrame({"tok": vocab[nodes], "rank": np.round(r, round_dp)})
+    return (
+        df.sort_values(["rank", "tok"], ascending=[False, True])
+        .head(topk)
+        .reset_index(drop=True)
+    )

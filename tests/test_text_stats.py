@@ -164,3 +164,21 @@ def test_source_kl_divergence_properties(ray_session, tmp_path):
     want_skew = float(np.sum(p_skew * np.log(p_skew / q[:1])))
     assert kl["same"] == round(want_same, 6)
     assert kl["skewed"] == round(want_skew, 6)
+
+
+def test_textrank_hub_ranks_first(ray_session, tmp_path):
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import textrank_keywords
+
+    # "hub" is adjacent to every spoke; spokes only touch the hub
+    docs = [
+        {"doc_id": i, "text": f"hub spoke{i} hub spoke{i}"} for i in range(10)
+    ]
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet")
+    out = textrank_keywords(str(tmp_path), iters=10, topk=5)
+    assert out.tok.iloc[0] == "hub"
+    assert out["rank"].iloc[0] > out["rank"].iloc[1] * 3
+    # ranks sum to ~1 over the full node set (probability vector)
+    full = textrank_keywords(str(tmp_path), iters=10, topk=1000)
+    assert abs(full["rank"].sum() - 1.0) < 1e-3
