@@ -668,6 +668,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return m
 
+    def events_anomalies(sf_dir):
+        return R.events_anomalies(sf_dir, nsigma=3.0)
+
+    def bloom_join_filtered_orders(sf_dir):
+        # Bloom-join mode of the general operator: right side is a
+        # selective dimension slice, so the Bloom prunes most of the
+        # orders stream BEFORE the shuffle; result equals a plain join
+        from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+        orders = R.read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = R.read(sf_dir, "customer", ["c_custkey", "c_name"]).filter(
+            expr="c_custkey <= 100"
+        )
+        out = hash_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+            num_partitions=16, bloom_prefilter=True,
+        )
+        df = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        return df[["o_orderkey", "o_custkey", "c_name", "o_totalprice"]]
+
     def textrank(sf_dir):
         from bloomfilter_multithread_ray.pipelines.text_stats import (
             textrank_keywords,
@@ -801,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_docs": bloom_new_docs,
         "source_kl": source_kl,
         "textrank": textrank,
+        "events_anomalies": events_anomalies,
+        "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
@@ -1213,6 +1235,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # grouped z-score outliers (population std; identical double
+        # expression order both sides, zscore rounded at 6dp)
+        "events_anomalies": (
+            "WITH s AS (SELECT event_type, count(*) AS n, SUM(value) AS sv, "
+            "SUM(value * value) AS sv2 FROM events GROUP BY 1), "
+            "st AS (SELECT event_type, sv / n AS mu, "
+            "sqrt(sv2 / n - (sv / n) * (sv / n)) AS sd FROM s) "
+            "SELECT event_id, e.event_type, value, "
+            "ROUND((value - st.mu) / st.sd, 6) AS zscore "
+            "FROM events e JOIN st ON e.event_type = st.event_type "
+            "WHERE value > st.mu + 3.0 * st.sd ORDER BY event_id"
+        ),
+        # bloom-prefiltered shuffle join == plain inner join
+        "bloom_join_filtered_orders": (
+            "SELECT o_orderkey, o_custkey, c_name, o_totalprice "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_custkey <= 100 ORDER BY o_orderkey"
         ),
         # TextRank keywords: 10-iteration PageRank (d=0.85) over the
         # undirected distinct adjacent-word graph, no self-loops;

@@ -189,6 +189,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "bloom_new_docs",
         "source_kl",
         "textrank",
+        "events_anomalies",
+        "bloom_join_filtered_orders",
         "epoch_shuffle",
         "assign_splits",
         "corpus_shards",

@@ -43,9 +43,9 @@ if TYPE_CHECKING:
 _HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
 
-def _key_partition(col: pa.ChunkedArray | pa.Array, P: int) -> np.ndarray:
-    """Deterministic partition of a key column (int or string); null
-    keys -> partition 0 (they never match, any routing is correct)."""
+def _key_hash(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 key hashes, valid mask) for an int or string key column.
+    Null keys hash to 0 with valid=False."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
@@ -57,8 +57,17 @@ def _key_partition(col: pa.ChunkedArray | pa.Array, P: int) -> np.ndarray:
         h = np.where(valid, hash64_ints(ints), np.uint64(0))
     else:
         h = hash_strings(col)
+        valid = np.ones(len(col), bool)
         if col.null_count:
-            h = np.where(np.asarray(col.is_null()), np.uint64(0), h)
+            valid = ~np.asarray(col.is_null())
+            h = np.where(valid, h, np.uint64(0))
+    return h, valid
+
+
+def _key_partition(col: pa.ChunkedArray | pa.Array, P: int) -> np.ndarray:
+    """Deterministic partition of a key column (int or string); null
+    keys -> partition 0 (they never match, any routing is correct)."""
+    h, _valid = _key_hash(col)
     return (h % np.uint64(P)).astype(np.int32)
 
 
@@ -129,6 +138,8 @@ def hash_join(
     num_partitions: int = 64,
     suffix: str = "_r",
     broadcast: bool = False,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
 ) -> "Dataset":
     """Distributed equi-join; returns a Dataset (lazy, streaming).
 
@@ -143,6 +154,17 @@ def hash_join(
     results as the shuffle plan (tested); use when the right side fits
     in a worker's heap. ``full``/``right`` are not broadcastable (the
     right side's unmatched rows would be emitted once per left block).
+
+    ``bloom_prefilter=True`` is the classic Bloom join for the
+    shuffle plan: a Bloom filter of the right side's key hashes is
+    built first (right side is materialized so it isn't re-executed)
+    and broadcast; left rows whose key can't possibly match are
+    dropped BEFORE they enter the shuffle. Identical results (no
+    false negatives; survivors still verify in the merge) at a
+    fraction of the left shuffle volume when selectivity is low — the
+    reference's membership-filter pattern applied to join pruning.
+    Only valid for ``how`` in (inner, semi, right), where left
+    non-matches never reach the output.
     """
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}")
@@ -151,6 +173,40 @@ def hash_join(
             raise ValueError(f"broadcast join does not support how={how!r}")
         return _broadcast_join(left, right, on, right_on or on, how, suffix)
     right_on = right_on or on
+    if bloom_prefilter:
+        if how not in ("inner", "semi", "right"):
+            raise ValueError(
+                f"bloom_prefilter requires left non-matches to be droppable "
+                f"(inner/semi/right), got how={how!r}"
+            )
+        import ray
+
+        from ..state import BloomFilter
+        from ..state.base import deserialize_sketch
+        from ..stages.sketch_agg import SketchAgg
+
+        right = right.materialize()  # consumed by the build AND the join
+
+        def rkeys(t: pa.Table) -> pa.Table:
+            h, valid = _key_hash(t.column(right_on))
+            return pa.table({"gh": pa.array(h[valid].view(np.int64))})
+
+        res = right.map_batches(
+            rkeys, batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(SketchAgg(lambda: BloomFilter(bloom_bits, 4), on="gh"))
+        bf = deserialize_sketch(res["sketch"]) if res and res.get("sketch") is not None \
+            else BloomFilter(bloom_bits, 4)
+        bf_ref = ray.put(("bloom_bits", bf.num_bits, bf.num_hashes, bf.n_added, bf.bits))
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            _, nb, nh, na, bits = ray.get(bf_ref)
+            bfv = BloomFilter.from_bits(nb, nh, bits, na)
+            h, valid = _key_hash(t.column(on))
+            return t.filter(pa.array(valid & bfv.contains(h)))
+
+        left = left.map_batches(
+            prefilter, batch_format="pyarrow", zero_copy_batch=True
+        )
     l_schema, r_schema = left.schema(), right.schema()  # ray.data.Schema
     # a fully-empty dataset (0 blocks) has no schema at all — resolve
     # the join degenerately instead of crashing on schema access

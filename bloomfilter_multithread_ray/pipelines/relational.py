@@ -832,3 +832,60 @@ def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
     out = ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas().sort_values(["p_partkey", "band_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------- anomaly detection
+def events_anomalies(sf_dir: str, nsigma: float = 3.0, round_dp: int = 6) -> pd.DataFrame:
+    """Grouped z-score outliers: events whose value exceeds their
+    type's ``mean + nsigma·std`` (population std) →
+    {event_id, event_type, value, zscore}.
+
+    Two streaming passes: one ``grouped_agg`` for per-type
+    (n, Σv, Σv²) — event types are a bounded catalog, so the stats
+    table is tiny and broadcasts in the filter closure — then a
+    map-only filter pass computing the z-score per row. The monitor
+    shape of every streaming-quality gate: fit statistics, broadcast,
+    flag.
+    """
+    from .agg import grouped_agg
+
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "v": pa.array(v),
+             "v2": pa.array(v * v)}
+        )
+
+    stats = grouped_agg(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        {"n": ("count", None), "sv": ("sum", "v"), "sv2": ("sum", "v2")},
+    ).to_pandas()
+    mean = stats["sv"].to_numpy() / stats["n"].to_numpy()
+    m2 = stats["sv2"].to_numpy() / stats["n"].to_numpy()
+    std = np.sqrt(m2 - mean * mean)
+    mean_of = dict(zip(stats["event_type"], mean))
+    std_of = dict(zip(stats["event_type"], std))
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pandas()
+        mu = et.map(mean_of).to_numpy(np.float64)
+        sd = et.map(std_of).to_numpy(np.float64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        keep = v > mu + nsigma * sd
+        z = np.round((v[keep] - mu[keep]) / sd[keep], round_dp)
+        out = t.filter(pa.array(keep))
+        return out.append_column("zscore", pa.array(z))
+
+    df = ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {"event_id": pd.array([], dtype="int64"),
+             "event_type": pd.array([], dtype="object"),
+             "value": pd.array([], dtype="float64"),
+             "zscore": pd.array([], dtype="float64")}
+        )
+    return df.sort_values("event_id").reset_index(drop=True)

@@ -288,3 +288,51 @@ def test_broadcast_join_rejects_full_and_right(sides):
     for how in ("full", "right"):
         with pytest.raises(ValueError):
             hash_join(_mk(left), _mk(right), on="k", how=how, broadcast=True)
+
+
+def test_bloom_prefilter_join_equals_plain(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+    rng = np.random.default_rng(9)
+    left = pa.table(
+        {"k": pa.array(rng.integers(0, 1000, 3000), pa.int64()),
+         "v": pa.array(rng.integers(0, 10, 3000), pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array(np.arange(0, 50), pa.int64()),
+         "name": pa.array([f"n{i}" for i in range(50)])}
+    )
+    L = rd.from_arrow(left).repartition(4)
+    Rr = rd.from_arrow(right).repartition(2)
+    for how in ("inner", "semi", "right"):
+        a = hash_join(L, Rr, on="k", how=how, num_partitions=8).to_pandas()
+        b = hash_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            on="k", how=how, num_partitions=8, bloom_prefilter=True,
+        ).to_pandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_prefilter_rejected_for_outer_howys(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    for how in ("left", "full", "anti"):
+        with pytest.raises(ValueError, match="bloom_prefilter"):
+            hash_join(
+                rd.from_arrow(t), rd.from_arrow(t), on="k", how=how,
+                bloom_prefilter=True,
+            )
