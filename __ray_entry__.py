@@ -668,6 +668,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return m
 
+    def kmeans_embeddings(sf_dir):
+        import ray.data
+
+        from bloomfilter_multithread_ray.pipelines.similarity import kmeans_lloyd
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        res = kmeans_lloyd(emb, k=8, iters=10)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"cluster_id": range(8), "size": res["sizes"],
+             "inertia": [round(res["inertia"], 6)] * 8}
+        )
+
     def events_anomalies(sf_dir):
         return R.events_anomalies(sf_dir, nsigma=3.0)
 
@@ -822,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": source_kl,
         "textrank": textrank,
         "events_anomalies": events_anomalies,
+        "kmeans_embeddings": kmeans_embeddings,
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "assign_splits": assign_splits,

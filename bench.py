@@ -191,6 +191,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "textrank",
         "events_anomalies",
         "bloom_join_filtered_orders",
+        "kmeans_embeddings",
         "epoch_shuffle",
         "assign_splits",
         "corpus_shards",

@@ -629,3 +629,98 @@ def label_centroids(emb: "Dataset", *, col: str = "embedding") -> pd.DataFrame:
         .sort_values(["label", "i"])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- distributed k-means
+def kmeans_lloyd(
+    emb: "Dataset",
+    k: int = 8,
+    *,
+    iters: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Distributed Lloyd's k-means over an embedding Dataset →
+    {"centroids": (k, d) float64, "sizes": (k,) int64, "inertia": float}.
+
+    The iterate-broadcast pattern (same as ``graph.pagerank``): the
+    DATA never moves — each iteration broadcasts the (k × d) centroid
+    matrix, every batch assigns its rows by one matmul and emits
+    per-cluster partial (n, Σvec) rows, and the driver folds
+    O(k × blocks) partials into new centroids. No shuffle at any
+    point; k × d is the only driver/broadcast state.
+
+    Initialization is content-derived and partitioning-independent:
+    the seeds are the embeddings of the k smallest
+    ``splitmix64(vec_id)`` — the same deterministic-selection rule as
+    ``stratified_sample``, so results reproduce across runs, shard
+    layouts, and cluster sizes (no RNG state). Empty clusters keep
+    their previous centroid.
+    """
+    import ray
+
+    from ..functions.hashing import splitmix64
+
+    emb = emb.materialize()
+
+    # deterministic seed rows: k smallest splitmix64(id) (per-batch
+    # partial bottom-k, driver merge of k x blocks candidate rows)
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids)
+        take = np.argsort(h)[:k]
+        m = _emb_matrix(t, col)[take]
+        return pa.table(
+            {"h": pa.array(h[take]),
+             "v": pa.array(list(m.astype(np.float64)), pa.list_(pa.float64()))}
+        )
+
+    cand = emb.map_batches(
+        seed_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    order = np.argsort(cand["h"].to_numpy())[:k]
+    centroids = np.stack(cand["v"].to_numpy()[order]).astype(np.float64)
+    kk, d = centroids.shape
+    if kk < k:
+        raise ValueError(f"fewer rows ({kk}) than clusters ({k})")
+
+    sizes = np.zeros(k, dtype=np.int64)
+    inertia = 0.0
+    for _ in range(int(iters)):
+        c_ref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)  # (k, d)
+            m = _emb_matrix(t, col).astype(np.float64, copy=False)
+            # nearest centroid by squared L2: |x|^2 - 2 x.c + |c|^2
+            d2 = (
+                (m * m).sum(axis=1, keepdims=True)
+                - 2.0 * (m @ c.T)
+                + (c * c).sum(axis=1)
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((k, m.shape[1]))
+            np.add.at(sums, a, m)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {"cid": pa.array(np.arange(k, dtype=np.int64)),
+                 "n": pa.array(n),
+                 "s": pa.array(list(sums), pa.list_(pa.float64())),
+                 "j": pa.array([float(d2[np.arange(len(a)), a].sum())] * k)}
+            )
+
+        pdf = emb.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        g = pdf.groupby("cid")
+        n_tot = g["n"].sum().to_numpy()
+        s_tot = np.stack(
+            [np.sum(np.stack(grp["s"].to_numpy()), axis=0) for _, grp in g]
+        )
+        # inertia: each block contributed one j value repeated k times
+        inertia = float(pdf["j"].to_numpy().reshape(-1, k)[:, 0].sum())
+        nz = n_tot > 0
+        centroids = centroids.copy()
+        centroids[nz] = s_tot[nz] / n_tot[nz, None]
+        sizes = n_tot
+    return {"centroids": centroids, "sizes": sizes, "inertia": inertia}

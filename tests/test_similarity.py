@@ -223,3 +223,40 @@ def test_label_centroids_match_numpy(ray_session):
         want = mat[lab == l].astype(np.float64).sum(axis=0) / (lab == l).sum()
         got = out[out.label == l].sort_values("i").c.to_numpy()
         np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_kmeans_lloyd_matches_numpy_and_partition_independent(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.functions.hashing import splitmix64
+    from bloomfilter_multithread_ray.pipelines.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 6)) * 5
+    X = np.concatenate([c + rng.normal(size=(60, 6)) for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table(
+        {"vec_id": pa.array(ids),
+         "embedding": pa.array(list(X.astype(np.float32)), pa.list_(pa.float32()))}
+    )
+    res = kmeans_lloyd(rd.from_arrow(t).repartition(5), k=4, iters=8)
+    res2 = kmeans_lloyd(rd.from_arrow(t).repartition(2), k=4, iters=8)
+    np.testing.assert_allclose(res["centroids"], res2["centroids"], rtol=1e-12)
+    assert res["sizes"].sum() == len(X)
+
+    # numpy reference with the identical deterministic init
+    C = X.astype(np.float32)[  # same float32 storage -> float64 path
+        np.argsort(splitmix64(ids.astype(np.uint64)))[:4]
+    ].astype(np.float64)
+    Xf = X.astype(np.float32).astype(np.float64)
+    for _ in range(8):
+        d2 = ((Xf[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(4):
+            if (a == c).any():
+                C[c] = Xf[a == c].mean(axis=0)
+    np.testing.assert_allclose(res["centroids"], C, rtol=1e-9)
+    # every point is assigned and inertia is finite and positive
+    assert res["sizes"].sum() == len(X) and res["inertia"] > 0
