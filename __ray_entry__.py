@@ -370,6 +370,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["features"] = df["features"].apply(lambda f: [round(float(x), 6) for x in f])
         return df
 
+    def media_headers(sf_dir):
+        # REAL (codec-free) container-header parsing: deterministic
+        # payloads with standards-valid png/gif/bmp/wav/jpeg headers
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from bloomfilter_multithread_ray.stages.multimodal import (
+            sniff_media_headers,
+            synth_real_headers_table,
+        )
+
+        path = "/tmp/graft_media/headers.parquet"
+        if not os.path.exists(path):
+            os.makedirs("/tmp/graft_media", exist_ok=True)
+            pq.write_table(synth_real_headers_table(100, seed=3), path)
+        out = sniff_media_headers(
+            ray.data.read_parquet(path), keep_cols=("media_id", "true_format")
+        )
+        df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+        assert (df["format"] == df["true_format"]).all()
+        return df.drop(columns=["true_format"])
+
     # ---- text analysis ----
     from bloomfilter_multithread_ray.pipelines import text_stats as TS
     from bloomfilter_multithread_ray.stages import quality as Q
@@ -839,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank": textrank,
         "events_anomalies": events_anomalies,
         "kmeans_embeddings": kmeans_embeddings,
+        "media_headers": media_headers,
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "assign_splits": assign_splits,

@@ -192,6 +192,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_anomalies",
         "bloom_join_filtered_orders",
         "kmeans_embeddings",
+        "media_headers",
         "epoch_shuffle",
         "assign_splits",
         "corpus_shards",

@@ -6,7 +6,8 @@ codec installed (`PIL`, `soundfile`) the same stages run real decodes;
 without one they fall back to a DETERMINISTIC FAKE decode (payload
 bytes → seeded pixel/sample array) so the Ray-side plumbing — schema,
 actor-pool lifecycle, batch sizing, output layout — is real and
-tested end-to-end.
+tested end-to-end. Header SNIFFING (:func:`sniff_media_headers`) is
+fully REAL — container dimension/rate fields need no codec.
 
 Design rules this module demonstrates (the graded part):
 - payloads are a `binary` column with typed metadata columns beside
@@ -256,4 +257,190 @@ def sample_video_frames(ds, *, stride: int = 4, concurrency: int = 2, batch_size
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+# ----------------------------------------------- REAL header sniffing
+# Unlike the decode stages above, header sniffing needs NO codec: the
+# container formats put dimensions at fixed offsets (PNG IHDR, GIF
+# logical screen, BMP DIB, WAV fmt) or behind a bounded marker scan
+# (JPEG SOFn). This stage is fully real — the first step of any media
+# ingestion (format routing, dimension sanity gates, corrupt-file
+# quarantine) runs exactly like this at 100 TB.
+
+def _prefix_matrix(payload: pa.Array, width: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """(n, width) uint8 matrix of each payload's first bytes (zero
+    padded) + actual lengths. Pure offset arithmetic on the Arrow
+    buffers — no per-row Python."""
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    if pa.types.is_large_binary(payload.type):
+        odt, osz = np.int64, 8
+    else:
+        odt, osz = np.int32, 4
+    bufs = payload.buffers()
+    offs = np.frombuffer(
+        bufs[1], dtype=odt, count=len(payload) + 1, offset=payload.offset * osz
+    ).astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = np.diff(offs)
+    idx = offs[:-1, None] + np.arange(width)
+    valid = np.arange(width) < lens[:, None]
+    m = np.zeros((len(lens), width), dtype=np.uint8)
+    if data.size:
+        m[valid] = data[idx[valid]]  # valid positions are in range by construction
+    return m, lens
+
+
+def _be32(m: np.ndarray, o: int) -> np.ndarray:
+    return (
+        (m[:, o].astype(np.int64) << 24) | (m[:, o + 1].astype(np.int64) << 16)
+        | (m[:, o + 2].astype(np.int64) << 8) | m[:, o + 3]
+    )
+
+
+def _le16(m: np.ndarray, o: int) -> np.ndarray:
+    return m[:, o].astype(np.int64) | (m[:, o + 1].astype(np.int64) << 8)
+
+
+def _le32(m: np.ndarray, o: int) -> np.ndarray:
+    return (
+        m[:, o].astype(np.int64) | (m[:, o + 1].astype(np.int64) << 8)
+        | (m[:, o + 2].astype(np.int64) << 16) | (m[:, o + 3].astype(np.int64) << 24)
+    )
+
+
+def sniff_media_headers(ds, *, col: str = "payload", keep_cols: tuple[str, ...] = ("media_id",)):
+    """Map-only header sniff of a binary media column →
+    {*keep_cols, format, width, height, channels, sample_rate}.
+
+    PNG / GIF / BMP / WAV parse as whole-batch numpy arithmetic over a
+    64-byte prefix matrix; JPEG needs a marker walk to its SOFn frame
+    header, done per JPEG row over at most 4 KB (bounded, and only for
+    rows already sniffed as JPEG). Unknown / truncated payloads come
+    back with format="unknown" and null fields — the quarantine path.
+    """
+
+    def fn(t: pa.Table):
+        m, lens = _prefix_matrix(t.column(col))
+        n = len(lens)
+        fmt = np.full(n, "unknown", dtype=object)
+        w = np.full(n, -1, dtype=np.int64)
+        h = np.full(n, -1, dtype=np.int64)
+        ch = np.full(n, -1, dtype=np.int64)
+        sr = np.full(n, -1, dtype=np.int64)
+
+        png_sig = np.frombuffer(b"\x89PNG\r\n\x1a\n", dtype=np.uint8)
+        is_png = (lens >= 24) & (m[:, :8] == png_sig).all(axis=1)
+        fmt[is_png] = "png"
+        w[is_png] = _be32(m, 16)[is_png]
+        h[is_png] = _be32(m, 20)[is_png]
+
+        gif_sig = np.frombuffer(b"GIF8", dtype=np.uint8)
+        is_gif = (lens >= 10) & (m[:, :4] == gif_sig).all(axis=1)
+        fmt[is_gif] = "gif"
+        w[is_gif] = _le16(m, 6)[is_gif]
+        h[is_gif] = _le16(m, 8)[is_gif]
+
+        is_bmp = (lens >= 26) & (m[:, 0] == ord("B")) & (m[:, 1] == ord("M"))
+        fmt[is_bmp] = "bmp"
+        w[is_bmp] = _le32(m, 18)[is_bmp]
+        h[is_bmp] = _le32(m, 22)[is_bmp]
+
+        riff = np.frombuffer(b"RIFF", dtype=np.uint8)
+        wave = np.frombuffer(b"WAVE", dtype=np.uint8)
+        is_wav = (
+            (lens >= 28)
+            & (m[:, :4] == riff).all(axis=1)
+            & (m[:, 8:12] == wave).all(axis=1)
+        )
+        fmt[is_wav] = "wav"
+        ch[is_wav] = _le16(m, 22)[is_wav]
+        sr[is_wav] = _le32(m, 24)[is_wav]
+
+        is_jpg = (lens >= 4) & (m[:, 0] == 0xFF) & (m[:, 1] == 0xD8) & (m[:, 2] == 0xFF)
+        if is_jpg.any():
+            payload = t.column(col)
+            if isinstance(payload, pa.ChunkedArray):
+                payload = payload.combine_chunks()
+            for i in np.flatnonzero(is_jpg):
+                b = payload[int(i)].as_py()[:4096]
+                fmt[i] = "jpeg"
+                p = 2
+                while p + 9 < len(b):
+                    if b[p] != 0xFF:
+                        p += 1
+                        continue
+                    marker = b[p + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        p += 2
+                        continue
+                    seglen = (b[p + 2] << 8) | b[p + 3]
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        h[i] = (b[p + 5] << 8) | b[p + 6]
+                        w[i] = (b[p + 7] << 8) | b[p + 8]
+                        break
+                    p += 2 + seglen
+
+        def nn(a):  # -1 -> null (vectorized mask, no per-row Python)
+            return pa.array(a, pa.int64(), mask=a < 0)
+
+        cols = {c: t.column(c) for c in keep_cols}
+        cols["format"] = pa.array(list(fmt), pa.string())
+        cols["width"] = nn(w)
+        cols["height"] = nn(h)
+        cols["channels"] = nn(ch)
+        cols["sample_rate"] = nn(sr)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def synth_real_headers_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic media payloads with REAL container headers
+    (cycling png/gif/bmp/wav/jpeg) — bodies are filler, headers parse
+    with any standards-compliant reader. Fixture for
+    :func:`sniff_media_headers` (the driver has no binary tables)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng([seed, n])
+    ws = rng.integers(16, 2048, n)
+    hs = rng.integers(16, 2048, n)
+    rates = rng.choice([8000, 16000, 44100, 48000], n)
+    chans = rng.integers(1, 3, n)
+    payloads, kinds = [], []
+    for i in range(n):
+        w, h = int(ws[i]), int(hs[i])
+        k = i % 5
+        if k == 0:
+            ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+            chunk = b"IHDR" + ihdr
+            p = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+                 + struct.pack(">I", zlib.crc32(chunk)) + b"body")
+            kinds.append("png")
+        elif k == 1:
+            p = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 10
+            kinds.append("gif")
+        elif k == 2:
+            p = b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 20
+            kinds.append("bmp")
+        elif k == 3:
+            p = (b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x10\x00\x00\x00"
+                 + struct.pack("<HHI", 1, int(chans[i]), int(rates[i])) + b"\x00" * 16)
+            kinds.append("wav")
+        else:
+            app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3) + b"\x00" * 3
+            p = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+            kinds.append("jpeg")
+        payloads.append(p)
+    return pa.table(
+        {"media_id": pa.array([f"m-{seed}-{i:06d}" for i in range(n)]),
+         "true_format": pa.array(kinds),
+         "payload": pa.array(payloads, pa.binary())}
     )

@@ -80,3 +80,74 @@ def test_audio_features():
 def test_media_batch_size():
     assert media_batch_size(64 << 20, 1 << 20) == 64
     assert media_batch_size(64 << 20, 512 << 20) == 1
+
+
+def _png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)) + b"rest")
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 10
+
+
+def _bmp(w, h):
+    import struct
+
+    return (b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 20)
+
+
+def _wav(ch, rate):
+    import struct
+
+    return (b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x10\x00\x00\x00"
+            + struct.pack("<HHI", 1, ch, rate) + b"\x00" * 16)
+
+
+def _jpeg(w, h):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3) + b"\x00" * 3
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_sniff_media_headers_real_formats(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.stages.multimodal import sniff_media_headers
+
+    rows = [
+        ("p", _png(640, 480)),
+        ("g", _gif(320, 200)),
+        ("b", _bmp(128, 256)),
+        ("w", _wav(2, 44100)),
+        ("j", _jpeg(1024, 768)),
+        ("x", b"not a media file at all"),
+        ("t", b"\x89PN"),  # truncated
+    ]
+    t = pa.table(
+        {"media_id": pa.array([r[0] for r in rows]),
+         "payload": pa.array([r[1] for r in rows], pa.binary())}
+    )
+    out = (
+        sniff_media_headers(rd.from_arrow(t).repartition(3))
+        .to_pandas().set_index("media_id")
+    )
+    assert out.loc["p", "format"] == "png" and (out.loc["p", ["width", "height"]] == [640, 480]).all()
+    assert out.loc["g", "format"] == "gif" and (out.loc["g", ["width", "height"]] == [320, 200]).all()
+    assert out.loc["b", "format"] == "bmp" and (out.loc["b", ["width", "height"]] == [128, 256]).all()
+    assert out.loc["w", "format"] == "wav" and out.loc["w", "channels"] == 2 and out.loc["w", "sample_rate"] == 44100
+    assert out.loc["j", "format"] == "jpeg" and (out.loc["j", ["width", "height"]] == [1024, 768]).all()
+    assert out.loc["x", "format"] == "unknown" and out.loc["t", "format"] == "unknown"
+    import pandas as pd
+
+    assert pd.isna(out.loc["x", "width"]) and pd.isna(out.loc["t", "width"])
