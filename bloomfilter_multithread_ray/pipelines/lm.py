@@ -40,7 +40,8 @@ if TYPE_CHECKING:
 def _flat_utf8(col) -> tuple[np.ndarray, np.ndarray]:
     """Arrow string column → (flat uint8 bytes, int64 row offsets into
     it, both offset/slice-correct). Zero-copy views of Arrow buffers."""
-    col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     if pa.types.is_large_string(col.type):
         odt, osz = np.int64, 8
     else:
@@ -65,7 +66,9 @@ def _bigram_codes(col) -> tuple[np.ndarray, np.ndarray]:
     # drop position j when j+1 starts a new row (j == row_end - 1)
     keep = np.ones(len(pair), dtype=bool)
     ends = offs[1:-1] - lo - 1  # last byte index of each non-final row
-    keep[ends[ends >= 0]] = False
+    # bound both sides: an empty FIRST row gives -1, and a trailing
+    # empty row puts a boundary at len(pair) (no pair starts there)
+    keep[ends[(ends >= 0) & (ends < len(pair))]] = False
     m = np.maximum(np.diff(offs) - 1, 0)  # bigrams per row
     return pair[keep], m
 

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for round-2 pure kernels — no Ray
+session needed; these check the numpy/Arrow kernels that the
+distributed operators are built from."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bloomfilter_multithread_ray.pipelines.analytics import (
+    _sortable_u64,
+    _unsort_u64,
+)
+from bloomfilter_multithread_ray.pipelines.lm import _bigram_codes, _flat_utf8
+from bloomfilter_multithread_ray.stages.multimodal import _prefix_matrix
+
+finite_floats = st.floats(
+    allow_nan=False, allow_infinity=True, width=64
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(finite_floats, min_size=2, max_size=50))
+def test_sortable_u64_preserves_total_order(vals):
+    v = np.array(vals, dtype=np.float64)
+    v = np.where(v == 0.0, 0.0, v)  # collapse -0.0/+0.0 (equal floats)
+    u = _sortable_u64(v)
+    # pairwise: float order == unsigned-int order
+    order_f = np.argsort(v, kind="stable")
+    assert (np.sort(u) == u[order_f]).all()
+    # roundtrip
+    for x, ux in zip(v, u):
+        assert _unsort_u64(np.uint64(ux)) == x
+
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=20))
+def test_bigram_codes_match_naive(texts):
+    col = pa.array(texts, pa.string())
+    codes, m = _bigram_codes(col)
+    want_codes, want_m = [], []
+    for t in texts:
+        b = t.encode()
+        want_m.append(max(len(b) - 1, 0))
+        want_codes.extend(b[i] * 256 + b[i + 1] for i in range(len(b) - 1))
+    assert m.tolist() == want_m
+    assert codes.tolist() == want_codes
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=20), st.integers(1, 5))
+def test_bigram_codes_slice_invariant(texts, off):
+    # the kernel must respect Arrow slice offsets (zero-copy views)
+    col = pa.array(texts + texts, pa.string()).slice(len(texts))
+    codes, m = _bigram_codes(col)
+    codes2, m2 = _bigram_codes(pa.array(texts, pa.string()))
+    assert codes.tolist() == codes2.tolist() and m.tolist() == m2.tolist()
+
+
+binary_payloads = st.lists(st.binary(max_size=100), min_size=1, max_size=15)
+
+
+@settings(max_examples=150, deadline=None)
+@given(binary_payloads)
+def test_prefix_matrix_matches_naive(payloads):
+    col = pa.array(payloads, pa.binary())
+    m, lens = _prefix_matrix(col, width=64)
+    assert lens.tolist() == [len(p) for p in payloads]
+    for i, p in enumerate(payloads):
+        pref = p[:64].ljust(64, b"\0")
+        assert m[i].tobytes() == pref
+
+
+@settings(max_examples=100, deadline=None)
+@given(binary_payloads)
+def test_prefix_matrix_slice_invariant(payloads):
+    col = pa.array(payloads + payloads, pa.binary()).slice(len(payloads))
+    m, lens = _prefix_matrix(col, width=32)
+    m2, lens2 = _prefix_matrix(pa.array(payloads, pa.binary()), width=32)
+    assert (m == m2).all() and lens.tolist() == lens2.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=10))
+def test_flat_utf8_roundtrip(texts):
+    col = pa.array(texts, pa.string())
+    data, offs = _flat_utf8(col)
+    got = [data[offs[i]:offs[i + 1]].tobytes().decode() for i in range(len(texts))]
+    assert got == texts
