@@ -307,7 +307,7 @@ def top_pmi_bigrams(
         if len(w) >= 2:
             ends = np.cumsum(counts) - 1  # last token index per row
             keep = np.ones(len(w) - 1, dtype=bool)
-            keep[ends[ends < len(w) - 1]] = False
+            keep[ends[(ends >= 0) & (ends < len(w) - 1)]] = False  # empty first rows give -1
             w1, w2 = w[:-1][keep], w[1:][keep]
         else:
             w1 = w2 = w[:0]
@@ -546,7 +546,7 @@ def textrank_keywords(
         if len(ids) >= 2:
             ends = np.cumsum(counts) - 1
             keep = np.ones(len(ids) - 1, dtype=bool)
-            keep[ends[ends < len(ids) - 1]] = False
+            keep[ends[(ends >= 0) & (ends < len(ids) - 1)]] = False  # empty first rows give -1
             a, b = ids[:-1][keep], ids[1:][keep]
             ok = a != b
             a, b = a[ok], b[ok]

@@ -182,3 +182,22 @@ def test_textrank_hub_ranks_first(ray_session, tmp_path):
     # ranks sum to ~1 over the full node set (probability vector)
     full = textrank_keywords(str(tmp_path), iters=10, topk=1000)
     assert abs(full["rank"].sum() - 1.0) < 1e-3
+
+
+def test_pmi_and_textrank_tolerate_empty_leading_docs(ray_session, tmp_path):
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import (
+        textrank_keywords,
+        top_pmi_bigrams,
+    )
+
+    # empty doc FIRST: the row-boundary index is -1 and must not wrap
+    # around to drop the final adjacent pair
+    docs = [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": ""}]
+    docs += [{"doc_id": 2 + i, "text": "x y"} for i in range(8)]
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet")
+    out = top_pmi_bigrams(str(tmp_path), topk=5, min_count=5)
+    assert (out.w1.iloc[0], out.w2.iloc[0], out.c12.iloc[0]) == ("x", "y", 8)
+    tr = textrank_keywords(str(tmp_path), iters=3, topk=5)
+    assert set(tr.tok) == {"x", "y"}
