@@ -205,7 +205,16 @@ class BloomProbe:
                 return BloomFilter.from_bits(num_bits, num_hashes, bits, n_added)
             return deserialize_sketch(s)
 
-        self.shards = {p: revive(s) for p, s in shards.items()}
+        self.M = None  # stacked-matrix fast path (see probe_bloom)
+        if isinstance(shards, tuple) and shards and shards[0] == "bloom_matrix":
+            _, num_bits, num_hashes, M = shards
+            self.M = M  # (P, num_bits) uint8, zero-copy plasma view
+            self.Mflat = M.ravel()
+            self.Mbits = int(num_bits)
+            self._ref_bf = BloomFilter.from_bits(num_bits, num_hashes, M[0], 0)
+            self.shards = {}
+        else:
+            self.shards = {p: revive(s) for p, s in shards.items()}
         self.k = k
         self.num_partitions = num_partitions
         self.canonical = canonical
@@ -220,24 +229,28 @@ class BloomProbe:
         )
         part = partition_of(gh, self.num_partitions)
         member = np.zeros(len(gh), dtype=bool)
-        if len(gh):
-            # sort-segment by partition instead of one boolean-mask scan
-            # per partition: the mask loop re-reads the full gh/part
-            # arrays P times (64x the memory traffic), which saturates
-            # DRAM when a whole actor pool probes concurrently —
-            # measured 8x UDF slowdown at concurrency=8 vs solo
-            order = np.argsort(part, kind="stable")
-            psort = part[order]
-            ghs = gh[order]
-            starts = np.flatnonzero(np.diff(psort, prepend=psort[0] - 1))
-            bounds = np.append(starts, len(psort))
-            member_s = np.zeros(len(ghs), dtype=bool)
-            for i, a in enumerate(starts):
-                b = bounds[i + 1]
-                shard = self.shards.get(int(psort[a]))
+        if len(gh) and self.M is not None:
+            # stacked-matrix path: all shard bitmaps live in ONE
+            # plasma-resident (P, num_bits) array, so the probe is one
+            # flat fancy gather per hash function — no per-partition
+            # dispatch at all. (A/B under a concurrent 12-actor pool:
+            # per-partition boolean-mask loop 11.4 s, sort-segment
+            # 16-19 s, this path — see commit — the mask loop re-reads
+            # part P times and the sort's random moves thrash under
+            # pool-wide DRAM contention.)
+            base = part.astype(np.int64) * self.Mbits
+            h = np.ascontiguousarray(gh, dtype=np.uint64)
+            member = np.ones(len(gh), dtype=bool)
+            for i in range(self._ref_bf.num_hashes):
+                idx = self._ref_bf._indices(h, i).astype(np.int64)
+                member &= self.Mflat[base + idx] != 0
+        elif len(gh):
+            # mixed / non-Bloom sketch fallback: per-partition mask loop
+            for p in np.unique(part):
+                mask = part == p
+                shard = self.shards.get(int(p))
                 if shard is not None:
-                    member_s[a:b] = shard.contains(ghs[a:b])
-            member[order] = member_s
+                    member[mask] = shard.contains(gh[mask])
         ids = batch.column(self.id_col).combine_chunks()
         return pa.table(
             {
@@ -279,12 +292,25 @@ def probe_bloom(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, min(12, cpus // 2))
 
-    payload: dict[int, object] = {}
-    for p, s in shards.items():
-        if isinstance(s, BloomFilter):
-            payload[p] = ("bloom_bits", s.num_bits, s.num_hashes, s.n_added, s.bits)
-        else:
-            payload[p] = s.serialize()
+    blooms = {p: s for p, s in shards.items() if isinstance(s, BloomFilter)}
+    shapes = {(s.num_bits, s.num_hashes) for s in blooms.values()}
+    if len(blooms) == len(shards) and len(shapes) == 1:
+        # all-Bloom, uniform shape → stack every shard's bitmap into one
+        # (P, num_bits) matrix. ONE driver-side copy, then every actor on
+        # a node shares the single plasma buffer zero-copy; the probe
+        # becomes a flat fancy gather per hash (see BloomProbe.__call__)
+        num_bits, num_hashes = next(iter(shapes))
+        M = np.zeros((num_partitions, num_bits), dtype=np.uint8)
+        for p, s in blooms.items():
+            M[int(p)] = s.bits
+        payload: object = ("bloom_matrix", num_bits, num_hashes, M)
+    else:
+        payload = {}
+        for p, s in shards.items():
+            if isinstance(s, BloomFilter):
+                payload[p] = ("bloom_bits", s.num_bits, s.num_hashes, s.n_added, s.bits)
+            else:
+                payload[p] = s.serialize()
     shards_ref = ray.put(payload)
     return ds.map_batches(
         BloomProbe,
