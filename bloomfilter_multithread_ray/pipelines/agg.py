@@ -132,6 +132,12 @@ def grouped_agg(
                 cols[out] = res.column(pcols[i])
         return pa.table(cols)
 
+    # Caveat (Ray behavior, verified): a FULLY-empty input produces a
+    # result whose .to_pandas() has zero COLUMNS — Ray drops the schema
+    # of all-empty datasets (even a single typed empty block loses its
+    # columns through to_pandas). Callers whose group may be empty must
+    # construct their own typed empty frame on len()==0, as
+    # events_anomalies does.
     return (
         ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__gp")
