@@ -711,6 +711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_anomalies(sf_dir):
         return R.events_anomalies(sf_dir, nsigma=3.0)
 
+    def events_funnel(sf_dir):
+        return R.events_funnel(sf_dir)
+
     def bloom_join_filtered_orders(sf_dir):
         # Bloom-join mode of the general operator: right side is a
         # selective dimension slice, so the Bloom prunes most of the
@@ -862,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": source_kl,
         "textrank": textrank,
         "events_anomalies": events_anomalies,
+        "events_funnel": events_funnel,
         "kmeans_embeddings": kmeans_embeddings,
         "media_headers": media_headers,
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
@@ -1289,6 +1293,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND((value - st.mu) / st.sd, 6) AS zscore "
             "FROM events e JOIN st ON e.event_type = st.event_type "
             "WHERE value > st.mu + 3.0 * st.sd ORDER BY event_id"
+        ),
+        # sequential conversion funnel: stage i completes strictly after
+        # the user's first completion of stage i-1
+        "events_funnel": (
+            "WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT 0 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s0 "
+            "UNION ALL SELECT 1, 'click', COUNT(*) FROM s1 "
+            "UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s2 ORDER BY stage_idx"
         ),
         # bloom-prefiltered shuffle join == plain inner join
         "bloom_join_filtered_orders": (

@@ -190,6 +190,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "source_kl",
         "textrank",
         "events_anomalies",
+        "events_funnel",
         "bloom_join_filtered_orders",
         "kmeans_embeddings",
         "media_headers",

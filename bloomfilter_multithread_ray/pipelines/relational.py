@@ -889,3 +889,68 @@ def events_anomalies(sf_dir: str, nsigma: float = 3.0, round_dp: int = 6) -> pd.
              "zscore": pd.array([], dtype="float64")}
         )
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------- funnel analysis
+def events_funnel(
+    sf_dir: str, stages: tuple[str, ...] = ("view", "click", "purchase"),
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Sequential conversion funnel: {stage_idx, stage, n_users} where a
+    user completes stage i when an event of type ``stages[i]`` occurs
+    STRICTLY AFTER their first completion of stage i−1 (stage 0 = the
+    user's first event of that type at any time).
+
+    Scale shape: one shuffle on ``user_id % P`` (all of a user's events
+    co-locate, P fixed), then one vectorized kernel per partition —
+    sort by (user, ts), per-user first-completion times via
+    masked ``minimum.reduceat`` chained across stages; each partition
+    emits per-stage partial user counts, the driver sums P × stages
+    tiny rows. The sequential-pattern analog of the sessionization
+    operator, same partitioning contract.
+    """
+    ds = read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    P = int(num_partitions)
+    stage_list = list(stages)
+
+    def add_up(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("up", pa.array((u % P).astype(np.int32)))
+
+    def funnel_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pandas())
+        order = np.lexsort((ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        starts = np.flatnonzero(np.diff(u, prepend=u[0] - 1)) if len(u) else np.empty(0, np.int64)
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(u))))
+        INF = np.iinfo(np.int64).max
+        prev_first = np.full(len(starts), -1, dtype=np.int64)  # -inf: stage0 unconditional
+        counts = []
+        for s in stage_list:
+            ok = (et == s) & (ts > prev_first[seg])
+            masked = np.where(ok, ts, INF)
+            first = np.minimum.reduceat(masked, starts) if len(u) else np.empty(0, np.int64)
+            done = first < INF
+            counts.append(int(done.sum()))
+            prev_first = np.where(done, first, INF)  # non-completers can't advance
+        return pa.table(
+            {"stage_idx": pa.array(np.arange(len(stage_list), dtype=np.int64)),
+             "n": pa.array(np.array(counts, dtype=np.int64))}
+        )
+
+    pdf = (
+        ds.map_batches(add_up, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("up")
+        .map_groups(funnel_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = pdf.groupby("stage_idx")["n"].sum().reset_index()
+    agg["stage"] = [stage_list[i] for i in agg["stage_idx"]]
+    return (
+        agg[["stage_idx", "stage", "n"]]
+        .rename(columns={"n": "n_users"})
+        .sort_values("stage_idx")
+        .reset_index(drop=True)
+    )

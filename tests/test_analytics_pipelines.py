@@ -239,3 +239,30 @@ def test_dedup_new_against_corpus_synthetic(ray_session, tmp_path):
     pd.DataFrame(corpus + new).to_parquet(tmp_path / "documents.parquet")
     out = dedup_new_against_corpus(str(tmp_path), new_source="new")
     assert out.doc_id.tolist() == [101, 102]
+
+
+def test_events_funnel_strict_ordering(ray_session, tmp_path):
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.relational import events_funnel
+
+    T = pd.Timestamp
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "view", T("2024-01-01 00:00")), (1, "click", T("2024-01-01 01:00")),
+        (1, "purchase", T("2024-01-01 02:00")),
+        # u2 clicks BEFORE viewing -> click must not count
+        (2, "click", T("2024-01-01 00:00")), (2, "view", T("2024-01-01 01:00")),
+        # u3 views only
+        (3, "view", T("2024-01-01 00:00")),
+        # u4 purchase without view/click -> nothing counts
+        (4, "purchase", T("2024-01-01 00:00")),
+        # u5: view then click at the SAME timestamp -> strict > excludes
+        (5, "view", T("2024-01-01 00:00")), (5, "click", T("2024-01-01 00:00")),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["value"] = 1.0
+    df["event_id"] = range(len(df))
+    df.to_parquet(tmp_path / "events.parquet")
+    out = events_funnel(str(tmp_path))
+    assert out.n_users.tolist() == [4, 1, 1]  # views: u1,u2,u3,u5; click: u1; purchase: u1
