@@ -18,9 +18,15 @@ def _ds(ray, table: pa.Table, parallelism=3):
 
 def test_extract_json_int_nulls_and_negatives(ray_session):
     t = pa.table(
-        {"props": pa.array(['{"k": 69}', '{"k": -7}', "{}", None, '{"j": 5}'])}
+        {"rid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+         "props": pa.array(['{"k": 69}', '{"k": -7}', "{}", None, '{"j": 5}'])}
     )
-    out = S.extract_json_int(_ds(ray_session, t), col="props", field="k").to_pandas()
+    out = (
+        S.extract_json_int(_ds(ray_session, t), col="props", field="k")
+        .to_pandas()
+        .sort_values("rid")  # block order from to_pandas is nondeterministic
+        .reset_index(drop=True)
+    )
     got = out["k"].tolist()
     assert got[0] == 69 and got[1] == -7
     assert all(pd.isna(x) for x in got[2:])
