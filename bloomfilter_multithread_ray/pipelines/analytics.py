@@ -554,10 +554,15 @@ def grouped_quantile_disc(
         if rnd and not state:
             break  # every group resolved via the bucket min==max exit
         shift = np.uint64(64 - B * (rnd + 1))
-        # vectorized row filter for this round: key -> surviving prefix
-        prefix_map = pd.Series(
-            {kk: np.uint64(v[0]) for kk, v in state.items()}, dtype="uint64"
+        # vectorized row filter: key -> small index -> uint64 prefix.
+        # The indirection matters: mapping uint64 prefixes through a
+        # pandas map coerces to float64 once any key is resolved-out
+        # (NaN appears), silently rounding prefixes past 2^53; small
+        # indices survive the float64 detour exactly.
+        idx_map = pd.Series(
+            {kk: i for i, kk in enumerate(state.keys())}, dtype="int64"
         )
+        prefix_arr = np.array([np.uint64(v[0]) for v in state.values()], dtype=np.uint64)
 
         def hist(t: pa.Table) -> pa.Table:
             kcol = t.column(key)
@@ -570,10 +575,12 @@ def grouped_quantile_disc(
             u = _sortable_u64(v)
             if rnd:
                 pref_shift = np.uint64(64 - B * rnd)
-                want = pd.Series(k).map(prefix_map)  # NaN for resolved-out keys
-                known = want.notna().to_numpy()
+                want_i = pd.Series(k).map(idx_map)  # NaN for resolved-out keys
+                known = want_i.notna().to_numpy()
                 wantu = np.zeros(len(u), dtype=np.uint64)
-                wantu[known] = want[known].to_numpy(dtype=np.uint64)
+                wantu[known] = prefix_arr[
+                    want_i[known].to_numpy(dtype=np.int64)
+                ]
                 keep = known & ((u >> pref_shift) == wantu)
                 u, k = u[keep], k[keep]
             bucket = ((u >> shift) & mask_b).astype(np.int64)

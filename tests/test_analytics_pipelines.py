@@ -266,3 +266,31 @@ def test_events_funnel_strict_ordering(ray_session, tmp_path):
     df.to_parquet(tmp_path / "events.parquet")
     out = events_funnel(str(tmp_path))
     assert out.n_users.tolist() == [4, 1, 1]  # views: u1,u2,u3,u5; click: u1; purchase: u1
+
+
+def test_grouped_quantile_disc_multiround_with_mixed_resolution(ray_session):
+    """Force round >= 2 for one group while another resolves in round 1:
+    the resolved-out key makes the per-row prefix map carry NaN, the
+    historical float64-coercion trap for >2^53 prefixes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import grouped_quantile_disc
+
+    rng = np.random.default_rng(41)
+    # group "deep": 70k values inside [1, 1 + 1e-7) — top 16 bits all
+    # equal, target bucket min != max -> must narrow into round 2+
+    deep = 1.0 + rng.random(70_000) * 1e-7
+    # group "easy": well-spread values — resolves in round 1
+    easy = rng.normal(0, 50, 5_000)
+    g = np.concatenate([np.full(len(deep), "deep"), np.full(len(easy), "easy")])
+    v = np.concatenate([deep, easy])
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    out = grouped_quantile_disc(
+        rd.from_arrow(t).repartition(6), "g", "v", 0.5
+    ).set_index("g")
+    for key, vals in (("deep", deep), ("easy", easy)):
+        s = np.sort(vals)
+        want = s[int(np.ceil(0.5 * len(s))) - 1]
+        assert float(out.loc[key, "value"]) == want, key
