@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import UINT64, splitmix64
+from ..functions.hashing import splitmix64
 from ..stages.quality import STOPWORDS
 from ..stages.text import _flat_nonempty_with_counts
 

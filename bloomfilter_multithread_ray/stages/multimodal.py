@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import UINT64, splitmix64
+from ..functions.hashing import splitmix64
 
 MEDIA_SCHEMA = pa.schema(
     [
