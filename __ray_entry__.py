@@ -700,7 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        res = kmeans_lloyd(emb, k=8, iters=10)
+        res = kmeans_lloyd(emb, k=8, iters=5)
         import pandas as pd
 
         return pd.DataFrame(
