@@ -748,6 +748,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bloom_new_docs(sf_dir):
         return R.dedup_new_against_corpus(sf_dir, new_source="src0")
 
+    def events_value_mad(sf_dir):
+        return A.grouped_mad(
+            lambda: R.read(sf_dir, "events", ["event_type", "value"]),
+            "event_type", "value",
+        )
+
     def events_value_p95_tdigest(sf_dir):
         return A.grouped_quantile_tdigest(
             R.read(sf_dir, "events", ["event_type", "value"]),
@@ -870,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_headers": media_headers,
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
+        "events_value_mad": events_value_mad,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
@@ -1281,6 +1288,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # exact per-group median absolute deviation (two quantile_disc
+        # passes; element picks -> bit-identical doubles)
+        "events_value_mad": (
+            "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS median "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT e.event_type, abs(e.value - m.median) AS a "
+            "FROM events e JOIN m USING (event_type)) "
+            "SELECT m.event_type, m.median, quantile_disc(d.a, 0.5) AS mad "
+            "FROM d JOIN m USING (event_type) "
+            "GROUP BY m.event_type, m.median ORDER BY m.event_type"
         ),
         # grouped z-score outliers (population std; identical double
         # expression order both sides, zscore rounded at 6dp)

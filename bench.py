@@ -183,6 +183,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "normalize_text",
         "events_hourly_distinct",
         "events_value_p95",
+        "events_value_mad",
         "lm_perplexity",
         "label_centroids",
         "top_pmi_bigrams",

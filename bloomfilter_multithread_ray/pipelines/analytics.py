@@ -681,3 +681,41 @@ def grouped_quantile_tdigest(
         for n, q in zip(names, qs):
             out[n].append(float(sk.quantile(q)))
     return pd.DataFrame(out)
+
+
+def grouped_mad(
+    ds_factory,
+    key: str,
+    col: str,
+    *,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Exact per-group median absolute deviation → {key, median, mad}:
+    ``mad = median(|x − median(x)|)`` — the robust scale statistic
+    behind outlier gates that survive heavy tails (where mean/std
+    anomaly rules break).
+
+    Composition of two :func:`grouped_quantile_disc` passes (each
+    exact, radix-narrowed, no per-group sort): pass 1 finds each
+    group's median; the tiny {key → median} table broadcasts into a
+    map stage deriving |x − med|; pass 2 takes its median.
+    ``ds_factory`` is a zero-arg callable returning a fresh Dataset
+    over {key, col} (two streaming passes re-read the source rather
+    than pinning it in memory).
+    """
+    med = grouped_quantile_disc(
+        ds_factory(), key, col, 0.5, num_partitions=num_partitions
+    ).rename(columns={"value": "median"})
+    med_of = dict(zip(med[key], med["median"]))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        kk = t.column(key).to_pandas()
+        mu = kk.map(med_of).to_numpy(np.float64)
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        return pa.table({key: t.column(key), "absdev": pa.array(np.abs(v - mu))})
+
+    mad = grouped_quantile_disc(
+        ds_factory().map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True),
+        key, "absdev", 0.5, num_partitions=num_partitions,
+    ).rename(columns={"value": "mad"})
+    return med.merge(mad, on=key).sort_values(key).reset_index(drop=True)

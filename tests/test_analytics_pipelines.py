@@ -294,3 +294,26 @@ def test_grouped_quantile_disc_multiround_with_mixed_resolution(ray_session):
         s = np.sort(vals)
         want = s[int(np.ceil(0.5 * len(s))) - 1]
         assert float(out.loc[key, "value"]) == want, key
+
+
+def test_grouped_mad_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import grouped_mad
+
+    rng = np.random.default_rng(8)
+    g = np.repeat(["a", "b"], 301)  # odd sizes -> unambiguous medians
+    v = np.concatenate([rng.normal(3, 1, 301), rng.exponential(2, 301)])
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    out = grouped_mad(
+        lambda: rd.from_arrow(t).repartition(4), "g", "v"
+    ).set_index("g")
+    for key in "ab":
+        vals = v[g == key]
+        med = np.sort(vals)[int(np.ceil(0.5 * len(vals))) - 1]
+        a = np.abs(vals - med)
+        mad = np.sort(a)[int(np.ceil(0.5 * len(a))) - 1]
+        assert float(out.loc[key, "median"]) == med
+        assert float(out.loc[key, "mad"]) == mad
