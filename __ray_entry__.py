@@ -748,6 +748,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bloom_new_docs(sf_dir):
         return R.dedup_new_against_corpus(sf_dir, new_source="src0")
 
+    def full_curation(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            full_curation_report,
+        )
+
+        return full_curation_report(sf_dir)
+
     def events_value_mad(sf_dir):
         return A.grouped_mad(
             lambda: R.read(sf_dir, "events", ["event_type", "value"]),
@@ -877,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
+        "full_curation": full_curation,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
@@ -1288,6 +1296,54 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # the whole curation chain composed: quality gate (unrounded
+        # ratios) -> containment-decontamination drop -> exact dedup
+        # (min id per text) -> splitmix split buckets -> per-split report
+        "full_curation": (
+            "WITH tr AS (SELECT doc_id, source, text, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents WHERE source <> 'src0'), "
+            "f AS (SELECT doc_id, text, len(w) AS n_tok, "
+            "CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr "
+            "FROM tr WHERE len(w) > 0), "
+            "g AS (SELECT doc_id, text, n_tok FROM f "
+            "WHERE n_tok >= 20 AND n_tok <= 5000 AND ttr >= 0.2), "
+            "toks AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, source, gram FROM ("
+            "SELECT doc_id, source, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS d, b.doc_id AS bd, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) "
+            "WHERE a.source <> 'src0' AND b.source = 'src0' GROUP BY 1, 2), "
+            "cont AS (SELECT DISTINCT d AS doc_id FROM inter "
+            "JOIN sizes ON sizes.doc_id = inter.d "
+            "WHERE CAST(i AS DOUBLE) / sizes.n >= 0.5), "
+            "surv AS (SELECT * FROM g WHERE doc_id NOT IN (SELECT doc_id FROM cont)), "
+            "ded AS (SELECT doc_id, n_tok, "
+            "MIN(doc_id) OVER (PARTITION BY text) AS keep_id FROM surv), "
+            "k AS (SELECT doc_id, n_tok FROM ded WHERE doc_id = keep_id), "
+            "s0 AS (SELECT doc_id, n_tok, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM k), "
+            "x1 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) "
+            "% 1000 AS BIGINT) AS bucket FROM s2) "
+            "SELECT CASE WHEN bucket < 50 THEN 'test' WHEN bucket < 100 THEN 'val' "
+            "ELSE 'train' END AS split, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_tok) AS BIGINT) AS total_tok "
+            "FROM s3 GROUP BY 1 ORDER BY split"
         ),
         # exact per-group median absolute deviation (two quantile_disc
         # passes; element picks -> bit-identical doubles)

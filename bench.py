@@ -169,6 +169,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "ann_topk",
         "doc_quality",
         "curate_corpus",
+        "full_curation",
         "events_sessions",
         "ngram_jaccard",
         "join_orders_customer",

@@ -535,3 +535,107 @@ def write_training_shards(
         .map_groups(write_partition, batch_format="pyarrow")
     )
     return manifest.to_pandas().sort_values("shard").reset_index(drop=True)
+
+
+# ------------------------------------------- end-to-end curation chain
+def full_curation_report(
+    sf_dir: str,
+    *,
+    min_tok: int = 20,
+    max_tok: int = 5000,
+    min_ttr: float = 0.2,
+    bench_source: str = "src0",
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> pd.DataFrame:
+    """The whole training-data chain as ONE streaming composition —
+    quality gate → benchmark-decontamination drop → exact dedup →
+    train/val/test assignment → per-split report
+    {split, n_docs, total_tok}.
+
+    Every stage is an operator this repo ships individually (same
+    thresholds, same kernels); the composition exists to prove the
+    stages chain the way a 100 TB curation job runs them:
+
+      1. gate: map-only filter on unrounded quality ratios
+         (``make_quality_fn``), benchmark docs excluded from training;
+      2. decontaminate: the pair list from
+         :func:`decontaminate_pairs` anti-joins in
+         (``hash_join(how="anti")`` — a shuffle semi-join, never a
+         driver id-set broadcast);
+      3. dedup: keep min doc_id per content hash INSIDE fixed hash
+         partitions;
+      4. split: content-keyed permille buckets (:func:`assign_splits`
+         rule, inline so the split column rides the same stream);
+      5. report: tiny ``grouped_agg``.
+    """
+    from ..functions.hashing import hash64_ints, hash_strings
+    from ..stages.quality import _row_layout, make_quality_fn
+    from .agg import grouped_agg
+    from .join import hash_join
+    from .relational import read
+
+    P = P_SHUF
+    bench = str(bench_source)
+    qfn = make_quality_fn(round_dp=None)
+    docs = read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def features(t: pa.Table) -> pa.Table:
+        _, offs = _row_layout(t)
+        t = t.filter(pa.array(np.diff(offs) > 0))
+        t = t.filter(pc.not_equal(t.column("source"), bench))
+        q = qfn(t)
+        h = hash_strings(t.column("text").combine_chunks()).view(np.int64)
+        return q.append_column("h", pa.array(h))
+
+    def gate_and_key(t: pa.Table) -> pa.Table:
+        n = t.column("n_tok").to_numpy(zero_copy_only=False)
+        ttr = t.column("ttr").to_numpy(zero_copy_only=False)
+        t = t.filter(
+            pa.array((n >= min_tok) & (n <= max_tok) & (ttr >= min_ttr))
+        )
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        t = t.select(["doc_id", "n_tok", "h"])
+        return t.append_column("hp", pa.array((np.abs(h) % P).astype(np.int32)))
+
+    gated = docs.map_batches(
+        features, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(gate_and_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    contaminated = decontaminate_pairs(
+        docs, bench_source=bench, k=3, threshold=0.5
+    ).select_columns(["doc_id"])
+    clean = hash_join(
+        gated, contaminated, on="doc_id", how="anti", num_partitions=16
+    )
+
+    def keep_min_per_hash(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h))
+        first = np.zeros(len(h), dtype=bool)
+        if len(h):
+            first[order] = np.diff(h[order], prepend=h[order[0]] - 1) != 0
+        return g.filter(pa.array(first))
+
+    kept = clean.groupby("hp").map_groups(
+        keep_min_per_hash, batch_format="pyarrow"
+    )
+
+    tp, vp = int(test_permille), int(val_permille)
+
+    def add_split(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        b = (hash64_ints(ids) % np.uint64(1000)).astype(np.int64)
+        split = np.where(b < tp, "test", np.where(b < tp + vp, "val", "train"))
+        return pa.table(
+            {"split": pa.array(split), "n_tok": t.column("n_tok")}
+        )
+
+    rep = grouped_agg(
+        kept.map_batches(add_split, batch_format="pyarrow", zero_copy_batch=True),
+        "split",
+        {"n_docs": ("count", None), "total_tok": ("sum", "n_tok")},
+    ).to_pandas()
+    rep["total_tok"] = rep["total_tok"].astype("int64")
+    return rep.sort_values("split").reset_index(drop=True)

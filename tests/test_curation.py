@@ -151,3 +151,30 @@ def test_normalize_text_counts_and_empty(ray_session):
     assert list(out.clean_text) == ["cat house", "", "", "spaced out"]
     assert list(out.n_kept) == [2, 0, 0, 2]
     assert list(out.n_removed) == [3, 7, 0, 0]
+
+
+def test_full_curation_report_each_drop_reason(ray_session, tmp_path):
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.curation import full_curation_report
+
+    long_ok = " ".join(f"w{i}" for i in range(30))          # passes gate
+    short = "too short"                                      # gate: n_tok < 20
+    low_ttr = " ".join(["rep"] * 30)                         # gate: ttr
+    docs = [
+        {"doc_id": 0, "source": "src0", "text": long_ok},    # benchmark doc
+        {"doc_id": 1, "source": "srcA", "text": long_ok},    # contaminated (== bench)
+        {"doc_id": 2, "source": "srcA", "text": short},
+        {"doc_id": 3, "source": "srcA", "text": low_ttr},
+        {"doc_id": 4, "source": "srcA",
+         "text": " ".join(f"x{i}" for i in range(25))},      # survives
+        {"doc_id": 5, "source": "srcB",
+         "text": " ".join(f"x{i}" for i in range(25))},      # exact dup of 4 -> dropped
+        {"doc_id": 6, "source": "srcB",
+         "text": " ".join(f"y{i}" for i in range(25))},      # survives
+    ]
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet")
+    rep = full_curation_report(str(tmp_path))
+    assert rep.n_docs.sum() == 2            # only 4 and 6 survive
+    assert rep.total_tok.sum() == 50
+    assert set(rep.split) <= {"train", "val", "test"}
