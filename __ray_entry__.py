@@ -686,10 +686,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from bloomfilter_multithread_ray.pipelines import curation as C
 
+        import shutil
+
         out_dir = tempfile.mkdtemp(prefix="graft_shards_", dir="/tmp")
-        m = C.write_training_shards(
-            _docs(sf_dir, ["doc_id", "text"]), out_dir, epoch=1, shard_size=100
-        )
+        try:
+            m = C.write_training_shards(
+                _docs(sf_dir, ["doc_id", "text"]), out_dir, epoch=1, shard_size=100
+            )
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)  # manifest is the check
         return m
 
     def kmeans_embeddings(sf_dir):
