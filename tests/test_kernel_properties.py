@@ -92,3 +92,39 @@ def test_flat_utf8_roundtrip(texts):
     data, offs = _flat_utf8(col)
     got = [data[offs[i]:offs[i + 1]].tobytes().decode() for i in range(len(texts))]
     assert got == texts
+
+
+from bloomfilter_multithread_ray.pipelines.join import _key_hash, _key_partition
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(st.integers(-2**62, 2**62), st.none()), min_size=1, max_size=30))
+def test_key_hash_int_nulls_and_slices(vals):
+    col = pa.array(vals, pa.int64())
+    h, valid = _key_hash(col)
+    assert valid.tolist() == [v is not None for v in vals]
+    # identical keys hash identically; hashing is slice-invariant
+    col2 = pa.array(vals + vals, pa.int64()).slice(len(vals))
+    h2, valid2 = _key_hash(col2)
+    assert h.tolist() == h2.tolist() and valid.tolist() == valid2.tolist()
+    p = _key_partition(col, 16)
+    assert ((p >= 0) & (p < 16)).all()
+    # same value -> same partition
+    seen = {}
+    for v, pp in zip(vals, p):
+        if v is None:
+            continue
+        assert seen.setdefault(v, pp) == pp
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(ascii_text, st.none()), min_size=1, max_size=30))
+def test_key_hash_string_nulls(vals):
+    col = pa.array(vals, pa.string())
+    h, valid = _key_hash(col)
+    assert valid.tolist() == [v is not None for v in vals]
+    seen = {}
+    for v, hh, ok in zip(vals, h, valid):
+        if not ok:
+            continue
+        assert seen.setdefault(v, hh) == hh
