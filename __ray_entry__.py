@@ -743,6 +743,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return textrank_keywords(sf_dir, iters=10, topk=20)
 
+    def doc_novelty(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.text_stats import (
+            doc_novelty as DN,
+        )
+
+        return DN(sf_dir, k=3)
+
     def source_kl(sf_dir):
         from bloomfilter_multithread_ray.pipelines.text_stats import (
             source_kl_divergence,
@@ -752,6 +759,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def bloom_new_docs(sf_dir):
         return R.dedup_new_against_corpus(sf_dir, new_source="src0")
+
+    def split_leakage(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            split_leakage as SL,
+        )
+
+        import pandas as pd
+
+        df = SL(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+        if df.empty:  # stable schema when no leakage exists (the healthy state)
+            df = pd.DataFrame(
+                {"group_min_id": pd.array([], dtype="int64"),
+                 "n_train": pd.array([], dtype="int64"),
+                 "n_heldout": pd.array([], dtype="int64")}
+            )
+        return df.sort_values("group_min_id").reset_index(drop=True)
 
     def full_curation(sf_dir):
         from bloomfilter_multithread_ray.pipelines.curation import (
@@ -890,6 +913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
         "full_curation": full_curation,
+        "split_leakage": split_leakage,
+        "doc_novelty": doc_novelty,
         "assign_splits": assign_splits,
         "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
@@ -1301,6 +1326,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT row_number() OVER (ORDER BY h) - 1 AS rank, h, doc_id "
             "FROM s3 ORDER BY rank"
+        ),
+        # per-doc novelty: share of the doc's distinct 3-grams that no
+        # other document contains (one int division, rounded at 6dp)
+        "doc_novelty": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "df AS (SELECT gram, count(*) AS d FROM grams GROUP BY gram) "
+            "SELECT doc_id, count(*) AS n_grams, "
+            "ROUND(CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ count(*), 6) AS novelty "
+            "FROM grams JOIN df USING (gram) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # train/test leakage audit: identical-text groups spanning the
+        # train/heldout boundary of the assign_splits assignment
+        "split_leakage": (
+            "WITH s0 AS (SELECT doc_id, text, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM documents), "
+            "x1 AS (SELECT doc_id, text, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, text, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, text, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, text, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, text, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) "
+            "% 1000 AS BIGINT) AS b FROM s2) "
+            "SELECT MIN(doc_id) AS group_min_id, "
+            "CAST(SUM(CASE WHEN b >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_train, "
+            "CAST(SUM(CASE WHEN b < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_heldout "
+            "FROM s3 GROUP BY text "
+            "HAVING SUM(CASE WHEN b >= 100 THEN 1 ELSE 0 END) > 0 "
+            "AND SUM(CASE WHEN b < 100 THEN 1 ELSE 0 END) > 0 ORDER BY group_min_id"
         ),
         # the whole curation chain composed: quality gate (unrounded
         # ratios) -> containment-decontamination drop -> exact dedup

@@ -190,6 +190,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "top_pmi_bigrams",
         "bloom_new_docs",
         "source_kl",
+        "doc_novelty",
+        "split_leakage",
         "textrank",
         "events_anomalies",
         "events_funnel",

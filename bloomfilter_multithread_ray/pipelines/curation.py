@@ -639,3 +639,58 @@ def full_curation_report(
     ).to_pandas()
     rep["total_tok"] = rep["total_tok"].astype("int64")
     return rep.sort_values("split").reset_index(drop=True)
+
+
+# ---------------------------------------------------- split leakage check
+def split_leakage(docs: "Dataset", *, seed: int = 0) -> "Dataset":
+    """Train/test leakage detector → {group_min_id, n_train,
+    n_heldout}: content groups (identical text) that appear in BOTH
+    the train split and a held-out split (val/test) under
+    :func:`assign_splits`' assignment, keyed by the group's smallest
+    doc_id. Zero rows is the healthy state; every row is a leaked
+    document group.
+
+    Note the design point this check exists to demonstrate: because
+    ``assign_splits`` keys on doc_id, two documents with IDENTICAL
+    text can land in different splits — dedup must run BEFORE
+    splitting (as :func:`full_curation_report` orders it), and this
+    operator is the audit that catches pipelines that split first.
+
+    One content-keyed fixed-P shuffle; text never travels (64-bit
+    content hash), output is O(leaked groups).
+    """
+    from ..functions.hashing import hash64_ints, hash_strings
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (hash64_ints(ids, seed=seed) % np.uint64(1000)).astype(np.int64)
+        h = hash_strings(t.column("text").combine_chunks()).view(np.int64)
+        return pa.table(
+            {"h": pa.array(h),
+             "doc_id": pa.array(ids),
+             "is_train": pa.array(b >= 100),
+             "hp": pa.array((np.abs(h) % P_SHUF).astype(np.int32))}
+        )
+
+    def leaked(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"h": g.column("h").to_numpy(zero_copy_only=False),
+             "doc_id": g.column("doc_id").to_numpy(zero_copy_only=False),
+             "t": g.column("is_train").to_numpy(zero_copy_only=False).astype(np.int64)}
+        )
+        agg = df.groupby("h").agg(
+            n_train=("t", "sum"), n=("t", "count"), group_min_id=("doc_id", "min")
+        ).reset_index()
+        agg["n_heldout"] = agg["n"] - agg["n_train"]
+        bad = agg[(agg["n_train"] > 0) & (agg["n_heldout"] > 0)]
+        return pa.table(
+            {"group_min_id": pa.array(bad["group_min_id"].to_numpy(np.int64)),
+             "n_train": pa.array(bad["n_train"].to_numpy(np.int64)),
+             "n_heldout": pa.array(bad["n_heldout"].to_numpy(np.int64))}
+        )
+
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hp")
+        .map_groups(leaked, batch_format="pyarrow")
+    )

@@ -612,3 +612,73 @@ def textrank_keywords(
         .head(topk)
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------- document novelty
+def doc_novelty(sf_dir: str, k: int = 3, round_dp: int = 6) -> pd.DataFrame:
+    """Per-document novelty: {doc_id, n_grams, novelty} where novelty =
+    (distinct word-k-grams appearing in NO other document) / (doc's
+    distinct k-grams), rounded. The originality signal curation uses
+    to up-weight novel content and flag boilerplate-only documents
+    (novelty 0 = every shingle exists elsewhere).
+
+    Scale shape: distinct (gram, doc) postings (per-batch combiner) →
+    one content-keyed fixed-P shuffle (every copy of a gram
+    co-locates, so df is exact within the partition) → per-partition
+    per-doc partial {n_grams, n_unique} → ``grouped_agg`` sum on
+    doc_id → one divide. Text never travels; two shuffles total.
+    """
+    from .agg import grouped_agg
+    from .dedup import _doc_gram_hashes
+    from .relational import read
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        gh, row_idx = _doc_gram_hashes(batch, k, "text")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(gh) == 0:
+            return pa.table(
+                {"gh": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "gp": pa.array([], pa.int32())}
+            )
+        uniq = np.unique(np.stack([row_idx, gh.view(np.int64)], axis=1), axis=0)
+        rows, ghs = uniq[:, 0], uniq[:, 1]
+        return pa.table(
+            {"gh": pa.array(ghs), "doc_id": pa.array(ids[rows]),
+             "gp": pa.array((np.abs(ghs) % P_SHUF).astype(np.int32))}
+        )
+
+    def partition_partials(g: pa.Table) -> pa.Table:
+        gh = g.column("gh").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        # global distinct postings (cross-batch dupes collapse here)
+        uniq = np.unique(np.stack([gh, ids], axis=1), axis=0)
+        gh, ids = uniq[:, 0], uniq[:, 1]
+        # df per gram within this partition == global df (co-location)
+        ugh, inv, cnt = np.unique(gh, return_inverse=True, return_counts=True)
+        own_unique = cnt[inv] == 1
+        df = pd.DataFrame(
+            {"doc_id": ids, "u": own_unique.astype(np.int64)}
+        ).groupby("doc_id").agg(n_grams=("u", "count"), n_unique=("u", "sum")).reset_index()
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+             "n_grams": pa.array(df["n_grams"].to_numpy(np.int64)),
+             "n_unique": pa.array(df["n_unique"].to_numpy(np.int64))}
+        )
+
+    sums = grouped_agg(
+        docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gp")
+        .map_groups(partition_partials, batch_format="pyarrow"),
+        "doc_id",
+        {"n_grams": ("sum", "n_grams"), "n_unique": ("sum", "n_unique")},
+    ).to_pandas()
+    sums["novelty"] = (
+        sums["n_unique"].to_numpy(np.float64) / sums["n_grams"].to_numpy(np.float64)
+    ).round(round_dp)
+    return (
+        sums[["doc_id", "n_grams", "novelty"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -178,3 +178,25 @@ def test_full_curation_report_each_drop_reason(ray_session, tmp_path):
     assert rep.n_docs.sum() == 2            # only 4 and 6 survive
     assert rep.total_tok.sum() == 50
     assert set(rep.split) <= {"train", "val", "test"}
+
+
+def test_split_leakage_detects_planted_cross_split_dup(ray_session):
+    import numpy as np
+
+    from bloomfilter_multithread_ray.functions.hashing import hash64_ints
+
+    # find one doc_id assigned to train and one to heldout, give them
+    # identical text; a third unique doc must NOT be flagged
+    b = (hash64_ints(np.arange(100)) % np.uint64(1000)).astype(int)
+    train_id = int(np.flatnonzero(b >= 100)[0])
+    held_id = int(np.flatnonzero(b < 100)[0])
+    other = int(np.flatnonzero(b >= 100)[1])
+    rows = [
+        {"doc_id": train_id, "text": "the same exact document"},
+        {"doc_id": held_id, "text": "the same exact document"},
+        {"doc_id": other, "text": "a different document entirely"},
+    ]
+    out = C.split_leakage(_docs_ds(ray_session, rows)).to_pandas()
+    assert len(out) == 1
+    assert out.group_min_id.iloc[0] == min(train_id, held_id)
+    assert out.n_train.iloc[0] == 1 and out.n_heldout.iloc[0] == 1

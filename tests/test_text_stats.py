@@ -201,3 +201,22 @@ def test_pmi_and_textrank_tolerate_empty_leading_docs(ray_session, tmp_path):
     assert (out.w1.iloc[0], out.w2.iloc[0], out.c12.iloc[0]) == ("x", "y", 8)
     tr = textrank_keywords(str(tmp_path), iters=3, topk=5)
     assert set(tr.tok) == {"x", "y"}
+
+
+def test_doc_novelty_known_values(ray_session, tmp_path):
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import doc_novelty
+
+    docs = [
+        {"doc_id": 0, "text": "a b c d e"},        # grams: abc bcd cde
+        {"doc_id": 1, "text": "a b c x y"},        # shares abc with 0
+        {"doc_id": 2, "text": "p q r s"},          # fully novel
+        {"doc_id": 3, "text": "a b"},              # too short: no grams
+    ]
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet")
+    out = doc_novelty(str(tmp_path), k=3).set_index("doc_id")
+    assert out.loc[0, "n_grams"] == 3 and out.loc[0, "novelty"] == round(2 / 3, 6)
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "novelty"] == round(2 / 3, 6)
+    assert out.loc[2, "novelty"] == 1.0
+    assert 3 not in out.index  # gram-less doc has undefined novelty
