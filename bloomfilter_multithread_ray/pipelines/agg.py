@@ -105,10 +105,20 @@ def grouped_agg(
     def _group_table(t: pa.Table, agg_list, in_names) -> pa.Table:
         """group_by + rename aggregated cols to __p{i} (keys keep names).
 
-        pyarrow ``group_by().aggregate()`` emits key columns first (in
-        key order), then one column per agg in agg_list order."""
+        Selects by the names pyarrow actually emits (``{col}_{func}`` /
+        ``count_all``) rather than relying on keys-first column order,
+        which is pyarrow-version-dependent."""
         res = t.group_by(keys).aggregate(agg_list)
-        return res.rename_columns(keys + in_names)
+        emitted = [
+            ("count_all" if c in ([], None) else f"{c}_{f}") for c, f in agg_list
+        ]
+        want = keys + emitted
+        if len(set(want)) != len(want) or set(want) != set(res.column_names):
+            raise AssertionError(
+                f"grouped_agg: unexpected group_by schema {res.column_names} "
+                f"(expected columns {want})"
+            )
+        return res.select(want).rename_columns(keys + in_names)
 
     def combine(t: pa.Table) -> pa.Table:
         agg_list = [

@@ -44,6 +44,12 @@ from ..stages.sketch_agg import PartialMergeAgg, SketchAgg, make_partial_combine
 if TYPE_CHECKING:
     from ray.data import Dataset
 
+# Which payload the LAST driver-side probe plan chose — "matrix"
+# (all-Bloom stacked plasma matrix fast path) or "mask" (mixed-sketch
+# per-partition fallback). Read by bench.py so every recorded probe
+# timing is attributable to the path that actually ran.
+LAST_PROBE_PATH: str | None = None
+
 
 def build_partitioned_bloom(
     ds: "Dataset",
@@ -288,12 +294,17 @@ def probe_bloom(
     """
     import ray
 
+    global LAST_PROBE_PATH
+
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, min(12, cpus // 2))
 
     blooms = {p: s for p, s in shards.items() if isinstance(s, BloomFilter)}
     shapes = {(s.num_bits, s.num_hashes) for s in blooms.values()}
+    LAST_PROBE_PATH = (
+        "matrix" if (len(blooms) == len(shards) and len(shapes) == 1) else "mask"
+    )
     if len(blooms) == len(shards) and len(shapes) == 1:
         # all-Bloom, uniform shape → stack every shard's bitmap into one
         # (P, num_bits) matrix. ONE driver-side copy, then every actor on

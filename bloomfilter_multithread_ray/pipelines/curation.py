@@ -642,7 +642,13 @@ def full_curation_report(
 
 
 # ---------------------------------------------------- split leakage check
-def split_leakage(docs: "Dataset", *, seed: int = 0) -> "Dataset":
+def split_leakage(
+    docs: "Dataset",
+    *,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    seed: int = 0,
+) -> "Dataset":
     """Train/test leakage detector → {group_min_id, n_train,
     n_heldout}: content groups (identical text) that appear in BOTH
     the train split and a held-out split (val/test) under
@@ -658,8 +664,17 @@ def split_leakage(docs: "Dataset", *, seed: int = 0) -> "Dataset":
 
     One content-keyed fixed-P shuffle; text never travels (64-bit
     content hash), output is O(leaked groups).
+
+    ``val_permille``/``test_permille`` must match the values passed to
+    :func:`assign_splits` for the pipeline under audit — the train
+    boundary is derived (``bucket >= test + val``), not hardcoded.
     """
     from ..functions.hashing import hash64_ints, hash_strings
+
+    tp, vp = int(test_permille), int(val_permille)
+    if tp < 0 or vp < 0 or tp + vp > 1000:
+        raise ValueError(f"invalid permilles: test={tp} val={vp}")
+    train_lo = tp + vp  # buckets [0,tp)=test, [tp,tp+vp)=val, rest=train
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -668,7 +683,7 @@ def split_leakage(docs: "Dataset", *, seed: int = 0) -> "Dataset":
         return pa.table(
             {"h": pa.array(h),
              "doc_id": pa.array(ids),
-             "is_train": pa.array(b >= 100),
+             "is_train": pa.array(b >= train_lo),
              "hp": pa.array((np.abs(h) % P_SHUF).astype(np.int32))}
         )
 

@@ -323,6 +323,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "s",
     dst_col: str = "d",
+    fold: str = "auto",
 ) -> np.ndarray:
     """Fixed-iteration PageRank over an integer-id edge Dataset →
     float64 rank vector of length ``n_nodes``.
@@ -333,11 +334,24 @@ def pagerank(
     once, partitioned however they landed, and every iteration is one
     map-only pass that ``ray.put``-broadcasts the current rank vector
     (O(N) float64 — a node catalog, bounded the way a vocabulary is)
-    and emits per-block partial contribution vectors folded on the
-    driver. No shuffle per iteration. When the rank vector outgrows a
-    worker (web-graph N), the documented scale path is the
-    shuffle-per-iteration form of ``connected_components``: rank rows
-    keyed on hash(node) % P joining co-partitioned edges.
+    for READS only. Each block emits SPARSE {node, partial} rows (one
+    per distinct destination it saw — already block-combined via
+    bincount), never blocks × N dense vectors. Two fold strategies for
+    summing the sparse partials (BASELINE.md "PageRank fold" table):
+
+    - ``fold="driver"``: one ``np.add.at`` scatter-add per block on
+      the driver — O(Σ block-distinct dst) traffic/work, zero extra
+      shuffles. Fastest while N is vocab-sized (measured: textrank
+      sf0.1 2.0 s vs 5.7 s with the cluster fold, which pays ~0.35 s
+      fixed sort-shuffle latency × iters).
+    - ``fold="cluster"``: a fixed-P :func:`grouped_agg` sums partials
+      in the cluster; the driver receives each node's total once.
+      Right when per-iteration driver traffic must stay o(N·blocks).
+    - ``fold="auto"`` (default): driver below 2M nodes, cluster above.
+
+    When even the broadcast READ side outgrows a worker (web-graph N),
+    use :func:`pagerank_distributed`, which keeps rank rows
+    co-partitioned with edges and never holds the vector anywhere.
 
     Dangling nodes (deg 0) contribute nothing; their own rank stays at
     the teleport term — callers with dangling semantics redistribute
@@ -345,19 +359,43 @@ def pagerank(
     """
     import ray
 
+    from .agg import grouped_agg
+
+    if fold not in ("auto", "driver", "cluster"):
+        raise ValueError(f"fold must be auto|driver|cluster, got {fold!r}")
     N = int(n_nodes)
+    if fold == "auto":
+        fold = "driver" if N <= 2_000_000 else "cluster"
     edges = edges.materialize()
 
-    def deg_partial(t: pa.Table) -> pa.Table:
-        s = t.column(src_col).to_numpy(zero_copy_only=False)
-        return pa.table({"deg": pa.array(np.bincount(s, minlength=N).astype(np.int64))})
+    def _fold(sparse_ds: "Dataset", out: np.ndarray) -> np.ndarray:
+        if fold == "cluster":
+            summed = grouped_agg(sparse_ds, "node", {"c": ("sum", "partial")})
+            for b in summed.iter_batches(batch_format="pyarrow", batch_size=None):
+                out[b.column("node").to_numpy(zero_copy_only=False)] = (
+                    b.column("c").to_numpy(zero_copy_only=False)
+                )
+        else:
+            for b in sparse_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+                np.add.at(
+                    out,
+                    b.column("node").to_numpy(zero_copy_only=False),
+                    b.column("partial").to_numpy(zero_copy_only=False),
+                )
+        return out
 
-    deg = np.zeros(N, dtype=np.int64)
-    for b in edges.map_batches(
-        deg_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow", batch_size=None):
-        deg += b.column("deg").to_numpy(zero_copy_only=False).reshape(-1, N).sum(axis=0) \
-            if len(b) != N else b.column("deg").to_numpy(zero_copy_only=False)
+    def deg_sparse(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(s, return_counts=True)
+        return pa.table(
+            {"node": pa.array(uniq.astype(np.int64)),
+             "partial": pa.array(cnt.astype(np.float64))}
+        )
+
+    deg = _fold(
+        edges.map_batches(deg_sparse, batch_format="pyarrow", zero_copy_batch=True),
+        np.zeros(N),
+    ).astype(np.int64)
 
     safe_deg = np.maximum(deg, 1)
     r = np.full(N, 1.0 / N)
@@ -368,15 +406,149 @@ def pagerank(
             w = ray.get(r_ref)
             s = t.column(src_col).to_numpy(zero_copy_only=False)
             d = t.column(dst_col).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(d, return_inverse=True)
             return pa.table(
-                {"c": pa.array(np.bincount(d, weights=w[s], minlength=N))}
+                {"node": pa.array(uniq.astype(np.int64)),
+                 "partial": pa.array(np.bincount(inv, weights=w[s]))}
             )
 
-        acc = np.zeros(N)
-        for b in edges.map_batches(
-            contrib, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=None):
-            c = b.column("c").to_numpy(zero_copy_only=False)
-            acc += c.reshape(-1, N).sum(axis=0) if len(c) != N else c
+        acc = _fold(
+            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True),
+            np.zeros(N),
+        )
         r = (1.0 - damping) / N + damping * acc
     return r
+
+
+def pagerank_distributed(
+    edges: "Dataset",
+    n_nodes: int,
+    *,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "s",
+    dst_col: str = "d",
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Shuffle-per-iteration PageRank for rank vectors too large to
+    broadcast (web-graph N) → Dataset of {node: int64, rank: float64}
+    covering nodes 0..N-1. Same fixed-point as :func:`pagerank`
+    (parity-tested to ~1e-12).
+
+    The rank vector NEVER exists in one place: rank rows live
+    co-partitioned with out-edges on ``hash(node) % P`` — the
+    partition-local state ownership of the reference's per-thread
+    Bloom shards (src/main.cpp:86,120) applied per iteration. Each
+    round is one BSP superstep:
+
+      1. union(rank rows, edge rows) → ``groupby(p)``: every
+         partition sees exactly the ranks of its sources and ALL
+         out-edges of those sources (same hash ⇒ exact local
+         out-degree, no degree table needed);
+      2. the partition kernel emits SPARSE, pre-combined
+         {node=dst, partial=Σ rank(s)/deg(s)} rows plus a
+         zero-partial row per owned node (keeps the node catalog
+         distributed through rounds);
+      3. a fixed-P ``grouped_agg`` sum + map-only teleport finalize
+         produce the next round's rank rows, re-keyed by the same
+         hash.
+
+    Driver state per iteration: O(1) (scheduling only). Cost: two
+    all-to-alls per iteration (edges re-shuffle each round — the
+    price of not holding the vector; :func:`pagerank`'s broadcast
+    form is strictly faster whenever N fits a worker's heap, use it
+    for vocab-sized graphs like TextRank).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import splitmix64
+    from .agg import grouped_agg
+
+    import ray.data
+
+    N = int(n_nodes)
+    P = int(num_partitions)
+    teleport = (1.0 - damping) / N
+
+    def _p_of(nodes: np.ndarray) -> np.ndarray:
+        return (splitmix64(nodes.astype(np.uint64)) % np.uint64(P)).astype(np.int32)
+
+    # unified superstep row schema: side 0 = rank row (a=node, rank),
+    # side 1 = edge row (a=src, b=dst); p = hash(a) % P for both
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"p": pa.array(_p_of(s)),
+             "side": pa.array(np.ones(len(s), dtype=np.int8)),
+             "a": pa.array(s), "b": pa.array(d),
+             "rank": pa.array(np.zeros(len(s), dtype=np.float64))}
+        )
+
+    edge_rows = edges.map_batches(
+        _edge_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _rank_rows(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("rank").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"p": pa.array(_p_of(node)),
+             "side": pa.array(np.zeros(len(node), dtype=np.int8)),
+             "a": pa.array(node), "b": pa.array(np.zeros(len(node), np.int64)),
+             "rank": pa.array(r)}
+        )
+
+    def _init_rank(t: pa.Table) -> pa.Table:
+        node = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(node),
+             "rank": pa.array(np.full(len(node), 1.0 / N))}
+        )
+
+    rank = ray.data.range(N).map_batches(
+        _init_rank, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def superstep(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        own = a[side == 0]
+        rk = g.column("rank").to_numpy(zero_copy_only=False)[side == 0]
+        es, ed = a[side == 1], g.column("b").to_numpy(zero_copy_only=False)[side == 1]
+        zero = pa.table(
+            {"node": pa.array(own), "partial": pa.array(np.zeros(len(own)))}
+        )
+        if len(es) == 0:
+            return zero
+        # exact local out-degree: ALL edges of a source share its partition
+        uq_s, cnt = np.unique(es, return_counts=True)
+        order = np.argsort(own, kind="stable")
+        w_src = rk[order][np.searchsorted(own, uq_s, sorter=order)] / cnt
+        w_edge = w_src[np.searchsorted(uq_s, es)]
+        uq_d, inv = np.unique(ed, return_inverse=True)
+        contrib = pa.table(
+            {"node": pa.array(uq_d.astype(np.int64)),
+             "partial": pa.array(np.bincount(inv, weights=w_edge))}
+        )
+        return pa.concat_tables([contrib, zero])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": t.column("node"),
+             "rank": pa.array(teleport + damping * c)}
+        )
+
+    for _ in range(int(iters)):
+        step_in = rank.map_batches(
+            _rank_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(edge_rows)
+        summed = grouped_agg(
+            step_in.groupby("p").map_groups(superstep, batch_format="pyarrow"),
+            "node", {"c": ("sum", "partial")}, num_partitions=P,
+        )
+        rank = summed.map_batches(
+            finalize, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    return rank

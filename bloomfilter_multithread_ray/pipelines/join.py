@@ -86,6 +86,20 @@ def _broadcast_join(
         return left
     l_cols = list(l_schema.names)
 
+    # mirror the shuffle path's empty-right guards: a fully-empty
+    # (schema-less) right side would crash select_columns /
+    # pa.concat_tables([]) below
+    r_schema = right.schema()
+    if r_schema is None or not r_schema.names:
+        if how == "anti":
+            return left  # nothing to subtract
+        if how == "semi":
+            return left.limit(0)
+        raise ValueError(
+            f"hash_join(broadcast, how={how!r}): right side has no schema "
+            "(empty dataset) — inner/left output columns are underdetermined"
+        )
+
     if how in ("semi", "anti"):
         right = right.select_columns([right_on])
     # permissive promote: an all-null block arrives null-typed and must
@@ -171,6 +185,12 @@ def hash_join(
     if broadcast:
         if how in ("right", "full"):
             raise ValueError(f"broadcast join does not support how={how!r}")
+        if bloom_prefilter:
+            raise ValueError(
+                "broadcast=True with bloom_prefilter=True: the broadcast "
+                "plan never shuffles the left side, so there is no shuffle "
+                "volume for a Bloom prefilter to save — pick one"
+            )
         return _broadcast_join(left, right, on, right_on or on, how, suffix)
     right_on = right_on or on
     if bloom_prefilter:

@@ -327,7 +327,23 @@ def top_customers(sf_dir: str, topk: int = 10) -> pd.DataFrame:
         .to_pandas()
     )
 
-    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    # decorate the k winners with names: push `c_custkey IN (top-k keys)`
+    # into the parquet read (row-group pruning at the source) — the
+    # driver never materializes the full dimension table, which at 100×
+    # is GBs (reference analog: probe only what the filter admits,
+    # src/SkmerSplitter.cpp:132-136)
+    import pyarrow.dataset as pads
+    import ray.data
+
+    keys = top["o_custkey"].to_numpy(dtype=np.int64)
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filter=pads.field("c_custkey").isin(keys.tolist()),
+        )
+        .to_pandas()
+    )
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
     return (
         out[["c_custkey", "c_name", "revenue"]]
@@ -926,7 +942,9 @@ def events_funnel(
         starts = np.flatnonzero(np.diff(u, prepend=u[0] - 1)) if len(u) else np.empty(0, np.int64)
         seg = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(u))))
         INF = np.iinfo(np.int64).max
-        prev_first = np.full(len(starts), -1, dtype=np.int64)  # -inf: stage0 unconditional
+        # int64 min as -inf so pre-1970 (negative-epoch) events still
+        # clear stage 0's ts > prev_first gate
+        prev_first = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
         counts = []
         for s in stage_list:
             ok = (et == s) & (ts > prev_first[seg])

@@ -501,6 +501,7 @@ def textrank_keywords(
     topk: int = 20,
     damping: float = 0.85,
     round_dp: int = 6,
+    engine: str = "broadcast",
 ) -> pd.DataFrame:
     """Corpus keywords by TextRank (Mihalcea & Tarau 2004): PageRank
     over the undirected word co-occurrence graph (distinct adjacent
@@ -513,8 +514,16 @@ def textrank_keywords(
     (``graph.pagerank``). The only driver state is the vocabulary
     catalog and the rank vector — the same size class, both bounded
     by vocabulary, not corpus.
+
+    ``engine="distributed"`` routes the rank iterations through
+    :func:`graph.pagerank_distributed` instead — rank rows stay
+    co-partitioned with edges, the vector never materializes anywhere
+    (the web-graph shape; same fixed point, parity ~1e-12).
     """
-    from .graph import pagerank
+    from .graph import pagerank, pagerank_distributed
+
+    if engine not in ("broadcast", "distributed"):
+        raise ValueError(f"engine must be broadcast|distributed, got {engine!r}")
 
     docs = read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -605,7 +614,15 @@ def textrank_keywords(
         return pa.table({"s": pa.array(s), "d": pa.array(d)})
 
     edges_c = edges.map_batches(compact, batch_format="pyarrow", zero_copy_batch=True)
-    r = pagerank(edges_c, len(nodes), iters=iters, damping=damping)
+    if engine == "distributed":
+        rank_ds = pagerank_distributed(edges_c, len(nodes), iters=iters, damping=damping)
+        r = np.zeros(len(nodes))
+        for b in rank_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            r[b.column("node").to_numpy(zero_copy_only=False)] = (
+                b.column("rank").to_numpy(zero_copy_only=False)
+            )
+    else:
+        r = pagerank(edges_c, len(nodes), iters=iters, damping=damping)
     df = pd.DataFrame({"tok": vocab[nodes], "rank": np.round(r, round_dp)})
     return (
         df.sort_values(["rank", "tok"], ascending=[False, True])

@@ -94,24 +94,29 @@ _NBUCKETS = 1 << 12
 
 def _char_bigram_counts(texts: pa.Array) -> "tuple[np.ndarray, np.ndarray]":
     """Hashed char-bigram counts per row → (rows × _NBUCKETS sparse-ish
-    dense matrix, row lengths). Vectorized over the flat byte stream."""
+    dense matrix, utf-8 byte row lengths). Reads the Arrow string
+    buffers zero-copy via the shared ``_flat_utf8`` kernel — no
+    ``to_pandas`` / Python-string round-trip in the stage."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.lm import _flat_utf8
+
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    s = texts.to_pandas().fillna("")
-    joined = "\x00".join(s.tolist())
-    b = np.frombuffer(joined.encode("utf-8", "ignore"), dtype=np.uint8)
-    lengths = s.str.encode("utf-8").str.len().to_numpy(dtype=np.int64)
-    n = len(s)
-    if len(b) < 2:
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")  # nulls count as empty rows
+    data, offs = _flat_utf8(texts)
+    lengths = np.diff(offs)
+    n = len(offs) - 1
+    flat = data[offs[0] : offs[-1]]
+    if flat.size < 2:
         return np.zeros((n, _NBUCKETS), dtype=np.float64), lengths
-    big = b[:-1].astype(np.uint64) << UINT64(8) | b[1:].astype(np.uint64)
+    big = flat[:-1].astype(np.uint64) << UINT64(8) | flat[1:].astype(np.uint64)
     bucket = (splitmix64(big) % UINT64(_NBUCKETS)).astype(np.int64)
-    # row of each bigram start; separator bigrams (containing \x00) dropped
-    starts = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lengths + 1, out=starts[1:])  # +1 for the separator
-    pos = np.arange(len(big))
-    row = np.searchsorted(starts, pos, side="right") - 1
-    valid = (b[:-1] != 0) & (b[1:] != 0)
+    # row of each bigram start; bigrams spanning a row boundary dropped
+    pos = np.arange(flat.size - 1, dtype=np.int64) + offs[0]
+    row = np.searchsorted(offs, pos, side="right") - 1
+    valid = pos + 1 < offs[row + 1]
     # one bincount over flat (row, bucket) keys — much faster than a
     # scattered np.add.at into the dense matrix
     flat_keys = row[valid] * _NBUCKETS + bucket[valid]

@@ -317,3 +317,25 @@ def test_grouped_mad_matches_numpy(ray_session):
         mad = np.sort(a)[int(np.ceil(0.5 * len(a))) - 1]
         assert float(out.loc[key, "median"]) == med
         assert float(out.loc[key, "mad"]) == mad
+
+
+def test_events_funnel_pre_epoch_timestamps(ray_session, tmp_path):
+    """Negative (pre-1970) epochs must still clear stage 0: prev_first
+    initializes to int64 min, not -1 (ADVICE r2)."""
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.relational import events_funnel
+
+    T = pd.Timestamp
+    rows = [
+        (1, "view", T("1969-06-01 00:00")),
+        (1, "click", T("1969-06-02 00:00")),
+        (1, "purchase", T("1969-06-03 00:00")),
+        (2, "view", T("1969-12-31 23:59")),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["value"] = 1.0
+    df["event_id"] = range(len(df))
+    df.to_parquet(tmp_path / "events.parquet")
+    out = events_funnel(str(tmp_path))
+    assert out.n_users.tolist() == [2, 1, 1]

@@ -200,3 +200,30 @@ def test_split_leakage_detects_planted_cross_split_dup(ray_session):
     assert len(out) == 1
     assert out.group_min_id.iloc[0] == min(train_id, held_id)
     assert out.n_train.iloc[0] == 1 and out.n_heldout.iloc[0] == 1
+
+
+def test_split_leakage_derives_boundary_from_permilles(ray_session):
+    """Non-default permilles move the train boundary; the audit must
+    derive it (bucket >= test+val), not hardcode 100 (ADVICE r2)."""
+    import numpy as np
+
+    from bloomfilter_multithread_ray.functions.hashing import hash64_ints
+
+    b = (hash64_ints(np.arange(3000)) % np.uint64(1000)).astype(int)
+    # pick a doc whose bucket lands in [100, 400): train under the
+    # defaults, heldout under val=200/test=200
+    mid_id = int(np.flatnonzero((b >= 100) & (b < 400))[0])
+    train_id = int(np.flatnonzero(b >= 400)[0])
+    rows = [
+        {"doc_id": train_id, "text": "dup text"},
+        {"doc_id": mid_id, "text": "dup text"},
+    ]
+    ds = _docs_ds(ray_session, rows)
+    default = C.split_leakage(ds).to_pandas()
+    assert len(default) == 0  # both train under defaults
+    wide = C.split_leakage(ds, val_permille=200, test_permille=200).to_pandas()
+    assert len(wide) == 1 and wide.n_train.iloc[0] == 1 and wide.n_heldout.iloc[0] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="permille"):
+        C.split_leakage(ds, val_permille=600, test_permille=600)

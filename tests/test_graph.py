@@ -158,3 +158,47 @@ def test_self_pairs_appear_as_singletons():
     got = _cc(pairs)  # forced distributed path
     comp = dict(zip(got["node"], got["comp"]))
     assert comp == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_pagerank_driver_and_cluster_folds_agree():
+    from bloomfilter_multithread_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    N, E = 300, 1500
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {"s": rng.integers(0, N, E).astype("int64"),
+             "d": rng.integers(0, N, E).astype("int64")}
+        )
+    ).repartition(4)
+    r_drv = pagerank(edges, N, iters=4, fold="driver")
+    r_cls = pagerank(edges, N, iters=4, fold="cluster")
+    assert np.abs(r_drv - r_cls).max() < 1e-12
+    with pytest.raises(ValueError, match="fold"):
+        pagerank(edges, N, iters=1, fold="banana")
+
+
+def test_pagerank_distributed_matches_broadcast():
+    """The shuffle-per-iteration web-graph form fixes the same point as
+    the broadcast form: rank rows co-partitioned with edges, including
+    dangling nodes (teleport-only) and nodes with no edges at all."""
+    from bloomfilter_multithread_ray.pipelines.graph import (
+        pagerank,
+        pagerank_distributed,
+    )
+
+    rng = np.random.default_rng(3)
+    N, E = 200, 900
+    s = rng.integers(0, N - 20, E)  # last 20 nodes isolated
+    d = rng.integers(0, N - 10, E)
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"s": s.astype("int64"), "d": d.astype("int64")})
+    ).repartition(4)
+    r = pagerank(edges, N, iters=4)
+    out = pagerank_distributed(edges, N, iters=4, num_partitions=8).to_pandas()
+    assert len(out) == N and set(out["node"]) == set(range(N))
+    rd = np.zeros(N)
+    rd[out["node"].to_numpy()] = out["rank"].to_numpy()
+    assert np.abs(r - rd).max() < 1e-12
+    # isolated nodes sit exactly at the teleport fixed point
+    assert np.allclose(rd[N - 10 :], (1 - 0.85) / N)

@@ -336,3 +336,32 @@ def test_bloom_prefilter_rejected_for_outer_howys(ray_session):
                 rd.from_arrow(t), rd.from_arrow(t), on="k", how=how,
                 bloom_prefilter=True,
             )
+
+
+def test_broadcast_join_empty_right_degenerate():
+    """A fully-empty (schema-less) right side resolves like the shuffle
+    path: anti -> left, semi -> empty, inner/left raise (ADVICE r2)."""
+    left = pd.DataFrame({"k": np.arange(5, dtype="int64"), "lv": np.arange(5, dtype="int64")})
+    sless = (
+        ray.data.from_pandas(pd.DataFrame({"k": pd.array([], dtype="int64")}))
+        .filter(lambda r: False)
+        .map_batches(lambda t: t.select([]), batch_format="pyarrow")
+        .materialize()
+    )
+    if sless.schema() is not None and sless.schema().names:
+        pytest.skip("Ray preserved the schema; degenerate case unreachable")
+    anti = hash_join(_mk(left, 2), sless, on="k", how="anti", broadcast=True).to_pandas()
+    assert len(anti) == 5
+    semi = hash_join(_mk(left, 2), sless, on="k", how="semi", broadcast=True)
+    assert semi.count() == 0
+    with pytest.raises(ValueError, match="no schema|empty"):
+        hash_join(_mk(left, 2), sless, on="k", how="inner", broadcast=True)
+
+
+def test_broadcast_with_bloom_prefilter_rejected():
+    left = pd.DataFrame({"k": np.arange(3, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(3, dtype="int64")})
+    with pytest.raises(ValueError, match="broadcast.*bloom|bloom.*broadcast"):
+        hash_join(
+            _mk(left, 1), _mk(right, 1), on="k", broadcast=True, bloom_prefilter=True
+        )

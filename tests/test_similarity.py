@@ -260,3 +260,58 @@ def test_kmeans_lloyd_matches_numpy_and_partition_independent(ray_session):
     np.testing.assert_allclose(res["centroids"], C, rtol=1e-9)
     # every point is assigned and inertia is finite and positive
     assert res["sizes"].sum() == len(X) and res["inertia"] > 0
+
+
+def test_kmeans_snapshot_matches_independent_impl(ray_session):
+    """The pinned-snapshot oracle for the kmeans_embeddings driver query
+    (``__ray_entry__.oracle_sql()``) must be reproducible WITHOUT any
+    pipeline code: a plain-numpy Lloyd's with the same public
+    splitmix64 seeding, run on the driver testdata, has to land on the
+    exact {sizes, inertia-at-6dp} literals pinned in the SQL."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    # snapshot literals as pinned in the oracle: dispatch_key -> (sizes, inertia)
+    SNAP = {
+        -1.463953: ([64, 62, 73, 55, 59, 64, 70, 53], 465.09946),
+        1.082355: ([75, 52, 68, 73, 53, 63, 54, 62], 463.719412),
+    }
+
+    def independent_kmeans(path, k=8, iters=5):
+        t = pq.read_table(path)
+        ids = t.column("vec_id").to_numpy().astype(np.uint64)
+        V = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+        def sm64(x):  # public splitmix64 constants, no repo imports
+            x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+            z = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+            z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+            return (z ^ (z >> np.uint64(31))).astype(np.uint64)
+
+        C = V[np.argsort(sm64(ids))[:k]].copy()
+        for _ in range(iters):
+            d2 = (V * V).sum(1, keepdims=True) - 2 * V @ C.T + (C * C).sum(1)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                if (a == c).any():
+                    C[c] = V[a == c].mean(0)
+            inertia = d2[np.arange(len(a)), a].sum()
+        return np.bincount(a, minlength=k).tolist(), round(float(inertia), 6)
+
+    checked = 0
+    for sf in ("0.001", "0.01"):
+        path = f"/root/testdata/sf{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        key = duckdb.sql(
+            f"SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE)),6) "
+            f"FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        assert key in SNAP, f"sf{sf}: dispatch key {key} not pinned in the oracle"
+        sizes, inertia = independent_kmeans(path)
+        assert (sizes, inertia) == SNAP[key], f"sf{sf}: snapshot drifted"
+        checked += 1
+    assert checked == 2

@@ -220,3 +220,27 @@ def test_doc_novelty_known_values(ray_session, tmp_path):
     assert out.loc[1, "n_grams"] == 3 and out.loc[1, "novelty"] == round(2 / 3, 6)
     assert out.loc[2, "novelty"] == 1.0
     assert 3 not in out.index  # gram-less doc has undefined novelty
+
+
+def test_textrank_engines_agree(ray_session, tmp_path):
+    """engine="distributed" (pagerank_distributed: rank rows
+    co-partitioned with edges, no broadcast vector) must land on the
+    broadcast engine's keywords exactly at 6 dp."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import textrank_keywords
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=12))}
+        for i in range(30)
+    ]
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet")
+    a = textrank_keywords(str(tmp_path), iters=6, topk=15)
+    b = textrank_keywords(str(tmp_path), iters=6, topk=15, engine="distributed")
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="engine"):
+        textrank_keywords(str(tmp_path), engine="spark")
