@@ -228,6 +228,111 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def run_skmer_ab(sf: float) -> dict:
+    """A/B the reference's run-length (super-k-gram) shuffle idea
+    against the default map-side-combine build (VERDICT r2 #7).
+
+    Measures, on the same cached corpus, the BYTES each strategy would
+    move through the build's all-to-all (the materialized size of the
+    pre-shuffle dataset) plus the full-build wall time:
+
+      - combine: fused hash+combine partial-sketch blobs (default)
+      - skmer:   minimizer-routed {part, toks} run rows
+      - raw:     naive per-gram {part, gh} rows (the baseline both
+                 strategies are compressing)
+
+    Appends a table to BASELINE.md; adoption rule = only if skmer
+    beats combine on bytes AND wall.
+    """
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.bloom import (
+        build_partitioned_bloom,
+    )
+    from bloomfilter_multithread_ray.pipelines.skmer import (
+        _segment_rows_fn,
+        build_partitioned_bloom_skmer,
+    )
+    from bloomfilter_multithread_ray.stages.kgram import make_kgram_hash_fn
+
+    path = ensure_corpus(sf)
+    B = dict(k=BLOOM["k"], num_partitions=BLOOM["num_partitions"],
+             bits_per_partition=BLOOM["bits_per_partition"],
+             num_hashes=BLOOM["num_hashes"])
+
+    def read():
+        return ray.data.read_parquet(path, columns=["doc_id", "tokens", "n_tok"])
+
+    out: dict = {"metric": "skmer_ab", "sf": sf}
+
+    # pre-shuffle bytes per strategy
+    from bloomfilter_multithread_ray.state import BloomFilter
+    from bloomfilter_multithread_ray.stages.sketch_agg import make_partial_combiner
+    from bloomfilter_multithread_ray.functions.hashing import (
+        kgram_hashes_flat,
+        partition_of,
+    )
+    from bloomfilter_multithread_ray.stages.kgram import list_column_to_numpy
+
+    factory = lambda: BloomFilter(B["bits_per_partition"], B["num_hashes"])  # noqa: E731
+    combiner = make_partial_combiner(factory)
+
+    def hash_and_combine(batch):
+        flat, offsets = list_column_to_numpy(batch, "tokens")
+        gh, _, _ = kgram_hashes_flat(flat, offsets, B["k"])
+        return combiner.from_arrays(partition_of(gh, B["num_partitions"]), gh)
+
+    combine_pre = read().map_batches(
+        hash_and_combine, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    out["combine_shuffle_bytes"] = int(combine_pre.size_bytes())
+    skmer_pre = read().map_batches(
+        _segment_rows_fn(B["k"], B["num_partitions"], "tokens"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    out["skmer_shuffle_bytes"] = int(skmer_pre.size_bytes())
+    out["skmer_rows"] = int(skmer_pre.count())
+    raw_pre = read().map_batches(
+        make_kgram_hash_fn(B["k"], B["num_partitions"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    out["raw_shuffle_bytes"] = int(raw_pre.size_bytes())
+    out["n_grams"] = int(raw_pre.count())
+    del combine_pre, skmer_pre, raw_pre
+
+    # full-build wall (warm-up once each, then timed)
+    for name, builder in (
+        ("combine", lambda: build_partitioned_bloom(read(), **B).materialize()),
+        ("skmer", lambda: build_partitioned_bloom_skmer(read(), **B).materialize()),
+    ):
+        builder()
+        t0 = time.perf_counter()
+        builder()
+        out[f"{name}_build_s"] = round(time.perf_counter() - t0, 3)
+
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    gb = 1 << 30
+    block = (
+        f"\n## Run-length skmer A/B ({stamp}, sf={sf})\n\n"
+        f"Pre-shuffle bytes (materialized size of what the build's all-to-all moves) "
+        f"and full-build wall, same corpus ({out['n_grams']:,} grams):\n\n"
+        f"| strategy | shuffle bytes | bytes/gram | build s |\n|---|---|---|---|\n"
+        f"| raw {{part, gh}} rows | {out['raw_shuffle_bytes']:,} "
+        f"| {out['raw_shuffle_bytes']/out['n_grams']:.2f} | — |\n"
+        f"| map-side combine (default) | {out['combine_shuffle_bytes']:,} "
+        f"| {out['combine_shuffle_bytes']/out['n_grams']:.2f} | {out['combine_build_s']} |\n"
+        f"| skmer run-length (opt-in) | {out['skmer_shuffle_bytes']:,} "
+        f"| {out['skmer_shuffle_bytes']/out['n_grams']:.2f} | {out['skmer_build_s']} |\n\n"
+        f"Adoption rule: switch the default only if skmer wins BOTH columns.\n"
+    )
+    try:
+        with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+            f.write(block)
+    except OSError:
+        pass
+    return out
+
+
 def _burn(args) -> int:
     """Cache-resident uint64 mul/xor loop — pure-CPU yardstick."""
     import numpy as np
@@ -353,6 +458,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skmer-ab", action="store_true",
+                    help="A/B the run-length skmer build against the "
+                         "map-side-combine default (bytes + wall)")
     ap.add_argument("--cpu-ceiling", action="store_true",
                     help="measure the host's hardware scaling ceiling "
                          "(pure-CPU, Ray-free) between --low and --high procs")
@@ -369,6 +477,19 @@ def main() -> None:
 
     if args.cpu_ceiling:
         print(json.dumps(run_cpu_ceiling(args.low, args.high)))
+        return
+
+    if args.skmer_ab:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local",
+                     num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                     include_dashboard=False)
+        try:
+            print(json.dumps(run_skmer_ab(2.0)))
+        finally:
+            ray.shutdown()
         return
 
     if args.scaling:

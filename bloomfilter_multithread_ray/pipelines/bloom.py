@@ -197,6 +197,7 @@ class BloomProbe:
         salt_bits: int = 0,
         tokens_col: str = "tokens",
         id_col: str = "doc_id",
+        partition_mode: str = "hash",
     ):
         import ray
 
@@ -227,13 +228,25 @@ class BloomProbe:
         self.complement = complement
         self.tokens_col = tokens_col
         self.id_col = id_col
+        if partition_mode not in ("hash", "minimizer"):
+            raise ValueError(f"partition_mode must be hash|minimizer, got {partition_mode!r}")
+        self.partition_mode = partition_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, offsets = list_column_to_numpy(batch, self.tokens_col)
         gh, row_idx, pos = kgram_hashes_flat(
             flat, offsets, self.k, canonical=self.canonical, complement=self.complement
         )
-        part = partition_of(gh, self.num_partitions)
+        if self.partition_mode == "minimizer":
+            # intrinsic-minimizer routing (stores built by
+            # skmer.build_partitioned_bloom_skmer); 1:1 aligned with gh
+            from .skmer import kgram_minimizer_parts
+
+            part, _ = kgram_minimizer_parts(
+                flat, offsets, self.k, self.num_partitions
+            )
+        else:
+            part = partition_of(gh, self.num_partitions)
         member = np.zeros(len(gh), dtype=bool)
         if len(gh) and self.M is not None:
             # stacked-matrix path: all shard bitmaps live in ONE
@@ -279,6 +292,7 @@ def probe_bloom(
     batch_size: int | None = 1024,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
+    partition_mode: str = "hash",
 ) -> "Dataset":
     """Map-only membership probe: {doc_id, pos, member} per k-gram.
 
@@ -296,6 +310,10 @@ def probe_bloom(
 
     global LAST_PROBE_PATH
 
+    if partition_mode not in ("hash", "minimizer"):
+        raise ValueError(
+            f"partition_mode must be hash|minimizer, got {partition_mode!r}"
+        )
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, min(12, cpus // 2))
@@ -333,6 +351,7 @@ def probe_bloom(
             complement=complement,
             tokens_col=tokens_col,
             id_col=id_col,
+            partition_mode=partition_mode,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
