@@ -866,6 +866,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
+    def gopher_repetition(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import repetition as REP
+
+        return REP.gopher_repetition(_docs(sf_dir, ["doc_id", "text"]))
+
+    def substring_dedup(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import repetition as REP
+
+        return REP.substring_dedup(_docs(sf_dir, ["doc_id", "text"]), window=8)
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -947,6 +957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shards": corpus_shards,
         "json_field_stats": json_field_stats,
         "redact_events": redact_events,
+        "gopher_repetition": gopher_repetition,
+        "substring_dedup": substring_dedup,
     }
 
 
@@ -1700,6 +1712,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
             "CAST(size AS BIGINT) AS size, CAST(inertia AS DOUBLE) AS inertia "
             "FROM snap JOIN key ON snap.k = key.k ORDER BY cluster_id"
+        ),
+        # Gopher repetition rules on a word stream: top n-gram coverage
+        # (n=2..4) + duplicate 5-gram instance fraction; gates compare
+        # the ROUNDED values on both sides
+        "gopher_repetition": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "m2 AS (SELECT doc_id, MAX(c) AS maxc FROM (SELECT doc_id, gram, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram "
+            "FROM t WHERE len(w) >= 2) GROUP BY doc_id, gram) GROUP BY doc_id), "
+            "m3 AS (SELECT doc_id, MAX(c) AS maxc FROM (SELECT doc_id, gram, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM t WHERE len(w) >= 3) GROUP BY doc_id, gram) GROUP BY doc_id), "
+            "m4 AS (SELECT doc_id, MAX(c) AS maxc FROM (SELECT doc_id, gram, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 2), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram "
+            "FROM t WHERE len(w) >= 4) GROUP BY doc_id, gram) GROUP BY doc_id), "
+            "g5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram "
+            "FROM t WHERE len(w) >= 5) GROUP BY doc_id, gram), "
+            "d5 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot "
+            "FROM g5 GROUP BY doc_id), "
+            "f AS (SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tok, "
+            "ROUND(COALESCE(m2.maxc * 2.0 / len(w), 0), 6) AS top2_frac, "
+            "ROUND(COALESCE(m3.maxc * 3.0 / len(w), 0), 6) AS top3_frac, "
+            "ROUND(COALESCE(m4.maxc * 4.0 / len(w), 0), 6) AS top4_frac, "
+            "ROUND(COALESCE(CAST(d5.dup AS DOUBLE) / d5.tot, 0), 6) AS dup5_frac "
+            "FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id) "
+            "LEFT JOIN m4 USING (doc_id) LEFT JOIN d5 USING (doc_id)) "
+            "SELECT *, (n_tok > 0 AND top2_frac <= 0.10 AND top3_frac <= 0.08 "
+            "AND top4_frac <= 0.06 AND dup5_frac <= 0.10) AS keep "
+            "FROM f ORDER BY doc_id"
+        ),
+        # cross-document duplicated-window stats (ExactSubstr-style):
+        # a length-8 token window is a duplicate iff its gram occurs
+        # in >= 2 distinct documents
+        "substring_dedup": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> "
+            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || "
+            "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram "
+            "FROM t WHERE len(w) >= 8), "
+            "nd AS (SELECT gram, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram) "
+            "SELECT doc_id, COUNT(*) AS n_windows, "
+            "CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows, "
+            "ROUND(CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) "
+            "AS dup_frac "
+            "FROM g JOIN nd USING (gram) GROUP BY doc_id ORDER BY doc_id"
         ),
     }
     # same fixed point, same oracle: the distributed engine must land on
