@@ -876,6 +876,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return REP.substring_dedup(_docs(sf_dir, ["doc_id", "text"]), window=8)
 
+    def bpe_top_pairs(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import bpe as BPE
+
+        return BPE.bpe_top_pairs(_docs(sf_dir, ["text"]), topk=20)
+
+    def bpe_merges(sf_dir):
+        # iterative (8 broadcast rounds over the distinct-word table);
+        # no closed-form SQL — checked in pytest against an independent
+        # pure-python BPE on the same word counts
+        from bloomfilter_multithread_ray.pipelines import bpe as BPE
+
+        return BPE.bpe_merges(_docs(sf_dir, ["text"]), num_merges=8)
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -959,6 +972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_events": redact_events,
         "gopher_repetition": gopher_repetition,
         "substring_dedup": substring_dedup,
+        "bpe_top_pairs": bpe_top_pairs,
+        "bpe_merges": bpe_merges,
     }
 
 
@@ -1763,6 +1778,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) "
             "AS dup_frac "
             "FROM g JOIN nd USING (gram) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # byte-level BPE first-merge candidates: adjacent byte pairs
+        # over the distinct-word table, weighted by word frequency
+        # (ASCII corpus: DuckDB chars == bytes)
+        "bpe_top_pairs": (
+            "WITH w AS (SELECT tok, COUNT(*) AS cnt FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> '' GROUP BY tok), "
+            "p AS (SELECT substring(tok, CAST(i AS INT), 1) AS l, "
+            "substring(tok, CAST(i + 1 AS INT), 1) AS r, cnt "
+            "FROM (SELECT tok, cnt, unnest(range(1, len(tok))) AS i "
+            "FROM w WHERE len(tok) >= 2)) "
+            "SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM p "
+            "GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 20"
         ),
     }
     # same fixed point, same oracle: the distributed engine must land on
