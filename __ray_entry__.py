@@ -881,6 +881,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return BPE.bpe_top_pairs(_docs(sf_dir, ["text"]), topk=20)
 
+    def source_similarity(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import text_stats as TS
+
+        return TS.source_similarity(_docs(sf_dir, ["text", "source"]))
+
+    def triangle_count(sf_dir):
+        # token co-occurrence graph: distinct adjacent-token pairs
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bloomfilter_multithread_ray.pipelines.graph import triangle_count as TC
+        from bloomfilter_multithread_ray.stages.text import split_tokens
+
+        def edge_partials(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            toks = split_tokens(batch)
+            flat = pc.list_flatten(toks)
+            nonempty = pc.not_equal(flat, "")
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            ne = np.asarray(nonempty).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(ne)])
+            new_offs = cum[offs]
+            w = flat.filter(nonempty).to_numpy(zero_copy_only=False)
+            n = len(w)
+            if n < 2:
+                return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+            valid = np.ones(n - 1, dtype=bool)
+            ends = new_offs[1:-1] - 1
+            valid[ends[(ends >= 0) & (ends < n - 1)]] = False
+            a, b = w[:-1][valid], w[1:][valid]
+            df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+            return pa.table(
+                {"a": pa.array(df["a"], pa.string()), "b": pa.array(df["b"], pa.string())}
+            )
+
+        edges = _docs(sf_dir, ["text"]).map_batches(
+            edge_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return TC(edges)
+
+    def tpch_q6(sf_dir):
+        return R.tpch_q6(sf_dir)
+
+    def tpch_q3(sf_dir):
+        return R.tpch_q3(sf_dir)
+
+    def events_retention(sf_dir):
+        return R.events_retention(sf_dir, max_offset=7)
+
     def bpe_merges(sf_dir):
         # iterative (8 broadcast rounds over the distinct-word table);
         # no closed-form SQL — checked in pytest against an independent
@@ -974,6 +1026,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": substring_dedup,
         "bpe_top_pairs": bpe_top_pairs,
         "bpe_merges": bpe_merges,
+        "tpch_q6": tpch_q6,
+        "tpch_q3": tpch_q3,
+        "events_retention": events_retention,
+        "source_similarity": source_similarity,
+        "triangle_count": triangle_count,
     }
 
 
@@ -1792,6 +1849,74 @@ def oracle_sql() -> dict[str, str]:
             "FROM w WHERE len(tok) >= 2)) "
             "SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM p "
             "GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 20"
+        ),
+        # TPC-H Q6 shape: exact int64 1e-4-unit arithmetic on both sides
+        "tpch_q6": (
+            "SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0, 2) AS revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"
+        ),
+        # TPC-H Q3 shape (o_orderpriority stands in for the generator's
+        # missing o_shippriority); ties broken by l_orderkey both sides
+        "tpch_q3": (
+            "WITH li AS (SELECT l_orderkey, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_u4 "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01'), "
+            "o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders "
+            "JOIN customer ON c_custkey = o_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-07-01') "
+            "SELECT l_orderkey, ROUND(SUM(rev_u4) / 10000.0, 2) AS revenue, "
+            "o_orderdate, o_orderpriority "
+            "FROM li JOIN o ON o_orderkey = l_orderkey "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY SUM(rev_u4) DESC, l_orderkey LIMIT 10"
+        ),
+        # cohort retention: distinct active days per user, cohort =
+        # first day, offsets capped at 7
+        "events_retention": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
+            "f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id) "
+            "SELECT CAST(cohort AS VARCHAR) AS cohort_day, "
+            "datediff('day', cohort, day) AS day_offset, "
+            "COUNT(DISTINCT user_id) AS n_users "
+            "FROM d JOIN f USING (user_id) "
+            "WHERE datediff('day', cohort, day) <= 7 "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # pairwise exact Jaccard of source token vocabularies
+        "source_similarity": (
+            "WITH st AS (SELECT DISTINCT source, tok FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> ''), "
+            "n AS (SELECT source, COUNT(*) AS c FROM st GROUP BY source), "
+            "i AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i "
+            "FROM st a JOIN st b USING (tok) WHERE a.source < b.source GROUP BY 1, 2) "
+            "SELECT sa AS source_a, sb AS source_b, na.c AS n_a, nb.c AS n_b, "
+            "i AS intersection, ROUND(CAST(i AS DOUBLE) / (na.c + nb.c - i), 6) AS jaccard "
+            "FROM i JOIN n na ON na.source = sa JOIN n nb ON nb.source = sb "
+            "ORDER BY sa, sb"
+        ),
+        # triangles of the token co-occurrence graph (distinct
+        # adjacent-token pairs, canonical a < b)
+        "triangle_count": (
+            "WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "p AS (SELECT LEAST(w[i], w[i+1]) AS a, GREATEST(w[i], w[i+1]) AS b "
+            "FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)), "
+            "e AS (SELECT DISTINCT a, b FROM p WHERE a <> b), "
+            "tri AS (SELECT COUNT(*) AS c FROM e e1 "
+            "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "nn AS (SELECT COUNT(DISTINCT node) AS c FROM "
+            "(SELECT a AS node FROM e UNION ALL SELECT b FROM e)), "
+            "ne AS (SELECT COUNT(*) AS c FROM e) "
+            "SELECT nn.c AS n_nodes, ne.c AS n_edges, tri.c AS n_triangles "
+            "FROM nn, ne, tri"
         ),
     }
     # same fixed point, same oracle: the distributed engine must land on

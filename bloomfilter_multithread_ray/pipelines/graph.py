@@ -552,3 +552,158 @@ def pagerank_distributed(
             finalize, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
     return rank
+
+
+# ------------------------------------------------------- triangle counting
+def triangle_count(
+    edges: "Dataset",
+    *,
+    num_partitions: int = 64,
+) -> "pd.DataFrame":
+    """Exact triangle count over an undirected simple graph.
+
+    ``edges``: Dataset with uint64/int64-able string or int columns
+    ``a``/``b`` (one row per undirected edge, a != b; duplicates are
+    removed here). Degree-ordered node-iterator algorithm (the
+    standard at-scale choice): each edge is oriented from its
+    lower-(degree, node) endpoint, so a hub of degree d generates
+    wedges only among its HIGHER-ranked neighbors — total wedge count
+    is bounded by the graph arboricity (O(m^1.5) worst case) instead
+    of sum(d^2). Wedges and edges are co-routed by the hash of the
+    (min,max) pair to fixed partitions; one vectorized merge per
+    partition counts closures. The driver holds only the final sums.
+
+    Degrees are broadcast as a lookup (vocab-scale graphs: tokens,
+    labels); for web-scale node sets replace the broadcast with a
+    hash-join of degrees onto edges (same two-shuffle shape).
+    """
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import hash_strings
+    from .agg import grouped_agg
+
+    P = int(num_partitions)
+
+    def canon(t: pa.Table) -> pa.Table:
+        # canonicalize (min,max), drop self-loops, hash-route
+        a = t.column("a").to_pandas().astype(str)
+        b = t.column("b").to_pandas().astype(str)
+        lo = np.minimum(a.to_numpy(dtype=object), b.to_numpy(dtype=object))
+        hi = np.maximum(a.to_numpy(dtype=object), b.to_numpy(dtype=object))
+        keep = lo != hi
+        df = pd.DataFrame({"a": lo[keep], "b": hi[keep]}).drop_duplicates()
+        key = (df["a"] + "\x1f" + df["b"]).to_numpy(dtype=object)
+        part = (hash_strings(pa.array(key, pa.string())) % np.uint64(P)).astype(np.int32)
+        return pa.table(
+            {"part": part,
+             "a": pa.array(df["a"], pa.string()),
+             "b": pa.array(df["b"], pa.string())}
+        )
+
+    def dedup_part(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()[["a", "b"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    e = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = e.count()
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        both = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        vc = pc.value_counts(both)
+        return pa.table(
+            {"node": vc.field("values"), "deg": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    degs = grouped_agg(
+        e.map_batches(degree_partials, batch_format="pyarrow", zero_copy_batch=True),
+        "node", {"deg": ("sum", "deg")}, num_partitions=16,
+    ).to_pandas()
+    n_nodes = len(degs)
+    deg_ref = ray.put(dict(zip(degs["node"], degs["deg"].astype(np.int64))))
+
+    def close_wedges(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        ed = df[df["kind"] == 0][["x", "y"]]
+        wd = df[df["kind"] == 1][["x", "y"]]
+        if len(ed) == 0 or len(wd) == 0:
+            n = 0
+        else:
+            n = len(wd.merge(ed, on=["x", "y"]))
+        return pa.table({"tri": pa.array([n], pa.int64())})
+
+    # NOTE: wedges from a from-node split across blocks would be missed;
+    # per-batch wedge generation requires each from-node's out-edges in
+    # one batch -> group the ORIENTED edges by from-node first
+    def orient_only(t: pa.Table) -> pa.Table:
+        dmap = ray.get(deg_ref)
+        df = t.to_pandas()
+        da = df["a"].map(dmap).to_numpy(dtype=np.int64)
+        db = df["b"].map(dmap).to_numpy(dtype=np.int64)
+        a = df["a"].to_numpy(dtype=object)
+        b = df["b"].to_numpy(dtype=object)
+        a_low = (da < db) | ((da == db) & (a < b))
+        frm = np.where(a_low, a, b)
+        to = np.where(a_low, b, a)
+        fp = (hash_strings(pa.array(frm.astype(str), pa.string())) % np.uint64(P)).astype(np.int32)
+        return pa.table(
+            {"fp": fp, "f": pa.array(frm, pa.string()), "t": pa.array(to, pa.string())}
+        )
+
+    def wedge_rows(g: pa.Table) -> pa.Table:
+        wf = g.to_pandas()[["f", "t"]]
+        w = wf.merge(wf, on="f")
+        w = w[w["t_x"] < w["t_y"]]
+        key = (w["t_x"] + "\x1f" + w["t_y"]).to_numpy(dtype=object)
+        part = (
+            (hash_strings(pa.array(key, pa.string())) % np.uint64(P)).astype(np.int32)
+            if len(w) else np.empty(0, np.int32)
+        )
+        return pa.table(
+            {"part": pa.array(part),
+             "x": pa.array(w["t_x"], pa.string()),
+             "y": pa.array(w["t_y"], pa.string()),
+             "kind": pa.array(np.ones(len(w), dtype=np.int8))}
+        )
+
+    wedges = (
+        e.map_batches(orient_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .map_groups(wedge_rows, batch_format="pyarrow")
+    )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        key = (df["a"] + "\x1f" + df["b"]).to_numpy(dtype=object)
+        part = (
+            (hash_strings(pa.array(key, pa.string())) % np.uint64(P)).astype(np.int32)
+            if len(df) else np.empty(0, np.int32)
+        )
+        return pa.table(
+            {"part": pa.array(part),
+             "x": pa.array(df["a"], pa.string()),
+             "y": pa.array(df["b"], pa.string()),
+             "kind": pa.array(np.zeros(len(df), dtype=np.int8))}
+        )
+
+    routed = wedges.union(
+        e.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    tri = (
+        routed.groupby("part")
+        .map_groups(close_wedges, batch_format="pyarrow")
+        .sum("tri")
+    )
+    return pd.DataFrame(
+        {"n_nodes": [int(n_nodes)], "n_edges": [int(n_edges)],
+         "n_triangles": [int(tri or 0)]}
+    )

@@ -972,3 +972,193 @@ def events_funnel(
         .sort_values("stage_idx")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------ TPC-H Q6 / Q3
+def tpch_q6(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+) -> pd.DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): filter + global sum.
+
+    All arithmetic in scaled int64 (cents x discount-percent = 1e-4
+    units), so the sum is exact and partition-order-independent — the
+    same money-column discipline as tpch_q1.
+    """
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+        )
+        t = t.filter(m)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (disc_c >= 5) & (disc_c <= 7) & (qty < 24)
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        rev_u4 = price_c * disc_c[keep]
+        return pa.table({"rev_u4": pa.array([int(rev_u4.sum())], pa.int64())})
+
+    total = (
+        read(sf_dir, "lineitem",
+             columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("rev_u4")
+    )
+    return pd.DataFrame({"revenue": [round(total / 10000.0, 2)]})
+
+
+def tpch_q3(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-07-01",
+    topk: int = 10,
+) -> pd.DataFrame:
+    """Shipping-priority report (TPC-H Q3 shape): 3-table join →
+    grouped revenue → top-k.
+
+    Plan: the BUILDING customer keys prune orders through the
+    shuffle semi-join's Bloom prefilter (keys-only right side, left
+    rows drop BEFORE the shuffle); filtered lineitem then inner-joins
+    the surviving orders on o_orderkey; revenue sums in exact 1e-4
+    int64 units inside fixed partitions. No driver materialization of
+    any base table — only the k winners.
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders_b = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        how="semi", bloom_prefilter=True,
+    )
+
+    def li_derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_u4": price_c * (100 - disc_c)}
+        )
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(
+        li,
+        orders_b.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        on="l_orderkey", right_on="o_orderkey", how="inner",
+    )
+    sums = grouped_agg(
+        j, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        {"rev_u4": ("sum", "rev_u4")}, num_partitions=32,
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["rev_u4", "l_orderkey"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(df.head(topk), preserve_index=False)
+
+    cands = pd.DataFrame(
+        sums.map_batches(local_topk, batch_format="pyarrow").take_all()
+    )
+    if cands.empty:
+        return pd.DataFrame(
+            columns=["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+        )
+    cands = cands.sort_values(
+        ["rev_u4", "l_orderkey"], ascending=[False, True]
+    ).head(topk)
+    cands["revenue"] = (cands["rev_u4"] / 10000.0).round(2)
+    return cands[
+        ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+    ].reset_index(drop=True)
+
+
+# ------------------------------------------------------- cohort retention
+def events_retention(sf_dir: str, *, max_offset: int = 7) -> pd.DataFrame:
+    """Cohort retention: users grouped by first-seen day; for each
+    (cohort_day, day_offset <= max_offset) the count of distinct
+    cohort users active that day.
+
+    Shape: one user-keyed fixed-P fold computes each user's first day
+    AND its distinct active days in the same pass (events for a user
+    are co-located by the shuffle), emitting (cohort_day, offset,
+    users_partial) — a second small grouped sum finishes. The events
+    table never moves twice.
+    """
+    from .agg import grouped_agg
+
+    P = 64
+    ds = read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_up(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = pc.cast(t["ts"], pa.timestamp("us"))
+        day_i = (
+            day.to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        return pa.table(
+            {"up": pa.array((u % P).astype(np.int32)),
+             "user_id": t.column("user_id"),
+             "day": pa.array(day_i, pa.int64())}
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": g.column("user_id").to_numpy(zero_copy_only=False),
+             "day": g.column("day").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        first = df.groupby("user_id", sort=False)["day"].min().rename("cohort")
+        df = df.join(first, on="user_id")
+        df["offset"] = df["day"] - df["cohort"]
+        df = df[df["offset"] <= max_offset]
+        out = (
+            df.groupby(["cohort", "offset"], sort=False)["user_id"]
+            .nunique()
+            .reset_index(name="n_users")
+        )
+        return pa.table(
+            {"cohort_day": pa.array(out["cohort"].to_numpy(dtype=np.int64)),
+             "day_offset": pa.array(out["offset"].to_numpy(dtype=np.int64)),
+             "n_users": pa.array(out["n_users"].to_numpy(dtype=np.int64))}
+        )
+
+    partials = (
+        ds.map_batches(add_up, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("up")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    sums = grouped_agg(
+        partials, ["cohort_day", "day_offset"],
+        {"n_users": ("sum", "n_users")}, num_partitions=16,
+    )
+    df = sums.to_pandas()
+    # int day ordinal -> ISO date string (stable cross-engine type)
+    df["cohort_day"] = (
+        df["cohort_day"].to_numpy(dtype="int64").astype("datetime64[D]").astype(str)
+    )
+    return (
+        df[["cohort_day", "day_offset", "n_users"]]
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )

@@ -699,3 +699,97 @@ def doc_novelty(sf_dir: str, k: int = 3, round_dp: int = 6) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# --------------------------------------------------- source similarity matrix
+def source_similarity(
+    docs: "Dataset",
+    *,
+    num_partitions: int = 32,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Pairwise EXACT Jaccard similarity of source token vocabularies.
+
+    Output: {source_a, source_b, n_a, n_b, intersection, jaccard} for
+    every source pair (a < b) sharing at least one token.
+
+    Shape: per-batch distinct (source, tok) partials -> ONE token-keyed
+    fixed-P shuffle; inside each partition the (source, tok) set is
+    exact (same token never spans partitions), so per-source vocab
+    partials AND per-token source-pair rows both fold there (pair
+    fan-out is S^2 per token worst case — sources are few by
+    construction). A tiny grouped sum finishes; the driver sees only
+    O(S^2) rows. Generalizes `source_overlap` (single pair) to the
+    full matrix in the same two-shuffle budget.
+    """
+    from ..functions.hashing import hash_strings
+    from ..stages.text import split_tokens
+    from .agg import grouped_agg
+
+    P = int(num_partitions)
+
+    def st_partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = split_tokens(batch)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        rep = np.repeat(src, lens)[np.asarray(nonempty)]
+        df = pd.DataFrame(
+            {"source": rep, "tok": flat.filter(nonempty).to_pandas()}
+        ).drop_duplicates()
+        part = (
+            hash_strings(pa.array(df["tok"], pa.string())) % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {"part": pa.array(part),
+             "source": pa.array(df["source"], pa.string()),
+             "tok": pa.array(df["tok"], pa.string())}
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()[["source", "tok"]].drop_duplicates()
+        # per-source vocab partials (kind 'n', other source = "")
+        vocab = df.groupby("source", sort=False).size().reset_index(name="c")
+        # per-token source pairs (kind 'i')
+        pairs = df.merge(df, on="tok")
+        pairs = pairs[pairs["source_x"] < pairs["source_y"]]
+        pc_ = (
+            pairs.groupby(["source_x", "source_y"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {"sa": pa.array(
+                np.concatenate([vocab["source"].to_numpy(dtype=object),
+                                pc_["source_x"].to_numpy(dtype=object)]), pa.string()),
+             "sb": pa.array(
+                np.concatenate([np.full(len(vocab), "", dtype=object),
+                                pc_["source_y"].to_numpy(dtype=object)]), pa.string()),
+             "c": pa.array(
+                np.concatenate([vocab["c"].to_numpy(dtype=np.int64),
+                                pc_["c"].to_numpy(dtype=np.int64)]))}
+        )
+
+    sums = grouped_agg(
+        docs.map_batches(st_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow"),
+        ["sa", "sb"], {"c": ("sum", "c")}, num_partitions=8,
+    ).to_pandas()
+
+    vocab = sums[sums["sb"] == ""].set_index("sa")["c"]
+    inter = sums[sums["sb"] != ""].copy()
+    inter["n_a"] = inter["sa"].map(vocab).astype(np.int64)
+    inter["n_b"] = inter["sb"].map(vocab).astype(np.int64)
+    inter["jaccard"] = (
+        inter["c"] / (inter["n_a"] + inter["n_b"] - inter["c"])
+    ).round(round_dp)
+    out = inter.rename(
+        columns={"sa": "source_a", "sb": "source_b", "c": "intersection"}
+    )[["source_a", "source_b", "n_a", "n_b", "intersection", "jaccard"]]
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
