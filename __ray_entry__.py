@@ -881,6 +881,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return BPE.bpe_top_pairs(_docs(sf_dir, ["text"]), topk=20)
 
+    def quality_classifier(sf_dir):
+        # distributed logistic-regression training (iterate-broadcast,
+        # int64 fixed-point gradient sums -> partitioning-independent);
+        # no closed-form SQL — pinned against a single-process numpy
+        # reference in tests/test_classifier.py
+        from bloomfilter_multithread_ray.pipelines import classifier as CL
+
+        return CL.train_quality_classifier(
+            _docs(sf_dir, ["doc_id", "text", "source"]), iters=20
+        )
+
     def source_similarity(sf_dir):
         from bloomfilter_multithread_ray.pipelines import text_stats as TS
 
@@ -1031,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events_retention,
         "source_similarity": source_similarity,
         "triangle_count": triangle_count,
+        "quality_classifier": quality_classifier,
     }
 
 
