@@ -208,6 +208,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "corpus_shards",
         "json_field_stats",
         "redact_events",
+        "gopher_repetition",
+        "substring_dedup",
+        "bpe_top_pairs",
+        "bpe_merges",
+        "tpch_q6",
+        "tpch_q3",
+        "events_retention",
+        "source_similarity",
+        "triangle_count",
+        "quality_classifier",
     ]
     times: dict[str, float] = {}
     for name in names:
