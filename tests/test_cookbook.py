@@ -49,7 +49,7 @@ def _blocks():
 
 def test_cookbook_blocks_execute(cookbook_fixtures, ray_session):
     blocks = _blocks()
-    assert len(blocks) == 5
+    assert len(blocks) == 6
     env: dict = {}
     for i, code in enumerate(blocks):
         # the first block's ray.init is owned by the session fixture
@@ -72,3 +72,8 @@ def test_cookbook_blocks_execute(cookbook_fixtures, ray_session):
     # recipe 5: sketch results sane
     assert env["distinct"]["estimate"][0] > 0
     assert len(env["heavy"]) == 7  # topk=10 > vocab of 7
+    # recipe 6: gates computed for every doc; planted dup pair is dirty;
+    # BPE learned at least one rule with a positive count
+    assert set(env["rep"].doc_id) == set(range(120))
+    assert {1, 4} <= env["dirty"]
+    assert len(env["merges"]) >= 1 and env["merges"].pair_count.min() >= 2
