@@ -904,20 +904,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.compute as pc
 
         from bloomfilter_multithread_ray.pipelines.graph import triangle_count as TC
-        from bloomfilter_multithread_ray.stages.text import split_tokens
+        from bloomfilter_multithread_ray.stages.text import flat_nonempty_with_offsets
 
         def edge_partials(batch: pa.Table) -> pa.Table:
             import pandas as pd
 
-            toks = split_tokens(batch)
-            flat = pc.list_flatten(toks)
-            nonempty = pc.not_equal(flat, "")
-            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            offs = offs - offs[0]
-            ne = np.asarray(nonempty).astype(np.int64)
-            cum = np.concatenate([[0], np.cumsum(ne)])
-            new_offs = cum[offs]
-            w = flat.filter(nonempty).to_numpy(zero_copy_only=False)
+            flat, new_offs = flat_nonempty_with_offsets(batch)
+            w = flat.to_numpy(zero_copy_only=False)
             n = len(w)
             if n < 2:
                 return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})

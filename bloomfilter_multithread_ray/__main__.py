@@ -112,7 +112,13 @@ def _run(args) -> int:
         ds = ray.data.read_parquet(args.query_in, columns=["doc_id", "tokens"])
         canonical = bool(cfg.get("canonical", False))  # must match the build
         complement = cfg.get("complement")  # e.g. "dna" (revcomp builds)
+        partition_fn = cfg.get("partition_fn", "hash")  # must match the build
         if args.routed:
+            if partition_fn != "hash":
+                raise SystemExit(
+                    f"probe --routed supports only hash-partitioned stores "
+                    f"(manifest partition_fn={partition_fn!r})"
+                )
             out = probe_bloom_routed(
                 ds, args.store, k=cfg["k"], num_partitions=cfg["num_partitions"],
                 canonical=canonical, complement=complement,
@@ -122,6 +128,7 @@ def _run(args) -> int:
             out = probe_bloom(
                 ds, shards, k=cfg["k"], num_partitions=cfg["num_partitions"],
                 canonical=canonical, complement=complement,
+                partition_mode=partition_fn,
             )
         if args.sorted:
             out = out.sort(["doc_id", "pos"])

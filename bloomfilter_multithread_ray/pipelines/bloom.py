@@ -194,7 +194,6 @@ class BloomProbe:
         num_partitions: int,
         canonical: bool = False,
         complement=None,
-        salt_bits: int = 0,
         tokens_col: str = "tokens",
         id_col: str = "doc_id",
         partition_mode: str = "hash",
@@ -230,6 +229,11 @@ class BloomProbe:
         self.id_col = id_col
         if partition_mode not in ("hash", "minimizer"):
             raise ValueError(f"partition_mode must be hash|minimizer, got {partition_mode!r}")
+        if partition_mode == "minimizer" and (canonical or complement is not None):
+            # skmer stores hold forward-strand non-canonical hashes only;
+            # probing them canonically would silently break the
+            # zero-false-negative contract
+            raise ValueError("partition_mode='minimizer' does not support canonical/complement")
         self.partition_mode = partition_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -313,6 +317,11 @@ def probe_bloom(
     if partition_mode not in ("hash", "minimizer"):
         raise ValueError(
             f"partition_mode must be hash|minimizer, got {partition_mode!r}"
+        )
+    if partition_mode == "minimizer" and (canonical or complement is not None):
+        raise ValueError(
+            "partition_mode='minimizer' does not support canonical/complement "
+            "(skmer stores hold forward-strand non-canonical hashes)"
         )
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -443,5 +452,8 @@ def build_and_store(
         "canonical": canonical,
         "complement": complement,
         "salt_bits": salt_bits,
+        # gram -> shard routing function; a probe MUST use the same one
+        # ("hash" here; "minimizer" for skmer.build_and_store_skmer)
+        "partition_fn": "hash",
     }
     return write_sketch_store(sk, store_path, manifest)

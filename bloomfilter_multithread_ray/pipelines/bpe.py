@@ -47,13 +47,23 @@ def word_counts(docs: "Dataset", *, num_partitions: int = 32) -> "Dataset":
     )
 
 
-def _to_symbols(batch: pa.Table) -> pa.Table:
-    """{tok, cnt} -> {syms: list<string> of single BYTES, cnt}.
+# byte -> unicode bijection (latin-1): every raw byte becomes exactly
+# one code point, so multi-byte UTF-8 input stays byte-level BPE (the
+# GPT-2 trick, minus the printability remapping) while all symbol
+# arrays remain valid Arrow strings
+_BYTE_LUT = pa.array([chr(i) for i in range(256)], pa.string())
 
-    Zero-copy split: the utf8 value buffer is viewed as one uint8 array
-    and re-offset so every byte becomes a one-byte symbol (byte-level
-    BPE's initial alphabet). No per-word Python loop.
+
+def _to_symbols(batch: pa.Table) -> pa.Table:
+    """{tok, cnt} -> {syms: list<string>, cnt}: one latin-1 symbol per
+    raw BYTE of the word (byte-level BPE's initial alphabet).
+
+    Vectorized: the utf8 value buffer is viewed as one uint8 array and
+    gathered through the 256-entry byte->char dictionary. No per-word
+    Python loop.
     """
+    import pyarrow.compute as pc
+
     from .lm import _flat_utf8
 
     toks = batch.column("tok")
@@ -61,15 +71,7 @@ def _to_symbols(batch: pa.Table) -> pa.Table:
     o0 = int(offs[0])
     total = int(offs[-1] - o0)
     seg = data[o0 : o0 + total]
-    flat = pa.Array.from_buffers(
-        pa.string(),
-        total,
-        [
-            None,
-            pa.py_buffer(np.arange(total + 1, dtype=np.int32).tobytes()),
-            pa.py_buffer(seg.tobytes()),
-        ],
-    )
+    flat = pc.take(_BYTE_LUT, pa.array(seg.astype(np.int32)))
     syms = pa.ListArray.from_arrays(pa.array(offs - o0, pa.int32()), flat)
     return pa.table({"syms": syms, "cnt": batch.column("cnt")})
 

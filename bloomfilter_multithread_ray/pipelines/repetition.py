@@ -37,31 +37,18 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash_strings, kgram_hashes_flat, partition_of
-from ..stages.text import split_tokens
 
 if TYPE_CHECKING:
     from ray.data import Dataset
 
 
 def _word_hash_rows(batch: pa.Table, col: str = "text"):
-    """batch -> (flat word hashes, row offsets) with empties dropped.
+    """batch -> (flat word hashes, row offsets) with empties dropped
+    (shared chunk-offset-safe kernel: stages.text.flat_nonempty_with_offsets)."""
+    from ..stages.text import flat_nonempty_with_offsets
 
-    Arrow-native split + hash; the offsets are rebuilt over the
-    NON-empty tokens so `kgram_hashes_flat` windows never straddle a
-    dropped empty token.
-    """
-    import pyarrow.compute as pc
-
-    toks = split_tokens(batch, col)
-    flat = pc.list_flatten(toks)
-    nonempty = pc.not_equal(flat, "")
-    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = offs - offs[0]
-    ne = np.asarray(nonempty).astype(np.int64)
-    cum = np.concatenate([[0], np.cumsum(ne)])
-    new_offs = cum[offs]
-    wh = hash_strings(flat.filter(nonempty))
-    return wh, new_offs
+    flat, offs = flat_nonempty_with_offsets(batch, col)
+    return hash_strings(flat), offs
 
 
 def _per_row_gram_stats(wh, offs, n):

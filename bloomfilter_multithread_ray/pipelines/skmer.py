@@ -142,3 +142,44 @@ def build_partitioned_bloom_skmer(
         zero_copy_batch=True,
     )
     return segs.groupby("part").map_groups(build_group, batch_format="pyarrow")
+
+
+def build_and_store_skmer(
+    ds: "Dataset",
+    store_path: str,
+    *,
+    k: int,
+    num_partitions: int,
+    bits_per_partition: int,
+    num_hashes: int = 4,
+    tokens_col: str = "tokens",
+) -> dict:
+    """Minimizer-routed build phase end-to-end: corpus → sketch store.
+
+    The manifest records ``partition_fn="minimizer"`` so probes can
+    validate the routing mode (the CLI probe picks it up and passes
+    ``partition_mode="minimizer"`` automatically; mismatched modes
+    would silently probe the wrong shards).
+    """
+    from .bloom import write_sketch_store
+
+    sk = build_partitioned_bloom_skmer(
+        ds,
+        k=k,
+        num_partitions=num_partitions,
+        bits_per_partition=bits_per_partition,
+        num_hashes=num_hashes,
+        tokens_col=tokens_col,
+    )
+    manifest = {
+        "algo": "bloom",
+        "k": k,
+        "num_partitions": num_partitions,
+        "bits_per_partition": bits_per_partition,
+        "num_hashes": num_hashes,
+        "canonical": False,
+        "complement": None,
+        "salt_bits": 0,
+        "partition_fn": "minimizer",
+    }
+    return write_sketch_store(sk, store_path, manifest)

@@ -723,24 +723,17 @@ def source_similarity(
     full matrix in the same two-shuffle budget.
     """
     from ..functions.hashing import hash_strings
-    from ..stages.text import split_tokens
+    from ..stages.text import flat_nonempty_with_offsets
     from .agg import grouped_agg
 
     P = int(num_partitions)
 
     def st_partials(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        toks = split_tokens(batch)
-        flat = pc.list_flatten(toks)
-        nonempty = pc.not_equal(flat, "")
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]
-        lens = np.diff(offs)
+        flat, offs = flat_nonempty_with_offsets(batch)
         src = batch.column("source").to_numpy(zero_copy_only=False)
-        rep = np.repeat(src, lens)[np.asarray(nonempty)]
+        rep = np.repeat(src, np.diff(offs))
         df = pd.DataFrame(
-            {"source": rep, "tok": flat.filter(nonempty).to_pandas()}
+            {"source": rep, "tok": flat.to_pandas()}
         ).drop_duplicates()
         part = (
             hash_strings(pa.array(df["tok"], pa.string())) % np.uint64(P)

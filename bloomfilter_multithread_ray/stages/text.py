@@ -67,6 +67,26 @@ def _flat_nonempty_with_counts(batch: pa.Table, col: str):
     return flat, np.diff(cum[offs])
 
 
+def flat_nonempty_with_offsets(batch: pa.Table, col: str = "text"):
+    """tokenized batch → (flat NON-EMPTY token Array, int64 row offsets
+    into it).
+
+    Offsets variant of ``_flat_nonempty_with_counts`` — the SAME
+    chunk-offset-safe empty-token shift (keep every consumer on these
+    two kernels; see the alignment note above). Used by the window/gram
+    consumers (repetition filters, substring dedup, co-occurrence
+    edges, source vocabularies).
+    """
+    toks = split_tokens(batch, col)
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    ne = np.asarray(nonempty).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(ne)])
+    return flat.filter(nonempty), cum[offs]
+
+
 def make_explode_token_counts_by_fn(by_col: str = "source", col: str = "text"):
     """batch → {by, tok, cnt} partial counts per (group, token)."""
 

@@ -98,3 +98,14 @@ def test_bpe_merges_toy_overlap_corpus(ray_session):
     got = bpe_merges(_docs_ds(["abab abab abab abab abab"]), num_merges=2)
     assert got.iloc[0][["left", "right", "pair_count"]].tolist() == ["a", "b", 10]
     assert got.iloc[1][["left", "right", "pair_count"]].tolist() == ["ab", "ab", 5]
+
+
+def test_bpe_byte_level_non_ascii(ray_session):
+    from bloomfilter_multithread_ray.pipelines.bpe import bpe_merges
+
+    # multi-byte UTF-8 stays byte-level: 'é' splits into latin-1
+    # symbols 'Ã','©'; all héllo pairs tie at 3 and the lexicographic
+    # tie-break picks ('h','Ã')
+    got = bpe_merges(_docs_ds(["héllo héllo wörld héllo"]), num_merges=2)
+    assert got.iloc[0][["left", "right", "pair_count"]].tolist() == ["h", "Ã", 3]
+    assert got.iloc[1]["pair_count"] == 3  # héllo pairs still tied at 3

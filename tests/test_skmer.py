@@ -146,3 +146,53 @@ def test_short_and_empty_rows_emit_nothing():
         [{"tokens": np.array([], np.int32)}, {"tokens": np.array([1, 2], np.int32)}]
     ), K, P)
     assert len(part) == 0 and len(g) == 0
+
+
+def test_minimizer_probe_rejects_canonical(ray_session):
+    import pytest
+
+    from bloomfilter_multithread_ray.pipelines.bloom import BloomProbe, probe_bloom
+    from bloomfilter_multithread_ray.state import BloomFilter
+
+    shards = {0: BloomFilter(1 << 10, 2)}
+    with pytest.raises(ValueError, match="canonical"):
+        BloomProbe(shards, k=3, num_partitions=1, canonical=True,
+                   partition_mode="minimizer")
+    with pytest.raises(ValueError, match="canonical"):
+        probe_bloom(None, shards, k=3, num_partitions=1, complement="dna",
+                    partition_mode="minimizer")
+
+
+def test_skmer_store_manifest_records_partition_fn(ray_session, tmp_path):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.skmer import build_and_store_skmer
+
+    rng = np.random.default_rng(3)
+    toks = [rng.integers(0, 30, 20).astype(np.int32).tolist() for _ in range(40)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "tokens": pa.array(toks, pa.list_(pa.int32()))})
+    )
+    store = str(tmp_path / "skmer_store")
+    build_and_store_skmer(ds, store, k=4, num_partitions=8,
+                          bits_per_partition=1 << 16)
+    cfg = json.load(open(f"{store}/manifest.json"))
+    assert cfg["partition_fn"] == "minimizer"
+
+    # zero false negatives when probed in the matching mode
+    from bloomfilter_multithread_ray.pipelines.bloom import (
+        load_sketch_store,
+        probe_bloom,
+    )
+
+    shards, manifest = load_sketch_store(store)
+    assert manifest["partition_fn"] == "minimizer"
+    out = probe_bloom(ds, shards, k=4, num_partitions=8,
+                      partition_mode="minimizer", concurrency=2)
+    df = out.to_pandas()
+    assert df["member"].all()
