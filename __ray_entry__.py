@@ -881,6 +881,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return BPE.bpe_top_pairs(_docs(sf_dir, ["text"]), topk=20)
 
+    def embedding_covariance(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import similarity as SIM
+
+        return SIM.embedding_covariance(
+            R.read(sf_dir, "embeddings", ["embedding"])
+        )
+
+    def embedding_pca(sf_dir):
+        # eigen-spectrum of the exact covariance: no closed-form SQL;
+        # pinned against numpy eigvalsh on the oracle-checked covariance
+        from bloomfilter_multithread_ray.pipelines import similarity as SIM
+
+        return SIM.embedding_pca(R.read(sf_dir, "embeddings", ["embedding"]))
+
+    def events_rollup(sf_dir):
+        return R.events_rollup(sf_dir)
+
+    def frequent_part_pairs(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.itemsets import (
+            frequent_part_pairs as FPP,
+        )
+
+        return FPP(sf_dir, min_support=2, topk=20)
+
     def quality_classifier(sf_dir):
         # distributed logistic-regression training (iterate-broadcast,
         # int64 fixed-point gradient sums -> partitioning-independent);
@@ -1036,6 +1060,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": source_similarity,
         "triangle_count": triangle_count,
         "quality_classifier": quality_classifier,
+        "embedding_covariance": embedding_covariance,
+        "embedding_pca": embedding_pca,
+        "events_rollup": events_rollup,
+        "frequent_part_pairs": frequent_part_pairs,
     }
 
 
@@ -1922,6 +1950,42 @@ def oracle_sql() -> dict[str, str]:
             "ne AS (SELECT COUNT(*) AS c FROM e) "
             "SELECT nn.c AS n_nodes, ne.c AS n_edges, tri.c AS n_triangles "
             "FROM nn, ne, tri"
+        ),
+        # exact embedding covariance via half-away-from-zero int64
+        # fixed-point (scale 2^30) per-sample quantization on BOTH
+        # sides; float32 casts widen exactly, so the ints match
+        "embedding_covariance": (
+            "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings), "
+            "u AS (SELECT vec_id, CAST(i AS INT) - 1 AS i, v[CAST(i AS INT)] AS x "
+            "FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)), "
+            "p AS (SELECT a.i AS i, b.i AS j, "
+            "SUM(CAST(ROUND(a.x * b.x * 1073741824) AS BIGINT)) AS sxy, "
+            "SUM(CAST(ROUND(a.x * 1073741824) AS BIGINT)) AS sx, "
+            "SUM(CAST(ROUND(b.x * 1073741824) AS BIGINT)) AS sy, "
+            "COUNT(*) AS n "
+            "FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2) "
+            "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+            "ROUND((sxy / 1073741824.0 - (sx / 1073741824.0) * (sy / 1073741824.0) / n) / n, 6) "
+            "AS cov FROM p ORDER BY i, j"
+        ),
+        # GROUPING SETS rollup; micros-exact sums, one double division
+        "events_rollup": (
+            "WITH x AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+            "CAST(ROUND(value * 1000000) AS BIGINT) AS vmic FROM events) "
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+            "COALESCE(day, 'ALL') AS day, COUNT(*) AS n_events, "
+            "SUM(vmic) / 1000000.0 AS sum_value "
+            "FROM x GROUP BY GROUPING SETS ((event_type, day), (event_type), ()) "
+            "ORDER BY event_type, day"
+        ),
+        # A-Priori 2-itemset pass: parts co-purchased in one order
+        "frequent_part_pairs": (
+            "WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+            "pr AS (SELECT a.p AS part_a, c.p AS part_b, COUNT(*) AS support "
+            "FROM bk a JOIN bk c ON a.o = c.o AND a.p < c.p GROUP BY 1, 2) "
+            "SELECT part_a, part_b, support FROM pr WHERE support >= 2 "
+            "ORDER BY support DESC, part_a, part_b LIMIT 20"
         ),
     }
     # same fixed point, same oracle: the distributed engine must land on

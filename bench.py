@@ -218,6 +218,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "source_similarity",
         "triangle_count",
         "quality_classifier",
+        "embedding_covariance",
+        "embedding_pca",
+        "events_rollup",
+        "frequent_part_pairs",
     ]
     times: dict[str, float] = {}
     for name in names:

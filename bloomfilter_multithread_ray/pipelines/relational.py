@@ -1162,3 +1162,59 @@ def events_retention(sf_dir: str, *, max_offset: int = 7) -> pd.DataFrame:
         .sort_values(["cohort_day", "day_offset"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------- grouping sets
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS rollup over events: (event_type, day) → (event_type)
+    → grand total; {event_type, day, n_events, sum_value} with 'ALL'
+    marking rolled-up levels.
+
+    Value sums are exact int64 micros (1e-6 units) so every level is
+    partition-order-independent; upper levels fold from the base level
+    (O(groups) driver work, the events table is read once).
+    """
+    from .agg import grouped_agg
+
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(str)
+        )
+        v = t["value"].to_numpy(zero_copy_only=False) * 1_000_000.0
+        # half-away-from-zero, matching SQL ROUND (np.rint is half-even)
+        vmic = np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+        return pa.table(
+            {"event_type": t["event_type"], "day": pa.array(day, pa.string()),
+             "vmic": pa.array(vmic)}
+        )
+
+    base = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day"],
+        {"n_events": ("count", None), "vmic": ("sum", "vmic")},
+        num_partitions=16,
+    ).to_pandas()
+
+    lvl1 = (
+        base.groupby("event_type", as_index=False)[["n_events", "vmic"]]
+        .sum()
+        .assign(day="ALL")
+    )
+    lvl2 = pd.DataFrame(
+        [{"event_type": "ALL", "day": "ALL",
+          "n_events": base["n_events"].sum(), "vmic": base["vmic"].sum()}]
+    )
+    out = pd.concat([base, lvl1, lvl2], ignore_index=True)
+    # exact int -> ONE deterministic double division (tpch_q1 idiom);
+    # no rounding needed, the micros sum IS the 6-dp decimal
+    out["sum_value"] = out.pop("vmic") / 1_000_000.0
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return (
+        out[["event_type", "day", "n_events", "sum_value"]]
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )

@@ -724,3 +724,82 @@ def kmeans_lloyd(
         centroids[nz] = s_tot[nz] / n_tot[nz, None]
         sizes = n_tot
     return {"centroids": centroids, "sizes": sizes, "inertia": inertia}
+
+
+# ----------------------------------------------------- covariance / PCA
+_COV_Q = float(1 << 30)  # fixed-point scale for exact covariance sums
+
+
+def embedding_covariance(
+    ds: "Dataset", *, round_dp: int = 6
+) -> pd.DataFrame:
+    """Exact covariance matrix of the embedding column: one row per
+    (i <= j) pair, {i, j, cov}.
+
+    Per-sample products are quantized to int64 fixed-point (scale 2^30)
+    BEFORE summation — the sums are exact integers, so the result is
+    bit-identical at any partitioning AND reproducible by a SQL oracle
+    applying the same quantization (the classifier's gradient trick
+    applied to second moments). The driver holds only the d x (d+1)/2
+    integer sums; the embeddings never leave their blocks.
+    """
+    def partials(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch).astype(np.float64)
+        n, d = V.shape
+        # per-sample outer products, quantized, then exact int64 sums.
+        # Half-AWAY-from-zero (matching SQL ROUND, not np.rint's
+        # half-even): float32 x float32 products are exact dyadic
+        # rationals in float64, so exact-.5 ties genuinely occur
+        def q(x):
+            return np.trunc(x * _COV_Q + np.copysign(0.5, x)).astype(np.int64)
+
+        S = q(V[:, :, None] * V[:, None, :]).sum(axis=0)
+        Sx = q(V).sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {"i": pa.array(iu.astype(np.int32)),
+             "j": pa.array(ju.astype(np.int32)),
+             "sxy": pa.array(S[iu, ju]),
+             "sx": pa.array(Sx[iu]),
+             "sy": pa.array(Sx[ju]),
+             "n": pa.array(np.full(len(iu), n, dtype=np.int64))}
+        )
+
+    from .agg import grouped_agg
+
+    sums = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["i", "j"],
+        {"sxy": ("sum", "sxy"), "sx": ("sum", "sx"), "sy": ("sum", "sy"),
+         "n": ("sum", "n")},
+        num_partitions=8,
+    ).to_pandas()
+    n = sums["n"].astype(np.float64)
+    q = _COV_Q
+    # identical expression order to the SQL oracle
+    cov = (sums["sxy"] / q - (sums["sx"] / q) * (sums["sy"] / q) / n) / n
+    out = pd.DataFrame(
+        {"i": sums["i"].astype(np.int64), "j": sums["j"].astype(np.int64),
+         "cov": cov.round(round_dp)}
+    )
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def embedding_pca(ds: "Dataset", *, topk: int = 8, round_dp: int = 6) -> pd.DataFrame:
+    """Top-k PCA spectrum from the exact covariance matrix:
+    {component, eigenvalue, explained_ratio}. The O(d^2) eigenproblem
+    runs on the driver (d is the embedding width); all data passes are
+    the covariance operator's."""
+    cov_rows = embedding_covariance(ds, round_dp=12)
+    d = int(cov_rows["i"].max()) + 1
+    C = np.zeros((d, d))
+    C[cov_rows["i"], cov_rows["j"]] = cov_rows["cov"]
+    C[cov_rows["j"], cov_rows["i"]] = cov_rows["cov"]
+    vals = np.linalg.eigvalsh(C)[::-1]
+    total = vals.sum()
+    k = min(topk, d)
+    return pd.DataFrame(
+        {"component": np.arange(k, dtype=np.int64),
+         "eigenvalue": np.round(vals[:k], round_dp),
+         "explained_ratio": np.round(vals[:k] / total, round_dp)}
+    )

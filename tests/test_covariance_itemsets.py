@@ -1,0 +1,93 @@
+"""Embedding covariance/PCA, grouping-sets rollup, frequent pairs:
+partitioning-independence and planted known values."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _emb_ds(V, nblocks=1):
+    import ray.data
+
+    t = pa.table(
+        {"embedding": pa.array([row.tolist() for row in V],
+                               pa.list_(pa.float32()))}
+    )
+    return ray.data.from_arrow(t).repartition(nblocks)
+
+
+def test_covariance_matches_numpy_and_partitioning(ray_session):
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(200, 6)).astype(np.float32)
+    a = embedding_covariance(_emb_ds(V, 1))
+    b = embedding_covariance(_emb_ds(V, 9))
+    assert a.equals(b)  # int64 fixed-point sums -> block-count invariant
+    # numerically the population covariance (quantization error ~2^-30)
+    C = np.cov(V.astype(np.float64).T, bias=True)
+    for _, r in a.iterrows():
+        assert C[int(r["i"]), int(r["j"])] == pytest.approx(r["cov"], abs=1e-5)
+
+
+def test_pca_spectrum_matches_numpy(ray_session):
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        embedding_covariance,
+        embedding_pca,
+    )
+
+    rng = np.random.default_rng(7)
+    # anisotropic data: one dominant direction
+    base = rng.normal(size=(300, 4))
+    base[:, 0] *= 5.0
+    V = base.astype(np.float32)
+    spec = embedding_pca(_emb_ds(V), topk=4)
+    cov_rows = embedding_covariance(_emb_ds(V), round_dp=12)
+    C = np.zeros((4, 4))
+    C[cov_rows["i"], cov_rows["j"]] = cov_rows["cov"]
+    C[cov_rows["j"], cov_rows["i"]] = cov_rows["cov"]
+    want = np.linalg.eigvalsh(C)[::-1]
+    assert np.allclose(spec["eigenvalue"], np.round(want, 6))
+    assert spec.loc[0, "explained_ratio"] > 0.8  # dominant direction found
+    assert spec["eigenvalue"].is_monotonic_decreasing
+
+
+def test_events_rollup_levels_consistent(ray_session, testdata_dir):
+    from bloomfilter_multithread_ray.pipelines.relational import events_rollup
+
+    df = events_rollup(testdata_dir)
+    total = df[(df["event_type"] == "ALL") & (df["day"] == "ALL")]
+    assert len(total) == 1
+    base = df[(df["event_type"] != "ALL") & (df["day"] != "ALL")]
+    lvl1 = df[(df["event_type"] != "ALL") & (df["day"] == "ALL")]
+    assert base["n_events"].sum() == total["n_events"].iloc[0]
+    assert lvl1["n_events"].sum() == total["n_events"].iloc[0]
+    # per-type day sums fold exactly into the type level
+    for et, g in base.groupby("event_type"):
+        assert g["n_events"].sum() == int(
+            lvl1[lvl1["event_type"] == et]["n_events"].iloc[0]
+        )
+
+
+def test_frequent_part_pairs_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bloomfilter_multithread_ray.pipelines.itemsets import frequent_part_pairs
+
+    # orders 1..3 contain {10,20}; order 4 contains {10,30}; order 5 {40}
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 20), (3, 10),
+            (4, 10), (4, 30), (5, 40), (1, 10)]  # dup line in order 1
+    t = pa.table(
+        {"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+         "l_partkey": pa.array([r[1] for r in rows], pa.int64())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    got = frequent_part_pairs(str(d), min_support=2, topk=10)
+    assert got.iloc[0][["part_a", "part_b", "support"]].tolist() == [10, 20, 3]
+    # (10,30) has support 1 -> filtered by min_support
+    assert len(got) == 1
