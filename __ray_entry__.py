@@ -1870,8 +1870,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM g JOIN nd USING (gram) GROUP BY doc_id ORDER BY doc_id"
         ),
         # byte-level BPE first-merge candidates: adjacent byte pairs
-        # over the distinct-word table, weighted by word frequency
-        # (ASCII corpus: DuckDB chars == bytes)
+        # over the distinct-word table, weighted by word frequency.
+        # DOMAIN NOTE: this oracle splits into CHARACTERS, the engine
+        # into BYTES — identical on the driver's ASCII corpus (verified
+        # ASCII-only), divergent on non-ASCII text, where the engine's
+        # byte-level behavior is covered by
+        # tests/test_bpe.py::test_bpe_byte_level_non_ascii instead
         "bpe_top_pairs": (
             "WITH w AS (SELECT tok, COUNT(*) AS cnt FROM ("
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "

@@ -6,9 +6,11 @@ rows; inside each partition every basket's distinct-item pairs are
 emitted vectorized (a per-basket pandas self-merge — pair fan-out is
 quadratic in BASKET size, which is bounded by order width, never in
 corpus size); a grouped sum counts supports; the driver sees only the
-top-k. Skewed giant baskets are the known hazard: ``max_basket`` caps
-the fan-out deterministically (largest-key items dropped first) and
-the cap is reported so silent truncation can't masquerade as coverage.
+top-k. Skewed giant baskets are the known hazard: ``max_basket`` caps the
+fan-out deterministically (largest-key items dropped first), capped
+baskets are counted through a sentinel row, and the operator REFUSES
+to return (raises) if any basket was capped — silent truncation can't
+masquerade as coverage; the caller raises the cap explicitly.
 
 Reference analog: same content-derived co-location guarantee as the
 Bloom build's `hmin % q` routing (src/SkmerExtractor.cpp:164) — all
@@ -51,9 +53,12 @@ def frequent_part_pairs(
             {"o": g.column("l_orderkey").to_numpy(zero_copy_only=False),
              "p": g.column("l_partkey").to_numpy(zero_copy_only=False)}
         ).drop_duplicates()
-        # deterministic basket cap: keep the max_basket smallest partkeys
+        # deterministic basket cap: keep the max_basket smallest partkeys;
+        # capped baskets are COUNTED into a sentinel row so the caller
+        # can refuse silently-truncated results
         df = df.sort_values(["o", "p"])
         df["rk"] = df.groupby("o", sort=False).cumcount()
+        n_capped = int((df.groupby("o", sort=False)["rk"].max() >= max_basket).sum())
         df = df[df["rk"] < max_basket]
         m = df.merge(df, on="o")
         m = m[m["p_x"] < m["p_y"]]
@@ -63,9 +68,12 @@ def frequent_part_pairs(
             .reset_index(name="c")
         )
         return pa.table(
-            {"part_a": pa.array(cnt["p_x"].to_numpy(dtype=np.int64)),
-             "part_b": pa.array(cnt["p_y"].to_numpy(dtype=np.int64)),
-             "c": pa.array(cnt["c"].to_numpy(dtype=np.int64))}
+            {"part_a": pa.array(
+                np.concatenate([cnt["p_x"].to_numpy(dtype=np.int64), [-1]])),
+             "part_b": pa.array(
+                np.concatenate([cnt["p_y"].to_numpy(dtype=np.int64), [-1]])),
+             "c": pa.array(
+                np.concatenate([cnt["c"].to_numpy(dtype=np.int64), [n_capped]]))}
         )
 
     sums = grouped_agg(
@@ -79,17 +87,27 @@ def frequent_part_pairs(
 
     def local_top(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df = df[df["support"] >= min_support].sort_values(
+        sent = df[df["part_a"] == -1]
+        df = df[(df["part_a"] != -1) & (df["support"] >= min_support)].sort_values(
             ["support", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(topk)
+        return pa.Table.from_pandas(
+            pd.concat([df, sent], ignore_index=True), preserve_index=False
         )
-        return pa.Table.from_pandas(df.head(topk), preserve_index=False)
 
     cands = pd.DataFrame(
         sums.map_batches(local_top, batch_format="pyarrow").take_all()
     )
     if cands.empty:
         return pd.DataFrame(columns=["part_a", "part_b", "support"])
-    out = cands.sort_values(
+    n_capped = int(cands[cands["part_a"] == -1]["support"].sum())
+    if n_capped:
+        raise ValueError(
+            f"frequent_part_pairs: {n_capped} basket(s) exceed max_basket="
+            f"{max_basket}; raise the cap (results would otherwise be "
+            f"silently truncated vs uncapped semantics)"
+        )
+    out = cands[cands["part_a"] != -1].sort_values(
         ["support", "part_a", "part_b"], ascending=[False, True, True]
     ).head(topk)
     return out[["part_a", "part_b", "support"]].reset_index(drop=True)

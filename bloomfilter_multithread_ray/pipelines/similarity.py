@@ -746,20 +746,22 @@ def embedding_covariance(
     def partials(batch: pa.Table) -> pa.Table:
         V = _emb_matrix(batch).astype(np.float64)
         n, d = V.shape
-        # per-sample outer products, quantized, then exact int64 sums.
-        # Half-AWAY-from-zero (matching SQL ROUND, not np.rint's
-        # half-even): float32 x float32 products are exact dyadic
-        # rationals in float64, so exact-.5 ties genuinely occur
+        # per-sample products for the UPPER TRIANGLE only (n x d(d+1)/2,
+        # half the flops/memory of the full outer-product tensor),
+        # quantized, then exact int64 sums. Half-AWAY-from-zero
+        # (matching SQL ROUND, not np.rint's half-even): float32 x
+        # float32 products are exact dyadic rationals in float64, so
+        # exact-.5 ties genuinely occur
         def q(x):
             return np.trunc(x * _COV_Q + np.copysign(0.5, x)).astype(np.int64)
 
-        S = q(V[:, :, None] * V[:, None, :]).sum(axis=0)
-        Sx = q(V).sum(axis=0)
         iu, ju = np.triu_indices(d)
+        S = q(V[:, iu] * V[:, ju]).sum(axis=0)
+        Sx = q(V).sum(axis=0)
         return pa.table(
             {"i": pa.array(iu.astype(np.int32)),
              "j": pa.array(ju.astype(np.int32)),
-             "sxy": pa.array(S[iu, ju]),
+             "sxy": pa.array(S),
              "sx": pa.array(Sx[iu]),
              "sy": pa.array(Sx[ju]),
              "n": pa.array(np.full(len(iu), n, dtype=np.int64))}
@@ -791,12 +793,16 @@ def embedding_pca(ds: "Dataset", *, topk: int = 8, round_dp: int = 6) -> pd.Data
     runs on the driver (d is the embedding width); all data passes are
     the covariance operator's."""
     cov_rows = embedding_covariance(ds, round_dp=12)
+    if cov_rows.empty:
+        raise ValueError("embedding_pca: no embedding rows")
     d = int(cov_rows["i"].max()) + 1
     C = np.zeros((d, d))
     C[cov_rows["i"], cov_rows["j"]] = cov_rows["cov"]
     C[cov_rows["j"], cov_rows["i"]] = cov_rows["cov"]
     vals = np.linalg.eigvalsh(C)[::-1]
     total = vals.sum()
+    if total <= 0:
+        raise ValueError("embedding_pca: zero total variance (constant embeddings)")
     k = min(topk, d)
     return pd.DataFrame(
         {"component": np.arange(k, dtype=np.int64),

@@ -26,16 +26,12 @@ STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
 
 def _row_layout(batch: pa.Table, col: str = "text"):
-    """tokenized batch → (flat nonempty tokens, row offsets into them)."""
-    toks = split_tokens(batch, col)
-    flat = pc.list_flatten(toks)
-    nonempty = pc.not_equal(flat, "")
-    flat = flat.filter(nonempty)
-    offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offs_all = offs_all - offs_all[0]
-    ne = np.asarray(nonempty).astype(np.int64)
-    cum = np.concatenate([[0], np.cumsum(ne)])
-    return flat, cum[offs_all]
+    """tokenized batch → (flat nonempty tokens, row offsets into them).
+
+    Thin alias of the shared chunk-offset-safe kernel (one copy rule)."""
+    from .text import flat_nonempty_with_offsets
+
+    return flat_nonempty_with_offsets(batch, col)
 
 
 def make_quality_fn(col: str = "text", id_col: str = "doc_id", round_dp: int | None = 6):

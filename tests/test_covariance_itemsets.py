@@ -91,3 +91,25 @@ def test_frequent_part_pairs_planted(ray_session, tmp_path):
     assert got.iloc[0][["part_a", "part_b", "support"]].tolist() == [10, 20, 3]
     # (10,30) has support 1 -> filtered by min_support
     assert len(got) == 1
+
+
+def test_frequent_part_pairs_refuses_capped_baskets(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from bloomfilter_multithread_ray.pipelines.itemsets import frequent_part_pairs
+
+    rows = [(1, p) for p in range(10)] + [(2, 1), (2, 2)]
+    t = pa.table(
+        {"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+         "l_partkey": pa.array([r[1] for r in rows], pa.int64())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    with _pytest.raises(ValueError, match="max_basket"):
+        frequent_part_pairs(str(d), max_basket=4)
+    # and succeeds when the cap is raised: (1,2) is in both baskets
+    got = frequent_part_pairs(str(d), max_basket=16, min_support=1)
+    assert got.iloc[0][["part_a", "part_b", "support"]].tolist() == [1, 2, 2]
+    assert len(got) >= 10
