@@ -905,6 +905,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return FPP(sf_dir, min_support=2, topk=20)
 
+    def fuzzy_token_pairs(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.fuzzy import (
+            fuzzy_token_pairs as FTP,
+        )
+
+        return FTP(_docs(sf_dir, ["text"]), min_len=3)
+
     def quality_classifier(sf_dir):
         # distributed logistic-regression training (iterate-broadcast,
         # int64 fixed-point gradient sums -> partitioning-independent);
@@ -1060,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": source_similarity,
         "triangle_count": triangle_count,
         "quality_classifier": quality_classifier,
+        "fuzzy_token_pairs": fuzzy_token_pairs,
         "embedding_covariance": embedding_covariance,
         "embedding_pca": embedding_pca,
         "events_rollup": events_rollup,
@@ -1982,6 +1990,15 @@ def oracle_sql() -> dict[str, str]:
             "SUM(vmic) / 1000000.0 AS sum_value "
             "FROM x GROUP BY GROUPING SETS ((event_type, day), (event_type), ()) "
             "ORDER BY event_type, day"
+        ),
+        # SymSpell-blocked fuzzy vocabulary join, exact for dist <= 1
+        "fuzzy_token_pairs": (
+            "WITH v AS (SELECT DISTINCT tok FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE len(tok) >= 3) "
+            "SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(1 AS BIGINT) AS dist "
+            "FROM v a JOIN v b ON a.tok < b.tok "
+            "WHERE levenshtein(a.tok, b.tok) <= 1 ORDER BY tok_a, tok_b"
         ),
         # A-Priori 2-itemset pass: parts co-purchased in one order
         "frequent_part_pairs": (

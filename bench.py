@@ -222,6 +222,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_pca",
         "events_rollup",
         "frequent_part_pairs",
+        "fuzzy_token_pairs",
     ]
     times: dict[str, float] = {}
     for name in names:
