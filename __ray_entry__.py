@@ -959,6 +959,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return TC(edges)
 
+    def bpe_encode_stats(sf_dir):
+        # learn + APPLY the merges; exact int64 symbol totals, one
+        # division; checked in pytest against a pure-python encoder
+        from bloomfilter_multithread_ray.pipelines import bpe as BPE
+
+        return BPE.bpe_encode_stats(_docs(sf_dir, ["text"]), num_merges=8)
+
     def tpch_q6(sf_dir):
         return R.tpch_q6(sf_dir)
 
@@ -1061,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": substring_dedup,
         "bpe_top_pairs": bpe_top_pairs,
         "bpe_merges": bpe_merges,
+        "bpe_encode_stats": bpe_encode_stats,
         "tpch_q6": tpch_q6,
         "tpch_q3": tpch_q3,
         "events_retention": events_retention,

@@ -212,6 +212,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "substring_dedup",
         "bpe_top_pairs",
         "bpe_merges",
+        "bpe_encode_stats",
         "tpch_q6",
         "tpch_q3",
         "events_retention",

@@ -237,3 +237,56 @@ def bpe_top_pairs(docs: "Dataset", *, topk: int = 20) -> pd.DataFrame:
     ).head(topk)
     cands = cands.rename(columns={"c": "pair_count"}).reset_index(drop=True)
     return cands[["l", "r", "pair_count"]]
+
+
+def bpe_encode_stats(
+    docs: "Dataset", *, num_merges: int = 8, num_partitions: int = 32
+) -> pd.DataFrame:
+    """Learn ``num_merges`` rules, APPLY them to the corpus, and report
+    the tokenizer's effect: one row {num_merges, words, symbols_before,
+    symbols_after, compression}.
+
+    The encode pass is the learn loop's apply stage re-used: merge
+    rules broadcast implicitly in the map closures, the distinct-word
+    table rewrites in place, and corpus-level totals are exact int64
+    sums of per-word symbol counts weighted by word frequency (the
+    corpus text itself is touched exactly once, by word_counts).
+    """
+    words = word_counts(docs, num_partitions=num_partitions).map_batches(
+        _to_symbols, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        _, offs = _flat_syms(t)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"syms": pa.array([int((np.diff(offs) * cnt).sum())], pa.int64()),
+             "words": pa.array([int(cnt.sum())], pa.int64())}
+        )
+
+    def total_of(ds):
+        df = ds.map_batches(
+            totals, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        return int(df["syms"].sum()), int(df["words"].sum())
+
+    before, nwords = total_of(words)
+    applied = 0
+    for _ in range(num_merges):
+        pairs = words.map_batches(
+            _pair_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        top = _top_pair(pairs)
+        if top is None or top[2] < 2:
+            break
+        l, r, _c = top
+        words = words.map_batches(
+            make_apply_merge_fn(l, r), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        applied += 1
+    after, _ = total_of(words)
+    return pd.DataFrame(
+        [{"num_merges": np.int64(applied), "words": np.int64(nwords),
+          "symbols_before": np.int64(before), "symbols_after": np.int64(after),
+          "compression": round(before / max(after, 1), 6)}]
+    )

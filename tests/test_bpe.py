@@ -109,3 +109,47 @@ def test_bpe_byte_level_non_ascii(ray_session):
     got = bpe_merges(_docs_ds(["héllo héllo wörld héllo"]), num_merges=2)
     assert got.iloc[0][["left", "right", "pair_count"]].tolist() == ["h", "Ã", 3]
     assert got.iloc[1]["pair_count"] == 3  # héllo pairs still tied at 3
+
+
+def test_bpe_encode_stats_match_reference(ray_session, testdata_dir):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.bpe import (
+        bpe_encode_stats,
+        word_counts,
+    )
+
+    docs = ray.data.read_parquet(f"{testdata_dir}/documents.parquet", columns=["text"])
+    got = bpe_encode_stats(docs, num_merges=4).iloc[0]
+
+    # pure-python: learn 4 merges, apply, count weighted symbols
+    wc = word_counts(docs).to_pandas()
+    vocab = {tuple(t): int(c) for t, c in zip(wc["tok"], wc["cnt"])}
+    before = sum(len(s) * c for s, c in vocab.items())
+    for _ in range(4):
+        counts: dict = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        new: dict = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + cnt
+        vocab = new
+    after = sum(len(s) * c for s, c in vocab.items())
+    assert got["symbols_before"] == before
+    assert got["symbols_after"] == after
+    assert got["num_merges"] == 4 and got["compression"] > 1.0
