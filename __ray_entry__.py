@@ -972,6 +972,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tpch_q3(sf_dir):
         return R.tpch_q3(sf_dir)
 
+    def tpch_q5(sf_dir):
+        return R.tpch_q5(sf_dir)
+
+    def tpch_q10(sf_dir):
+        return R.tpch_q10(sf_dir)
+
+    def tpch_q14(sf_dir):
+        return R.tpch_q14(sf_dir)
+
+    def tpch_q18(sf_dir):
+        return R.tpch_q18(sf_dir)
+
+    def tpch_q4_late(sf_dir):
+        return R.tpch_q4_late(sf_dir)
+
     def events_retention(sf_dir):
         return R.events_retention(sf_dir, max_offset=7)
 
@@ -1071,6 +1086,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_stats": bpe_encode_stats,
         "tpch_q6": tpch_q6,
         "tpch_q3": tpch_q3,
+        "tpch_q5": tpch_q5,
+        "tpch_q10": tpch_q10,
+        "tpch_q14": tpch_q14,
+        "tpch_q18": tpch_q18,
+        "tpch_q4_late": tpch_q4_late,
         "events_retention": events_retention,
         "source_similarity": source_similarity,
         "triangle_count": triangle_count,
@@ -1928,6 +1948,72 @@ def oracle_sql() -> dict[str, str]:
             "FROM li JOIN o ON o_orderkey = l_orderkey "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY SUM(rev_u4) DESC, l_orderkey LIMIT 10"
+        ),
+        # TPC-H Q5 shape: revenue exact in 1e-4 int64 units on both
+        # sides; local-supplier condition s_nationkey = c_nationkey
+        "tpch_q5": (
+            "WITH rn AS (SELECT n_nationkey, n_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') "
+            "SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue "
+            "FROM customer JOIN rn ON c_nationkey = n_nationkey "
+            "JOIN orders ON o_custkey = c_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        # TPC-H Q10 shape: returned-item revenue per customer, top 20
+        # (ties broken by c_custkey on both sides)
+        "tpch_q10": (
+            "WITH po AS (SELECT l_orderkey, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS ru4 "
+            "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey), "
+            "pcu AS (SELECT o_custkey, SUM(ru4) AS ru4 "
+            "FROM po JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' GROUP BY o_custkey) "
+            "SELECT c_custkey, c_name, CAST(ru4 AS DOUBLE)/10000.0 AS revenue, "
+            "c_acctbal, n_name "
+            "FROM pcu JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "ORDER BY ru4 DESC, c_custkey LIMIT 20"
+        ),
+        # TPC-H Q14 shape: promo revenue share — both sums exact int64,
+        # ONE double division at the end
+        "tpch_q14": (
+            "SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' "
+            "THEN ru4 ELSE 0 END) / SUM(ru4), 6) AS promo_pct FROM ("
+            "SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS ru4, p_type "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-03-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01')"
+        ),
+        # TPC-H Q18 shape: HAVING on grouped cent-exact quantity sums
+        "tpch_q18": (
+            "WITH big AS (SELECT l_orderkey, "
+            "SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qc FROM lineitem "
+            "GROUP BY l_orderkey "
+            "HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 30000) "
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+            "CAST(qc AS DOUBLE)/100.0 AS sum_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        # TPC-H Q4 shape adapted to shipping lateness (fixture has no
+        # l_commitdate/l_receiptdate): EXISTS lineitem shipped >= 60
+        # days after the order date
+        "tpch_q4_late": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate >= o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         # cohort retention: distinct active days per user, cohort =
         # first day, offsets capped at 7

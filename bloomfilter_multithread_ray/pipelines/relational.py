@@ -1218,3 +1218,343 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
         .sort_values(["event_type", "day"])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------ TPC-H Q5 shape
+def tpch_q5(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> pd.DataFrame:
+    """Local-supplier-volume (TPC-H Q5 shape): 6-table join chain →
+    grouped revenue by nation.
+
+    Plan: nation⋈region are FIXED-cardinality dimensions (25/5 rows at
+    any SF) — resolved on the driver into a nationkey→name map that
+    rides into map_batches closures. customer, orders, lineitem and
+    supplier are all SF-proportional, so every fact-side join is a
+    shuffle ``hash_join`` (no broadcast of a table that grows with
+    scale): orders(date-filtered)⋈customer on custkey, lineitem⋈that
+    on orderkey, then ⋈supplier on suppkey; the c_nationkey ==
+    s_nationkey equality is a post-join vectorized filter. Revenue in
+    exact 1e-4 int64 units (tpch_q1 idiom).
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    nat = read(sf_dir, "nation").to_pandas()
+    reg = read(sf_dir, "region").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nkeys = set(int(k) for k in nat["n_nationkey"])
+    nname = {int(k): str(v) for k, v in zip(nat["n_nationkey"], nat["n_name"])}
+
+    def in_region(col: str):
+        ks = nkeys
+
+        def fn(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(v, np.fromiter(ks, np.int64))))
+
+        return fn
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        in_region("c_nationkey"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ord_c = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner")
+
+    def li_derive(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+             "rev_u4": price_c * (100 - disc_c)}
+        )
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+    li_o = hash_join(
+        li, ord_c.select_columns(["o_orderkey", "c_nationkey"]),
+        on="l_orderkey", right_on="o_orderkey", how="inner",
+    )
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        in_region("s_nationkey"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    li_s = hash_join(li_o, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+
+    names = sorted(nname)
+    lut_keys = np.fromiter(names, np.int64)
+    lut_vals = [nname[k] for k in names]
+
+    def local_filter(t: pa.Table) -> pa.Table:
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(cn == sn))
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(lut_keys, cn)
+        name = pa.array([lut_vals[i] for i in idx], pa.string())
+        return pa.table({"n_name": name, "rev_u4": t["rev_u4"]})
+
+    sums = grouped_agg(
+        li_s.map_batches(local_filter, batch_format="pyarrow", zero_copy_batch=True),
+        "n_name", {"rev_u4": ("sum", "rev_u4")}, num_partitions=8,
+    ).to_pandas()
+    sums["revenue"] = sums.pop("rev_u4") / 10000.0
+    return (
+        sums.sort_values(["revenue", "n_name"], ascending=[False, True])
+        [["n_name", "revenue"]].reset_index(drop=True)
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q10 shape
+def tpch_q10(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-07-01",
+    topk: int = 20,
+) -> pd.DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): who returned the
+    most merchandise in a window.
+
+    Plan: lineitem filters to l_returnflag='R' and pre-aggregates
+    revenue per orderkey INSIDE map_batches partials via grouped_agg;
+    window-filtered orders shuffle-join on orderkey; a second
+    grouped_agg folds to per-customer revenue (small); customer
+    decorates via shuffle join; the fixed 25-row nation table decorates
+    on the driver. Top-k via per-block local top-k then driver final —
+    never a full sort.
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def li_derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_u4": price_c * (100 - disc_c)})
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+    per_order = grouped_agg(li, "l_orderkey", {"rev_u4": ("sum", "rev_u4")}, num_partitions=32)
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
+    per_cust = grouped_agg(j, "o_custkey", {"rev_u4": ("sum", "rev_u4")}, num_partitions=32)
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    dec = hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey", how="inner")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["rev_u4", "o_custkey"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(topk), preserve_index=False)
+
+    cands = pd.DataFrame(dec.map_batches(local_topk, batch_format="pyarrow").take_all())
+    if cands.empty:
+        return pd.DataFrame(
+            columns=["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+        )
+    cands = cands.sort_values(["rev_u4", "o_custkey"], ascending=[False, True]).head(topk)
+
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"].astype(str)))
+    out = pd.DataFrame(
+        {
+            "c_custkey": cands["o_custkey"].astype(np.int64),
+            "c_name": cands["c_name"],
+            "revenue": cands["rev_u4"] / 10000.0,
+            "c_acctbal": cands["c_acctbal"],
+            "n_name": cands["c_nationkey"].astype(int).map(nmap),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+# ----------------------------------------------------------- TPC-H Q14 shape
+def tpch_q14(
+    sf_dir: str,
+    date_lo: str = "1997-03-01",
+    date_hi: str = "1997-04-01",
+    promo_prefix: str = "PROMO",
+) -> pd.DataFrame:
+    """Promotion-effect (TPC-H Q14 shape): promo revenue share in a month.
+
+    Plan: the month's lineitem revenue rows (partkey, rev_u4)
+    shuffle-join part on partkey (part is SF-proportional — no
+    broadcast); each output batch folds to TWO exact int64 partials
+    (promo revenue, total revenue); one global sum; one double division
+    at the end. Result is a single row, order-free and exact.
+    """
+    from .join import hash_join
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def li_derive(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"], "rev_u4": price_c * (100 - disc_c)})
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+    part = read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    j = hash_join(li, part, on="l_partkey", right_on="p_partkey", how="inner")
+
+    def partials(t: pa.Table) -> pa.Table:
+        rev = t["rev_u4"].to_numpy(zero_copy_only=False)
+        promo = pc.starts_with(t["p_type"], promo_prefix).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"promo_u4": pa.array([int(rev[promo].sum())], pa.int64()),
+             "total_u4": pa.array([int(rev.sum())], pa.int64())}
+        )
+
+    agg = j.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    res = agg.aggregate(Sum("promo_u4", alias_name="p"), Sum("total_u4", alias_name="t"))
+    p, tot = int(res["p"] or 0), int(res["t"] or 0)
+    pct = round(100.0 * p / tot, 6) if tot else 0.0
+    return pd.DataFrame({"promo_pct": [pct]})
+
+
+# ----------------------------------------------------------- TPC-H Q18 shape
+def tpch_q18(
+    sf_dir: str,
+    qty_threshold: float = 300.0,
+    topk: int = 100,
+) -> pd.DataFrame:
+    """Large-volume-customer (TPC-H Q18 shape): HAVING on a grouped sum
+    feeding a join chain.
+
+    Plan: per-order quantity sums via grouped_agg (map-side combined,
+    fixed-P); the HAVING filter drops all but the rare giant orders
+    BEFORE any join, so the orders/customer joins see only survivor
+    keys; both joins shuffle (SF-proportional sides). Quantities carry
+    2 decimals → exact cent-int sums.
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    def qty(t: pa.Table) -> pa.Table:
+        q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "qty_c": q})
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+        qty, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_order = grouped_agg(li, "l_orderkey", {"qty_c": ("sum", "qty_c")}, num_partitions=32)
+    thr = int(round(qty_threshold * 100))
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["qty_c"], thr)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = hash_join(big, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    dec = hash_join(j, cust, on="o_custkey", right_on="c_custkey", how="inner")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["o_totalprice", "l_orderkey"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(df.head(topk), preserve_index=False)
+
+    cands = pd.DataFrame(dec.map_batches(local_topk, batch_format="pyarrow").take_all())
+    if cands.empty:
+        return pd.DataFrame(
+            columns=["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice", "sum_qty"]
+        )
+    cands = cands.sort_values(
+        ["o_totalprice", "l_orderkey"], ascending=[False, True]
+    ).head(topk)
+    out = pd.DataFrame(
+        {
+            "c_name": cands["c_name"],
+            "c_custkey": cands["o_custkey"].astype(np.int64),
+            "o_orderkey": cands["l_orderkey"].astype(np.int64),
+            "o_orderdate": cands["o_orderdate"],
+            "o_totalprice": cands["o_totalprice"],
+            "sum_qty": cands["qty_c"] / 100.0,
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+# ------------------------------------------- TPC-H Q4 shape (late shipments)
+def tpch_q4_late(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-07-01",
+    late_days: int = 60,
+) -> pd.DataFrame:
+    """Order-priority check (TPC-H Q4 shape, adapted): count orders per
+    priority that had at least one lineitem shipped ``late_days`` or
+    more after the order date.
+
+    The fixture has no l_commitdate/l_receiptdate, so the EXISTS
+    predicate is adapted to shipping lateness (l_shipdate >=
+    o_orderdate + late_days). Plan: window-filtered orders shuffle-join
+    lineitem ship dates on orderkey; the cross-side comparison is a
+    vectorized post-join filter; EXISTS = grouped_agg on (orderkey,
+    priority) then a tiny count-by-priority.
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    orders = read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
+    lag = np.timedelta64(int(late_days), "D").astype("timedelta64[us]").astype(np.int64)
+
+    def late(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        odate = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ship >= odate + lag))
+        return t.select(["l_orderkey", "o_orderpriority"])
+
+    distinct = grouped_agg(
+        j.map_batches(late, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "o_orderpriority"], {"n": ("count", None)}, num_partitions=32,
+    )
+    per_prio = grouped_agg(
+        distinct, "o_orderpriority", {"order_count": ("count", None)}, num_partitions=4
+    ).to_pandas()
+    per_prio["order_count"] = per_prio["order_count"].astype(np.int64)
+    return per_prio.sort_values("o_orderpriority").reset_index(drop=True)
