@@ -987,6 +987,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tpch_q4_late(sf_dir):
         return R.tpch_q4_late(sf_dir)
 
+    def bm25_search(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.retrieval import bm25_search as bm
+
+        return bm(sf_dir)
+
     def events_retention(sf_dir):
         return R.events_retention(sf_dir, max_offset=7)
 
@@ -1091,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": tpch_q14,
         "tpch_q18": tpch_q18,
         "tpch_q4_late": tpch_q4_late,
+        "bm25_search": bm25_search,
         "events_retention": events_retention,
         "source_similarity": source_similarity,
         "triangle_count": triangle_count,
@@ -2014,6 +2020,36 @@ def oracle_sql() -> dict[str, str]:
             "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
             "AND l_shipdate >= o_orderdate + INTERVAL 60 DAY) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # BM25 top-10 per fixed query: per-(doc,term) scores quantized
+        # to int64 1e-9 units half-away BEFORE the per-query sum, so the
+        # comparison is exact (the covariance quantization discipline);
+        # expression order mirrors pipelines/retrieval.py term-for-term
+        "bm25_search": (
+            "WITH qt(query, term) AS (VALUES "
+            "('hash join merge','hash'), ('hash join merge','join'), "
+            "('hash join merge','merge'), ('window sort order','window'), "
+            "('window sort order','sort'), ('window sort order','order'), "
+            "('bloom filter scan','bloom'), ('bloom filter scan','filter'), "
+            "('bloom filter scan','scan')), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), "
+            "tks AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tks GROUP BY doc_id), "
+            "st AS (SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / (SELECT n FROM nn) AS avgdl), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tks GROUP BY doc_id, tok), "
+            "dfp AS (SELECT term, count(doc_id) AS df FROM (SELECT DISTINCT term FROM qt) q "
+            "LEFT JOIN tf ON tok = term GROUP BY term), "
+            "scored AS (SELECT qt.query, tf.doc_id, "
+            "SUM(CAST(ROUND(1e9 * ln(1 + ((SELECT n FROM nn) - df + 0.5)/(df + 0.5)) "
+            "* (tf * (1.2 + 1.0)) / (tf + 1.2 * (1 - 0.75 + (0.75 * dl) / avgdl))) AS BIGINT)) AS s_u9 "
+            "FROM qt JOIN dfp USING(term) JOIN tf ON tf.tok = qt.term "
+            "JOIN dl USING(doc_id), st GROUP BY qt.query, tf.doc_id "
+            "HAVING SUM(CAST(ROUND(1e9 * ln(1 + ((SELECT n FROM nn) - df + 0.5)/(df + 0.5)) "
+            "* (tf * (1.2 + 1.0)) / (tf + 1.2 * (1 - 0.75 + (0.75 * dl) / avgdl))) AS BIGINT)) > 0) "
+            "SELECT query, doc_id, CAST(s_u9 AS DOUBLE)/1e9 AS score FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query ORDER BY s_u9 DESC, doc_id) AS rn "
+            "FROM scored) WHERE rn <= 10 ORDER BY query, s_u9 DESC, doc_id"
         ),
         # cohort retention: distinct active days per user, cohort =
         # first day, offsets capped at 7

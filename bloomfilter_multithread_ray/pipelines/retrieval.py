@@ -1,0 +1,164 @@
+"""Sparse lexical retrieval: distributed BM25 top-k search.
+
+The at-100-TB retrieval shape for a FIXED, small query set (the common
+curation case: decontamination probes, eval-set leak checks, targeted
+corpus audits): the query terms broadcast into every task, the corpus
+text NEVER moves, and only O(batches × terms) stat partials plus
+O(batches × queries × k) top-k candidate rows ever leave the workers.
+Two streaming passes over the corpus (BM25 needs global df/avgdl before
+any document can be scored — same macro-structure as the reference's
+build-then-probe phases, src/main.cpp:124-149: a small global state is
+derived first, then a map-only scoring pass consults it).
+
+Exactness discipline: each (doc, term) score is quantized to int64
+1e-9 units half-AWAY-from-zero BEFORE summing over the query's terms
+(the embedding-covariance trick, similarity.py), so per-document
+scores are bit-identical at any partitioning and reproducible by a
+DuckDB oracle applying the same quantization. The only cross-engine
+float risk is ``ln`` itself (both sides evaluate the identical
+double expression).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.text import flat_nonempty_with_offsets
+
+DEFAULT_QUERIES = (
+    "hash join merge",
+    "window sort order",
+    "bloom filter scan",
+)
+
+
+def _term_tf_matrix(flat: pa.Array, offs: np.ndarray, terms: list[str]) -> np.ndarray:
+    """(rows × terms) term-frequency matrix from the flat token array.
+
+    One vectorized equality scan per term (|terms| is a handful by
+    contract); per-row segment sums via cumsum-gather, which is safe
+    for empty rows (unlike reduceat).
+    """
+    import pyarrow.compute as pc
+
+    n_rows = len(offs) - 1
+    tf = np.zeros((n_rows, len(terms)), dtype=np.int64)
+    for j, term in enumerate(terms):
+        m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        c = np.concatenate([[0], np.cumsum(m.astype(np.int64))])
+        tf[:, j] = c[offs[1:]] - c[offs[:-1]]
+    return tf
+
+
+def bm25_search(
+    sf_dir: str,
+    queries: Sequence[str] = DEFAULT_QUERIES,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> pd.DataFrame:
+    """BM25 top-k documents per query → (query, doc_id, score).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene/Okapi
+    non-negative variant); N counts ALL documents, dl counts a
+    document's non-empty tokens. Documents scoring 0 (no query term
+    present) are excluded. Ties break by doc_id ascending; score is
+    the exact int64 1e-9-unit sum divided once at the end.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import read
+
+    q_terms = [q.split() for q in queries]
+    terms = sorted({t for qt in q_terms for t in qt})
+    t_idx = {t: i for i, t in enumerate(terms)}
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # ---- pass A: global stats (N, Σdl, df per term) as tiny partials
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        flat, offs = flat_nonempty_with_offsets(batch)
+        tf = _term_tf_matrix(flat, offs, terms)
+        row = {
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "sum_dl": pa.array([int(offs[-1])], pa.int64()),
+        }
+        present = (tf > 0).sum(axis=0).astype(np.int64)
+        for i in range(len(terms)):
+            row[f"df_{i}"] = pa.array([int(present[i])], pa.int64())
+        return pa.table(row)
+
+    aggs = [Sum("n_docs", alias_name="n_docs"), Sum("sum_dl", alias_name="sum_dl")]
+    aggs += [Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))]
+    stats = ds.map_batches(
+        stat_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(*aggs)
+    n_docs = int(stats["n_docs"] or 0)
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"query": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64)}
+        )
+    avgdl = float(stats["sum_dl"] or 0) / n_docs
+    df_t = np.array([int(stats[f"df_{i}"] or 0) for i in range(len(terms))], np.int64)
+    # identical double expression on both sides: ln(1 + (N-df+0.5)/(df+0.5))
+    idf = np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+
+    # ---- pass B: map-only scoring + per-block per-query local top-k
+    k1_, b_, tk = float(k1), float(b), int(topk)
+    q_cols = [np.array([t_idx[t] for t in qt], np.int64) for qt in q_terms]
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        flat, offs = flat_nonempty_with_offsets(batch)
+        tf = _term_tf_matrix(flat, offs, terms).astype(np.float64)
+        dl = (offs[1:] - offs[:-1]).astype(np.float64)
+        # denominator shape (rows, terms); expression order mirrors the
+        # SQL oracle exactly: tf*(k1+1) / (tf + k1*(1 - b + (b*dl)/avgdl))
+        denom_row = k1_ * (1.0 - b_ + (b_ * dl) / avgdl)
+        u = (1e9 * idf)[None, :] * (tf * (k1_ + 1.0)) / (tf + denom_row[:, None])
+        s_u9 = np.trunc(u + 0.5).astype(np.int64)  # half-away; u >= 0
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_q, out_d, out_s = [], [], []
+        for qi, cols in enumerate(q_cols):
+            s = s_u9[:, cols].sum(axis=1)
+            pos = np.flatnonzero(s > 0)
+            if len(pos) > tk:  # local top-k: keep only possible winners
+                order = np.lexsort((doc_id[pos], -s[pos]))
+                keep = pos[order[:tk]]
+            else:
+                keep = pos
+            out_q.append(np.full(len(keep), qi, np.int64))
+            out_d.append(doc_id[keep])
+            out_s.append(s[keep])
+        return pa.table(
+            {"qi": pa.array(np.concatenate(out_q) if out_q else np.array([], np.int64)),
+             "doc_id": pa.array(np.concatenate(out_d) if out_d else np.array([], np.int64)),
+             "s_u9": pa.array(np.concatenate(out_s) if out_s else np.array([], np.int64))}
+        )
+
+    cands = pd.DataFrame(
+        ds.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    if cands.empty:
+        return pd.DataFrame(
+            {"query": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64)}
+        )
+    cands["query"] = [queries[i] for i in cands["qi"]]
+    cands = cands.sort_values(
+        ["query", "s_u9", "doc_id"], ascending=[True, False, True]
+    )
+    cands = cands.groupby("query", sort=True).head(tk)
+    out = pd.DataFrame(
+        {
+            "query": cands["query"],
+            "doc_id": cands["doc_id"].astype(np.int64),
+            "score": cands["s_u9"] / 1e9,
+        }
+    )
+    return out.reset_index(drop=True)
