@@ -992,6 +992,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bm(sf_dir)
 
+    def doc_entropy(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.text_stats import doc_token_entropy
+
+        return doc_token_entropy(sf_dir)
+
+    def events_value_histogram(sf_dir):
+        return A.grouped_histogram(
+            R.read(sf_dir, "events", ["event_type", "value"]),
+            "event_type", "value", bin_width=10.0,
+        )
+
     def events_retention(sf_dir):
         return R.events_retention(sf_dir, max_offset=7)
 
@@ -1097,6 +1108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": tpch_q18,
         "tpch_q4_late": tpch_q4_late,
         "bm25_search": bm25_search,
+        "doc_entropy": doc_entropy,
+        "events_value_histogram": events_value_histogram,
         "events_retention": events_retention,
         "source_similarity": source_similarity,
         "triangle_count": triangle_count,
@@ -2050,6 +2063,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query, doc_id, CAST(s_u9 AS DOUBLE)/1e9 AS score FROM ("
             "SELECT *, row_number() OVER (PARTITION BY query ORDER BY s_u9 DESC, doc_id) AS rn "
             "FROM scored) WHERE rn <= 10 ORDER BY query, s_u9 DESC, doc_id"
+        ),
+        # per-doc unigram entropy: each c*ln(c) term quantized to int64
+        # 1e-9 units half-away BEFORE the per-doc sum; final value
+        # quantized once to 1e-6 (matching the pipeline's trunc+copysign)
+        "doc_entropy": (
+            "WITH tks AS (SELECT doc_id, tok FROM ("
+            "SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) "
+            "WHERE tok <> ''), "
+            "tf AS (SELECT doc_id, tok, count(*) AS c FROM tks GROUP BY doc_id, tok), "
+            "s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl, "
+            "SUM(CAST(ROUND(1e9 * (c * ln(c))) AS BIGINT)) AS s_u9 FROM tf GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(s.dl, 0) AS n_tok, "
+            "COALESCE(CAST(ROUND(1e6 * (ln(s.dl) - (CAST(s.s_u9 AS DOUBLE)/1e9)/s.dl)) "
+            "AS BIGINT)/1e6, 0.0) AS entropy "
+            "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"
+        ),
+        # fixed-width value histogram per event type; floor(x/10) of a
+        # double is exact on both engines
+        "events_value_histogram": (
+            "SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin, "
+            "count(*) AS n FROM events WHERE value IS NOT NULL "
+            "GROUP BY event_type, bin ORDER BY event_type, bin"
         ),
         # cohort retention: distinct active days per user, cohort =
         # first day, offsets capped at 7

@@ -719,3 +719,44 @@ def grouped_mad(
         key, "absdev", 0.5, num_partitions=num_partitions,
     ).rename(columns={"value": "mad"})
     return med.merge(mad, on=key).sort_values(key).reset_index(drop=True)
+
+
+# ------------------------------------------------- grouped value histogram
+def grouped_histogram(
+    ds: "Dataset",
+    by: str,
+    col: str,
+    *,
+    bin_width: float = 10.0,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Fixed-width histogram of ``col`` per ``by`` group:
+    (by, bin, n) with bin = floor(col / bin_width).
+
+    The distributed-histogram primitive exposed as a first-class
+    operator (quantile_disc already uses the same shape internally):
+    binning is a map-only derive, the count folds through map-side
+    combine + one fixed-P shuffle of (group, bin) partials — O(groups
+    × bins) rows move, never the values. floor() of a double is exact
+    on both engines, so the SQL oracle matches bit-for-bit. NULL
+    values are dropped (SQL COUNT(col) semantics).
+    """
+    from .agg import grouped_agg
+
+    w = float(bin_width)
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        g = t.column(by)
+        valid = ~np.isnan(v)
+        b = np.floor(v[valid] / w).astype(np.int64)
+        return pa.table({by: g.filter(pa.array(valid)), "bin": pa.array(b)})
+
+    out = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        [by, "bin"],
+        {"n": ("count", None)},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values([by, "bin"]).reset_index(drop=True)

@@ -786,3 +786,51 @@ def source_similarity(
         columns={"sa": "source_a", "sb": "source_b", "c": "intersection"}
     )[["source_a", "source_b", "n_a", "n_b", "intersection", "jaccard"]]
     return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------- per-doc token entropy
+def doc_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the classic
+    gibberish/boilerplate signal: near-0 = one token repeated,
+    high = diverse vocabulary.
+
+    entropy = ln(dl) − (Σ_t c_t·ln c_t)/dl over the doc's distinct
+    tokens. Map-only (each document is scored inside its own batch —
+    zero shuffle at any corpus size). Exactness: each c·ln(c) term is
+    quantized to int64 1e-9 units half-away BEFORE the per-doc sum
+    (order-free, SQL-reproducible); the final value is quantized once
+    to 1e-6. Empty documents score 0 with n_tok 0.
+    """
+    from ..stages.text import flat_nonempty_with_offsets
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, offs = flat_nonempty_with_offsets(batch)
+        n = batch.num_rows
+        dl = (offs[1:] - offs[:-1]).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), dl)
+        if len(rows):
+            g = pd.DataFrame({"r": rows, "t": np.asarray(flat)}).groupby(
+                ["r", "t"], sort=False
+            ).size()
+            c = g.to_numpy(dtype=np.float64)
+            u9 = np.trunc(1e9 * (c * np.log(c)) + 0.5).astype(np.int64)
+            s_u9 = np.zeros(n, np.int64)
+            np.add.at(s_u9, g.index.get_level_values("r").to_numpy(), u9)
+        else:
+            s_u9 = np.zeros(n, np.int64)
+        ent = np.zeros(n, np.float64)
+        nz = dl > 0
+        ent[nz] = np.log(dl[nz].astype(np.float64)) - (s_u9[nz] / 1e9) / dl[nz]
+        e_u6 = np.trunc(1e6 * ent + np.copysign(0.5, ent)).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_tok": pa.array(dl),
+             "entropy": pa.array(e_u6 / 1e6)}
+        )
+
+    out = (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -339,3 +339,22 @@ def test_events_funnel_pre_epoch_timestamps(ray_session, tmp_path):
     df.to_parquet(tmp_path / "events.parquet")
     out = events_funnel(str(tmp_path))
     assert out.n_users.tolist() == [2, 1, 1]
+
+
+def test_grouped_histogram_bins_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import grouped_histogram
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "b", "b", "a"], pa.string()),
+            "v": pa.array([0.0, 9.999, 10.0, -0.1, -10.0, None], pa.float64()),
+        }
+    )
+    out = grouped_histogram(ray.data.from_arrow(t), "g", "v", bin_width=10.0)
+    rows = {(r["g"], r["bin"]): r["n"] for _, r in out.iterrows()}
+    # [0,10) -> bin 0 (two values); exactly 10.0 -> bin 1;
+    # -0.1 -> bin -1 (floor, not trunc); -10.0 -> bin -1; null dropped
+    assert rows == {("a", 0): 2, ("a", 1): 1, ("b", -1): 2}

@@ -244,3 +244,28 @@ def test_textrank_engines_agree(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError, match="engine"):
         textrank_keywords(str(tmp_path), engine="spark")
+
+
+def test_doc_token_entropy_planted(ray_session, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import doc_token_entropy
+
+    texts = ["a a a a", "a b c d", "", "a a b  b"]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    got = doc_token_entropy(str(d)).set_index("doc_id")
+    # doc 0: one distinct token -> 0; doc 1: uniform over 4 -> ln 4;
+    # doc 2: empty -> 0 with n_tok 0; doc 3: uniform over 2 -> ln 2
+    assert got.loc[0, "entropy"] == 0.0 and got.loc[0, "n_tok"] == 4
+    assert got.loc[2, "entropy"] == 0.0 and got.loc[2, "n_tok"] == 0
+    for i, want in [(1, math.log(4.0)), (3, math.log(2.0))]:
+        assert abs(got.loc[i, "entropy"] - want) < 2e-6, i
+    assert got.loc[3, "n_tok"] == 4  # double space didn't add a token
