@@ -1003,6 +1003,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type", "value", bin_width=10.0,
         )
 
+    def semantic_dedup(sf_dir):
+        # SemDeDup composition (kmeans -> within-cluster near-dup
+        # keep-set); deterministic (content-derived seeding, rounded
+        # cosine, lowest-id-wins) but not SQL-expressible — pinned and
+        # partition-invariance-checked in pytest instead
+        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return S.semantic_dedup(emb, k=8, iters=5, tau=0.4)
+
     def events_retention(sf_dir):
         return R.events_retention(sf_dir, max_offset=7)
 
@@ -1110,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": bm25_search,
         "doc_entropy": doc_entropy,
         "events_value_histogram": events_value_histogram,
+        "semantic_dedup": semantic_dedup,
         "events_retention": events_retention,
         "source_similarity": source_similarity,
         "triangle_count": triangle_count,

@@ -809,3 +809,87 @@ def embedding_pca(ds: "Dataset", *, topk: int = 8, round_dp: int = 6) -> pd.Data
          "eigenvalue": np.round(vals[:k], round_dp),
          "explained_ratio": np.round(vals[:k] / total, round_dp)}
     )
+
+
+# ------------------------------------------------- SemDeDup-style dedup
+def semantic_dedup(
+    emb: "Dataset",
+    *,
+    k: int = 8,
+    iters: int = 5,
+    tau: float = 0.4,
+    round_dp: int = 6,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 200_000,
+) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means clusters the embedding space, then near-duplicates are
+    resolved ONLY within clusters → (vec_id, cluster, keep).
+
+    The scale path for embedding dedup when no LSH recall bound is
+    acceptable: ``kmeans_lloyd`` is iterate-broadcast (data never
+    moves, O(k×d) driver state), then ONE cluster-keyed shuffle
+    co-locates each cluster's vectors and a vectorized kernel does the
+    pairwise work per cluster — O(Σ cᵢ²·d) bounded by the largest
+    cluster, never a corpus-wide all-pairs. ``max_cluster`` is an
+    honesty guard: a cluster too big to pair raises instead of
+    silently truncating (pick a larger k).
+
+    Determinism: seeding is content-derived (kmeans_lloyd), assignment
+    ties break to the lowest cluster index, cosine is rounded to
+    ``round_dp`` before the ≥ tau comparison, and a vector is dropped
+    iff a LOWER vec_id in the same cluster is within tau — so the
+    keep-set is reproducible at any partitioning (tested).
+    """
+    import ray
+
+    res = kmeans_lloyd(emb, k, iters=iters, col=col, id_col=id_col)
+    cent = res["centroids"]  # (k, d) float64
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        V = _emb_matrix(t, col).astype(np.float64)
+        # squared distance via the expansion; argmin ties -> lowest index
+        d2 = (V * V).sum(1, keepdims=True) - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+        cl = np.argmin(d2, axis=1).astype(np.int32)
+        return pa.table(
+            {id_col: t.column(id_col), col: t.column(col), "cluster": pa.array(cl)}
+        )
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = g.column("cluster").to_numpy(zero_copy_only=False)
+        V = _emb_matrix(g, col).astype(np.float64)
+        order = np.lexsort((ids, cl))
+        ids, cl, V = ids[order], cl[order], V[order]
+        keep = np.ones(len(ids), dtype=bool)
+        starts = np.concatenate([[0], np.flatnonzero(cl[1:] != cl[:-1]) + 1, [len(cl)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m > max_cluster:
+                raise ValueError(
+                    f"semantic_dedup: cluster {int(cl[s])} has {m} members "
+                    f"(max_cluster={max_cluster}); increase k"
+                )
+            if m < 2:
+                continue
+            Vn = _normalize(V[s:e])
+            C = np.round(Vn @ Vn.T, round_dp)
+            # dropped iff any LOWER-id member (strict lower triangle,
+            # ids ascending within the cluster) is within tau
+            dup = (np.tril(C >= tau, -1)).any(axis=1)
+            keep[s:e] = ~dup
+        return pa.table(
+            {"vec_id": pa.array(ids), "cluster": pa.array(cl.astype(np.int32)),
+             "keep": pa.array(keep)}
+        )
+
+    out = (
+        emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -315,3 +315,59 @@ def test_kmeans_snapshot_matches_independent_impl(ray_session):
         assert (sizes, inertia) == SNAP[key], f"sf{sf}: snapshot drifted"
         checked += 1
     assert checked == 2
+
+
+def test_semantic_dedup_planted_and_partition_invariant(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.similarity import semantic_dedup
+
+    # two well-separated blobs; within blob A, vecs 0/1/2 are identical
+    # directions (near-dups), 3 is orthogonal-ish; blob B: 10/11 dups
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [2.0, 0.0, 0.0]), (2, [1.0, 0.001, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (10, [0.0, 0.0, 1.0]), (11, [0.0, 0.0, 3.0]), (12, [0.0, 0.9, 0.9]),
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        }
+    )
+    got = semantic_dedup(
+        ray.data.from_arrow(t), k=2, iters=5, tau=0.95
+    ).set_index("vec_id")
+    # lowest id of each dup group survives; dups of a lower id drop
+    assert bool(got.loc[0, "keep"]) is True
+    assert bool(got.loc[1, "keep"]) is False
+    assert bool(got.loc[2, "keep"]) is False
+    assert bool(got.loc[3, "keep"]) is True
+    assert bool(got.loc[10, "keep"]) is True
+    assert bool(got.loc[11, "keep"]) is False
+    # near-dup resolution is within-cluster: 0 and 10 are in different
+    # clusters even though both are kept
+    assert got.loc[0, "cluster"] != got.loc[10, "cluster"]
+
+    # partition invariance: same result at a different block count
+    got2 = semantic_dedup(
+        ray.data.from_arrow(t).repartition(4), k=2, iters=5, tau=0.95
+    ).set_index("vec_id")
+    assert (got["keep"] == got2["keep"]).all()
+    assert (got["cluster"] == got2["cluster"]).all()
+
+
+def test_semantic_dedup_max_cluster_guard(ray_session):
+    import pytest
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.similarity import semantic_dedup
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 10, pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(Exception, match="max_cluster|increase k"):
+        semantic_dedup(ray.data.from_arrow(t), k=1, iters=2, tau=0.99, max_cluster=5)
