@@ -1003,6 +1003,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type", "value", bin_width=10.0,
         )
 
+    def profile_events(sf_dir):
+        return A.profile_table(
+            R.read(sf_dir, "events"),
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+
     def semantic_dedup(sf_dir):
         # SemDeDup composition (kmeans -> within-cluster near-dup
         # keep-set); deterministic (content-derived seeding, rounded
@@ -1118,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": bm25_search,
         "doc_entropy": doc_entropy,
         "events_value_histogram": events_value_histogram,
+        "profile_events": profile_events,
         "semantic_dedup": semantic_dedup,
         "events_retention": events_retention,
         "source_similarity": source_similarity,
@@ -2087,6 +2094,24 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(CAST(ROUND(1e6 * (ln(s.dl) - (CAST(s.s_u9 AS DOUBLE)/1e9)/s.dl)) "
             "AS BIGINT)/1e6, 0.0) AS entropy "
             "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"
+        ),
+        # per-column profile; n_distinct is exact (64-bit-hash distinct,
+        # same guarantee as distinct_tokens) and excludes nulls
+        "profile_events": (
+            "SELECT col, n_rows, n_nulls, n_distinct FROM ("
+            "SELECT 'event_id' AS col, count(*) AS n_rows, "
+            "count(*) - count(event_id) AS n_nulls, "
+            "count(DISTINCT event_id) AS n_distinct FROM events "
+            "UNION ALL SELECT 'ts', count(*), count(*) - count(ts), "
+            "count(DISTINCT ts) FROM events "
+            "UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), "
+            "count(DISTINCT user_id) FROM events "
+            "UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), "
+            "count(DISTINCT event_type) FROM events "
+            "UNION ALL SELECT 'value', count(*), count(*) - count(value), "
+            "count(DISTINCT value) FROM events "
+            "UNION ALL SELECT 'props', count(*), count(*) - count(props), "
+            "count(DISTINCT props) FROM events) ORDER BY col"
         ),
         # fixed-width value histogram per event type; floor(x/10) of a
         # double is exact on both engines

@@ -224,6 +224,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_rollup",
         "frequent_part_pairs",
         "fuzzy_token_pairs",
+        "tpch_q5",
+        "tpch_q10",
+        "tpch_q14",
+        "tpch_q18",
+        "tpch_q4_late",
+        "bm25_search",
+        "doc_entropy",
+        "events_value_histogram",
+        "semantic_dedup",
+        "profile_events",
     ]
     times: dict[str, float] = {}
     for name in names:

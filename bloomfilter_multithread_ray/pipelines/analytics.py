@@ -760,3 +760,109 @@ def grouped_histogram(
     ).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values([by, "bin"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------- table profiler
+def profile_table(
+    ds: "Dataset",
+    columns: list[str],
+    *,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Per-column table profile → (col, n_rows, n_nulls, n_distinct);
+    n_distinct is EXACT and excludes nulls (SQL COUNT(DISTINCT col)).
+
+    The data-engine stats primitive (what an optimizer's ANALYZE
+    collects). Two streaming passes: null/row counts fold to one tiny
+    row per batch; distincts hash every column's values to uint64
+    (strings via hash_strings, numerics/timestamps via their int64
+    image with -0.0 canonicalized), dedupe per batch, then ALL columns
+    share one fixed-P hash-partitioned distinct — shuffle volume is
+    the per-batch-distinct (col, hash) pairs, never the raw values.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64_ints, hash_strings
+
+    P = int(num_partitions)
+
+    def _col_hashes(arr: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, int]:
+        """non-null uint64 hashes + null count for one column."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        nulls = arr.null_count
+        arr = arr.drop_null()
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            h = hash_strings(arr)
+        elif pa.types.is_floating(t):
+            v = arr.to_numpy(zero_copy_only=False).astype(np.float64) + 0.0
+            h = hash64_ints(v.view(np.int64))
+        elif pa.types.is_timestamp(t):
+            h = hash64_ints(arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        elif pa.types.is_integer(t) or pa.types.is_boolean(t):
+            v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            h = hash64_ints(v)
+        else:
+            raise TypeError(f"profile_table: unsupported column type {t}")
+        return h.astype(np.uint64), nulls
+
+    def null_partials(t: pa.Table) -> pa.Table:
+        row = {"n_rows": pa.array([t.num_rows], pa.int64())}
+        for i, c in enumerate(columns):
+            col = t.column(c)
+            nc = col.null_count if not isinstance(col, pa.ChunkedArray) else col.null_count
+            row[f"nul_{i}"] = pa.array([int(nc)], pa.int64())
+        return pa.table(row)
+
+    aggs = [Sum("n_rows", alias_name="n_rows")]
+    aggs += [Sum(f"nul_{i}", alias_name=f"nul_{i}") for i in range(len(columns))]
+    stats = ds.map_batches(
+        null_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(*aggs)
+    n_rows = int(stats["n_rows"] or 0)
+    nulls = [int(stats[f"nul_{i}"] or 0) for i in range(len(columns))]
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        cis, hs = [], []
+        for i, c in enumerate(columns):
+            h, _ = _col_hashes(t.column(c))
+            h = np.unique(h)  # per-batch combine
+            cis.append(np.full(len(h), i, np.int32))
+            hs.append(h)
+        ci = np.concatenate(cis) if cis else np.array([], np.int32)
+        h = np.concatenate(hs) if hs else np.array([], np.uint64)
+        return pa.table(
+            {"ci": pa.array(ci), "h": pa.array(h.view(np.int64)),
+             "hp": pa.array((h % np.uint64(P)).astype(np.int32))}
+        )
+
+    def partition_distinct(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"ci": g.column("ci").to_numpy(zero_copy_only=False),
+             "h": g.column("h").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        cnt = df.groupby("ci", sort=False).size()
+        return pa.table(
+            {"ci": pa.array(cnt.index.to_numpy(dtype=np.int32)),
+             "n": pa.array(cnt.to_numpy(dtype=np.int64))}
+        )
+
+    dist = (
+        ds.map_batches(pair_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hp")
+        .map_groups(partition_distinct, batch_format="pyarrow")
+        .groupby("ci")
+        .aggregate(Sum("n", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    dmap = dict(zip(dist["ci"].astype(int), dist["n_distinct"].astype(int)))
+    out = pd.DataFrame(
+        {
+            "col": columns,
+            "n_rows": np.full(len(columns), n_rows, np.int64),
+            "n_nulls": np.array(nulls, np.int64),
+            "n_distinct": np.array([dmap.get(i, 0) for i in range(len(columns))], np.int64),
+        }
+    )
+    return out.sort_values("col").reset_index(drop=True)

@@ -358,3 +358,31 @@ def test_grouped_histogram_bins_and_nulls(ray_session):
     # [0,10) -> bin 0 (two values); exactly 10.0 -> bin 1;
     # -0.1 -> bin -1 (floor, not trunc); -10.0 -> bin -1; null dropped
     assert rows == {("a", 0): 2, ("a", 1): 1, ("b", -1): 2}
+
+
+def test_profile_table_nulls_types_and_exact_distinct(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import profile_table
+
+    t = pa.table(
+        {
+            "s": pa.array(["a", "b", "a", None, ""], pa.string()),
+            "i": pa.array([1, 1, 2, None, -1], pa.int64()),
+            "f": pa.array([0.0, -0.0, 1.5, None, 1.5], pa.float64()),
+            "ts": pa.array(
+                np.array(["2024-01-01", "2024-01-01", "2024-01-02", "NaT", "2024-01-03"],
+                         dtype="datetime64[us]")
+            ),
+        }
+    )
+    out = profile_table(
+        ray.data.from_arrow(t).repartition(3), ["s", "i", "f", "ts"]
+    ).set_index("col")
+    assert (out["n_rows"] == 5).all()
+    assert out.loc["s", "n_nulls"] == 1 and out.loc["s", "n_distinct"] == 3
+    assert out.loc["i", "n_nulls"] == 1 and out.loc["i", "n_distinct"] == 3
+    # -0.0 == 0.0 (one distinct value), 1.5 dup collapses
+    assert out.loc["f", "n_nulls"] == 1 and out.loc["f", "n_distinct"] == 2
+    assert out.loc["ts", "n_nulls"] == 1 and out.loc["ts", "n_distinct"] == 3
