@@ -98,12 +98,15 @@ def bm25_search(
         stat_partials, batch_format="pyarrow", zero_copy_batch=True
     ).aggregate(*aggs)
     n_docs = int(stats["n_docs"] or 0)
-    if n_docs == 0:
+    sum_dl = int(stats["sum_dl"] or 0)
+    # sum_dl == 0 (every document empty) would make avgdl 0 and the
+    # scoring denominator 0/0-NaN; no document can match anyway
+    if n_docs == 0 or sum_dl == 0:
         return pd.DataFrame(
             {"query": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
              "score": pd.Series(dtype=np.float64)}
         )
-    avgdl = float(stats["sum_dl"] or 0) / n_docs
+    avgdl = sum_dl / n_docs
     df_t = np.array([int(stats[f"df_{i}"] or 0) for i in range(len(terms))], np.int64)
     # identical double expression on both sides: ln(1 + (N-df+0.5)/(df+0.5))
     idf = np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))

@@ -90,3 +90,10 @@ def test_bm25_empty_and_multirow_docs(ray_session, tmp_path):
     sf = _write_docs(tmp_path, texts)
     got = bm25_search(sf, queries=("a",), topk=10)
     assert list(got["doc_id"]) == [1, 2]  # tf=3 beats tf=1
+
+
+def test_bm25_all_empty_corpus(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, ["", "  ", ""])
+    got = bm25_search(sf, queries=("a",), topk=5)
+    assert len(got) == 0
+    assert list(got.columns) == ["query", "doc_id", "score"]
