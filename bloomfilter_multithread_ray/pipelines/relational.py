@@ -1285,9 +1285,17 @@ def tpch_q5(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+    # Bloom prefilter: only ~6% of lineitem rows survive the
+    # date+region-filtered orders side, so pruning them BEFORE the
+    # shuffle drops its volume ~16x (A/B at sf0.1: wall-neutral there,
+    # 3.97 vs 4.02 s, because the fixture shuffle is latency-bound —
+    # at real scale the shuffle is bytes-bound and the prune wins).
+    # Prefiltering the supplier join too was SLOWER (5.3 s / 11.3 s
+    # both): its selectivity (1/5) doesn't repay a second filter build.
     li_o = hash_join(
         li, ord_c.select_columns(["o_orderkey", "c_nationkey"]),
         on="l_orderkey", right_on="o_orderkey", how="inner",
+        bloom_prefilter=True,
     )
 
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
