@@ -987,6 +987,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tpch_q4_late(sf_dir):
         return R.tpch_q4_late(sf_dir)
 
+    def tpch_q7(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q7(sf_dir)
+
+    def tpch_q13(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q13(sf_dir)
+
+    def tpch_q15(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q15(sf_dir)
+
+    def tpch_q17(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q17(sf_dir)
+
+    def tpch_q19(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q19(sf_dir)
+
+    def tpch_q22(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q22(sf_dir)
+
     def bm25_search(sf_dir):
         from bloomfilter_multithread_ray.pipelines.retrieval import bm25_search as bm
 
@@ -1121,6 +1151,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": tpch_q14,
         "tpch_q18": tpch_q18,
         "tpch_q4_late": tpch_q4_late,
+        "tpch_q7": tpch_q7,
+        "tpch_q13": tpch_q13,
+        "tpch_q15": tpch_q15,
+        "tpch_q17": tpch_q17,
+        "tpch_q19": tpch_q19,
+        "tpch_q22": tpch_q22,
         "bm25_search": bm25_search,
         "doc_entropy": doc_entropy,
         "events_value_histogram": events_value_histogram,
@@ -2049,6 +2085,91 @@ def oracle_sql() -> dict[str, str]:
             "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
             "AND l_shipdate >= o_orderdate + INTERVAL 60 DAY) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # TPC-H Q7 shape: bilateral trade revenue by ship year, exact
+        # u4 sums; the two nations resolve by name on both sides
+        "tpch_q7": (
+            "WITH pairk AS (SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_name IN ('NATION_3', 'NATION_7')) "
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN pairk sn ON sn.n_nationkey = s_nationkey "
+            "JOIN pairk cn ON cn.n_nationkey = c_nationkey "
+            "WHERE sn.n_name <> cn.n_name "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        # TPC-H Q13 shape adapted: the anti-filter applies to
+        # o_orderpriority (fixture has no o_comment); LEFT join keeps
+        # zero-order customers in the c_count=0 bucket
+        "tpch_q13": (
+            "SELECT c_count, custdist FROM ("
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "SELECT c_custkey, count(o_custkey) AS c_count FROM customer "
+            "LEFT JOIN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) GROUP BY c_count) "
+            "ORDER BY custdist DESC, c_count DESC"
+        ),
+        # TPC-H Q15 shape: max-revenue supplier(s) in a quarter, exact
+        # u4 revenue, ties included like the view-based original
+        "tpch_q15": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_u4 "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, CAST(total_u4 AS DOUBLE)/10000.0 AS total_revenue "
+            "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+            "WHERE total_u4 = (SELECT MAX(total_u4) FROM rev) ORDER BY s_suppkey"
+        ),
+        # TPC-H Q17 shape adapted to p_brand alone (no p_container);
+        # the correlated 1/5-of-mean predicate compares integers:
+        # qty_c * 5 * cnt < sumq_c (exactly the pipeline's kernel)
+        "tpch_q17": (
+            "WITH li AS (SELECT l_partkey, "
+            "CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c, "
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#23'), "
+            "st AS (SELECT l_partkey, SUM(qty_c) AS sumq_c, COUNT(*) AS cnt "
+            "FROM li GROUP BY l_partkey) "
+            "SELECT ROUND(CAST(COALESCE(SUM(price_c), 0) AS DOUBLE)/100.0/7.0, 6) AS avg_yearly "
+            "FROM li JOIN st USING (l_partkey) WHERE qty_c * 5 * cnt < 1 * sumq_c"
+        ),
+        # TPC-H Q19 shape adapted (no shipmode/shipinstruct columns):
+        # disjunctive (brand, size-range, quantity-range) predicates
+        "tpch_q19": (
+            "SELECT ROUND(CAST(COALESCE(SUM("
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))), 0) AS DOUBLE)/10000.0, 2) AS revenue "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+            "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        # TPC-H Q22 shape adapted: c_nationkey is the country code (no
+        # c_phone) and dormancy is no-orders-since-2000 (every fixture
+        # customer has lifetime orders); the above-average test
+        # compares integers bal_c*cnt > sum_c, exactly the pipeline's
+        "tpch_q22": (
+            "WITH cc AS (SELECT c_custkey, c_nationkey AS cntrycode, "
+            "CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c FROM customer "
+            "WHERE c_nationkey IN (3, 8, 13, 18, 23)), "
+            "st AS (SELECT SUM(CASE WHEN bal_c > 0 THEN bal_c ELSE 0 END) AS sum_c, "
+            "SUM(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END) AS cnt FROM cc) "
+            "SELECT cntrycode, COUNT(*) AS numcust, "
+            "CAST(SUM(bal_c) AS DOUBLE)/100.0 AS totacctbal FROM cc, st "
+            "WHERE bal_c * cnt > sum_c AND NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY cntrycode ORDER BY cntrycode"
         ),
         # BM25 top-10 per fixed query: per-(doc,term) scores quantized
         # to int64 1e-9 units half-away BEFORE the per-query sum, so the

@@ -229,6 +229,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tpch_q14",
         "tpch_q18",
         "tpch_q4_late",
+        "tpch_q7",
+        "tpch_q13",
+        "tpch_q15",
+        "tpch_q17",
+        "tpch_q19",
+        "tpch_q22",
         "bm25_search",
         "doc_entropy",
         "events_value_histogram",
