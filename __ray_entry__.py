@@ -898,6 +898,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_rollup(sf_dir):
         return R.events_rollup(sf_dir)
 
+    def events_pivot(sf_dir):
+        # wide reshape: hour x event_type value sums, micros-exact
+        # int64 cells converted to double once at the end
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        types = ["click", "error", "purchase", "signup", "view"]
+
+        def derive(t: pa.Table) -> pa.Table:
+            ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            hour = ((ts // 3_600_000_000) * 3_600_000_000).astype("datetime64[us]")
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+            return pa.table({"hour": pa.array(hour), "event_type": t["event_type"], "v_u6": v})
+
+        ev = R.read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+            derive, batch_format="pyarrow", zero_copy_batch=True
+        )
+        wide = A.pivot(ev, "hour", "event_type", "v_u6",
+                       agg="sum", pivot_values=types, fill=0)
+        df = pd.DataFrame(wide.take_all())
+        if df.empty:
+            return pd.DataFrame({"hour": pd.Series(dtype="datetime64[us]"),
+                                 **{c: pd.Series(dtype=np.float64) for c in types}})
+        for c in types:
+            df[c] = df[c].astype(np.int64) / 1e6
+        return df.sort_values("hour").reset_index(drop=True)
+
     def frequent_part_pairs(sf_dir):
         from bloomfilter_multithread_ray.pipelines.itemsets import (
             frequent_part_pairs as FPP,
@@ -1170,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": embedding_covariance,
         "embedding_pca": embedding_pca,
         "events_rollup": events_rollup,
+        "events_pivot": events_pivot,
         "frequent_part_pairs": frequent_part_pairs,
     }
 
@@ -2310,6 +2339,17 @@ def oracle_sql() -> dict[str, str]:
             "SUM(vmic) / 1000000.0 AS sum_value "
             "FROM x GROUP BY GROUPING SETS ((event_type, day), (event_type), ()) "
             "ORDER BY event_type, day"
+        ),
+        # wide pivot: hour x event_type micros-exact value sums, one
+        # double conversion per cell at the end (empty combos -> 0)
+        "events_pivot": (
+            "SELECT date_trunc('hour', ts) AS hour, "
+            + ", ".join(
+                f"CAST(COALESCE(SUM(CAST(ROUND(value*1000000) AS BIGINT)) "
+                f"FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE)/1000000.0 AS {t}"
+                for t in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM events GROUP BY 1 ORDER BY 1"
         ),
         # SymSpell-blocked fuzzy vocabulary join, exact for dist <= 1
         "fuzzy_token_pairs": (

@@ -229,6 +229,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tpch_q14",
         "tpch_q18",
         "tpch_q4_late",
+        "events_pivot",
         "tpch_q7",
         "tpch_q13",
         "tpch_q15",

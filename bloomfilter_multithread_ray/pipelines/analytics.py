@@ -866,3 +866,80 @@ def profile_table(
         }
     )
     return out.sort_values("col").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- pivot
+def pivot(
+    ds: "Dataset",
+    index: str,
+    pivot_col: str,
+    value_col: str,
+    *,
+    agg: str = "sum",
+    pivot_values: list | None = None,
+    num_partitions: int = 16,
+    fill=0,
+) -> "Dataset":
+    """Wide reshape: one row per ``index`` value, one column per
+    ``pivot_col`` value, cells aggregating ``value_col`` (SQL
+    ``agg(...) FILTER (WHERE pivot = v)``). ``agg`` ∈ {sum, count,
+    min, max, mean}.
+
+    Plan: ``grouped_agg`` folds (index, pivot) partials map-side
+    first, so the only all-to-all moves one row per distinct
+    (index, pivot) pair — never the input; a second tiny shuffle
+    co-locates each index's ≤ |V| rows for the vectorized wide
+    reshape. When ``pivot_values`` is None they are discovered with a
+    count-distinct pass over just the pivot column (the SQL PIVOT
+    IN-list); at-scale callers pass the list explicitly and skip that
+    pass. Column names are ``str(v)``; combinations with no rows get
+    ``fill`` (pass ``fill=None`` to keep SQL's NULL).
+
+    Exactness: cells are whatever ``grouped_agg`` produces — pass an
+    int64-quantized value column for oracle-exact double sums (the
+    events_rollup discipline).
+    """
+    from .agg import _partition_of_keys, grouped_agg
+
+    if pivot_values is None:
+        pv = grouped_agg(
+            ds.select_columns([pivot_col]), pivot_col,
+            {"n": ("count", None)}, num_partitions=8,
+        ).to_pandas()
+        pivot_values = sorted(pv[pivot_col].tolist()) if len(pv) else []
+    values = list(pivot_values)
+    names = [str(v) for v in values]
+    if len(set(names)) != len(names) or index in names:
+        raise ValueError(f"pivot: ambiguous column names {names} (index={index!r})")
+
+    cells = grouped_agg(
+        ds.select_columns([index, pivot_col, value_col]),
+        [index, pivot_col], {"__v": (agg, value_col)},
+        num_partitions=num_partitions,
+    )
+
+    P = max(1, num_partitions // 2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        gp = _partition_of_keys(t, [index], P)
+        return t.append_column("__gp", pa.array(gp))
+
+    def reshape(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        wide = df.pivot_table(
+            index=index, columns=pivot_col, values="__v", aggfunc="first"
+        )
+        wide = wide.reindex(columns=values)
+        if fill is not None:
+            wide = wide.fillna(fill)
+            v_dtype = df["__v"].dtype
+            if np.issubdtype(v_dtype, np.integer) and isinstance(fill, int):
+                wide = wide.astype(v_dtype)
+        wide.columns = names
+        return pa.Table.from_pandas(wide.reset_index(), preserve_index=False)
+
+    return (
+        cells.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gp")
+        .map_groups(reshape, batch_format="pyarrow")
+    )

@@ -386,3 +386,54 @@ def test_profile_table_nulls_types_and_exact_distinct(ray_session):
     # -0.0 == 0.0 (one distinct value), 1.5 dup collapses
     assert out.loc["f", "n_nulls"] == 1 and out.loc["f", "n_distinct"] == 2
     assert out.loc["ts", "n_nulls"] == 1 and out.loc["ts", "n_distinct"] == 3
+
+
+def test_pivot_wide_reshape_fill_and_dtypes(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import pivot
+
+    t = pa.table({
+        "k": pa.array(["r1", "r1", "r2", "r2", "r1"], pa.string()),
+        "p": pa.array(["x", "y", "x", "x", "x"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 10], pa.int64()),
+    })
+    wide = pivot(ray.data.from_arrow(t), "k", "p", "v",
+                 agg="sum", pivot_values=["x", "y"], fill=0)
+    df = pd.DataFrame(wide.take_all()).sort_values("k").reset_index(drop=True)
+    # r1: x=1+10, y=2; r2: x=3+4, y missing -> fill 0 with int dtype kept
+    assert df.to_dict("records") == [
+        {"k": "r1", "x": 11, "y": 2},
+        {"k": "r2", "x": 7, "y": 0},
+    ]
+    assert df["y"].dtype == np.int64
+
+
+def test_pivot_discovery_null_fill_and_other_aggs(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import pivot
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b"], pa.string()),
+        "p": pa.array(["m", "n", "m"], pa.string()),
+        "v": pa.array([4.0, 6.0, 8.0], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t)
+    # discovery mode (no pivot_values) + fill=None keeps SQL NULL
+    wide = pd.DataFrame(
+        pivot(ds, "k", "p", "v", agg="mean", fill=None).take_all()
+    ).sort_values("k").reset_index(drop=True)
+    assert list(wide.columns) == ["k", "m", "n"]  # discovered + sorted
+    assert wide.loc[0, "m"] == 4.0 and wide.loc[0, "n"] == 6.0
+    assert wide.loc[1, "m"] == 8.0 and pd.isna(wide.loc[1, "n"])
+    # ambiguous wide names must raise, not silently collide
+    with pytest.raises(ValueError):
+        pivot(ds, "k", "p", "v", pivot_values=["m", "m"])
+    with pytest.raises(ValueError):
+        pivot(ds, "k", "p", "v", pivot_values=["k"])
