@@ -42,6 +42,20 @@ if TYPE_CHECKING:
 
 _HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
+#: default right-side size under which ``broadcast="auto"`` picks the
+#: map-only plan: the broadcast copy lives ONCE in plasma (zero-copy
+#: reads per task), so the bound is per-node object-store headroom,
+#: not per-task heap × concurrency.
+AUTO_BROADCAST_BYTES = 64 << 20
+
+
+def choose_broadcast(right_bytes: int | None, threshold: int = AUTO_BROADCAST_BYTES) -> bool:
+    """Planner rule for ``broadcast="auto"``: broadcast iff the
+    materialized right side is known and under ``threshold`` bytes.
+    Unknown size (None) chooses the shuffle plan — the safe default at
+    scale."""
+    return right_bytes is not None and right_bytes <= threshold
+
 
 def _key_hash(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(uint64 key hashes, valid mask) for an int or string key column.
@@ -151,9 +165,10 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 64,
     suffix: str = "_r",
-    broadcast: bool = False,
+    broadcast: bool | str = False,
     bloom_prefilter: bool = False,
     bloom_bits: int = 1 << 23,
+    broadcast_threshold: int = AUTO_BROADCAST_BYTES,
 ) -> "Dataset":
     """Distributed equi-join; returns a Dataset (lazy, streaming).
 
@@ -169,6 +184,15 @@ def hash_join(
     in a worker's heap. ``full``/``right`` are not broadcastable (the
     right side's unmatched rows would be emitted once per left block).
 
+    ``broadcast="auto"`` is the cost-based planner: the right side
+    materializes once (both candidate plans consume the materialized
+    copy, so nothing re-executes) and the plan is chosen by its actual
+    byte size via :func:`choose_broadcast` — broadcast when it fits
+    ``broadcast_threshold``, shuffle otherwise.  ``right``/``full``
+    always shuffle (not broadcastable).  A ``bloom_prefilter`` hint
+    applies only when the shuffle plan is chosen (the broadcast plan
+    has no shuffle volume to save).
+
     ``bloom_prefilter=True`` is the classic Bloom join for the
     shuffle plan: a Bloom filter of the right side's key hashes is
     built first (right side is materialized so it isn't re-executed)
@@ -182,6 +206,16 @@ def hash_join(
     """
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}")
+    if broadcast == "auto":
+        if how in ("right", "full"):
+            broadcast = False
+        else:
+            right = right.materialize()
+            broadcast = choose_broadcast(right.size_bytes(), broadcast_threshold)
+        if broadcast:
+            bloom_prefilter = False  # map-only plan: nothing to prefilter
+    elif not isinstance(broadcast, bool):
+        raise ValueError(f"broadcast must be a bool or 'auto', got {broadcast!r}")
     if broadcast:
         if how in ("right", "full"):
             raise ValueError(f"broadcast join does not support how={how!r}")

@@ -365,3 +365,36 @@ def test_broadcast_with_bloom_prefilter_rejected():
         hash_join(
             _mk(left, 1), _mk(right, 1), on="k", broadcast=True, bloom_prefilter=True
         )
+
+
+def test_choose_broadcast_rule():
+    from bloomfilter_multithread_ray.pipelines.join import choose_broadcast
+
+    assert choose_broadcast(1 << 20, threshold=64 << 20)
+    assert choose_broadcast(64 << 20, threshold=64 << 20)  # inclusive
+    assert not choose_broadcast((64 << 20) + 1, threshold=64 << 20)
+    assert not choose_broadcast(None)  # unknown size -> shuffle (safe)
+
+
+def test_auto_broadcast_matches_both_plans(sides):
+    left, right = sides
+    kw = dict(on="k", how="inner")
+    ref = hash_join(_mk(left), _mk(right), num_partitions=8, **kw).to_pandas()
+    cols = list(ref.columns)
+    # tiny right side -> auto picks broadcast; tiny threshold -> shuffle;
+    # both must produce the reference result
+    got_b = hash_join(_mk(left), _mk(right), broadcast="auto", **kw).to_pandas()
+    got_s = hash_join(
+        _mk(left), _mk(right), broadcast="auto", broadcast_threshold=0, **kw
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got_b, cols), _sorted(ref, cols), check_dtype=False)
+    pd.testing.assert_frame_equal(_sorted(got_s, cols), _sorted(ref, cols), check_dtype=False)
+    # auto on right/full falls back to the shuffle plan instead of raising
+    fj = hash_join(_mk(left), _mk(right), on="k", how="full", broadcast="auto").to_pandas()
+    fj_ref = hash_join(_mk(left), _mk(right), on="k", how="full").to_pandas()
+    assert len(fj) == len(fj_ref)
+    # auto + bloom_prefilter hint: valid (prefilter only applies on shuffle)
+    hb = hash_join(_mk(left), _mk(right), broadcast="auto", bloom_prefilter=True, **kw).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(hb, cols), _sorted(ref, cols), check_dtype=False)
+    with pytest.raises(ValueError):
+        hash_join(_mk(left), _mk(right), broadcast="always", **kw)
