@@ -1045,6 +1045,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return T.tpch_q22(sf_dir)
 
+    def tpch_q2(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q2(sf_dir)
+
+    def tpch_q8(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q8(sf_dir)
+
+    def tpch_q9(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q9(sf_dir)
+
+    def tpch_q16(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q16(sf_dir)
+
+    def tpch_q21(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q21(sf_dir)
+
     def bm25_search(sf_dir):
         from bloomfilter_multithread_ray.pipelines.retrieval import bm25_search as bm
 
@@ -1185,6 +1210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": tpch_q17,
         "tpch_q19": tpch_q19,
         "tpch_q22": tpch_q22,
+        "tpch_q2": tpch_q2,
+        "tpch_q8": tpch_q8,
+        "tpch_q9": tpch_q9,
+        "tpch_q16": tpch_q16,
+        "tpch_q21": tpch_q21,
         "bm25_search": bm25_search,
         "doc_entropy": doc_entropy,
         "events_value_histogram": events_value_histogram,
@@ -2199,6 +2229,97 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY cntrycode ORDER BY cntrycode"
+        ),
+        # TPC-H Q2 shape adapted: part↔supplier relation is the
+        # DISTINCT lineitem (partkey, suppkey) pairs (no partsupp), the
+        # correlated MIN is over s_acctbal in exact cents, part filter
+        # is p_size alone
+        "tpch_q2": (
+            "WITH rs AS (SELECT s_suppkey, s_name, n_name, "
+            "CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c "
+            "FROM supplier JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'), "
+            "pp AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15), "
+            "pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem "
+            "JOIN pp ON p_partkey = l_partkey), "
+            "cand AS (SELECT l_partkey AS p_partkey, p_name, bal_c, s_name, n_name "
+            "FROM pairs JOIN pp ON pp.p_partkey = l_partkey "
+            "JOIN rs ON s_suppkey = l_suppkey) "
+            "SELECT CAST(bal_c AS DOUBLE)/100.0 AS s_acctbal, s_name, n_name, "
+            "p_partkey, p_name FROM cand c "
+            "WHERE bal_c = (SELECT MIN(bal_c) FROM cand c2 "
+            "WHERE c2.p_partkey = c.p_partkey) "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        # TPC-H Q8 shape: target nation's share of in-region ECONOMY
+        # revenue by order year; volume is exact u4 price*(1-disc)
+        "tpch_q8": (
+            "WITH rn AS (SELECT n_nationkey FROM nation "
+            "JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA'), "
+            "base AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_u4, s_nationkey "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE p_type = 'ECONOMY' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND c_nationkey IN (SELECT n_nationkey FROM rn)) "
+            "SELECT o_year, ROUND(CAST(SUM(CASE WHEN s_nationkey = 7 "
+            "THEN vol_u4 ELSE 0 END) AS DOUBLE) / CAST(SUM(vol_u4) AS DOUBLE), 6) "
+            "AS mkt_share FROM base GROUP BY o_year ORDER BY o_year"
+        ),
+        # TPC-H Q9 shape adapted: profit is exact u4 price*(1-disc)
+        # (no ps_supplycost), parts matched by name substring
+        "tpch_q9": (
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 "
+            "AS sum_profit "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE p_name LIKE '%red%' "
+            "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+        ),
+        # TPC-H Q16 shape adapted: DISTINCT lineitem pairs stand in for
+        # partsupp, type exclusion is equality, complaint suppliers are
+        # s_acctbal < 0
+        "tpch_q16": (
+            "SELECT p_brand, p_type, p_size, "
+            "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs "
+            "JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+            "WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        # TPC-H Q21 shape adapted: lateness is shipdate >= orderdate+30d
+        # (no commitdate/receiptdate); sole-late-supplier on a
+        # multi-supplier finished order
+        "tpch_q21": (
+            "WITH lo AS (SELECT l_orderkey, l_suppkey, "
+            "(l_shipdate >= o_orderdate + INTERVAL 30 DAY) AS late "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "pairs AS (SELECT l_orderkey, l_suppkey, "
+            "MAX(CASE WHEN late THEN 1 ELSE 0 END) AS late "
+            "FROM lo GROUP BY l_orderkey, l_suppkey), "
+            "st AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late "
+            "FROM pairs GROUP BY l_orderkey) "
+            "SELECT s_name, COUNT(*) AS numwait "
+            "FROM pairs JOIN st USING (l_orderkey) "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE pairs.late = 1 AND n_supp > 1 AND n_late = 1 "
+            "AND n_name = 'NATION_3' "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         # BM25 top-10 per fixed query: per-(doc,term) scores quantized
         # to int64 1e-9 units half-away BEFORE the per-query sum, so the

@@ -236,6 +236,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tpch_q17",
         "tpch_q19",
         "tpch_q22",
+        "tpch_q2",
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q16",
+        "tpch_q21",
         "bm25_search",
         "doc_entropy",
         "events_value_histogram",

@@ -469,3 +469,516 @@ def tpch_q22(
         "totacctbal": df["bal_sum_c"].astype(np.int64) / 100.0,
     })
     return out.sort_values("cntrycode").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- TPC-H Q8
+def tpch_q8(
+    sf_dir: str,
+    target_nation: str = "NATION_7",
+    region: str = "ASIA",
+    p_type: str = "ECONOMY",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> pd.DataFrame:
+    """National market share (TPC-H Q8 shape): the target nation's
+    share of in-region revenue for one part type, by order year.
+
+    Fixture adaptation: volume is price*(1-discount) as everywhere
+    (no ps_supplycost), and p_type is an exact match (the fixture's
+    type domain is 6 flat labels, not the 150 three-word combos).
+
+    Plan: nation/region (25/5 rows) resolve the target key and the
+    region's nation set on the driver.  The type-filtered part keys
+    (~1/6 of part) Bloom-prefilter lineitem BEFORE its first exchange;
+    the date-filtered orders side prefilters the join to lineitem the
+    same way, so both big tables shed most rows pre-shuffle.  Supplier
+    (for s_nationkey) and region-filtered customer join next — the
+    customer filter applies to numerator AND denominator, the supplier
+    nation only gates the numerator, evaluated vectorized post-join.
+    One grouped_agg folds per-year (num_u4, den_u4) exact partials;
+    the driver divides once per year (2 rows).
+    """
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    if rkey.empty:
+        raise ValueError(f"unknown region {region!r}")
+    region_nations = pa.array(
+        nat.loc[nat["n_regionkey"] == int(rkey.iloc[0]), "n_nationkey"].astype(int).tolist(),
+        pa.int32(),
+    )
+    tgt = nat.loc[nat["n_name"] == target_nation, "n_nationkey"]
+    if tgt.empty:
+        raise ValueError(f"unknown nation {target_nation!r}")
+    tgt_key = int(tgt.iloc[0])
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], p_type)).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def li_derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "vol_u4": _u4(t),
+        })
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+    li_p = hash_join(li, part, on="l_partkey", right_on="p_partkey",
+                     how="semi", bloom_prefilter=True)
+
+    def ord_derive(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        t = t.filter(m)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int32()),
+        })
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_derive, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = hash_join(li_p, orders, on="l_orderkey", right_on="o_orderkey",
+                   how="inner", bloom_prefilter=True)
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=region_nations))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = hash_join(j1, cust, on="o_custkey", right_on="c_custkey",
+                   how="semi", bloom_prefilter=True)
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j3 = hash_join(j2, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+
+    def shares(t: pa.Table) -> pa.Table:
+        vol = t["vol_u4"].to_numpy(zero_copy_only=False)
+        is_tgt = t["s_nationkey"].to_numpy(zero_copy_only=False) == tgt_key
+        return pa.table({
+            "o_year": t["o_year"],
+            "num_u4": np.where(is_tgt, vol, 0),
+            "den_u4": vol,
+        })
+
+    sums = grouped_agg(
+        j3.map_batches(shares, batch_format="pyarrow", zero_copy_batch=True),
+        "o_year", {"num_u4": ("sum", "num_u4"), "den_u4": ("sum", "den_u4")},
+        num_partitions=4,
+    )
+    df = pd.DataFrame(sums.take_all())
+    if df.empty:
+        return pd.DataFrame({
+            "o_year": pd.Series(dtype=np.int32),
+            "mkt_share": pd.Series(dtype=np.float64),
+        })
+    out = pd.DataFrame({
+        "o_year": df["o_year"].astype(np.int32),
+        "mkt_share": (
+            df["num_u4"].astype(np.int64) / df["den_u4"].astype(np.int64)
+        ).round(6),
+    })
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- TPC-H Q9
+def tpch_q9(sf_dir: str, name_token: str = "red") -> pd.DataFrame:
+    """Product-type profit (TPC-H Q9 shape): revenue from parts whose
+    name contains a token, by supplier nation and order year.
+
+    Fixture adaptation: profit is price*(1-discount) exact u4 (the
+    generator has no ps_supplycost to subtract).
+
+    Plan: the name-matched part keys (~1/k of part) Bloom-prefilter
+    lineitem before any exchange; orders joins on orderkey for the
+    year with the (already small) lineitem side prefiltering ORDERS —
+    the probe direction flips because here the fact side is the
+    filtered one.  Supplier joins for s_nationkey; one grouped_agg
+    folds (nationkey, year) sums and the 25-row nation map decorates
+    on the driver.
+    """
+    part = read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["p_name"], name_token)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def li_derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "profit_u4": _u4(t),
+        })
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+    li_p = hash_join(li, part, on="l_partkey", right_on="p_partkey",
+                     how="semi", bloom_prefilter=True)
+
+    def ord_derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int32()),
+        })
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        ord_derive, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    # the FILTERED lineitem side is the small one here: make it the
+    # right/build side so its Bloom prunes the full orders scan
+    j1 = hash_join(orders, li_p, on="o_orderkey", right_on="l_orderkey",
+                   how="inner", bloom_prefilter=True)
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j2 = hash_join(j1, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+
+    sums = grouped_agg(
+        j2.select_columns(["s_nationkey", "o_year", "profit_u4"]),
+        ["s_nationkey", "o_year"], {"profit_u4": ("sum", "profit_u4")},
+        num_partitions=8,
+    )
+    df = pd.DataFrame(sums.take_all())
+    if df.empty:
+        return pd.DataFrame({
+            "nation": pd.Series(dtype=object),
+            "o_year": pd.Series(dtype=np.int32),
+            "sum_profit": pd.Series(dtype=np.float64),
+        })
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"].astype(str)))
+    out = pd.DataFrame({
+        "nation": df["s_nationkey"].astype(int).map(nmap),
+        "o_year": df["o_year"].astype(np.int32),
+        "sum_profit": df["profit_u4"].astype(np.int64) / 10000.0,
+    })
+    return out.sort_values(
+        ["nation", "o_year"], ascending=[True, False]
+    ).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- TPC-H Q2
+def tpch_q2(
+    sf_dir: str,
+    size: int = 15,
+    region: str = "EUROPE",
+    limit: int = 100,
+) -> pd.DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): for each size-matched
+    part, the in-region supplier(s) with the minimum account balance.
+
+    Fixture adaptations: the part↔supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) pairs observed in lineitem (no partsupp
+    table), the correlated minimum is over s_acctbal (no
+    ps_supplycost), and the part filter is p_size alone (the type
+    domain is 6 flat labels; a compound filter empties at tiny SF).
+
+    Plan: the size-matched part keys Bloom-prefilter lineitem before
+    any exchange; the pair-distinct folds map-side in the same
+    grouped_agg shuffle.  Region suppliers resolve their nation gate
+    from the driver-side 25-row nation map and join the (already
+    tiny) pair set.  The correlated MIN evaluates INSIDE one
+    partkey-hash partition (q17's kernel shape: np groupby → per-part
+    min in exact cents → equality keep), so there is no join-back.
+    Part names decorate the ≤limit winners at the end.
+    """
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    if rkey.empty:
+        raise ValueError(f"unknown region {region!r}")
+    rnat = nat.loc[nat["n_regionkey"] == int(rkey.iloc[0])]
+    region_nations = pa.array(rnat["n_nationkey"].astype(int).tolist(), pa.int32())
+    nmap = dict(zip(rnat["n_nationkey"].astype(int), rnat["n_name"].astype(str)))
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_size", "p_name"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_size"], size)).select(["p_partkey", "p_name"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # consumed twice: key prefilter + final name decorate
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    li_p = hash_join(
+        li, part.select_columns(["p_partkey"]),
+        on="l_partkey", right_on="p_partkey", how="semi", bloom_prefilter=True,
+    )
+    pairs = grouped_agg(
+        li_p, ["l_partkey", "l_suppkey"], {"__n": ("count", None)}, num_partitions=16
+    ).select_columns(["l_partkey", "l_suppkey"])
+
+    def supp_derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["s_nationkey"], value_set=region_nations))
+        bal_c = np.rint(t["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "s_name": t["s_name"],
+            "s_nationkey": t["s_nationkey"],
+            "bal_c": bal_c,
+        })
+
+    supp = read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    ).map_batches(supp_derive, batch_format="pyarrow", zero_copy_batch=True)
+    cand = hash_join(pairs, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+
+    P = 8
+
+    def tag(t: pa.Table) -> pa.Table:
+        gp = _partition_of_keys(t, ["l_partkey"], P)
+        return t.append_column("__gp", pa.array(gp))
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        bal = g["bal_c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk_s, bal_s = pk[order], bal[order]
+        starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+        gid = np.cumsum(np.r_[0, (pk_s[1:] != pk_s[:-1]).astype(np.int64)])
+        mins = np.minimum.reduceat(bal_s, starts)
+        keep_sorted = bal_s == mins[gid]
+        keep = np.empty(len(g), dtype=bool)
+        keep[order] = keep_sorted
+        return g.filter(pa.array(keep)).drop_columns(["__gp"])
+
+    winners = (
+        cand.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gp")
+        .map_groups(keep_min, batch_format="pyarrow")
+    )
+    df = pd.DataFrame(winners.take_all())
+    if df.empty:
+        return pd.DataFrame({
+            "s_acctbal": pd.Series(dtype=np.float64),
+            "s_name": pd.Series(dtype=object),
+            "n_name": pd.Series(dtype=object),
+            "p_partkey": pd.Series(dtype=np.int64),
+            "p_name": pd.Series(dtype=object),
+        })
+    names = part.to_pandas()  # size-filtered only: tiny
+    pmap = dict(zip(names["p_partkey"].astype(int), names["p_name"].astype(str)))
+    out = pd.DataFrame({
+        "s_acctbal": df["bal_c"].astype(np.int64) / 100.0,
+        "s_name": df["s_name"],
+        "n_name": df["s_nationkey"].astype(int).map(nmap),
+        "p_partkey": df["l_partkey"].astype(np.int64),
+        "p_name": df["l_partkey"].astype(int).map(pmap),
+    })
+    return (
+        out.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True],
+        )
+        .head(limit)
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q16
+def tpch_q16(
+    sf_dir: str,
+    exclude_brand: str = "Brand#45",
+    exclude_type: str = "PROMO",
+    sizes: Sequence[int] = (1, 4, 9, 14, 19, 23, 36, 45),
+) -> pd.DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): distinct supplier
+    count per (brand, type, size) over the filtered part universe.
+
+    Fixture adaptations: the part↔supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) pairs from lineitem (no partsupp), the
+    type exclusion is equality (6 flat labels, no 'MEDIUM POLISHED%'
+    prefixes), and the complaint-supplier exclusion is s_acctbal < 0
+    (no s_comment).
+
+    Plan: the filtered part side (keys + attrs) Bloom-prefilters
+    lineitem; the pair-distinct AND the (brand,type,size,supplier)
+    distinct fold in grouped_agg shuffles (map-side combined);
+    negative-balance suppliers drop via a hash anti-join BEFORE the
+    distinct so excluded pairs never reach the count.  The final
+    count-distinct is a count over the already-distinct 4-tuples.
+    """
+    size_set = pa.array(list(sizes), pa.int32())
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.not_equal(t["p_brand"], exclude_brand),
+                pc.not_equal(t["p_type"], exclude_type),
+            ),
+            pc.is_in(pc.cast(t["p_size"], pa.int32()), value_set=size_set),
+        )
+        return t.filter(m).select(["p_partkey", "p_brand", "p_type", "p_size"])
+
+    part = read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(part_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pairs = grouped_agg(
+        hash_join(li, part.select_columns(["p_partkey"]),
+                  on="l_partkey", right_on="p_partkey",
+                  how="semi", bloom_prefilter=True),
+        ["l_partkey", "l_suppkey"], {"__n": ("count", None)}, num_partitions=16,
+    ).select_columns(["l_partkey", "l_suppkey"])
+
+    bad = read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]).map_batches(
+        lambda t: t.filter(pc.less(t["s_acctbal"], 0.0)).select(["s_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs_ok = hash_join(pairs, bad, on="l_suppkey", right_on="s_suppkey", how="anti")
+
+    dec = hash_join(pairs_ok, part, on="l_partkey", right_on="p_partkey", how="inner")
+    quads = grouped_agg(
+        dec.select_columns(["p_brand", "p_type", "p_size", "l_suppkey"]),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        {"__n": ("count", None)}, num_partitions=16,
+    )
+    counts = grouped_agg(
+        quads.select_columns(["p_brand", "p_type", "p_size"]),
+        ["p_brand", "p_type", "p_size"],
+        {"supplier_cnt": ("count", None)}, num_partitions=8,
+    )
+    df = pd.DataFrame(counts.take_all())
+    if df.empty:
+        return pd.DataFrame({
+            "p_brand": pd.Series(dtype=object),
+            "p_type": pd.Series(dtype=object),
+            "p_size": pd.Series(dtype=np.int32),
+            "supplier_cnt": pd.Series(dtype=np.int64),
+        })
+    out = pd.DataFrame({
+        "p_brand": df["p_brand"],
+        "p_type": df["p_type"],
+        "p_size": df["p_size"].astype(np.int32),
+        "supplier_cnt": df["supplier_cnt"].astype(np.int64),
+    })
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- TPC-H Q21
+def tpch_q21(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    late_days: int = 30,
+    limit: int = 100,
+) -> pd.DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): on a
+    finished multi-supplier order, the supplier was the ONLY one late.
+
+    Fixture adaptations: "late" is l_shipdate >= o_orderdate +
+    late_days (no l_commitdate/l_receiptdate), matching q4_late's
+    lateness notion.
+
+    Plan: status-'F' orders (keys + dates) Bloom-prefilter lineitem
+    before the join exchange; the joined rows hash-partition ONCE by
+    orderkey and the whole EXISTS / NOT-EXISTS pair evaluates inside
+    the partition kernel (np lexsort → per-(order,supplier) late-any
+    via maximum.reduceat → per-order supplier/late counts → qualify
+    late ∧ n_supp>1 ∧ n_late==1), emitting per-partition (suppkey,
+    partial count) rows — the second exchange is one grouped_agg over
+    ≤ suppliers×P rows.  The nation gate and name decorate at the
+    end on the ≤limit winners (supplier is SF-proportional: a proper
+    shuffle join, not a driver map).
+    """
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    tgt = nat.loc[nat["n_name"] == nation, "n_nationkey"]
+    if tgt.empty:
+        raise ValueError(f"unknown nation {nation!r}")
+    tgt_key = int(tgt.iloc[0])
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                  how="inner", bloom_prefilter=True)
+
+    P = 16
+
+    def tag(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        odate = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        out = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "late": (ship >= odate + late_us).astype(np.int64),
+        })
+        gp = _partition_of_keys(out, ["l_orderkey"], P)
+        return out.append_column("__gp", pa.array(gp))
+
+    def qualify(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        late = g["late"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok_s, sk_s, late_s = ok[order], sk[order], late[order]
+        # distinct (order, supplier) with late-any
+        new_pair = np.r_[True, (ok_s[1:] != ok_s[:-1]) | (sk_s[1:] != sk_s[:-1])]
+        pstarts = np.flatnonzero(new_pair)
+        p_ok = ok_s[pstarts]
+        p_sk = sk_s[pstarts]
+        p_late = np.maximum.reduceat(late_s, pstarts)
+        # per-order supplier count and late-supplier count
+        new_ord = np.r_[True, p_ok[1:] != p_ok[:-1]]
+        ostarts = np.flatnonzero(new_ord)
+        n_supp = np.diff(np.r_[ostarts, len(p_ok)])
+        n_late = np.add.reduceat(p_late, ostarts)
+        gid = np.cumsum(np.r_[0, new_ord[1:].astype(np.int64)])
+        win = (p_late == 1) & (n_supp[gid] > 1) & (n_late[gid] == 1)
+        if not win.any():
+            return pa.table({
+                "l_suppkey": pa.array([], pa.int64()),
+                "numwait": pa.array([], pa.int64()),
+            })
+        wsk = p_sk[win]
+        wsort = np.sort(wsk)
+        sstarts = np.flatnonzero(np.r_[True, wsort[1:] != wsort[:-1]])
+        return pa.table({
+            "l_suppkey": wsort[sstarts],
+            "numwait": np.diff(np.r_[sstarts, len(wsort)]).astype(np.int64),
+        })
+
+    partials = (
+        j.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gp")
+        .map_groups(qualify, batch_format="pyarrow")
+    )
+    waits = grouped_agg(
+        partials, "l_suppkey", {"numwait": ("sum", "numwait")}, num_partitions=4
+    )
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        lambda t: t.filter(pc.equal(pc.cast(t["s_nationkey"], pa.int32()), tgt_key))
+                   .select(["s_suppkey", "s_name"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    dec = hash_join(waits, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    df = pd.DataFrame(dec.take_all())
+    if df.empty:
+        return pd.DataFrame({
+            "s_name": pd.Series(dtype=object),
+            "numwait": pd.Series(dtype=np.int64),
+        })
+    out = pd.DataFrame({
+        "s_name": df["s_name"],
+        "numwait": df["numwait"].astype(np.int64),
+    })
+    return (
+        out.sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(limit)
+        .reset_index(drop=True)
+    )
