@@ -1070,6 +1070,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return T.tpch_q21(sf_dir)
 
+    def tpch_q11(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q11(sf_dir)
+
+    def tpch_q12(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q12(sf_dir)
+
+    def tpch_q20(sf_dir):
+        from bloomfilter_multithread_ray.pipelines import tpch as T
+
+        return T.tpch_q20(sf_dir)
+
     def bm25_search(sf_dir):
         from bloomfilter_multithread_ray.pipelines.retrieval import bm25_search as bm
 
@@ -1215,6 +1230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q9": tpch_q9,
         "tpch_q16": tpch_q16,
         "tpch_q21": tpch_q21,
+        "tpch_q11": tpch_q11,
+        "tpch_q12": tpch_q12,
+        "tpch_q20": tpch_q20,
         "bm25_search": bm25_search,
         "doc_entropy": doc_entropy,
         "events_value_histogram": events_value_histogram,
@@ -2320,6 +2338,53 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pairs.late = 1 AND n_supp > 1 AND n_late = 1 "
             "AND n_name = 'NATION_3' "
             "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+        ),
+        # TPC-H Q11 shape adapted: part value is the exact-u4 lineitem
+        # revenue of one nation's suppliers (no ps_supplycost*availqty);
+        # threshold compare is integer-exact on both sides
+        "tpch_q11": (
+            "WITH pv AS (SELECT l_partkey, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS val_u4 "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE n_name = 'NATION_3' GROUP BY l_partkey) "
+            "SELECT l_partkey AS p_partkey, CAST(val_u4 AS DOUBLE)/10000.0 AS value "
+            "FROM pv WHERE val_u4 * 1000 > (SELECT SUM(val_u4) FROM pv) * 2 "
+            "ORDER BY value DESC, p_partkey"
+        ),
+        # TPC-H Q12 shape adapted: the shipping class is lateness
+        # (shipped >= 30d after order date; no l_shipmode/receiptdate)
+        "tpch_q12": (
+            "SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 30 DAY "
+            "THEN 'LATE' ELSE 'ONTIME' END AS ship_class, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # TPC-H Q20 shape adapted: "dominates" = shipped more than half
+        # the part's window quantity (no partsupp.availqty), supplier
+        # gate is a region; quantity compare is integer-exact in cents
+        "tpch_q20": (
+            "WITH li AS (SELECT l_partkey, l_suppkey, "
+            "CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_name LIKE '%red%' "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01'), "
+            "ps AS (SELECT l_partkey, l_suppkey, SUM(qty_c) AS sq "
+            "FROM li GROUP BY 1, 2), "
+            "pt AS (SELECT l_partkey, SUM(sq) AS tot FROM ps GROUP BY 1) "
+            "SELECT DISTINCT s_name FROM ps JOIN pt USING (l_partkey) "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE 2*sq > tot AND r_name = 'EUROPE' ORDER BY s_name"
         ),
         # BM25 top-10 per fixed query: per-(doc,term) scores quantized
         # to int64 1e-9 units half-away BEFORE the per-query sum, so the

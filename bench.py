@@ -241,6 +241,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tpch_q9",
         "tpch_q16",
         "tpch_q21",
+        "tpch_q11",
+        "tpch_q12",
+        "tpch_q20",
         "bm25_search",
         "doc_entropy",
         "events_value_histogram",

@@ -982,3 +982,264 @@ def tpch_q21(
         .head(limit)
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q11
+def tpch_q11(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    frac_num: int = 2,
+    frac_den: int = 1000,
+) -> pd.DataFrame:
+    """Important stock identification (TPC-H Q11 shape): parts whose
+    one-nation value exceeds a fraction of that nation's total.
+
+    Fixture adaptations: part value is the exact-u4 sum of
+    l_extendedprice*(1-l_discount) over the nation's suppliers'
+    lineitems (no ps_supplycost*ps_availqty), and the fraction is
+    ``frac_num/frac_den`` (the classic 0.0001/SF doesn't transfer to
+    the fixture's flat 100-supplier table).
+
+    Plan: the nation's supplier keys Bloom-prefilter lineitem before
+    any exchange; ONE grouped_agg folds exact per-part u4 sums (≤
+    |part| rows), which materialize once because they are consumed
+    twice — a streaming global sum, then the threshold filter.  The
+    comparison is integer-exact (value·den > total·num); only
+    qualifying rows reach the driver.
+    """
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    tgt = nat.loc[nat["n_name"] == nation, "n_nationkey"]
+    if tgt.empty:
+        raise ValueError(f"unknown nation {nation!r}")
+    tgt_key = int(tgt.iloc[0])
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.cast(t["s_nationkey"], pa.int32()), tgt_key)
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def li_derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "val_u4": _u4(t),
+        })
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+    li_n = hash_join(li, supp, on="l_suppkey", right_on="s_suppkey",
+                     how="semi", bloom_prefilter=True)
+
+    per_part = grouped_agg(
+        li_n, "l_partkey", {"val_u4": ("sum", "val_u4")}, num_partitions=16
+    ).materialize()  # ≤ |part| rows; consumed twice (total, filter)
+    if per_part.count() == 0:
+        return pd.DataFrame({
+            "p_partkey": pd.Series(dtype=np.int64),
+            "value": pd.Series(dtype=np.float64),
+        })
+    total_u4 = per_part.sum("val_u4")
+
+    winners = per_part.map_batches(
+        lambda t: t.filter(pa.array(
+            t["val_u4"].to_numpy(zero_copy_only=False) * frac_den
+            > total_u4 * frac_num
+        )),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    df = pd.DataFrame(winners.take_all())
+    if df.empty:
+        return pd.DataFrame({
+            "p_partkey": pd.Series(dtype=np.int64),
+            "value": pd.Series(dtype=np.float64),
+        })
+    out = pd.DataFrame({
+        "p_partkey": df["l_partkey"].astype(np.int64),
+        "value": df["val_u4"].astype(np.int64) / 10000.0,
+    })
+    return out.sort_values(
+        ["value", "p_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- TPC-H Q12
+def tpch_q12(
+    sf_dir: str,
+    late_days: int = 30,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+) -> pd.DataFrame:
+    """Shipping modes & order priority (TPC-H Q12 shape): per shipping
+    class, how many high- vs low-priority order lines it carried.
+
+    Fixture adaptations: the class is lateness (LATE = shipped >=
+    late_days after the order date, ONTIME otherwise — no l_shipmode),
+    the window filters l_shipdate (no l_receiptdate), and high
+    priority is o_orderpriority ∈ {1-URGENT, 2-HIGH} as in the
+    original.
+
+    Plan: the window-filtered lineitem keeps only (orderkey, shipdate);
+    orders Bloom-prune against it in the one shuffle join; the bucket
+    and both conditional counts evaluate vectorized post-join and fold
+    in a 2-row grouped_agg.
+    """
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+        )),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = hash_join(orders, li, on="o_orderkey", right_on="l_orderkey",
+                  how="inner", bloom_prefilter=True)
+
+    def classify(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        odate = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = (pri == "1-URGENT") | (pri == "2-HIGH")
+        late = ship >= odate + late_us
+        return pa.table({
+            "ship_class": np.where(late, "LATE", "ONTIME"),
+            "high_line_count": high.astype(np.int64),
+            "low_line_count": (~high).astype(np.int64),
+        })
+
+    sums = grouped_agg(
+        j.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True),
+        "ship_class",
+        {"high_line_count": ("sum", "high_line_count"),
+         "low_line_count": ("sum", "low_line_count")},
+        num_partitions=2,
+    )
+    df = pd.DataFrame(sums.take_all())
+    if df.empty:
+        return pd.DataFrame({
+            "ship_class": pd.Series(dtype=object),
+            "high_line_count": pd.Series(dtype=np.int64),
+            "low_line_count": pd.Series(dtype=np.int64),
+        })
+    df["high_line_count"] = df["high_line_count"].astype(np.int64)
+    df["low_line_count"] = df["low_line_count"].astype(np.int64)
+    return df.sort_values("ship_class").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- TPC-H Q20
+def tpch_q20(
+    sf_dir: str,
+    name_token: str = "red",
+    region: str = "EUROPE",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> pd.DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): in-region suppliers
+    who dominated some name-matched part's supply in a year.
+
+    Fixture adaptations: with no partsupp.availqty, "dominates" means
+    the supplier shipped MORE THAN HALF of the part's total quantity
+    in the window (the same half-of-shipped-quantity scalar the
+    original compares availqty against), and the supplier gate is a
+    region (a single fixture nation holds ~4 suppliers — too brittle
+    at tiny SF).
+
+    Plan: the name-matched part keys Bloom-prefilter the window-
+    filtered lineitem before its one exchange; inside each
+    partkey-hash partition the kernel folds per-(part, supplier)
+    quantity sums AND part totals, emitting the distinct qualifying
+    suppliers per partition (integer-exact: 2·qty > total).  A tiny
+    grouped_agg dedups suppliers across partitions and the
+    region-filtered supplier table decorates names in the final join.
+    """
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    if rkey.empty:
+        raise ValueError(f"unknown region {region!r}")
+    region_nations = pa.array(
+        nat.loc[nat["n_regionkey"] == int(rkey.iloc[0]), "n_nationkey"]
+        .astype(int).tolist(),
+        pa.int32(),
+    )
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["p_name"], name_token)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def li_derive(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        qty_c = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "qty_c": qty_c,
+        })
+
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
+    li_p = hash_join(li, part, on="l_partkey", right_on="p_partkey",
+                     how="semi", bloom_prefilter=True)
+
+    P = 8
+
+    def tag(t: pa.Table) -> pa.Table:
+        gp = _partition_of_keys(t, ["l_partkey"], P)
+        return t.append_column("__gp", pa.array(gp))
+
+    def dominators(g: pa.Table) -> pa.Table:
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        qty = g["qty_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        pk_s, sk_s, qty_s = pk[order], sk[order], qty[order]
+        new_pair = np.r_[True, (pk_s[1:] != pk_s[:-1]) | (sk_s[1:] != sk_s[:-1])]
+        pstarts = np.flatnonzero(new_pair)
+        pair_pk = pk_s[pstarts]
+        pair_sk = sk_s[pstarts]
+        pair_qty = np.add.reduceat(qty_s, pstarts)
+        new_part = np.r_[True, pair_pk[1:] != pair_pk[:-1]]
+        tstarts = np.flatnonzero(new_part)
+        totals = np.add.reduceat(pair_qty, tstarts)
+        gid = np.cumsum(np.r_[0, new_part[1:].astype(np.int64)])
+        win_sk = pair_sk[2 * pair_qty > totals[gid]]
+        return pa.table({"l_suppkey": np.unique(win_sk)})
+
+    winners = (
+        li_p.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gp")
+        .map_groups(dominators, batch_format="pyarrow")
+    )
+    distinct = grouped_agg(
+        winners, "l_suppkey", {"__n": ("count", None)}, num_partitions=4
+    ).select_columns(["l_suppkey"])
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=region_nations))
+                   .select(["s_suppkey", "s_name"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    dec = hash_join(distinct, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    df = pd.DataFrame(dec.take_all())
+    if df.empty:
+        return pd.DataFrame({"s_name": pd.Series(dtype=object)})
+    return (
+        pd.DataFrame({"s_name": df["s_name"]})
+        .sort_values("s_name")
+        .reset_index(drop=True)
+    )

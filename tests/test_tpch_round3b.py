@@ -191,3 +191,111 @@ def test_tpch_q21_sole_late_supplier(ray_session, tmp_path):
         "numwait": np.array([1, 1], np.int64),
     })
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _write_fixture2(tmp_path):
+    """Second micro-fixture, shared by q11/q12/q20: one lineitem set
+    engineered so each query hits a strict-threshold boundary."""
+    d = tmp_path / "sf2"
+    d.mkdir()
+    ts = lambda s: np.datetime64(s, "us")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["R0", "R1"], pa.string()),
+    }), d / "region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["ALPHA", "BRAVO", "CHARLIE"], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+    }), d / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3", "s4"], pa.string()),
+        "s_nationkey": pa.array([0, 0, 1, 2], pa.int32()),
+        "s_acctbal": pa.array([0.0] * 4),
+    }), d / "supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_name": pa.array(["red a", "red b", "blue c", "red d"], pa.string()),
+        "p_brand": pa.array(["B"] * 4, pa.string()),
+        "p_type": pa.array(["STANDARD"] * 4, pa.string()),
+        "p_size": pa.array([1, 2, 3, 4], pa.int32()),
+        "p_retailprice": pa.array([1.0] * 4),
+    }), d / "part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F"], pa.string()),
+        "o_totalprice": pa.array([1.0, 1.0]),
+        "o_orderdate": pa.array([ts("2005-01-01"), ts("2005-01-01")]),
+        "o_orderpriority": pa.array(["1-URGENT", "3-MEDIUM"], pa.string()),
+    }), d / "orders.parquet")
+    # (ok, pk, sk, qty, price, ship) — disc 0 everywhere; ALPHA-supplier
+    # part values: p1 = 10+25+15 = 50, p2 = 30 (EXACT 0.3 of total 100,
+    # strict > must drop), p3 = 20; s3/s4 lines are q11-invisible
+    rows = [
+        (1, 1, 1, 30.0, 10.0, "2005-02-15"),  # q12 LATE/high, q20 p1/s1
+        (1, 1, 1, 30.0, 25.0, "2005-01-10"),  # ONTIME/high, p1/s1 sums to 60
+        (1, 1, 2, 40.0, 15.0, "2005-01-11"),  # ONTIME/high, p1/s2 = 40
+        (2, 2, 2, 10.0, 30.0, "2005-01-31"),  # EXACT +30d LATE/low, p2/s2
+        (2, 2, 3, 10.0, 99.0, "2005-01-05"),  # ONTIME/low, p2/s3 (half tie)
+        (2, 3, 1, 5.0, 20.0, "2005-01-06"),   # ONTIME/low, p3 not 'red'
+        (1, 4, 4, 10.0, 7.0, "2005-01-09"),   # ONTIME/high, p4 sole but R1
+        (1, 1, 2, 1000.0, 0.0, "2006-06-01"),  # outside q12/q20 window
+    ]
+    ok, pk, sk, qty, price, ship = zip(*rows)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_suppkey": pa.array(sk, pa.int64()),
+        "l_linenumber": pa.array(list(range(1, len(rows) + 1)), pa.int32()),
+        "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(price),
+        "l_discount": pa.array([0.0] * len(rows)),
+        "l_tax": pa.array([0.0] * len(rows)),
+        "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+        "l_linestatus": pa.array(["F"] * len(rows), pa.string()),
+        "l_shipdate": pa.array([np.datetime64(s, "us") for s in ship]),
+    }), d / "lineitem.parquet")
+    return str(d)
+
+
+def test_tpch_q11_strict_fraction_boundary(ray_session, tmp_path):
+    from bloomfilter_multithread_ray.pipelines.tpch import tpch_q11
+
+    got = tpch_q11(_write_fixture2(tmp_path), nation="ALPHA",
+                   frac_num=3, frac_den=10)
+    # ALPHA total = 100: p1=50 in, p2=30 sits EXACTLY at 3/10 (strict >
+    # drops it), p3=20 out; s3/s4 lines never count
+    exp = pd.DataFrame({
+        "p_partkey": np.array([1], np.int64),
+        "value": [50.0],
+    })
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tpch_q12_lateness_priority_counts(ray_session, tmp_path):
+    from bloomfilter_multithread_ray.pipelines.tpch import tpch_q12
+
+    got = tpch_q12(_write_fixture2(tmp_path),
+                   date_lo="2005-01-01", date_hi="2006-01-01")
+    # LATE: one urgent (+45d) and one medium at EXACTLY +30d (>= is
+    # late); ONTIME: three high, two low; the 2006 line is windowed out
+    exp = pd.DataFrame({
+        "ship_class": ["LATE", "ONTIME"],
+        "high_line_count": np.array([1, 3], np.int64),
+        "low_line_count": np.array([1, 2], np.int64),
+    })
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tpch_q20_dominance_and_region_gate(ray_session, tmp_path):
+    from bloomfilter_multithread_ray.pipelines.tpch import tpch_q20
+
+    got = tpch_q20(_write_fixture2(tmp_path), name_token="red", region="R0",
+                   date_lo="2005-01-01", date_hi="2006-01-01")
+    # p1: s1=60 of 100 dominates, s2=40 doesn't; p2: 10/10 EXACT half
+    # tie -> neither (strict); p4's sole supplier s4 dominates but sits
+    # in region R1; the out-of-window 1000-qty line must not flip p1
+    exp = pd.DataFrame({"s_name": ["s1"]})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
