@@ -680,6 +680,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = C.normalize_text(_docs(sf_dir, ["doc_id", "text"]))
         return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def line_dedup(sf_dir):
+        # high-DF boilerplate removal form: the fixture corpus is
+        # single-line, so the segment separator is the word gap and
+        # the threshold is corpus-fractional (>= 4/5 of docs);
+        # native '\n' line dedup is pytest-covered on planted corpora
+        from bloomfilter_multithread_ray.pipelines.curation import line_dedup as ld
+
+        out = ld(_docs(sf_dir, ["doc_id", "text"]), sep=" ", min_frac=(4, 5))
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
     def epoch_shuffle(sf_dir):
         from bloomfilter_multithread_ray.pipelines import curation as C
 
@@ -1185,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample,
         "mix_to_budget": mix_to_budget,
         "normalize_text": normalize_text,
+        "line_dedup": line_dedup,
         "epoch_shuffle": epoch_shuffle,
         "lm_perplexity": lm_perplexity,
         "label_centroids": label_centroids,
@@ -1951,6 +1962,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, array_to_string(kept, ' ') AS clean_text, "
             "CAST(len(kept) AS BIGINT) AS n_kept, CAST(n_all - len(kept) AS BIGINT) AS n_removed "
             "FROM f ORDER BY doc_id"
+        ),
+        # corpus-level exact segment dedup in its high-DF removal form:
+        # drop every word occurring in >= 4/5 of documents (integer-
+        # exact threshold nd*5 >= n*4), preserving empty segments so
+        # separator structure round-trips; zipped unnests align each
+        # segment with its ordinal for the ordered string_agg rebuild
+        "line_dedup": (
+            "WITH ls AS (SELECT doc_id, unnest(string_split(text, ' ')) AS ln, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) AS idx "
+            "FROM documents), "
+            "dup AS (SELECT ln FROM ls WHERE ln <> '' GROUP BY ln "
+            "HAVING COUNT(DISTINCT doc_id) * 5 >= "
+            "(SELECT COUNT(*) FROM documents) * 4), "
+            "kept AS (SELECT doc_id, ln, idx FROM ls "
+            "WHERE ln = '' OR ln NOT IN (SELECT ln FROM dup)) "
+            "SELECT d.doc_id, COALESCE(k.text, '') AS text, "
+            "CAST(t.n_all - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM documents d "
+            "JOIN (SELECT doc_id, COUNT(*) AS n_all FROM ls GROUP BY doc_id) t "
+            "USING (doc_id) "
+            "LEFT JOIN (SELECT doc_id, string_agg(ln, ' ' ORDER BY idx) AS text, "
+            "COUNT(*) AS n_kept FROM kept GROUP BY doc_id) k USING (doc_id) "
+            "ORDER BY d.doc_id"
         ),
         # keep-set over the EXACT n-gram-Jaccard pairs: the recursive
         # transitive closure of dedup_ngram_components, then keep every

@@ -709,3 +709,182 @@ def split_leakage(
         .groupby("hp")
         .map_groups(leaked, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------ corpus line dedup
+def line_dedup(
+    docs: "Dataset",
+    *,
+    sep: str = "\n",
+    min_docs: int = 2,
+    min_frac: tuple[int, int] | None = None,
+    num_partitions: int = 64,
+    id_col: str = "doc_id",
+    col: str = "text",
+    broadcast: bool | str = "auto",
+) -> "Dataset":
+    """Corpus-level exact segment deduplication (CCNet/RefinedWeb-style
+    line dedup): REWRITE every document, dropping each ``sep``-separated
+    segment whose exact content occurs in >= ``min_docs`` distinct
+    documents (or, with ``min_frac=(num, den)``, in >= num/den of the
+    corpus — the boilerplate/high-DF removal form).  Removal applies to
+    ALL occurrences (partitioning-independent; no canonical-survivor
+    tie-break needed).  Empty segments are never counted or removed, so
+    separator structure is preserved and text round-trips exactly.
+
+    Returns a Dataset ``{id_col, col (rewritten), n_removed}``.
+
+    Scale shape (text never shuffles): pass 1 streams the corpus and
+    emits per-batch-DISTINCT (segment-hash, doc) pairs — a doc is one
+    row, so batch-distinct is globally distinct — into a fixed-P
+    grouped count; hashes over the threshold form the duplicated-
+    segment set.  Pass 2 re-streams the corpus emitting (hash, doc,
+    seg_idx) instance refs, semi-joins them against the duplicated set
+    (hash-keyed fixed-P), folds the surviving refs to one
+    (doc, removal-index-list) row per affected document, and joins that
+    small table back to the documents with ``broadcast="auto"`` — in
+    the common case (removals fit plasma) the rewrite is MAP-ONLY over
+    the corpus.  The rewrite kernel is fully vectorized: split →
+    flat keep-mask → rebuilt ListArray → ``pc.binary_join``.
+    """
+    from ..functions.hashing import hash_strings
+    from .agg import _partition_of_keys, grouped_agg
+    from .join import hash_join
+
+    P = int(num_partitions)
+
+    if min_frac is not None:
+        f_num, f_den = int(min_frac[0]), int(min_frac[1])
+        n_docs = docs.count()
+    else:
+        f_num = f_den = n_docs = None
+
+    src = docs.select_columns([id_col, col])
+
+    def _segments(t: pa.Table):
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        segs = pc.split_pattern(arr, sep)
+        counts = pc.list_value_length(segs).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(segs)  # offset-safe (values respecting slices)
+        ne = pc.not_equal(flat, "")
+        ne_np = np.asarray(ne)
+        doc = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return segs, counts, flat, ne_np, doc
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        _, counts, flat, ne_np, doc = _segments(t)
+        doc_rep = np.repeat(doc, counts)[ne_np]
+        if len(doc_rep) == 0:
+            return pa.table({"lh": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        lh = hash_strings(flat.filter(pa.array(ne_np))).view(np.int64)
+        order = np.lexsort((lh, doc_rep))
+        d, h = doc_rep[order], lh[order]
+        first = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+        return pa.table({"lh": h[first], "doc_id": d[first]})
+
+    df_counts = grouped_agg(
+        src.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True),
+        "lh", {"nd": ("count", None)}, num_partitions=P,
+    )
+    if min_frac is not None:
+        thr_num, thr_den = n_docs * f_num, f_den
+    else:
+        thr_num, thr_den = int(min_docs), 1
+
+    dup = df_counts.map_batches(
+        lambda t: t.filter(pa.array(
+            t["nd"].to_numpy(zero_copy_only=False) * thr_den >= thr_num
+        )).select(["lh"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def ref_rows(t: pa.Table) -> pa.Table:
+        _, counts, flat, ne_np, doc = _segments(t)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({"lh": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "seg_idx": pa.array([], pa.int64())})
+        starts = np.r_[np.int64(0), np.cumsum(counts)[:-1]]
+        seg_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        doc_rep = np.repeat(doc, counts)
+        keep = ne_np
+        lh = hash_strings(flat.filter(pa.array(keep))).view(np.int64)
+        return pa.table({"lh": lh, "doc_id": doc_rep[keep],
+                         "seg_idx": seg_idx[keep]})
+
+    removals = hash_join(
+        src.map_batches(ref_rows, batch_format="pyarrow", zero_copy_batch=True),
+        dup, on="lh", how="semi", num_partitions=P,
+    ).select_columns(["doc_id", "seg_idx"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        gp = _partition_of_keys(t, ["doc_id"], P)
+        return t.append_column("__gp", pa.array(gp))
+
+    def collect(g: pa.Table) -> pa.Table:
+        # removal indices pack into a little-endian int64 BINARY blob
+        # per doc (a list<int64> column would break the broadcast join:
+        # pyarrow's acero join rejects nested types)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        i = g["seg_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, d))
+        d_s, i_s = d[order], i[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        bounds = np.r_[starts, len(d_s)]
+        buf = i_s.astype("<i8").tobytes()
+        rm = pa.array(
+            [buf[8 * lo: 8 * hi] for lo, hi in zip(bounds[:-1], bounds[1:])],
+            pa.binary(),
+        )
+        return pa.table({"doc_id": pa.array(d_s[starts], pa.int64()), "rm": rm})
+
+    per_doc = (
+        removals.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gp")
+        .map_groups(collect, batch_format="pyarrow")
+    ).materialize()  # affected-docs table; consumed by the join build
+    # side anyway — and a no-dup corpus leaves it ALL-empty, where Ray
+    # drops the schema (repo-wide gotcha): take the identity path
+    if per_doc.count() == 0:
+        return src.map_batches(
+            lambda t: t.append_column(
+                "n_removed", pa.array(np.zeros(len(t), np.int64))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    joined = hash_join(
+        src, per_doc, on=id_col, right_on="doc_id", how="left",
+        broadcast=broadcast, num_partitions=P,
+    )
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        segs, counts, flat, _ne, _doc = _segments(t)
+        rm = t["rm"]
+        if isinstance(rm, pa.ChunkedArray):
+            rm = rm.combine_chunks()
+        rm = pc.fill_null(rm, b"")
+        rm_len = (
+            pc.binary_length(rm).to_numpy(zero_copy_only=False).astype(np.int64) // 8
+        )
+        rm_flat = np.frombuffer(b"".join(rm.to_pylist()), dtype="<i8").astype(np.int64)
+        rm_row = np.repeat(np.arange(len(t), dtype=np.int64), rm_len)
+        starts = np.r_[np.int64(0), np.cumsum(counts)[:-1]]
+        keep = np.ones(len(flat), dtype=bool)
+        keep[starts[rm_row] + rm_flat] = False
+        new_counts = counts - rm_len
+        new_offsets = np.r_[np.int64(0), np.cumsum(new_counts)].astype(np.int32)
+        new_la = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), flat.filter(pa.array(keep))
+        )
+        return pa.table({
+            id_col: t[id_col],
+            col: pc.binary_join(new_la, sep),
+            "n_removed": rm_len,
+        })
+
+    return joined.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
