@@ -908,6 +908,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_rollup(sf_dir):
         return R.events_rollup(sf_dir)
 
+    def events_hopping(sf_dir):
+        # hopping window: 1 h windows starting every 15 min; each event
+        # lands in exactly 4 windows; micros-exact value sums
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.analytics import hopping_window_agg
+
+        def derive(t: pa.Table) -> pa.Table:
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+            return pa.table({"ts": t["ts"], "v_u6": pa.array(v)})
+
+        ev = R.read(sf_dir, "events", ["ts", "value"]).map_batches(
+            derive, batch_format="pyarrow", zero_copy_batch=True
+        )
+        out = hopping_window_agg(
+            ev,
+            {"n_events": ("count", None), "value_sum_micros": ("sum", "v_u6")},
+            ts_col="ts", window_us=3_600_000_000, hop_us=900_000_000,
+        )
+        df = pd.DataFrame(out.take_all())
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["value_sum_micros"] = df["value_sum_micros"].astype(np.int64)
+        return df.sort_values("window_us").reset_index(drop=True)
+
     def events_pivot(sf_dir):
         # wide reshape: hour x event_type value sums, micros-exact
         # int64 cells converted to double once at the end
@@ -1196,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_to_budget": mix_to_budget,
         "normalize_text": normalize_text,
         "line_dedup": line_dedup,
+        "events_hopping": events_hopping,
         "epoch_shuffle": epoch_shuffle,
         "lm_perplexity": lm_perplexity,
         "label_centroids": label_centroids,
@@ -1962,6 +1989,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, array_to_string(kept, ' ') AS clean_text, "
             "CAST(len(kept) AS BIGINT) AS n_kept, CAST(n_all - len(kept) AS BIGINT) AS n_removed "
             "FROM f ORDER BY doc_id"
+        ),
+        # hopping 1h/15min windows: every event belongs to exactly 4
+        # window starts (floor(ts/hop)-i for i in 0..3), counts and
+        # micros-exact value sums per window
+        "events_hopping": (
+            "WITH j AS (SELECT unnest(generate_series(0, 3)) AS i) "
+            "SELECT (CAST(floor(epoch_us(ts)/900000000) AS BIGINT) - i) "
+            "* 900000000 AS window_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value*1e6) AS BIGINT)) AS BIGINT) "
+            "AS value_sum_micros "
+            "FROM events, j GROUP BY 1 ORDER BY 1"
         ),
         # corpus-level exact segment dedup in its high-DF removal form:
         # drop every word occurring in >= 4/5 of documents (integer-

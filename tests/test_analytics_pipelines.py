@@ -3,6 +3,7 @@ its exact-mode twin on the documents table (the north-star criteria at
 the composition level; unit-level bounds live in test_sketches.py)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import ray.data
@@ -437,3 +438,87 @@ def test_pivot_discovery_null_fill_and_other_aggs(ray_session):
         pivot(ds, "k", "p", "v", pivot_values=["m", "m"])
     with pytest.raises(ValueError):
         pivot(ds, "k", "p", "v", pivot_values=["k"])
+
+
+# ---------------------------------------------------- hopping window agg
+def test_hopping_window_membership_and_sums(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import hopping_window_agg
+
+    # hop=10, window=30 (k=3): an event at ts lands in starts
+    # {floor(ts/10)*10 - {0,10,20}}; ts=25 -> {20,10,0}; ts=0 -> {0,-10,-20}
+    docs = pd.DataFrame({"ts": np.array([25, 0], np.int64),
+                         "v": np.array([7, 5], np.int64)})
+    out = (
+        hopping_window_agg(
+            rd.from_pandas(docs),
+            {"n": ("count", None), "s": ("sum", "v")},
+            ts_col="ts", window_us=30, hop_us=10,
+        )
+        .to_pandas().sort_values("window_us").reset_index(drop=True)
+    )
+    exp = pd.DataFrame({
+        "window_us": np.array([-20, -10, 0, 10, 20], np.int64),
+        "n": np.array([1, 1, 2, 1, 1], np.int64),
+        "s": np.array([5, 5, 12, 7, 7], np.int64),
+    })
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_hopping_window_negative_ts_floor(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import hopping_window_agg
+
+    # ts=-5 with hop 10: floor(-5/10)=-1 -> latest start -10 (floor
+    # division, not trunc-toward-zero); k=2 -> starts {-10, -20}
+    docs = pd.DataFrame({"ts": np.array([-5], np.int64)})
+    out = (
+        hopping_window_agg(
+            rd.from_pandas(docs), {"n": ("count", None)},
+            ts_col="ts", window_us=20, hop_us=10,
+        )
+        .to_pandas().sort_values("window_us").reset_index(drop=True)
+    )
+    assert out["window_us"].tolist() == [-20, -10]
+    assert out["n"].tolist() == [1, 1]
+
+
+def test_hopping_window_tumbling_degenerate_and_by(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import hopping_window_agg
+
+    docs = pd.DataFrame({
+        "ts": np.array([5, 15, 15], np.int64),
+        "k": ["a", "a", "b"],
+        "v": np.array([1, 2, 4], np.int64),
+    })
+    out = (
+        hopping_window_agg(
+            rd.from_pandas(docs), {"s": ("sum", "v")},
+            ts_col="ts", window_us=10, hop_us=10, by=["k"],
+        )
+        .to_pandas().sort_values(["window_us", "k"]).reset_index(drop=True)
+    )
+    exp = pd.DataFrame({
+        "window_us": np.array([0, 10, 10], np.int64),
+        "k": ["a", "a", "b"],
+        "s": np.array([1, 2, 4], np.int64),
+    })
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_hopping_window_validation(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import hopping_window_agg
+
+    ds = rd.from_pandas(pd.DataFrame({"ts": np.array([1], np.int64)}))
+    with pytest.raises(ValueError):
+        hopping_window_agg(ds, {"n": ("count", None)},
+                           ts_col="ts", window_us=25, hop_us=10)
+    with pytest.raises(ValueError):
+        hopping_window_agg(ds, {"n": ("count", None)},
+                           ts_col="ts", window_us=0, hop_us=10)
