@@ -229,6 +229,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["c_custkey", "c_name"], na_position="last"
         ).reset_index(drop=True)
 
+    def skew_join_revenue(sf_dir):
+        # skew-aware shuffle join: detect_hot_keys picks the heaviest
+        # lineitem orderkeys in one partial-counts pass, hash_join then
+        # salts those keys over hot_salt dedicated sub-partitions (left
+        # hot rows round-robin, right hot rows replicated) — exact
+        # results whatever the hot set, so the plan is SQL-oracle-checked
+        # end-to-end. Revenue folded u4-exact (cents x discount points).
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+        from bloomfilter_multithread_ray.pipelines.join import (
+            detect_hot_keys,
+            hash_join,
+        )
+
+        li = R.read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+        def rev(t: pa.Table) -> pa.Table:
+            p = np.rint(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            d = np.rint(
+                t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table(
+                {"l_orderkey": t.column("l_orderkey"), "rev_u4": pa.array(p * (100 - d))}
+            )
+
+        li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        # tiny threshold: at TPC-H's uniform ~4 rows/key every candidate
+        # qualifies and the top-8 get salted — the point is driving the
+        # hot path; results are plan-invariant either way
+        hot = detect_hot_keys(li, "l_orderkey", threshold_frac=1e-6, max_hot=8)
+        orders = R.read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        joined = hash_join(
+            li, orders, on="l_orderkey", right_on="o_orderkey", how="inner",
+            num_partitions=16, hot_keys=hot, hot_salt=4,
+        )
+        out = grouped_agg(
+            joined.select_columns(["o_orderpriority", "rev_u4"]),
+            "o_orderpriority",
+            {"revenue_u4": ("sum", "rev_u4"), "n_items": ("count", None)},
+            num_partitions=8,
+        )
+        df = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+        df["revenue_u4"] = df["revenue_u4"].astype(np.int64)
+        df["n_items"] = df["n_items"].astype(np.int64)
+        return df[["o_orderpriority", "revenue_u4", "n_items"]]
+
     def anti_join_customers_no_orders(sf_dir):
         # anti-join mode of the same operator: customers with no
         # high-value order (row filter pushed into the read)
@@ -1213,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events_asof,
         "range_join_bands": range_join_bands,
         "join_orders_customer": join_orders_customer,
+        "skew_join_revenue": skew_join_revenue,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1419,6 +1471,16 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer": (
             "SELECT o_orderkey, o_custkey, c_name, o_totalprice "
             "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"
+        ),
+        # skew-salted join plan is results-invariant: the oracle is the
+        # plain join+group (revenue u4-exact: cents x (100 - discount pts))
+        "skew_join_revenue": (
+            "SELECT o_orderpriority, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_u4, CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "anti_join_customers_no_orders": (
             "SELECT c_custkey, c_name FROM customer "

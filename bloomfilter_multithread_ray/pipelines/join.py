@@ -57,6 +57,101 @@ def choose_broadcast(right_bytes: int | None, threshold: int = AUTO_BROADCAST_BY
     return right_bytes is not None and right_bytes <= threshold
 
 
+def detect_hot_keys(
+    ds: "Dataset",
+    col: str,
+    *,
+    threshold_frac: float = 0.001,
+    max_hot: int = 256,
+    per_batch_cap: int = 64,
+    num_partitions: int = 16,
+) -> pa.Array:
+    """One-pass distributed hot-key detector for :func:`hash_join`'s
+    ``hot_keys`` plan hint → pa.Array of key VALUES whose observed
+    frequency is ≥ ``threshold_frac`` of the rows (top ``max_hot`` by
+    count).
+
+    Shape: each batch folds to its local ``value_counts`` capped to the
+    top ``per_batch_cap`` keys (a truly hot key — ≥ threshold_frac of
+    ALL rows — is top-``per_batch_cap`` in essentially every batch), so
+    the one fixed-P exchange moves O(blocks × cap) partial rows, never
+    raw keys; a null-key partial per batch carries the row total. The
+    candidate fold-out is then thresholded and top-k'd distributed
+    (sort + limit on the already-small candidate set), so the driver
+    only ever sees ≤ ``max_hot`` values.
+
+    This is plan detection, not exact counting: per-batch capping can
+    undercount borderline keys, and ANY returned set yields an exact
+    join (salting is correctness-invariant) — the threshold is
+    advisory. Keys with nulls are never hot (SQL: null never matches).
+    """
+    import pyarrow.compute as pc
+
+    if not (0.0 <= threshold_frac <= 1.0):
+        raise ValueError(f"threshold_frac must be in [0,1], got {threshold_frac}")
+    cap = int(per_batch_cap)
+    from .agg import grouped_agg
+
+    src = ds.select_columns([col])
+
+    def partials(t: pa.Table) -> pa.Table:
+        kv = t.column(col).combine_chunks().drop_null()
+        vc = kv.value_counts()
+        values, counts = vc.field("values"), vc.field("counts").cast(pa.int64())
+        if len(values) > cap:
+            cn = counts.to_numpy()
+            top = pa.array(np.argpartition(cn, -cap)[-cap:])
+            values, counts = values.take(top), counts.take(top)
+        m = len(values)
+        return pa.table(
+            {
+                "k": pa.concat_arrays([values, pa.nulls(1, values.type)]),
+                "cnt": pa.concat_arrays([counts, pa.array([0], pa.int64())]),
+                "bn": pa.array(
+                    np.concatenate(
+                        [np.zeros(m, np.int64), [np.int64(t.num_rows)]]
+                    )
+                ),
+            }
+        )
+
+    folded = grouped_agg(
+        src.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True),
+        "k",
+        {"cnt": ("sum", "cnt"), "bn": ("sum", "bn")},
+        num_partitions=num_partitions,
+    ).materialize()  # consumed twice: total row, candidate rows
+
+    def total_row(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("k")))
+
+    tot_df = folded.map_batches(
+        total_row, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    total = int(tot_df["bn"].sum()) if len(tot_df) else 0
+    if total == 0:
+        return pa.array([], pa.null())
+    thresh = max(1, int(np.ceil(total * threshold_frac)))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        k = t.column("k")
+        return t.filter(
+            pc.and_(pc.is_valid(k), pc.greater_equal(t.column("cnt"), thresh))
+        )
+
+    hot = (
+        folded.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("cnt", descending=True)
+        .limit(int(max_hot))
+        .to_pandas()
+    )
+    if not len(hot):
+        sch = folded.schema()
+        ktype = sch.types[sch.names.index("k")]
+        return pa.array([], ktype if isinstance(ktype, pa.DataType) else pa.null())
+    return pa.Array.from_pandas(hot["k"])
+
+
 def _key_hash(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(uint64 key hashes, valid mask) for an int or string key column.
     Null keys hash to 0 with valid=False."""
@@ -169,6 +264,8 @@ def hash_join(
     bloom_prefilter: bool = False,
     bloom_bits: int = 1 << 23,
     broadcast_threshold: int = AUTO_BROADCAST_BYTES,
+    hot_keys: "pa.Array | pa.ChunkedArray | list | None" = None,
+    hot_salt: int = 8,
 ) -> "Dataset":
     """Distributed equi-join; returns a Dataset (lazy, streaming).
 
@@ -203,9 +300,31 @@ def hash_join(
     reference's membership-filter pattern applied to join pruning.
     Only valid for ``how`` in (inner, semi, right), where left
     non-matches never reach the output.
+
+    ``hot_keys`` is the skew plan: rows of the listed key VALUES
+    (typically from :func:`detect_hot_keys`, or a prior
+    heavy-hitters run) are spread over ``hot_salt`` dedicated
+    sub-partitions each — left hot rows salted round-robin, right hot
+    rows replicated to every sub-partition — so one pathological key
+    parallelizes ``hot_salt``-wide instead of serializing one
+    partition's merge. Results are EXACTLY the unsalted plan's (same
+    merge kernel per sub-partition); cost is ``(hot_salt-1)×`` extra
+    copies of only the hot RIGHT rows. Not valid for ``right``/
+    ``full`` (replicated right rows would emit duplicate unmatched
+    output) or together with an explicit ``broadcast=True`` (the
+    map-only plan has no shuffle to skew); ``broadcast="auto"``
+    resolving to broadcast drops the hint.
     """
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}")
+    hot_salt = int(hot_salt)
+    if hot_keys is not None and hot_salt < 2:
+        raise ValueError(f"hot_salt must be >= 2, got {hot_salt}")
+    if hot_keys is not None and how in ("right", "full"):
+        raise ValueError(
+            f"hot_keys skew plan does not support how={how!r}: replicated "
+            "right hot rows would emit duplicate unmatched output"
+        )
     if broadcast == "auto":
         if how in ("right", "full"):
             broadcast = False
@@ -214,11 +333,17 @@ def hash_join(
             broadcast = choose_broadcast(right.size_bytes(), broadcast_threshold)
         if broadcast:
             bloom_prefilter = False  # map-only plan: nothing to prefilter
+            hot_keys = None  # no shuffle, nothing to skew
     elif not isinstance(broadcast, bool):
         raise ValueError(f"broadcast must be a bool or 'auto', got {broadcast!r}")
     if broadcast:
         if how in ("right", "full"):
             raise ValueError(f"broadcast join does not support how={how!r}")
+        if hot_keys is not None:
+            raise ValueError(
+                "broadcast=True with hot_keys: the broadcast plan never "
+                "shuffles, so there is no partition skew to salt — pick one"
+            )
         if bloom_prefilter:
             raise ValueError(
                 "broadcast=True with bloom_prefilter=True: the broadcast "
@@ -337,14 +462,59 @@ def hash_join(
         ]
         out_schema = pa.schema(out_fields)
 
+    # skew plan: normalize hot keys once; each side gets a copy cast to
+    # its own key dtype for the per-batch index_in lookup
+    hot_l = hot_r = None
+    n_hot = 0
+    if hot_keys is not None:
+        hv = (
+            hot_keys
+            if isinstance(hot_keys, (pa.Array, pa.ChunkedArray))
+            else pa.array(hot_keys)
+        )
+        if isinstance(hv, pa.ChunkedArray):
+            hv = hv.combine_chunks()
+        hv = hv.drop_null()
+        if len(hv) and not pa.types.is_null(hv.type):
+            hv = hv.unique()
+            hot_l, hot_r = hv.cast(l_types[on]), hv.cast(r_types[right_on])
+            n_hot = len(hv)
+
     # carrier schema: union of both sides' columns + routing/side tags;
     # the absent side's columns ride as typed nulls
     carrier = [(n, l_types[n]) for n in l_cols] + [(f"__r_{n}", r_types[n]) for n in r_cols]
 
     def pack(side: int, key_col: str):
+        hot = hot_l if side == 0 else hot_r
+
         def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             n = t.num_rows
             jp = _key_partition(t.column(key_col), num_partitions)
+            hnp = None
+            if hot is not None:
+                kc = t.column(key_col).combine_chunks()
+                if kc.type != hot.type:  # all-null blocks arrive null-typed
+                    kc = kc.cast(hot.type)
+                hnp = (
+                    pc.index_in(kc, value_set=hot)
+                    .fill_null(-1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                hmask = hnp >= 0
+                if side == 0:
+                    # round-robin salt: ANY spread of left hot rows over
+                    # the key's sub-partitions is exact
+                    salt = np.arange(n, dtype=np.int64) % hot_salt
+                    jp = np.where(
+                        hmask, num_partitions + hnp * hot_salt + salt, jp
+                    ).astype(np.int32)
+                else:
+                    jp = np.where(
+                        hmask, num_partitions + hnp * hot_salt, jp
+                    ).astype(np.int32)
             arrays = [pa.array(jp), pa.array(np.full(n, side, dtype=np.int8))]
             names = ["__jp", "__side"]
             for cname, ctype in carrier:
@@ -362,7 +532,22 @@ def hash_join(
                 else:
                     arrays.append(pa.nulls(n, ctype))
                 names.append(cname)
-            return pa.Table.from_arrays(arrays, names=names)
+            out = pa.Table.from_arrays(arrays, names=names)
+            if side == 1 and hnp is not None:
+                # replicate RIGHT hot rows into every sub-partition of
+                # their key (salt 0 copy is already in `out`)
+                hrows = np.flatnonzero(hnp >= 0)
+                if len(hrows):
+                    base_jp = num_partitions + hnp[hrows] * hot_salt
+                    take_idx = pa.array(hrows)
+                    reps = [out]
+                    for s in range(1, hot_salt):
+                        cp = out.take(take_idx).set_column(
+                            0, "__jp", pa.array((base_jp + s).astype(np.int32))
+                        )
+                        reps.append(cp)
+                    out = pa.concat_tables(reps)
+            return out
 
         return fn
 
@@ -375,11 +560,12 @@ def hash_join(
     # (rounding values >2^53).
     import ray.data as _rd
 
+    n_parts = num_partitions + n_hot * hot_salt  # + hot sub-partitions
     sentinels = _rd.from_arrow(
         pa.Table.from_arrays(
-            [pa.array(np.arange(num_partitions, dtype=np.int32)),
-             pa.array(np.full(num_partitions, -1, dtype=np.int8))]
-            + [pa.nulls(num_partitions, t) for _, t in carrier],
+            [pa.array(np.arange(n_parts, dtype=np.int32)),
+             pa.array(np.full(n_parts, -1, dtype=np.int8))]
+            + [pa.nulls(n_parts, t) for _, t in carrier],
             names=["__jp", "__side"] + [n for n, _ in carrier],
         )
     )

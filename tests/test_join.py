@@ -398,3 +398,110 @@ def test_auto_broadcast_matches_both_plans(sides):
     pd.testing.assert_frame_equal(_sorted(hb, cols), _sorted(ref, cols), check_dtype=False)
     with pytest.raises(ValueError):
         hash_join(_mk(left), _mk(right), broadcast="always", **kw)
+
+
+# ------------------------------------------------------- skew (hot-key) plan
+def _skewed():
+    rng = np.random.default_rng(3)
+    n = 4000
+    k = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 60, n)).astype("int64")
+    k_obj = k.astype("object")
+    k_obj[::97] = None  # planted null keys
+    left = pd.DataFrame({"k": pd.array(k_obj, dtype="Int64"), "lv": np.arange(n, dtype="int64")})
+    right = pd.DataFrame(
+        {"k": np.arange(50, dtype="int64"), "rv": np.arange(50, dtype="int64") * 10}
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hot_keys_plan_matches_unsalted(ray_session, how):
+    left, right = _skewed()
+    ref = hash_join(_mk(left), _mk(right), on="k", how=how, num_partitions=8).to_pandas()
+    cols = list(ref.columns)
+    # hot set: the planted hot key, one cold key, one key absent from
+    # right (61), and a null (dropped)
+    got = hash_join(
+        _mk(left), _mk(right), on="k", how=how, num_partitions=8,
+        hot_keys=pa.array([7, 3, 61, None], pa.int64()), hot_salt=4,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(got, cols), _sorted(ref, cols), check_dtype=False
+    )
+
+
+def test_hot_keys_string_and_list_input(ray_session):
+    left = pd.DataFrame({"k": ["a", "b", "a", "a", None, "c"], "lv": np.arange(6, dtype="int64")})
+    right = pd.DataFrame({"k": ["a", "c", "d"], "rv": np.arange(3, dtype="int64")})
+    ref = hash_join(_mk(left, 2), _mk(right, 2), on="k", how="left", num_partitions=4).to_pandas()
+    got = hash_join(
+        _mk(left, 2), _mk(right, 2), on="k", how="left", num_partitions=4,
+        hot_keys=["a", "a"], hot_salt=2,  # plain list, with a duplicate
+    ).to_pandas()
+    cols = list(ref.columns)
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(ref, cols), check_dtype=False)
+
+
+def test_hot_keys_validation(ray_session):
+    left = pd.DataFrame({"k": np.arange(3, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(3, dtype="int64")})
+    with pytest.raises(ValueError, match="right|full"):
+        hash_join(_mk(left, 1), _mk(right, 1), on="k", how="full", hot_keys=[1])
+    with pytest.raises(ValueError, match="hot_salt"):
+        hash_join(_mk(left, 1), _mk(right, 1), on="k", hot_keys=[1], hot_salt=1)
+    with pytest.raises(ValueError, match="broadcast"):
+        hash_join(_mk(left, 1), _mk(right, 1), on="k", broadcast=True, hot_keys=[1])
+    # empty / all-null hot sets degrade to the plain plan
+    got = hash_join(
+        _mk(left, 1), _mk(right, 1), on="k", hot_keys=[None, None], num_partitions=4
+    ).to_pandas()
+    assert len(got) == 3
+    # auto->broadcast drops the hint instead of raising
+    got2 = hash_join(
+        _mk(left, 1), _mk(right, 1), on="k", broadcast="auto", hot_keys=[1]
+    ).to_pandas()
+    assert len(got2) == 3
+
+
+def test_detect_hot_keys_planted(ray_session):
+    from bloomfilter_multithread_ray.pipelines.join import detect_hot_keys
+
+    rng = np.random.default_rng(5)
+    n = 30000
+    # key 42 ~ 30%, key 43 ~ 10%, the rest uniform over 5000 cold keys
+    r = rng.random(n)
+    k = np.where(r < 0.3, 42, np.where(r < 0.4, 43, rng.integers(100, 5100, n))).astype(
+        "int64"
+    )
+    k_obj = k.astype("object")
+    k_obj[::10] = None  # 10% nulls: never hot
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.array(k_obj, dtype="Int64")})
+    ).repartition(8)
+    hot = detect_hot_keys(ds, "k", threshold_frac=0.05, max_hot=16)
+    vals = set(hot.to_pylist())
+    assert vals == {42, 43}, vals
+    # max_hot caps the set; the heaviest key survives the cap
+    hot1 = detect_hot_keys(ds, "k", threshold_frac=0.05, max_hot=1)
+    assert hot1.to_pylist() == [42]
+    # threshold above every key's share -> empty
+    none = detect_hot_keys(ds, "k", threshold_frac=0.5)
+    assert len(none) == 0
+    # empty input -> empty
+    empty = ray.data.from_pandas(pd.DataFrame({"k": pd.array([], dtype="Int64")}))
+    assert len(detect_hot_keys(empty, "k")) == 0
+
+
+def test_detect_then_join_end_to_end(ray_session):
+    from bloomfilter_multithread_ray.pipelines.join import detect_hot_keys
+
+    left, right = _skewed()
+    hot = detect_hot_keys(_mk(left), "k", threshold_frac=0.1, max_hot=4)
+    assert 7 in set(hot.to_pylist())
+    ref = hash_join(_mk(left), _mk(right), on="k", how="inner", num_partitions=8).to_pandas()
+    got = hash_join(
+        _mk(left), _mk(right), on="k", how="inner", num_partitions=8,
+        hot_keys=hot, hot_salt=4,
+    ).to_pandas()
+    cols = list(ref.columns)
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(ref, cols), check_dtype=False)
