@@ -229,6 +229,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["c_custkey", "c_name"], na_position="last"
         ).reset_index(drop=True)
 
+    def events_clustered_scan(sf_dir):
+        # range-clustered table store (CLUSTER BY): events written as
+        # sorted ts-range directories + zone-map manifest under /tmp,
+        # then a one-week scan opens ONLY overlapping rid= dirs
+        # (directory pruning before any row group I/O) and aggregates
+        # per-day micros-exact. The oracle is the same predicate over
+        # the raw table — pruning must be pure I/O elision.
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines import table_store as TS
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+        ev = R.read(sf_dir, "events", ["event_id", "ts", "value"])
+        out_dir = tempfile.mkdtemp(prefix="graft_cluster_", dir="/tmp")
+        try:
+            TS.write_clustered(ev, out_dir, "ts", num_ranges=16)
+            lo, hi = "2024-01-08", "2024-01-15"
+            scan = TS.read_clustered(out_dir, lo=lo, hi=hi)
+
+            def derive(t: pa.Table) -> pa.Table:
+                ts = (
+                    t.column("ts").combine_chunks().cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                    .view(np.int64)
+                )
+                day = (ts // 86_400_000_000) * 86_400_000_000
+                v = np.rint(
+                    t.column("value").to_numpy(zero_copy_only=False) * 1e6
+                ).astype(np.int64)
+                return pa.table({"day_us": pa.array(day), "v_u6": pa.array(v)})
+
+            agg = grouped_agg(
+                scan.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+                "day_us",
+                {"n_events": ("count", None), "value_sum_micros": ("sum", "v_u6")},
+                num_partitions=8,
+            )
+            df = pd.DataFrame(agg.take_all())
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["value_sum_micros"] = df["value_sum_micros"].astype(np.int64)
+        return df.sort_values("day_us").reset_index(drop=True)[
+            ["day_us", "n_events", "value_sum_micros"]
+        ]
+
     def skew_join_revenue(sf_dir):
         # skew-aware shuffle join: detect_hot_keys picks the heaviest
         # lineitem orderkeys in one partial-counts pass, hash_join then
@@ -1265,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_bands": range_join_bands,
         "join_orders_customer": join_orders_customer,
         "skew_join_revenue": skew_join_revenue,
+        "events_clustered_scan": events_clustered_scan,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1471,6 +1523,18 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer": (
             "SELECT o_orderkey, o_custkey, c_name, o_totalprice "
             "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"
+        ),
+        # clustered-store scan is I/O elision only: the oracle is the
+        # same inclusive ts predicate over the raw table, per-day
+        # micros-exact
+        "events_clustered_scan": (
+            "SELECT (CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)) "
+            "* 86400000000 AS day_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS value_sum_micros "
+            "FROM events WHERE ts BETWEEN '2024-01-08' AND '2024-01-15' "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # skew-salted join plan is results-invariant: the oracle is the
         # plain join+group (revenue u4-exact: cents x (100 - discount pts))
