@@ -280,6 +280,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["day_us", "n_events", "value_sum_micros"]
         ]
 
+    def incremental_user_stats(sf_dir):
+        # materialized-view delta maintenance: events fold into a
+        # persistent per-user aggregate store in TWO increments (split
+        # on event_id parity — deterministic), each touching only the
+        # partitions its keys hash to; the read-back state must equal
+        # the one-shot SQL aggregate over the whole table. Idempotence
+        # (delta_id replay) and crash repair are pytest-covered.
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bloomfilter_multithread_ray.pipelines import delta_agg as DA
+
+        def load(parity: int):
+            ev = R.read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+            def derive(t: pa.Table) -> pa.Table:
+                keep = pc.equal(
+                    pc.bit_wise_and(t.column("event_id"), pa.scalar(1)),
+                    pa.scalar(parity),
+                )
+                t = t.filter(keep)
+                v = np.rint(
+                    t.column("value").to_numpy(zero_copy_only=False) * 1e6
+                ).astype(np.int64)
+                return pa.table(
+                    {"user_id": t.column("user_id"), "v_u6": pa.array(v)}
+                )
+
+            return ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+        aggs = {
+            "n_events": ("count", None),
+            "value_sum_micros": ("sum", "v_u6"),
+            "value_min_micros": ("min", "v_u6"),
+            "value_max_micros": ("max", "v_u6"),
+        }
+        store = tempfile.mkdtemp(prefix="graft_deltaagg_", dir="/tmp")
+        try:
+            DA.merge_aggregate(store, load(0), "user_id", aggs,
+                               num_partitions=16, delta_id="even")
+            DA.merge_aggregate(store, load(1), "user_id", aggs,
+                               num_partitions=16, delta_id="odd")
+            df = DA.read_aggregate(store).to_pandas()
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+        for c in ("n_events", "value_sum_micros", "value_min_micros", "value_max_micros"):
+            df[c] = df[c].astype(np.int64)
+        return df.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "n_events", "value_sum_micros",
+             "value_min_micros", "value_max_micros"]
+        ]
+
     def skew_join_revenue(sf_dir):
         # skew-aware shuffle join: detect_hot_keys picks the heaviest
         # lineitem orderkeys in one partial-counts pass, hash_join then
@@ -1317,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": join_orders_customer,
         "skew_join_revenue": skew_join_revenue,
         "events_clustered_scan": events_clustered_scan,
+        "incremental_user_stats": incremental_user_stats,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1535,6 +1593,18 @@ def oracle_sql() -> dict[str, str]:
             "AS value_sum_micros "
             "FROM events WHERE ts BETWEEN '2024-01-08' AND '2024-01-15' "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # two-delta incremental fold must equal the one-shot aggregate
+        # (micros-exact sums/min/max)
+        "incremental_user_stats": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS value_sum_micros, "
+            "CAST(MIN(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS value_min_micros, "
+            "CAST(MAX(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS value_max_micros "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         # skew-salted join plan is results-invariant: the oracle is the
         # plain join+group (revenue u4-exact: cents x (100 - discount pts))
