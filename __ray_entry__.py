@@ -280,6 +280,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["day_us", "n_events", "value_sum_micros"]
         ]
 
+    def composite_join_lines(sf_dir):
+        # composite-key join (on=[orderkey, partkey]): decorate each
+        # lineitem with its (order, part) pair quantity total via a
+        # grouped_agg -> multi-key join-back, then count the lines
+        # contributing strictly less than half their pair (integer-
+        # exact 2*qty < total), per return flag
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+        from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+        li = R.read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"])
+
+        def qint(t: pa.Table) -> pa.Table:
+            q = np.rint(
+                t.column("l_quantity").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            return pa.table(
+                {"l_orderkey": t.column("l_orderkey"),
+                 "l_partkey": t.column("l_partkey"),
+                 "q": pa.array(q),
+                 "l_returnflag": t.column("l_returnflag")}
+            )
+
+        li = li.map_batches(qint, batch_format="pyarrow", zero_copy_batch=True)
+        pair = grouped_agg(
+            li.select_columns(["l_orderkey", "l_partkey", "q"]),
+            ["l_orderkey", "l_partkey"],
+            {"pair_q": ("sum", "q")},
+            num_partitions=16,
+        )
+        joined = hash_join(
+            li, pair, on=["l_orderkey", "l_partkey"], how="inner",
+            num_partitions=16,
+        )
+
+        def under_half(t: pa.Table) -> pa.Table:
+            keep = pc.less(
+                pc.multiply(t.column("q"), pa.scalar(2, pa.int64())),
+                t.column("pair_q"),
+            )
+            return t.filter(keep).select(["l_returnflag"])
+
+        out = grouped_agg(
+            joined.map_batches(under_half, batch_format="pyarrow", zero_copy_batch=True),
+            "l_returnflag",
+            {"n_under_half": ("count", None)},
+            num_partitions=4,
+        )
+        df = out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+        df["n_under_half"] = df["n_under_half"].astype(np.int64)
+        return df[["l_returnflag", "n_under_half"]]
+
     def incremental_user_stats(sf_dir):
         # materialized-view delta maintenance: events fold into a
         # persistent per-user aggregate store in TWO increments (split
@@ -1375,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_revenue": skew_join_revenue,
         "events_clustered_scan": events_clustered_scan,
         "incremental_user_stats": incremental_user_stats,
+        "composite_join_lines": composite_join_lines,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1592,6 +1649,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) "
             "AS value_sum_micros "
             "FROM events WHERE ts BETWEEN '2024-01-08' AND '2024-01-15' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # composite-key join-back: lines strictly under half their
+        # (order, part) pair total, integer-exact
+        "composite_join_lines": (
+            "WITH p AS (SELECT l_orderkey, l_partkey, "
+            "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS pair_q "
+            "FROM lineitem GROUP BY 1, 2) "
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_under_half "
+            "FROM lineitem JOIN p USING (l_orderkey, l_partkey) "
+            "WHERE 2 * CAST(ROUND(l_quantity) AS BIGINT) < pair_q "
             "GROUP BY 1 ORDER BY 1"
         ),
         # two-delta incremental fold must equal the one-shot aggregate

@@ -251,12 +251,127 @@ def _broadcast_join(
     return left.map_batches(join_fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _encode_composite(t: pa.Table, cols: list[str]) -> pa.Array:
+    """Injective string encoding of a key tuple: each component is
+    length-prefixed (``len:value``) before joining, so separator
+    characters inside values can never alias two different tuples
+    ("a|b","c" vs "a","b|c"). Any null component makes the WHOLE key
+    null (emit_null join default) — which is exactly SQL's AND-equality
+    null semantics riding the single-key operator's null handling."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in cols:
+        s = pc.cast(t.column(c), pa.string())
+        ln = pc.cast(pc.utf8_length(s), pa.string())
+        parts.append(pc.binary_join_element_wise(ln, s, ":"))
+    out = (
+        pc.binary_join_element_wise(*parts, "|") if len(parts) > 1 else parts[0]
+    )
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def _multi_key_join(
+    left: "Dataset",
+    right: "Dataset",
+    on: list[str],
+    right_on: list[str] | None,
+    how: str,
+    num_partitions: int,
+    suffix: str,
+    broadcast,
+    bloom_prefilter: bool,
+    bloom_bits: int,
+    broadcast_threshold: int,
+) -> "Dataset":
+    """Composite-key plan: both sides gain one synthetic ``__jk``
+    column (injective encoding, see :func:`_encode_composite`) and ride
+    the single-key operator unchanged — same shuffle, same broadcast /
+    bloom / auto planners. Output contract matches the single-key
+    form: right key columns are dropped (``USING``-style), and
+    ``full``/``right`` coalesce each key pair across sides."""
+    right_on = list(right_on) if right_on is not None else list(on)
+    if len(right_on) != len(on):
+        raise ValueError(f"right_on length {len(right_on)} != on length {len(on)}")
+
+    JK = "__jk"
+    l_schema = left.schema()
+    if l_schema is None or not l_schema.names:
+        if how in ("right", "full"):
+            raise ValueError(
+                f"hash_join(how={how!r}): left side has no schema (empty "
+                "dataset) — output columns are underdetermined"
+            )
+        return left
+    l_cols = list(l_schema.names)
+    if JK in l_cols:
+        raise ValueError(f"left side already has a {JK} column")
+
+    def add_jk(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(JK, _encode_composite(t, cols))
+
+        return fn
+
+    left2 = left.map_batches(add_jk(on), batch_format="pyarrow", zero_copy_batch=True)
+    right2 = right.map_batches(
+        add_jk(right_on), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(
+        left2,
+        right2,
+        JK,
+        right_on=JK,
+        how=how,
+        num_partitions=num_partitions,
+        suffix=suffix,
+        broadcast=broadcast,
+        bloom_prefilter=bloom_prefilter,
+        bloom_bits=bloom_bits,
+        broadcast_threshold=broadcast_threshold,
+    )
+    if how in ("semi", "anti"):
+        return joined.drop_columns([JK])
+
+    # the single-key operator renamed colliding right columns; compute
+    # where each right KEY column landed so we can coalesce/drop it
+    l_set = set(l_cols) | {JK}
+    landed = [rk + suffix if rk in l_set else rk for rk in right_on]
+
+    def post(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if how in ("right", "full"):
+            # USING semantics: each key coalesces across sides
+            arrays, names = [], []
+            for name in t.column_names:
+                if name == JK or name in landed:
+                    continue
+                if name in on:
+                    rk = landed[on.index(name)]
+                    arrays.append(
+                        pc.coalesce(t.column(name), t.column(rk))
+                        if rk in t.column_names
+                        else t.column(name)
+                    )
+                else:
+                    arrays.append(t.column(name))
+                names.append(name)
+            return pa.table(dict(zip(names, arrays)))
+        drop = [JK] + [c for c in landed if c in t.column_names]
+        return t.drop_columns(drop)
+
+    return joined.map_batches(post, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def hash_join(
     left: "Dataset",
     right: "Dataset",
-    on: str,
+    on: "str | list[str]",
     *,
-    right_on: str | None = None,
+    right_on: "str | list[str] | None" = None,
     how: str = "inner",
     num_partitions: int = 64,
     suffix: str = "_r",
@@ -272,6 +387,13 @@ def hash_join(
     Output columns: ``semi``/``anti`` -> exactly the left columns;
     ``inner``/``left`` -> left columns then right non-key columns
     (name collisions get ``suffix``).
+
+    ``on``/``right_on`` may be LISTS for a composite key: both sides
+    gain a synthetic injectively-encoded key column and ride this same
+    operator (shuffle / broadcast / bloom / auto all apply); right key
+    columns are dropped from the output and ``full``/``right``
+    coalesce each key pair (``USING`` semantics). A null in ANY
+    component makes the whole key null — SQL AND-equality.
 
     ``broadcast=True`` switches to the small-right-side plan: the right
     side is materialized once, ``ray.put`` into the object store, and
@@ -317,6 +439,20 @@ def hash_join(
     """
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}")
+    if isinstance(on, (list, tuple)):
+        if len(on) == 1:
+            on = on[0]
+            right_on = right_on[0] if isinstance(right_on, (list, tuple)) else right_on
+        else:
+            if hot_keys is not None:
+                raise ValueError(
+                    "hot_keys is not supported with composite keys — encode "
+                    "the tuple into one column and salt that"
+                )
+            return _multi_key_join(
+                left, right, list(on), right_on, how, num_partitions, suffix,
+                broadcast, bloom_prefilter, bloom_bits, broadcast_threshold,
+            )
     hot_salt = int(hot_salt)
     if hot_keys is not None and hot_salt < 2:
         raise ValueError(f"hot_salt must be >= 2, got {hot_salt}")

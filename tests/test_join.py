@@ -505,3 +505,112 @@ def test_detect_then_join_end_to_end(ray_session):
     ).to_pandas()
     cols = list(ref.columns)
     pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(ref, cols), check_dtype=False)
+
+
+# --------------------------------------------------- composite (multi-col) keys
+def _mk_multi():
+    rng = np.random.default_rng(7)
+    n = 800
+    left = pd.DataFrame(
+        {
+            "a": rng.integers(0, 8, n).astype("int64"),
+            "b": pd.array(
+                np.where(rng.random(n) < 0.06, None, rng.integers(0, 4, n)).astype(object),
+                dtype="Int64",
+            ),
+            "lv": np.arange(n, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "a": rng.integers(0, 10, 150).astype("int64"),
+            "b2": pd.array(
+                np.where(rng.random(150) < 0.06, None, rng.integers(0, 4, 150)).astype(object),
+                dtype="Int64",
+            ),
+            "rv": rng.integers(0, 9, 150).astype("int64"),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti", "full", "right"])
+def test_composite_key_matches_duckdb(ray_session, how):
+    import duckdb
+
+    left, right = _mk_multi()
+    got = hash_join(
+        _mk(left), _mk(right), on=["a", "b"], right_on=["a", "b2"], how=how,
+        num_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    if how in ("semi", "anti"):
+        exp = con.execute(
+            f"SELECT * FROM l {how} JOIN r ON l.a = r.a AND l.b = r.b2"
+        ).df()
+    elif how in ("full", "right"):
+        # operator contract: key pairs coalesce (USING semantics)
+        exp = con.execute(
+            f"SELECT COALESCE(l.a, r.a) AS a, COALESCE(l.b, r.b2) AS b, lv, rv "
+            f"FROM l {'FULL' if how == 'full' else 'RIGHT'} JOIN r "
+            f"ON l.a = r.a AND l.b = r.b2"
+        ).df()
+    else:
+        exp = con.execute(
+            f"SELECT l.a, l.b, lv, rv FROM l "
+            f"{'INNER' if how == 'inner' else 'LEFT'} JOIN r "
+            f"ON l.a = r.a AND l.b = r.b2"
+        ).df()
+    assert sorted(got.columns) == sorted(exp.columns), (got.columns, exp.columns)
+    cols = sorted(got.columns)
+    ga = got[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+    ea = exp[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ga, ea, check_dtype=False)
+
+
+def test_composite_key_injective_encoding(ray_session):
+    # adversarial separator strings: ("a|b","c") must NOT match ("a","b|c"),
+    # ("1:x","y") must not match ("1","x:y"), etc.
+    left = pd.DataFrame({"x": ["a|b", "a", "1:x", "1"], "y": ["c", "b|c", "y", "x:y"],
+                         "lv": np.arange(4, dtype="int64")})
+    right = pd.DataFrame({"x": ["a", "1"], "y": ["b|c", "x:y"],
+                          "rv": np.array([10, 20], dtype="int64")})
+    got = hash_join(
+        _mk(left, 1), _mk(right, 1), on=["x", "y"], how="inner", num_partitions=4
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    assert got.lv.tolist() == [1, 3]
+    assert got.rv.tolist() == [10, 20]
+
+
+def test_composite_key_broadcast_and_auto(ray_session):
+    left, right = _mk_multi()
+    ref = hash_join(
+        _mk(left), _mk(right), on=["a", "b"], right_on=["a", "b2"], how="inner",
+        num_partitions=8,
+    ).to_pandas()
+    cols = sorted(ref.columns)
+    for kw in ({"broadcast": True}, {"broadcast": "auto"}, {"bloom_prefilter": True}):
+        got = hash_join(
+            _mk(left), _mk(right), on=["a", "b"], right_on=["a", "b2"], how="inner",
+            **kw,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            got[cols].astype("float64").sort_values(cols).reset_index(drop=True),
+            ref[cols].astype("float64").sort_values(cols).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+def test_composite_key_validation(ray_session):
+    left, right = _mk_multi()
+    with pytest.raises(ValueError, match="right_on length"):
+        hash_join(_mk(left), _mk(right), on=["a", "b"], right_on=["a"], how="inner")
+    with pytest.raises(ValueError, match="hot_keys"):
+        hash_join(_mk(left), _mk(right), on=["a", "b"], right_on=["a", "b2"],
+                  hot_keys=[1])
+    # single-element list degrades to the scalar path
+    got = hash_join(_mk(left), _mk(right.rename(columns={"b2": "b"})),
+                    on=["a"], how="semi", num_partitions=4).to_pandas()
+    assert sorted(got.columns) == ["a", "b", "lv"]
