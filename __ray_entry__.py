@@ -280,6 +280,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["day_us", "n_events", "value_sum_micros"]
         ]
 
+    def events_window_funcs(sf_dir):
+        # general window-function operator: PARTITION BY user_id
+        # ORDER BY ts, event_id — row_number, micros-exact lag /
+        # running sum / running max, one fixed-P shuffle + one C-speed
+        # kernel per partition
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            partitioned_window,
+        )
+
+        ev = R.read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            v = np.rint(
+                t.column("value").to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)
+            return pa.table(
+                {"event_id": t.column("event_id"),
+                 "user_id": t.column("user_id"),
+                 "ts": t.column("ts"),
+                 "v_u6": pa.array(v)}
+            )
+
+        out = partitioned_window(
+            ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            ["ts", "event_id"],
+            {"rn": ("row_number",),
+             "prev_v_u6": ("lag", "v_u6", 1, -1),
+             "run_sum_u6": ("cumsum", "v_u6"),
+             "run_max_u6": ("cummax", "v_u6")},
+            num_partitions=16,
+        )
+        df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+        for c in ("rn", "prev_v_u6", "run_sum_u6", "run_max_u6", "v_u6"):
+            df[c] = df[c].astype(np.int64)
+        return df[["event_id", "user_id", "v_u6", "rn",
+                   "prev_v_u6", "run_sum_u6", "run_max_u6"]]
+
     def composite_join_lines(sf_dir):
         # composite-key join (on=[orderkey, partkey]): decorate each
         # lineitem with its (order, part) pair quantity total via a
@@ -1432,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_clustered_scan": events_clustered_scan,
         "incremental_user_stats": incremental_user_stats,
         "composite_join_lines": composite_join_lines,
+        "events_window_funcs": events_window_funcs,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1650,6 +1693,21 @@ def oracle_sql() -> dict[str, str]:
             "AS value_sum_micros "
             "FROM events WHERE ts BETWEEN '2024-01-08' AND '2024-01-15' "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # general window operator vs SQL OVER frames (micros-exact)
+        "events_window_funcs": (
+            "SELECT event_id, user_id, "
+            "CAST(ROUND(value * 1e6) AS BIGINT) AS v_u6, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+            "CAST(COALESCE(LAG(CAST(ROUND(value * 1e6) AS BIGINT), 1) OVER w, -1) "
+            "AS BIGINT) AS prev_v_u6, "
+            "CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) OVER w AS BIGINT) "
+            "AS run_sum_u6, "
+            "CAST(MAX(CAST(ROUND(value * 1e6) AS BIGINT)) OVER w AS BIGINT) "
+            "AS run_max_u6 "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            "ORDER BY event_id"
         ),
         # composite-key join-back: lines strictly under half their
         # (order, part) pair total, integer-exact

@@ -1017,3 +1017,132 @@ def hopping_window_agg(
         aggs,
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------- partitioned window functions
+_WINDOW_KINDS = (
+    "row_number", "rank", "dense_rank", "lag", "lead", "cumsum", "cummax", "cummin"
+)
+
+
+def partitioned_window(
+    ds: "Dataset",
+    by: str | list[str],
+    order_by: "str | tuple | list",
+    specs: dict,
+    *,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """SQL window functions over ``PARTITION BY by ORDER BY order_by``
+    → the input columns plus one column per ``specs`` entry.
+
+    ``specs`` maps output name → spec tuple:
+      ``("row_number",)`` / ``("rank",)`` / ``("dense_rank",)``
+      ``("lag", col, offset, default)`` / ``("lead", col, offset, default)``
+      ``("cumsum", col)`` / ``("cummax", col)`` / ``("cummin", col)``
+    (cumulatives use the ROWS UNBOUNDED PRECEDING..CURRENT frame).
+
+    ``order_by`` entries are column names or ``(name, "desc")``. Nulls
+    order LAST regardless of direction (state the same in the SQL when
+    oracling a desc window).
+
+    Scale shape: ONE fixed-P shuffle on ``hash(by) % P`` (a partition
+    holds whole by-groups — the only co-location a window needs), then
+    a single C-speed kernel per partition: one sort, boundary masks,
+    shifted arrays and running folds — no per-group Python. Rank
+    functions use first-occurrence index propagation
+    (``np.maximum.accumulate``), so ties cost nothing extra.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    order_cols: list[str] = []
+    ascending: list[bool] = []
+    for o in [order_by] if isinstance(order_by, (str, tuple)) else list(order_by):
+        if isinstance(o, tuple):
+            name, direction = o
+            order_cols.append(name)
+            ascending.append(direction != "desc")
+        else:
+            order_cols.append(o)
+            ascending.append(True)
+    for out, spec in specs.items():
+        if spec[0] not in _WINDOW_KINDS:
+            raise ValueError(f"window {out!r}: unknown kind {spec[0]!r}")
+        if out in by or out in order_cols:
+            raise ValueError(f"window output {out!r} collides with an input column")
+
+    from .agg import _partition_of_keys
+
+    P = int(num_partitions)
+
+    def route(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__wp", pa.array(_partition_of_keys(t, by, P))
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["__wp"]).to_pandas()
+        df = df.sort_values(
+            by + order_cols,
+            ascending=[True] * len(by) + ascending,
+            na_position="last",
+            kind="mergesort",  # stable: equal keys keep input order
+        ).reset_index(drop=True)
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        newseg = np.ones(n, dtype=bool)
+        if n:
+            same = np.ones(n - 1, dtype=bool)
+            for b in by:
+                col = df[b]
+                eq = (col.iloc[1:].reset_index(drop=True) ==
+                      col.iloc[:-1].reset_index(drop=True))
+                bothna = col.isna().iloc[1:].reset_index(drop=True) & \
+                    col.isna().iloc[:-1].reset_index(drop=True)
+                # nullable dtypes compare to pd.NA -> object; force bool
+                same &= (eq | bothna).fillna(False).to_numpy(dtype=bool)
+            newseg[1:] = ~same
+        seg_start = np.maximum.accumulate(np.where(newseg, idx, -1))
+        # tie mask over the ORDER key (within segment)
+        newval = newseg.copy()
+        if n:
+            same_o = np.ones(n - 1, dtype=bool)
+            for c in order_cols:
+                col = df[c]
+                eq = (col.iloc[1:].reset_index(drop=True) ==
+                      col.iloc[:-1].reset_index(drop=True))
+                bothna = col.isna().iloc[1:].reset_index(drop=True) & \
+                    col.isna().iloc[:-1].reset_index(drop=True)
+                same_o &= (eq | bothna).fillna(False).to_numpy(dtype=bool)
+            newval[1:] |= ~same_o
+        seg_id = np.cumsum(newseg)
+        for out, spec in specs.items():
+            kind = spec[0]
+            if kind == "row_number":
+                df[out] = idx - seg_start + 1
+            elif kind == "rank":
+                first_occ = np.maximum.accumulate(np.where(newval, idx, -1))
+                df[out] = first_occ - seg_start + 1
+            elif kind == "dense_rank":
+                c = np.cumsum(newval)
+                df[out] = c - c[seg_start] + 1
+            elif kind in ("lag", "lead"):
+                col = spec[1]
+                off = int(spec[2]) if len(spec) > 2 else 1
+                default = spec[3] if len(spec) > 3 else None
+                s = df.groupby(seg_id, sort=False)[col].shift(
+                    off if kind == "lag" else -off
+                )
+                df[out] = s if default is None else s.fillna(default)
+            elif kind == "cumsum":
+                df[out] = df.groupby(seg_id, sort=False)[spec[1]].cumsum()
+            elif kind == "cummax":
+                df[out] = df.groupby(seg_id, sort=False)[spec[1]].cummax()
+            elif kind == "cummin":
+                df[out] = df.groupby(seg_id, sort=False)[spec[1]].cummin()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__wp")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -522,3 +522,91 @@ def test_hopping_window_validation(ray_session):
     with pytest.raises(ValueError):
         hopping_window_agg(ds, {"n": ("count", None)},
                            ts_col="ts", window_us=0, hop_us=10)
+
+
+# ------------------------------------------------ partitioned window functions
+def _win_df(n=2000, seed=9):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "u": rng.integers(0, 30, n).astype("int64"),
+        "g": rng.integers(0, 3, n).astype("int64"),
+        "t": rng.integers(0, 25, n).astype("int64"),
+        "v": rng.integers(-50, 50, n).astype("int64"),
+        "rid": np.arange(n, dtype="int64"),
+    })
+
+
+def test_window_ties_rank_dense_rank(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    df = _win_df()
+    out = partitioned_window(
+        rd.from_pandas(df).repartition(5), "u", "t",
+        {"rk": ("rank",), "dr": ("dense_rank",), "rn": ("row_number",)},
+        num_partitions=8,
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT rid, RANK() OVER w AS rk, DENSE_RANK() OVER w AS dr "
+        "FROM df WINDOW w AS (PARTITION BY u ORDER BY t) ORDER BY rid"
+    ).df()
+    assert (out.rk.to_numpy() == exp.rk.to_numpy()).all()
+    assert (out.dr.to_numpy() == exp.dr.to_numpy()).all()
+    # row_number over a tied order is nondeterministic in SQL; ours must
+    # still be a permutation of 1..len within each (u) group
+    g = out.groupby("u").rn
+    assert (g.min() == 1).all() and (g.max() == out.groupby("u").size()).all()
+
+
+def test_window_desc_multikey_and_lag_default(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    df = _win_df(1500, seed=4)
+    out = partitioned_window(
+        rd.from_pandas(df).repartition(4), ["u", "g"], [("t", "desc"), "rid"],
+        {"rn": ("row_number",), "lg": ("lag", "v", 1, -777), "cs": ("cumsum", "v")},
+        num_partitions=8,
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT rid, ROW_NUMBER() OVER w AS rn, "
+        "COALESCE(LAG(v,1) OVER w, -777) AS lg, SUM(v) OVER w AS cs "
+        "FROM df WINDOW w AS (PARTITION BY u, g ORDER BY t DESC NULLS LAST, rid) "
+        "ORDER BY rid"
+    ).df()
+    for c in ("rn", "lg", "cs"):
+        assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_window_null_order_keys_last(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    df = pd.DataFrame({
+        "u": np.zeros(4, dtype="int64"),
+        "t": pd.array([2, None, 1, None], dtype="Int64"),
+        "rid": np.arange(4, dtype="int64"),
+    })
+    out = partitioned_window(
+        rd.from_pandas(df), "u", ["t", "rid"], {"rn": ("row_number",)},
+        num_partitions=2,
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    # nulls last: rid 2 (t=1) first, rid 0 (t=2), then the two nulls by rid
+    assert out.rn.tolist() == [2, 3, 1, 4]
+
+
+def test_window_validation(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    ds = rd.from_pandas(pd.DataFrame({"u": [1], "t": [1]}))
+    with pytest.raises(ValueError, match="unknown kind"):
+        partitioned_window(ds, "u", "t", {"x": ("median",)})
+    with pytest.raises(ValueError, match="collides"):
+        partitioned_window(ds, "u", "t", {"t": ("row_number",)})
