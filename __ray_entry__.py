@@ -1219,6 +1219,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             df[c] = df[c].astype(np.int64) / 1e6
         return df.sort_values("hour").reset_index(drop=True)
 
+    def events_unpivot(sf_dir):
+        # pivot(fill=NULL) -> unpivot(drop_null) round trip: the wide
+        # reshape and its inverse compose to the plain long aggregate,
+        # which is the SQL oracle (hour x type micros-exact sums)
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.analytics import unpivot
+
+        types = ["click", "error", "purchase", "signup", "view"]
+
+        def derive(t: pa.Table) -> pa.Table:
+            ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            hour = ((ts // 3_600_000_000) * 3_600_000_000).astype("datetime64[us]")
+            v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+            return pa.table({"hour": pa.array(hour), "event_type": t["event_type"], "v_u6": v})
+
+        ev = R.read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+            derive, batch_format="pyarrow", zero_copy_batch=True
+        )
+        wide = A.pivot(ev, "hour", "event_type", "v_u6",
+                       agg="sum", pivot_values=types, fill=None)
+        long = unpivot(
+            wide, ["hour"], types,
+            var_name="event_type", value_name="value_sum_micros", drop_null=True,
+        )
+        df = long.to_pandas()
+        df["value_sum_micros"] = df["value_sum_micros"].astype(np.int64)
+        return df.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
     def frequent_part_pairs(sf_dir):
         from bloomfilter_multithread_ray.pipelines.itemsets import (
             frequent_part_pairs as FPP,
@@ -1547,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": embedding_pca,
         "events_rollup": events_rollup,
         "events_pivot": events_pivot,
+        "events_unpivot": events_unpivot,
         "frequent_part_pairs": frequent_part_pairs,
     }
 
@@ -2931,6 +2963,13 @@ def oracle_sql() -> dict[str, str]:
                 for t in ["click", "error", "purchase", "signup", "view"]
             )
             + " FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # pivot->unpivot round trip collapses to the plain long GROUP BY
+        "events_unpivot": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) "
+            "AS value_sum_micros "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # SymSpell-blocked fuzzy vocabulary join, exact for dist <= 1
         "fuzzy_token_pairs": (

@@ -1021,7 +1021,8 @@ def hopping_window_agg(
 
 # ---------------------------------------------- partitioned window functions
 _WINDOW_KINDS = (
-    "row_number", "rank", "dense_rank", "lag", "lead", "cumsum", "cummax", "cummin"
+    "row_number", "rank", "dense_rank", "lag", "lead", "cumsum", "cummax",
+    "cummin", "ntile", "percent_rank", "cume_dist"
 )
 
 
@@ -1040,7 +1041,9 @@ def partitioned_window(
       ``("row_number",)`` / ``("rank",)`` / ``("dense_rank",)``
       ``("lag", col, offset, default)`` / ``("lead", col, offset, default)``
       ``("cumsum", col)`` / ``("cummax", col)`` / ``("cummin", col)``
-    (cumulatives use the ROWS UNBOUNDED PRECEDING..CURRENT frame).
+      ``("ntile", k)`` / ``("percent_rank",)`` / ``("cume_dist",)``
+    (cumulatives use the ROWS UNBOUNDED PRECEDING..CURRENT frame;
+    ntile follows SQL's first-buckets-take-the-extra-row split).
 
     ``order_by`` entries are column names or ``(name, "desc")``. Nulls
     order LAST regardless of direction (state the same in the SQL when
@@ -1069,6 +1072,8 @@ def partitioned_window(
             raise ValueError(f"window {out!r}: unknown kind {spec[0]!r}")
         if out in by or out in order_cols:
             raise ValueError(f"window output {out!r} collides with an input column")
+        if spec[0] == "ntile" and (len(spec) < 2 or int(spec[1]) <= 0):
+            raise ValueError(f"window {out!r}: ntile requires k >= 1")
 
     from .agg import _partition_of_keys
 
@@ -1115,6 +1120,17 @@ def partitioned_window(
                 same_o &= (eq | bothna).fillna(False).to_numpy(dtype=bool)
             newval[1:] |= ~same_o
         seg_id = np.cumsum(newseg)
+        # per-row segment length + tie-group exclusive end (ties never
+        # span segments: newseg implies newval)
+        if n:
+            starts_idx = np.flatnonzero(newseg)
+            lens = np.diff(np.append(starts_idx, n))
+            seg_len = np.repeat(lens, lens)
+            tie_starts = np.flatnonzero(newval)
+            tie_lens = np.diff(np.append(tie_starts, n))
+            tie_end = np.repeat(tie_starts + tie_lens, tie_lens)
+        else:
+            seg_len = tie_end = idx
         for out, spec in specs.items():
             kind = spec[0]
             if kind == "row_number":
@@ -1139,6 +1155,26 @@ def partitioned_window(
                 df[out] = df.groupby(seg_id, sort=False)[spec[1]].cummax()
             elif kind == "cummin":
                 df[out] = df.groupby(seg_id, sort=False)[spec[1]].cummin()
+            elif kind == "ntile":
+                k = int(spec[1])
+                if k <= 0:
+                    raise ValueError(f"ntile requires k >= 1, got {k}")
+                p = idx - seg_start
+                q, r = seg_len // k, seg_len % k
+                # SQL NTILE: the first (len % k) buckets take one extra row
+                big = r * (q + 1)
+                df[out] = np.where(
+                    p < big,
+                    p // np.maximum(q + 1, 1) + 1,
+                    r + (p - big) // np.maximum(q, 1) + 1,
+                )
+            elif kind == "percent_rank":
+                first_occ = np.maximum.accumulate(np.where(newval, idx, -1))
+                rank = first_occ - seg_start  # 0-based
+                denom = np.maximum(seg_len - 1, 1)
+                df[out] = np.where(seg_len > 1, rank / denom, 0.0)
+            elif kind == "cume_dist":
+                df[out] = (tie_end - seg_start) / seg_len
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
@@ -1146,3 +1182,75 @@ def partitioned_window(
         .groupby("__wp")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------------------ unpivot
+def unpivot(
+    ds: "Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+    drop_null: bool = False,
+) -> "Dataset":
+    """Wide → long reshape (SQL UNPIVOT / melt), the inverse of
+    :func:`pivot`. Map-only and shuffle-free: each batch emits its id
+    columns once per value column with a constant ``var_name`` label,
+    so the k× row fan-out never crosses the wire unaggregated unless
+    the caller sends it somewhere. Value columns unify to their widest
+    common Arrow type (all-int → int64, any float → float64) — mixed
+    non-numeric kinds must be cast by the caller first. ``drop_null``
+    mirrors SQL UNPIVOT's default of omitting NULL cells (a pivot
+    round trip with ``fill=None`` then drops exactly the combos the
+    original data never had)."""
+    import pyarrow.compute as pc
+
+    id_cols, value_cols = list(id_cols), list(value_cols)
+    if not value_cols:
+        raise ValueError("unpivot: value_cols must be non-empty")
+    for c in (var_name, value_name):
+        if c in id_cols:
+            raise ValueError(f"unpivot: output column {c!r} collides with id_cols")
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    vt = []
+    for c in value_cols:
+        t = types.get(c)
+        vt.append(t if isinstance(t, pa.DataType) else None)
+    if any(t is None for t in vt):
+        target = None  # resolve per batch (pandas-backed schema)
+    elif all(pa.types.is_integer(t) for t in vt):
+        target = pa.int64()
+    elif all(pa.types.is_integer(t) or pa.types.is_floating(t) for t in vt):
+        target = pa.float64()
+    elif len({str(t) for t in vt}) == 1:
+        target = vt[0]
+    else:
+        raise ValueError(f"unpivot: value columns mix incompatible types {vt}")
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tgt = target
+        if tgt is None:
+            ts = [t.column(c).type for c in value_cols]
+            if all(pa.types.is_integer(x) for x in ts):
+                tgt = pa.int64()
+            elif all(pa.types.is_integer(x) or pa.types.is_floating(x) for x in ts):
+                tgt = pa.float64()
+            else:
+                tgt = ts[0]
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[var_name] = pa.array(np.full(n, c), pa.string())
+            v = t.column(c).combine_chunks()
+            cols[value_name] = v if v.type == tgt else v.cast(tgt)
+            parts.append(pa.table(cols))
+        out = pa.concat_tables(parts)
+        if drop_null:
+            out = out.filter(pc.is_valid(out.column(value_name)))
+        return out
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)

@@ -610,3 +610,115 @@ def test_window_validation(ray_session):
         partitioned_window(ds, "u", "t", {"x": ("median",)})
     with pytest.raises(ValueError, match="collides"):
         partitioned_window(ds, "u", "t", {"t": ("row_number",)})
+
+
+def test_window_ntile_percent_rank_cume_dist(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    df = _win_df(1200, seed=13)
+    out = partitioned_window(
+        rd.from_pandas(df).repartition(4), "u", ["t", "rid"],
+        {"nt": ("ntile", 4), "pr": ("percent_rank",), "cd": ("cume_dist",)},
+        num_partitions=8,
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT rid, NTILE(4) OVER w AS nt, PERCENT_RANK() OVER w AS pr, "
+        "CUME_DIST() OVER w AS cd "
+        "FROM df WINDOW w AS (PARTITION BY u ORDER BY t, rid) ORDER BY rid"
+    ).df()
+    assert (out.nt.to_numpy() == exp.nt.to_numpy()).all()
+    assert np.allclose(out.pr.to_numpy(), exp.pr.to_numpy())
+    assert np.allclose(out.cd.to_numpy(), exp.cd.to_numpy())
+    # ties: cume_dist/percent_rank with a tied order key
+    out2 = partitioned_window(
+        rd.from_pandas(df).repartition(4), "u", "t",
+        {"pr": ("percent_rank",), "cd": ("cume_dist",), "nt": ("ntile", 3)},
+        num_partitions=8,
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    exp2 = duckdb.sql(
+        "SELECT rid, PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd "
+        "FROM df WINDOW w AS (PARTITION BY u ORDER BY t) ORDER BY rid"
+    ).df()
+    assert np.allclose(out2.pr.to_numpy(), exp2.pr.to_numpy())
+    assert np.allclose(out2.cd.to_numpy(), exp2.cd.to_numpy())
+    # single-row groups: percent_rank 0, cume_dist 1
+    one = pd.DataFrame({"u": [1], "t": [0], "v": [5], "rid": [0], "g": [0]})
+    o1 = partitioned_window(
+        rd.from_pandas(one), "u", "t",
+        {"pr": ("percent_rank",), "cd": ("cume_dist",), "nt": ("ntile", 5)},
+        num_partitions=2,
+    ).to_pandas()
+    assert o1.pr.iloc[0] == 0.0 and o1.cd.iloc[0] == 1.0 and o1.nt.iloc[0] == 1
+    with pytest.raises(ValueError, match="ntile"):
+        partitioned_window(rd.from_pandas(one), "u", "t", {"x": ("ntile", 0)})
+
+
+# --------------------------------------------------------------- unpivot
+def test_unpivot_matches_duckdb_and_roundtrip(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import pivot, unpivot
+
+    wide = pd.DataFrame({
+        "k": np.arange(6, dtype="int64"),
+        "a": np.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+        "b": pd.array([10, None, 30, None, 50, 60], dtype="Int64"),
+        "c": np.array([0.5, 1.5, 2.5, 3.5, 4.5, 5.5]),
+    })
+    # int + float value cols unify to float64
+    out = unpivot(
+        rd.from_pandas(wide).repartition(3), ["k"], ["a", "b", "c"],
+        var_name="m", value_name="v",
+    ).to_pandas().sort_values(["k", "m"]).reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT k, 'a' AS m, CAST(a AS DOUBLE) AS v FROM wide "
+        "UNION ALL SELECT k, 'b', CAST(b AS DOUBLE) FROM wide "
+        "UNION ALL SELECT k, 'c', c FROM wide ORDER BY k, m"
+    ).df()
+    assert out.v.dtype == np.float64
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # drop_null mirrors SQL UNPIVOT's default NULL omission
+    out2 = unpivot(
+        rd.from_pandas(wide).repartition(2), ["k"], ["a", "b"],
+        var_name="m", value_name="v", drop_null=True,
+    ).to_pandas()
+    assert len(out2) == 6 + 4  # b has 2 nulls
+    assert out2.v.notna().all()
+
+    # pivot(fill=None) -> unpivot(drop_null) round-trips to the long form
+    long = pd.DataFrame({
+        "g": np.repeat(np.arange(4, dtype="int64"), 2),
+        "p": ["x", "y"] * 4,
+        "v": np.arange(8, dtype="int64"),
+    }).iloc[:-1]  # drop one combo so a NULL cell exists
+    wide_ds = pivot(
+        rd.from_pandas(long).repartition(2), "g", "p", "v",
+        agg="sum", pivot_values=["x", "y"], fill=None,
+    )
+    back = unpivot(
+        wide_ds, ["g"], ["x", "y"], var_name="p", value_name="v", drop_null=True
+    ).to_pandas().sort_values(["g", "p"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back, long.sort_values(["g", "p"]).reset_index(drop=True).astype({"v": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_unpivot_validation(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import unpivot
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "a": [1], "s": ["x"]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        unpivot(ds, ["k"], [])
+    with pytest.raises(ValueError, match="collides"):
+        unpivot(ds, ["k"], ["a"], var_name="k")
+    with pytest.raises(ValueError, match="incompatible"):
+        unpivot(rd.from_arrow(
+            __import__("pyarrow").table({"k": [1], "a": [1], "s": ["x"]})
+        ), ["k"], ["a", "s"])
