@@ -1219,6 +1219,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             df[c] = df[c].astype(np.int64) / 1e6
         return df.sort_values("hour").reset_index(drop=True)
 
+    def events_latest_per_user(sf_dir):
+        # last-write-wins compaction: each user's latest event (ts
+        # desc, event_id desc tiebreak); per-batch combiner shrinks
+        # every batch to one candidate row per user BEFORE the one
+        # fixed-P exchange
+        import numpy as np
+
+        from bloomfilter_multithread_ray.pipelines.analytics import latest_by_key
+
+        ev = R.read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        df = (
+            latest_by_key(ev, "user_id", "ts", tiebreak="event_id",
+                          num_partitions=16)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        df["event_id"] = df["event_id"].astype(np.int64)
+        return df[["user_id", "event_id", "ts", "event_type"]]
+
     def events_unpivot(sf_dir):
         # pivot(fill=NULL) -> unpivot(drop_null) round trip: the wide
         # reshape and its inverse compose to the plain long aggregate,
@@ -1579,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": events_rollup,
         "events_pivot": events_pivot,
         "events_unpivot": events_unpivot,
+        "events_latest_per_user": events_latest_per_user,
         "frequent_part_pairs": frequent_part_pairs,
     }
 
@@ -2963,6 +2984,12 @@ def oracle_sql() -> dict[str, str]:
                 for t in ["click", "error", "purchase", "signup", "view"]
             )
             + " FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # last-write-wins: QUALIFY row_number over the desc order
+        "events_latest_per_user": (
+            "SELECT user_id, event_id, ts, event_type FROM events "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id"
         ),
         # pivot->unpivot round trip collapses to the plain long GROUP BY
         "events_unpivot": (

@@ -722,3 +722,68 @@ def test_unpivot_validation(ray_session):
         unpivot(rd.from_arrow(
             __import__("pyarrow").table({"k": [1], "a": [1], "s": ["x"]})
         ), ["k"], ["a", "s"])
+
+
+# ----------------------------------------------------------- latest_by_key
+def test_latest_by_key_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import latest_by_key
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 80, n).astype("int64"),
+        "ts": rng.integers(0, 50, n).astype("int64"),  # many ties
+        "eid": np.arange(n, dtype="int64"),
+        "v": rng.integers(0, 9, n).astype("int64"),
+    })
+    got = latest_by_key(
+        rd.from_pandas(df).repartition(6), "u", "ts", tiebreak="eid",
+        num_partitions=8,
+    ).to_pandas().sort_values("u").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT u, ts, eid, v FROM df QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY u ORDER BY ts DESC, eid DESC) = 1 ORDER BY u"
+    ).df()
+    pd.testing.assert_frame_equal(got[["u", "ts", "eid", "v"]], exp, check_dtype=False)
+
+
+def test_latest_by_key_null_order_loses(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import latest_by_key
+
+    df = pd.DataFrame({
+        "u": np.array([1, 1, 2], dtype="int64"),
+        "ts": pd.array([5, None, None], dtype="Int64"),
+        "eid": np.array([0, 1, 2], dtype="int64"),
+    })
+    got = latest_by_key(rd.from_pandas(df), "u", "ts", tiebreak="eid",
+                        num_partitions=4).to_pandas().sort_values("u")
+    # u=1: non-null ts wins over null; u=2: all-null key still yields a row
+    assert got.eid.tolist() == [0, 2]
+
+
+def test_latest_by_key_multikey_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import latest_by_key
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 5, 500).astype("int64"),
+        "b": rng.integers(0, 4, 500).astype("int64"),
+        "ts": rng.integers(0, 30, 500).astype("int64"),
+        "eid": np.arange(500, dtype="int64"),
+    })
+    r1 = latest_by_key(rd.from_pandas(df).repartition(2), ["a", "b"], "ts",
+                       tiebreak="eid", num_partitions=4).to_pandas()
+    r2 = latest_by_key(rd.from_pandas(df).repartition(11), ["a", "b"], "ts",
+                       tiebreak="eid", num_partitions=16).to_pandas()
+    k = ["a", "b", "ts", "eid"]
+    pd.testing.assert_frame_equal(
+        r1[k].sort_values(k).reset_index(drop=True),
+        r2[k].sort_values(k).reset_index(drop=True),
+    )
