@@ -250,6 +250,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_histogram",
         "semantic_dedup",
         "profile_events",
+        "events_hopping",
+        "skew_join_revenue",
+        "events_clustered_scan",
+        "incremental_user_stats",
+        "composite_join_lines",
+        "events_window_funcs",
+        "events_unpivot",
+        "events_latest_per_user",
     ]
     times: dict[str, float] = {}
     for name in names:
