@@ -378,6 +378,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["n_under_half"] = df["n_under_half"].astype(np.int64)
         return df[["l_returnflag", "n_under_half"]]
 
+    def bucketed_join_orders(sf_dir):
+        # co-partitioned bucket stores: orders and customer bucketed by
+        # custkey once (/tmp scratch), then a ZERO-shuffle join — each
+        # task reads one aligned bucket pair and joins map-only; per-
+        # segment order counts + u4-exact totals are the oracle-checked
+        # result
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines import table_store as TS
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+        root = tempfile.mkdtemp(prefix="graft_bucket_", dir="/tmp")
+        try:
+            orders = R.read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+            def u4(t: pa.Table) -> pa.Table:
+                v = np.rint(
+                    t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64)
+                return pa.table(
+                    {"o_custkey": t.column("o_custkey"), "price_c": pa.array(v)}
+                )
+
+            TS.write_bucketed(
+                orders.map_batches(u4, batch_format="pyarrow", zero_copy_batch=True),
+                f"{root}/orders", "o_custkey", num_buckets=16,
+            )
+            TS.write_bucketed(
+                R.read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+                f"{root}/customer", "c_custkey", num_buckets=16,
+            )
+            joined = TS.bucketed_join(
+                f"{root}/orders", f"{root}/customer", how="inner"
+            )
+            out = grouped_agg(
+                joined.select_columns(["c_mktsegment", "price_c"]),
+                "c_mktsegment",
+                {"n_orders": ("count", None), "total_cents": ("sum", "price_c")},
+                num_partitions=4,
+            )
+            df = out.to_pandas()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["total_cents"] = df["total_cents"].astype(np.int64)
+        return df.sort_values("c_mktsegment").reset_index(drop=True)[
+            ["c_mktsegment", "n_orders", "total_cents"]
+        ]
+
     def incremental_user_stats(sf_dir):
         # materialized-view delta maintenance: events fold into a
         # persistent per-user aggregate store in TWO increments (split
@@ -1526,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_user_stats": incremental_user_stats,
         "composite_join_lines": composite_join_lines,
         "events_window_funcs": events_window_funcs,
+        "bucketed_join_orders": bucketed_join_orders,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1771,6 +1826,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_under_half "
             "FROM lineitem JOIN p USING (l_orderkey, l_partkey) "
             "WHERE 2 * CAST(ROUND(l_quantity) AS BIGINT) < pair_q "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # zero-shuffle co-partitioned join == the plain join (cents-exact)
+        "bucketed_join_orders": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY 1 ORDER BY 1"
         ),
         # two-delta incremental fold must equal the one-shot aggregate

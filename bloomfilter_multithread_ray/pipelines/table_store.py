@@ -309,3 +309,205 @@ def _scalar(x, kind: str):
     if kind == "timestamp_us":
         return pd.Timestamp(x).to_datetime64()
     return x
+
+
+# ----------------------------------------------- co-partitioned bucket store
+BUCKET_MANIFEST = "_bucket_manifest.json"
+_HASH_VERSION = "splitmix64/v1"  # int keys: hash64_ints; strings: hash_strings
+
+
+def write_bucketed(
+    ds: "Dataset",
+    path: str,
+    key: str,
+    *,
+    num_buckets: int = 32,
+    skip_existing: bool = True,
+) -> pd.DataFrame:
+    """Write ``ds`` hash-bucketed by ``key`` (``{path}/bucket={i}/
+    part.parquet``, manifest records the bucket count + hash version).
+    Two stores bucketed with the SAME count and hash version are
+    co-partitioned: equal keys live in equal bucket ids, which is what
+    lets :func:`bucketed_join` run with NO shuffle at read time —
+    bucketing pays the exchange once at write, every later join reads
+    aligned bucket pairs map-only (the reference's ownership-by-
+    partitioning, ``src/SkmerExtractor.cpp:164``, persisted).
+
+    Null keys land in bucket 0 (they never match any join anyway).
+    Returns {bucket, n_rows, skipped}.
+    """
+    from .join import _key_hash
+
+    B = int(num_buckets)
+    os.makedirs(path, exist_ok=True)
+
+    def route(t: pa.Table) -> pa.Table:
+        h, _valid = _key_hash(t.column(key))
+        return t.append_column(
+            "__bk", pa.array((h % np.uint64(B)).astype(np.int32))
+        )
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        b = int(g.column("__bk")[0].as_py())
+        body = g.drop_columns(["__bk"])
+        d = os.path.join(path, f"bucket={b}")
+        fp = os.path.join(d, "part.parquet")
+        skipped = bool(skip_existing and os.path.exists(fp))
+        if not skipped:
+            os.makedirs(d, exist_ok=True)
+            tmp = fp + ".tmp"
+            pq.write_table(body, tmp)
+            os.replace(tmp, fp)
+        return pa.table(
+            {"bucket": pa.array([b], pa.int64()),
+             "n_rows": pa.array([body.num_rows], pa.int64()),
+             "skipped": pa.array([skipped], pa.bool_())}
+        )
+
+    man = (
+        ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bk")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    doc = {"key": key, "num_buckets": B, "hash": _HASH_VERSION,
+           "buckets": [int(b) for b in man.bucket]}
+    tmp = os.path.join(path, BUCKET_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, BUCKET_MANIFEST))
+    return man
+
+
+def bucketed_join(
+    left_path: str,
+    right_path: str,
+    *,
+    how: str = "inner",
+    columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    suffix: str = "_r",
+) -> "Dataset":
+    """Zero-shuffle join of two co-partitioned bucket stores: a Dataset
+    of bucket ids fans out, each task reads ONE aligned bucket pair and
+    joins it with the Arrow hash-join kernel — no exchange of either
+    side, ever. The manifests must agree on bucket count and hash
+    version (validated); key names may differ.
+
+    Output contract matches :func:`~.join.hash_join`: semi/anti emit
+    left columns; inner/left append right non-key columns with
+    ``suffix`` on collisions. SQL null-key semantics (never match).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    with open(os.path.join(left_path, BUCKET_MANIFEST)) as f:
+        lman = json.load(f)
+    with open(os.path.join(right_path, BUCKET_MANIFEST)) as f:
+        rman = json.load(f)
+    if lman["num_buckets"] != rman["num_buckets"] or lman["hash"] != rman["hash"]:
+        raise ValueError(
+            f"stores are not co-partitioned: left ({lman['num_buckets']}, "
+            f"{lman['hash']}) vs right ({rman['num_buckets']}, {rman['hash']})"
+        )
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"bucketed_join supports inner/left/semi/anti, got {how!r}")
+    lkey, rkey = lman["key"], rman["key"]
+    B = lman["num_buckets"]
+    have_l, have_r = set(lman["buckets"]), set(rman["buckets"])
+
+    lcols = None if columns is None else list(dict.fromkeys([lkey] + list(columns)))
+    rcols = None if right_columns is None else list(
+        dict.fromkeys([rkey] + list(right_columns))
+    )
+
+    # fixed output schema (from one bucket pair's file schemas) so tasks
+    # whose buckets are all absent still emit TYPED empty tables — Ray
+    # cannot unify schema-less blocks with their peers
+    def _file_schema(root, b, cols):
+        s = pq.read_schema(os.path.join(root, f"bucket={b}", "part.parquet"))
+        names = cols if cols is not None else s.names
+        return [(n, s.field(n).type) for n in names]
+
+    if not have_l:
+        raise ValueError(f"empty bucket store at {left_path}")
+    l_fields = _file_schema(left_path, min(have_l), lcols)
+    out_fields = list(l_fields)
+    if how in ("inner", "left") and have_r:
+        l_names = {n for n, _t in l_fields}
+        for n, t in _file_schema(right_path, min(have_r), rcols):
+            if n != rkey:
+                out_fields.append((n + suffix if n in l_names else n, t))
+    empty = pa.Table.from_arrays(
+        [pa.nulls(0, t) for _n, t in out_fields], names=[n for n, _t in out_fields]
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        outs = []
+        for b in t.column("id").to_pylist():
+            if b not in have_l:
+                continue
+            lt = pq.read_table(
+                os.path.join(left_path, f"bucket={b}", "part.parquet"),
+                columns=lcols,
+            )
+            if b not in have_r:
+                rt = None
+            else:
+                rt = pq.read_table(
+                    os.path.join(right_path, f"bucket={b}", "part.parquet"),
+                    columns=rcols,
+                )
+                k = rt.column(rkey)
+                if k.null_count:
+                    rt = rt.filter(pc.is_valid(k))
+            if rt is None or rt.num_rows == 0:
+                if how == "anti":
+                    outs.append(lt)
+                elif how == "left":
+                    # typed null right columns
+                    if rt is not None:
+                        r_out = [c for c in rt.column_names if c != rkey]
+                        for c in r_out:
+                            name = c + suffix if c in lt.column_names else c
+                            lt = lt.append_column(
+                                name, pa.nulls(lt.num_rows, rt.schema.field(c).type)
+                            )
+                        outs.append(lt)
+                    else:
+                        outs.append(lt)
+                elif how in ("inner", "semi"):
+                    pass
+                continue
+            if how in ("semi", "anti"):
+                jt = "left semi" if how == "semi" else "left anti"
+                outs.append(
+                    lt.join(rt.select([rkey]), keys=[lkey], right_keys=[rkey],
+                            join_type=jt)
+                )
+            else:
+                r_out = [c for c in rt.column_names if c != rkey]
+                rename = {c: (c + suffix if c in lt.column_names else c) for c in r_out}
+                rt2 = rt.rename_columns(
+                    [rkey if c == rkey else rename[c] for c in rt.column_names]
+                )
+                jt = "inner" if how == "inner" else "left outer"
+                out_cols = lt.column_names + [rename[c] for c in r_out]
+                outs.append(
+                    lt.join(rt2, keys=[lkey], right_keys=[rkey], join_type=jt)
+                    .select(out_cols)
+                )
+        if not outs:
+            return empty
+        return pa.concat_tables([empty] + outs, promote_options="permissive")
+
+    ids = ray.data.range(B, override_num_blocks=B)
+    return ids.map_batches(join_bucket, batch_format="pyarrow", zero_copy_batch=True)

@@ -141,3 +141,87 @@ def test_float_kind_and_bad_type(ray_session, tmp_store):
             tmp_store + "_s",
             "s",
         )
+
+
+# ------------------------------------------------ co-partitioned bucket store
+def _bk(tmp_path, name):
+    return str(tmp_path / name)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_bucketed_join_matches_pandas(ray_session, tmp_path, how):
+    rng = np.random.default_rng(11)
+    L = pd.DataFrame({"k": rng.integers(0, 300, 5000).astype("int64"),
+                      "lv": np.arange(5000, dtype="int64")})
+    R = pd.DataFrame({"k": np.arange(0, 250, dtype="int64"),
+                      "rv": np.arange(250, dtype="int64") * 3,
+                      "lv": np.arange(250, dtype="int64")})  # collides -> suffix
+    lp, rp = _bk(tmp_path, "l"), _bk(tmp_path, "r")
+    TS.write_bucketed(ray.data.from_pandas(L).repartition(5), lp, "k", num_buckets=8)
+    TS.write_bucketed(ray.data.from_pandas(R).repartition(2), rp, "k", num_buckets=8)
+    got = TS.bucketed_join(lp, rp, how=how).to_pandas()
+    if how in ("inner", "left"):
+        exp = L.merge(R.rename(columns={"rv": "rv", "lv": "lv_r"}), on="k", how=how)
+        assert sorted(got.columns) == sorted(["k", "lv", "rv", "lv_r"])
+    elif how == "semi":
+        exp = L[L.k.isin(R.k)]
+    else:
+        exp = L[~L.k.isin(R.k)]
+    cols = sorted(got.columns)
+    ga = got[cols].sort_values(cols).reset_index(drop=True).astype("float64")
+    ea = exp[cols].sort_values(cols).reset_index(drop=True).astype("float64")
+    pd.testing.assert_frame_equal(ga.fillna(-1), ea.fillna(-1), check_dtype=False)
+
+
+def test_bucketed_join_validation_and_pruning(ray_session, tmp_path):
+    L = pd.DataFrame({"k": np.arange(20, dtype="int64"), "a": np.arange(20, dtype="int64"),
+                      "b": np.arange(20, dtype="int64") * 2})
+    R = pd.DataFrame({"kk": np.arange(10, dtype="int64"), "c": np.arange(10, dtype="int64")})
+    lp, rp, rp2 = _bk(tmp_path, "l"), _bk(tmp_path, "r"), _bk(tmp_path, "r2")
+    TS.write_bucketed(ray.data.from_pandas(L), lp, "k", num_buckets=4)
+    TS.write_bucketed(ray.data.from_pandas(R), rp, "kk", num_buckets=4)
+    TS.write_bucketed(ray.data.from_pandas(R), rp2, "kk", num_buckets=8)
+    with pytest.raises(ValueError, match="co-partitioned"):
+        TS.bucketed_join(lp, rp2)
+    with pytest.raises(ValueError, match="inner/left"):
+        TS.bucketed_join(lp, rp, how="full")
+    # column pruning: key rides along, only requested columns emitted
+    got = TS.bucketed_join(lp, rp, columns=["a"], right_columns=["c"]).to_pandas()
+    assert sorted(got.columns) == ["a", "c", "k"]
+    assert len(got) == 10
+
+
+def test_bucketed_join_disjoint_keys_typed_empty(ray_session, tmp_path):
+    L = pd.DataFrame({"k": np.arange(0, 10, dtype="int64"), "lv": np.arange(10, dtype="int64")})
+    R = pd.DataFrame({"k": np.arange(100, 110, dtype="int64"), "rv": np.arange(10, dtype="int64")})
+    lp, rp = _bk(tmp_path, "l"), _bk(tmp_path, "r")
+    TS.write_bucketed(ray.data.from_pandas(L), lp, "k", num_buckets=4)
+    TS.write_bucketed(ray.data.from_pandas(R), rp, "k", num_buckets=4)
+    out = TS.bucketed_join(lp, rp, how="inner")
+    # every task emits a TYPED empty table, so the Dataset keeps its
+    # schema (Ray's to_pandas still drops columns on all-empty data —
+    # the repo-wide caveat — so assert on the Dataset schema)
+    assert sorted(out.schema().names) == ["k", "lv", "rv"]
+    assert out.count() == 0
+
+
+def test_bucketed_null_keys_and_resume(ray_session, tmp_path):
+    import os
+
+    L = pd.DataFrame({"k": pd.array([1, None, 2, None, 3], dtype="Int64"),
+                      "lv": np.arange(5, dtype="int64")})
+    R = pd.DataFrame({"k": np.arange(1, 3, dtype="int64"), "rv": np.arange(2, dtype="int64")})
+    lp, rp = _bk(tmp_path, "l"), _bk(tmp_path, "r")
+    m1 = TS.write_bucketed(ray.data.from_pandas(L), lp, "k", num_buckets=4)
+    TS.write_bucketed(ray.data.from_pandas(R), rp, "k", num_buckets=4)
+    # null keys never match (inner) / survive (anti)
+    assert len(TS.bucketed_join(lp, rp, how="inner").to_pandas()) == 2
+    anti = TS.bucketed_join(lp, rp, how="anti").to_pandas()
+    assert sorted(anti.lv.tolist()) == [1, 3, 4]
+    # resume: wipe one bucket, re-write skips the rest
+    victim = int(m1.bucket.iloc[0])
+    import shutil
+    shutil.rmtree(os.path.join(lp, f"bucket={victim}"))
+    m2 = TS.write_bucketed(ray.data.from_pandas(L), lp, "k", num_buckets=4)
+    by = m2.set_index("bucket")["skipped"]
+    assert not by.loc[victim] and by.drop(index=victim).all()
