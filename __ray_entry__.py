@@ -378,6 +378,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["n_under_half"] = df["n_under_half"].astype(np.int64)
         return df[["l_returnflag", "n_under_half"]]
 
+    def embedding_dim_stats(sf_dir):
+        # unnest-with-ordinality (explode_list) -> per-dimension stats;
+        # values quantized micros-exact so the grouped sums hash-match
+        # SQL (float32 -> float64 casts are exact)
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+        from bloomfilter_multithread_ray.pipelines.analytics import explode_list
+
+        import ray.data
+
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        long = explode_list(emb, "embedding", keep=[], idx_name="dim",
+                            value_name="x")
+
+        def q(t: pa.Table) -> pa.Table:
+            v = np.rint(
+                t.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+                * 1e6
+            ).astype(np.int64)
+            return pa.table({"dim": t.column("dim"), "x_u6": pa.array(v)})
+
+        out = grouped_agg(
+            long.map_batches(q, batch_format="pyarrow", zero_copy_batch=True),
+            "dim",
+            {"n": ("count", None), "sum_u6": ("sum", "x_u6"),
+             "min_u6": ("min", "x_u6"), "max_u6": ("max", "x_u6")},
+            num_partitions=8,
+        )
+        df = out.to_pandas().sort_values("dim").reset_index(drop=True)
+        for c in ("n", "sum_u6", "min_u6", "max_u6"):
+            df[c] = df[c].astype(np.int64)
+        return df[["dim", "n", "sum_u6", "min_u6", "max_u6"]]
+
     def bucketed_join_orders(sf_dir):
         # co-partitioned bucket stores: orders and customer bucketed by
         # custkey once (/tmp scratch), then a ZERO-shuffle join — each
@@ -1581,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_join_lines": composite_join_lines,
         "events_window_funcs": events_window_funcs,
         "bucketed_join_orders": bucketed_join_orders,
+        "embedding_dim_stats": embedding_dim_stats,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1827,6 +1866,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN p USING (l_orderkey, l_partkey) "
             "WHERE 2 * CAST(ROUND(l_quantity) AS BIGINT) < pair_q "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # unnest-with-ordinality per-dimension stats, micros-exact
+        "embedding_dim_stats": (
+            "WITH e AS (SELECT CAST(u.o - 1 AS BIGINT) AS dim, "
+            "CAST(ROUND(CAST(u.x AS DOUBLE) * 1e6) AS BIGINT) AS x_u6 "
+            "FROM embeddings, LATERAL (SELECT unnest(embedding) x, "
+            "generate_subscripts(embedding, 1) o) u) "
+            "SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x_u6) AS BIGINT) AS sum_u6, "
+            "CAST(MIN(x_u6) AS BIGINT) AS min_u6, "
+            "CAST(MAX(x_u6) AS BIGINT) AS max_u6 "
+            "FROM e GROUP BY dim ORDER BY dim"
         ),
         # zero-shuffle co-partitioned join == the plain join (cents-exact)
         "bucketed_join_orders": (

@@ -1307,3 +1307,52 @@ def latest_by_key(
         .groupby("__lp")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------- explode_list
+def explode_list(
+    ds: "Dataset",
+    list_col: str,
+    *,
+    keep: list[str] | None = None,
+    idx_name: str = "idx",
+    value_name: str | None = None,
+) -> "Dataset":
+    """Unnest a list column WITH ORDINALITY (SQL ``unnest``): one output
+    row per element, carrying ``keep`` columns (default: every other
+    column), a 0-based ``idx_name`` position and the element as
+    ``value_name`` (default: the list column's name). Null and empty
+    lists emit nothing, matching SQL unnest.
+
+    Map-only and fully vectorized: offsets arithmetic gives positions,
+    one ``take`` replicates the kept columns — no Python per row."""
+    value_name = value_name or list_col
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(list_col).combine_chunks()
+        if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+            raise TypeError(f"explode_list: {list_col!r} is {col.type}, not a list")
+        kcols = keep if keep is not None else [
+            c for c in t.column_names if c != list_col
+        ]
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        start, end = off[:-1], off[1:]
+        valid = np.asarray(col.is_valid())
+        lengths = np.where(valid, end - start, 0)
+        parent = np.repeat(np.arange(len(col), dtype=np.int64), lengths)
+        total = int(lengths.sum())
+        # element index of each output row inside the flattened values
+        flat_idx = np.repeat(start, lengths) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lengths) - lengths, lengths)
+        )
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lengths) - lengths, lengths
+        )
+        values = col.values.take(pa.array(flat_idx))
+        cols = {k: t.column(k).take(pa.array(parent)) for k in kcols}
+        cols[idx_name] = pa.array(pos)
+        cols[value_name] = values
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

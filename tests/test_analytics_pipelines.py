@@ -787,3 +787,55 @@ def test_latest_by_key_multikey_partition_invariance(ray_session):
         r1[k].sort_values(k).reset_index(drop=True),
         r2[k].sort_values(k).reset_index(drop=True),
     )
+
+
+# ------------------------------------------------------------- explode_list
+def test_explode_list_matches_sql_unnest(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import explode_list
+
+    t = pa.table({
+        "id": pa.array(np.arange(6, dtype=np.int64)),
+        "xs": pa.array([[1, 2, 3], [], None, [7], [8, 9], [10]],
+                       pa.list_(pa.int32())),
+        "tag": pa.array(list("abcdef")),
+    })
+    out = explode_list(rd.from_arrow(t).repartition(3), "xs") \
+        .to_pandas().sort_values(["id", "idx"]).reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT id, tag, CAST(u.o - 1 AS BIGINT) AS idx, u.x AS xs FROM t, "
+        "LATERAL (SELECT unnest(xs) x, generate_subscripts(xs, 1) o) u "
+        "ORDER BY id, idx"
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["id", "tag", "idx", "xs"]], exp, check_dtype=False
+    )
+    # null + empty lists emit nothing
+    assert set(out.id) == {0, 3, 4, 5}
+    # keep projection + renames
+    out2 = explode_list(
+        rd.from_arrow(t), "xs", keep=["id"], idx_name="pos", value_name="v"
+    ).to_pandas()
+    assert sorted(out2.columns) == ["id", "pos", "v"]
+    with pytest.raises(Exception, match="not a list"):
+        explode_list(rd.from_arrow(t), "tag").to_pandas()
+
+
+def test_explode_list_sliced_offsets(ray_session):
+    # a sliced ListArray has a non-zero offset into its values buffer;
+    # positions and values must still line up
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import explode_list
+
+    base = pa.array([[1, 2], [3], [4, 5, 6], [7]], pa.list_(pa.int64()))
+    sl = base.slice(2, 2)  # [[4,5,6],[7]]
+    t = pa.table({"id": pa.array([10, 11], pa.int64()), "xs": sl})
+    out = explode_list(rd.from_arrow(t), "xs").to_pandas() \
+        .sort_values(["id", "idx"]).reset_index(drop=True)
+    assert out["xs"].tolist() == [4, 5, 6, 7]
+    assert out["idx"].tolist() == [0, 1, 2, 0]
