@@ -877,6 +877,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         )
 
+    def doc_graph_kcore(sf_dir):
+        # k-core of the exact 3-gram Jaccard duplicate graph: dense
+        # near-dup clusters survive the iterative distributed peel
+        # (degree fold + anti-join rounds, edge set only contracts).
+        # Deterministic but iterative -> rows-only driver check; exact
+        # parity with a single-process peeler is pytest-asserted.
+        import numpy as np
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.graph import k_core
+
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.3
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"s": t.column("doc_a"), "d": t.column("doc_b")}
+            )
+
+        core = k_core(
+            pairs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True),
+            2,
+            num_partitions=16,
+        )
+        df = core.to_pandas()
+        if df.empty:
+            import pandas as pd
+
+            return pd.DataFrame(
+                {"node": pd.array([], dtype="int64"),
+                 "deg": pd.array([], dtype="int64")}
+            )
+        df["node"] = df["node"].astype(np.int64)
+        df["deg"] = df["deg"].astype(np.int64)
+        return df.sort_values("node").reset_index(drop=True)
+
     def dedup_embedding(sf_dir):
         import ray.data
 
@@ -1588,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_components": dedup_ngram_components,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
+        "doc_graph_kcore": doc_graph_kcore,
         "dedup_embedding": dedup_embedding,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,

@@ -707,3 +707,112 @@ def triangle_count(
         {"n_nodes": [int(n_nodes)], "n_edges": [int(n_edges)],
          "n_triangles": [int(tri or 0)]}
     )
+
+
+# ---------------------------------------------------------- k-core peeling
+def k_core(
+    edges: "Dataset",
+    k: int,
+    *,
+    src_col: str = "s",
+    dst_col: str = "d",
+    num_partitions: int = 32,
+    max_iters: int = 100,
+) -> "Dataset":
+    """k-core decomposition by iterative peeling → surviving nodes
+    {node, deg} (every node of the maximal subgraph where all degrees
+    are ≥ k; empty when none survives).
+
+    Each round: per-node degrees via ONE fixed-P `grouped_agg` count
+    over both endpoints (duplicate/self edges first canonicalized
+    away), then every edge incident to an under-degree node is removed
+    with two anti hash-joins (`broadcast="auto"`: the doomed-node set
+    starts large and shrinks — the planner picks shuffle early,
+    broadcast late). The edge set only ever contracts, so total work
+    across rounds is a small multiple of |E|; peeling terminates in at
+    most max-degeneracy rounds (driver sees one scalar count per
+    round, nothing else).
+
+    Deterministic (no randomness), partitioning-invariant; parity
+    with a single-process reference peeler is pytest-asserted.
+    """
+    import pyarrow.compute as pc
+
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d  # self-loops add no degree in simple-graph k-core
+        u = np.maximum(s[keep], d[keep])
+        v = np.minimum(s[keep], d[keep])
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    def dedup_partition(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        key = np.stack([u, v], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({"u": pa.array(uniq[:, 0]), "v": pa.array(uniq[:, 1])})
+
+    def add_ep(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__ep", pa.array((u % num_partitions).astype(np.int32))
+        )
+
+    E = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_ep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ep")
+        .map_groups(dedup_partition, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [t.column("u").combine_chunks(), t.column("v").combine_chunks()]
+            )}
+        )
+
+    for _ in range(int(max_iters)):
+        deg = grouped_agg(
+            E.map_batches(both_ends, batch_format="pyarrow", zero_copy_batch=True),
+            "node",
+            {"deg": ("count", None)},
+            num_partitions=num_partitions,
+        ).materialize()  # consumed by the doomed filter AND (last round) output
+
+        def under(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t.column("deg"), pa.scalar(k))).select(["node"])
+
+        doomed = deg.map_batches(
+            under, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if doomed.count() == 0:
+            return deg  # every remaining node already has deg >= k
+        E = hash_join(
+            hash_join(E, doomed, on="u", right_on="node", how="anti",
+                      num_partitions=num_partitions, broadcast="auto"),
+            doomed, on="v", right_on="node", how="anti",
+            num_partitions=num_partitions, broadcast="auto",
+        ).materialize()
+        if E.count() == 0:
+            # nothing survives: typed empty result
+            import ray.data as _rd
+
+            return _rd.from_arrow(
+                pa.Table.from_arrays(
+                    [pa.nulls(0, pa.int64()), pa.nulls(0, pa.int64())],
+                    names=["node", "deg"],
+                )
+            )
+    raise RuntimeError(
+        f"k_core: no fixpoint after {max_iters} rounds (rounds are bounded "
+        "by the graph's degeneracy — raise max_iters for extreme graphs)"
+    )

@@ -202,3 +202,76 @@ def test_pagerank_distributed_matches_broadcast():
     assert np.abs(r - rd).max() < 1e-12
     # isolated nodes sit exactly at the teleport fixed point
     assert np.allclose(rd[N - 10 :], (1 - 0.85) / N)
+
+
+# ---------------------------------------------------------------- k-core
+def _peel_reference(edges, k):
+    """Single-process reference peeler: dict-of-sets, iterate."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                    if not adj[m]:
+                        adj.pop(m, None)
+                changed = True
+    return {n: len(v) for n, v in adj.items() if v}
+
+
+def test_k_core_matches_reference_peeler(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import k_core
+
+    rng = np.random.default_rng(7)
+    # planted structure: a K6 clique (5-core) + a long chain + random noise
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    chain = [(100 + i, 101 + i) for i in range(30)]
+    noise = [(int(a), int(b)) for a, b in rng.integers(200, 260, (120, 2))]
+    edges = clique + chain + noise + [(3, 3)] + clique[:4]  # self-loop + dups
+    df = pd.DataFrame(edges, columns=["s", "d"]).astype("int64")
+    for k in (2, 3, 5, 6):
+        ref = _peel_reference(edges, k)
+        got = k_core(
+            rd.from_pandas(df).repartition(4), k, num_partitions=8
+        ).to_pandas()
+        got_map = (
+            dict(zip(got.node.astype(int), got.deg.astype(int))) if len(got) else {}
+        )
+        assert got_map == ref, (k, len(got_map), len(ref))
+
+
+def test_k_core_empty_and_validation(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import k_core
+
+    df = pd.DataFrame({"s": [0, 1], "d": [1, 2]}).astype("int64")
+    out = k_core(rd.from_pandas(df), 5)
+    assert out.count() == 0
+    assert sorted(out.schema().names) == ["deg", "node"]
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(rd.from_pandas(df), 0)
+
+
+def test_k_core_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import k_core
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(rng.integers(0, 80, (600, 2)), columns=["s", "d"]).astype("int64")
+    a = k_core(rd.from_pandas(df).repartition(2), 3, num_partitions=4).to_pandas()
+    b = k_core(rd.from_pandas(df).repartition(9), 3, num_partitions=16).to_pandas()
+    ka = a.sort_values("node").reset_index(drop=True)
+    kb = b.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ka, kb, check_dtype=False)
