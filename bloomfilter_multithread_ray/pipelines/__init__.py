@@ -6,5 +6,20 @@ from .bloom import (  # noqa: F401
     build_and_store,
 )
 from .agg import grouped_agg  # noqa: F401
-from .graph import connected_components, keep_set_distributed  # noqa: F401
-from .join import hash_join  # noqa: F401
+from .graph import connected_components, k_core, keep_set_distributed  # noqa: F401
+from .join import detect_hot_keys, hash_join  # noqa: F401
+from .analytics import (  # noqa: F401
+    explode_list,
+    hopping_window_agg,
+    latest_by_key,
+    partitioned_window,
+    pivot,
+    unpivot,
+)
+from .delta_agg import merge_aggregate, read_aggregate  # noqa: F401
+from .table_store import (  # noqa: F401
+    bucketed_join,
+    read_clustered,
+    write_bucketed,
+    write_clustered,
+)
