@@ -378,6 +378,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["n_under_half"] = df["n_under_half"].astype(np.int64)
         return df[["l_returnflag", "n_under_half"]]
 
+    def events_value_stats_by_type(sf_dir):
+        # grouped population moments from mergeable (Σx, Σx², n)
+        # partials; var/std rounded to 2dp on BOTH sides (one-pass vs
+        # DuckDB streaming variance agree to ~1e-8 abs — far inside the
+        # rounding boundary)
+        import numpy as np
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+        ev = R.read(sf_dir, "events", ["event_type", "value"])
+        out = grouped_agg(
+            ev, "event_type",
+            {"n_events": ("count", None), "value_var": ("var", "value"),
+             "value_std": ("std", "value")},
+            num_partitions=4,
+        )
+        df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["value_var"] = df["value_var"].round(2)
+        df["value_std"] = df["value_std"].round(2)
+        return df[["event_type", "n_events", "value_var", "value_std"]]
+
     def embedding_dim_stats(sf_dir):
         # unnest-with-ordinality (explode_list) -> per-dimension stats;
         # values quantized micros-exact so the grouped sums hash-match
@@ -1658,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_funcs": events_window_funcs,
         "bucketed_join_orders": bucketed_join_orders,
         "embedding_dim_stats": embedding_dim_stats,
+        "events_value_stats_by_type": events_value_stats_by_type,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1904,6 +1927,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN p USING (l_orderkey, l_partkey) "
             "WHERE 2 * CAST(ROUND(l_quantity) AS BIGINT) < pair_q "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # grouped population variance from mergeable partials, 2dp
+        "events_value_stats_by_type": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(VAR_POP(value), 2) AS value_var, "
+            "ROUND(STDDEV_POP(value), 2) AS value_std "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
         # unnest-with-ordinality per-dimension stats, micros-exact
         "embedding_dim_stats": (

@@ -40,9 +40,10 @@ from ..functions.hashing import hash_strings, splitmix64
 if TYPE_CHECKING:
     from ray.data import Dataset
 
-_KINDS = ("sum", "count", "min", "max", "mean")
+_KINDS = ("sum", "count", "min", "max", "mean", "var", "std")
 # partial-spec func -> how partials merge across batches
-_MERGE_OF = {"sum": "sum", "min": "min", "max": "max", "count_all": "sum"}
+_MERGE_OF = {"sum": "sum", "min": "min", "max": "max", "count_all": "sum",
+             "sumsq": "sum"}
 
 
 def _partition_of_keys(t: pa.Table, keys: list[str], P: int) -> np.ndarray:
@@ -72,9 +73,19 @@ def grouped_agg(
     """Grouped aggregate → Dataset of ``keys + aggs`` columns.
 
     ``aggs`` maps output column name → ``(kind, col)`` with kind in
-    ``{"sum", "count", "min", "max", "mean"}`` (``count`` counts rows;
-    pass ``col=None``). SQL NULL-group semantics: null key values form
-    their own group (GROUP BY behavior), they are not dropped.
+    ``{"sum", "count", "min", "max", "mean", "var", "std"}`` (``count``
+    counts rows; pass ``col=None``). SQL NULL-group semantics: null key
+    values form their own group (GROUP BY behavior), they are not
+    dropped. ``var``/``std`` are population moments (``VAR_POP``/
+    ``STDDEV_POP``) from mergeable (Σx, Σx², n) partials in float64 —
+    deterministic per partitioning but subject to the usual one-pass
+    cancellation when |mean| ≫ std; quantize or center first if that
+    regime matters.
+
+    Denominators are ROW counts (``COUNT(*)``): ``mean``/``var``/``std``
+    over a null-bearing value column divide by rows, not non-null
+    values (SQL AVG ignores nulls) — drop or fill nulls upstream when
+    that distinction matters.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     for out, (kind, _col) in aggs.items():
@@ -90,14 +101,19 @@ def grouped_agg(
             specs.append(s)
         return specs.index(s)
 
-    out_plan: dict[str, tuple[str, int, int | None]] = {}
+    out_plan: dict[str, tuple[str, tuple[int, ...]]] = {}
     for out, (kind, col) in aggs.items():
         if kind == "count":
-            out_plan[out] = ("count", _spec(None, "count_all"), None)
+            out_plan[out] = ("count", (_spec(None, "count_all"),))
         elif kind == "mean":
-            out_plan[out] = ("mean", _spec(col, "sum"), _spec(None, "count_all"))
+            out_plan[out] = ("mean", (_spec(col, "sum"), _spec(None, "count_all")))
+        elif kind in ("var", "std"):
+            out_plan[out] = (
+                kind,
+                (_spec(col, "sumsq"), _spec(col, "sum"), _spec(None, "count_all")),
+            )
         else:
-            out_plan[out] = (kind, _spec(col, func := kind), None)
+            out_plan[out] = (kind, (_spec(col, kind),))
 
     P = int(num_partitions)
     pcols = [f"__p{i}" for i in range(len(specs))]
@@ -121,9 +137,17 @@ def grouped_agg(
         return res.select(want).rename_columns(keys + in_names)
 
     def combine(t: pa.Table) -> pa.Table:
-        agg_list = [
-            (([] if c is None else c), f) for c, f in specs
-        ]
+        agg_list = []
+        for c, f in specs:
+            if f == "sumsq":
+                # derived x² column (float64) summed like any other
+                sq = f"__sq_{c}"
+                if sq not in t.column_names:
+                    x = pc.cast(t.column(c), pa.float64())
+                    t = t.append_column(sq, pc.multiply(x, x))
+                agg_list.append((sq, "sum"))
+            else:
+                agg_list.append((([] if c is None else c), f))
         res = _group_table(t, agg_list, pcols)
         gp = _partition_of_keys(res, keys, P)
         return res.append_column("__gp", pa.array(gp))
@@ -132,14 +156,24 @@ def grouped_agg(
         agg_list = [(pcols[i], _MERGE_OF[f]) for i, (_c, f) in enumerate(specs)]
         res = _group_table(g, agg_list, pcols)
         cols: dict[str, pa.Array] = {k: res.column(k) for k in keys}
-        for out, (kind, i, j) in out_plan.items():
+        for out, (kind, idxs) in out_plan.items():
             if kind == "mean":
+                i, j = idxs
                 cols[out] = pc.divide(
                     pc.cast(res.column(pcols[i]), pa.float64()),
                     pc.cast(res.column(pcols[j]), pa.float64()),
                 )
+            elif kind in ("var", "std"):
+                isq, isum, icnt = idxs
+                n = pc.cast(res.column(pcols[icnt]), pa.float64())
+                s = pc.cast(res.column(pcols[isum]), pa.float64())
+                sq = pc.cast(res.column(pcols[isq]), pa.float64())
+                m = pc.divide(s, n)
+                var = pc.subtract(pc.divide(sq, n), pc.multiply(m, m))
+                var = pc.max_element_wise(var, pa.scalar(0.0))  # fp guard
+                cols[out] = var if kind == "var" else pc.sqrt(var)
             else:
-                cols[out] = res.column(pcols[i])
+                cols[out] = res.column(pcols[idxs[0]])
         return pa.table(cols)
 
     # Caveat (Ray behavior, verified): a FULLY-empty input produces a

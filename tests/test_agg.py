@@ -106,3 +106,41 @@ def test_grouped_agg_rejects_unknown_kind(ray_session):
     t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1.0])})
     with pytest.raises(ValueError, match="unknown kind"):
         grouped_agg(_ds(ray_session, t, 1), "k", {"x": ("median", "v")})
+
+
+def test_grouped_var_std_match_numpy_and_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 12, 4000).astype("int64"),
+        "v": rng.normal(50, 7, 4000),
+    })
+    out = grouped_agg(
+        rd.from_pandas(df).repartition(7), "g",
+        {"n": ("count", None), "m": ("mean", "v"),
+         "var": ("var", "v"), "sd": ("std", "v")},
+        num_partitions=4,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT g, VAR_POP(v) AS var, STDDEV_POP(v) AS sd "
+        "FROM df GROUP BY g ORDER BY g"
+    ).df()
+    assert np.allclose(out["var"], exp["var"], rtol=1e-9)
+    assert np.allclose(out["sd"], exp["sd"], rtol=1e-9)
+    # single-row groups: var 0
+    one = pd.DataFrame({"g": [1], "v": [3.5]})
+    o1 = grouped_agg(rd.from_pandas(one), "g", {"var": ("var", "v")},
+                     num_partitions=2).to_pandas()
+    assert float(o1["var"][0]) == 0.0
+    # partition invariance
+    out2 = grouped_agg(
+        rd.from_pandas(df).repartition(3), "g", {"var": ("var", "v")},
+        num_partitions=16,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    assert np.allclose(out["var"], out2["var"], rtol=1e-12)
