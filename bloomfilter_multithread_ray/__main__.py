@@ -7,6 +7,7 @@ implements the *intended* contract over the three pipeline shapes:
     python -m bloomfilter_multithread_ray build  DATA_IN  STORE  [-k K] [-P parts] [-m bits] [-K hashes]
     python -m bloomfilter_multithread_ray probe  QUERY_IN STORE RESULT_OUT [--routed] [--sorted]
     python -m bloomfilter_multithread_ray split  DATA_IN  OUT_DIR [-k K] [-P parts] [--explode]
+    python -m bloomfilter_multithread_ray query  NAME [SF_DIR] [-o OUT.parquet]
 
 - ``build``: entry point A (``src/main.cpp:114-135``) — corpus →
   partitioned Bloom sketch store (+ manifest, lineage metrics).
@@ -67,6 +68,15 @@ def main(argv=None) -> int:
     s.add_argument("-P", "--partitions", type=int, default=64)
     s.add_argument("--explode", action="store_true",
                    help="add doc_id/pos identity columns (rows are always one per k-gram)")
+
+    q = sub.add_parser(
+        "query", help="run any driver-contract query against an sf_dir"
+    )
+    q.add_argument("name", help="a queries() key, or 'list' to enumerate")
+    q.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    q.add_argument("-o", "--out", default=None,
+                   help="write the result as parquet instead of printing a summary")
+    q.add_argument("--head", type=int, default=10)
 
     args = ap.parse_args(argv)
 
@@ -152,6 +162,43 @@ def _run(args) -> int:
         # lazy `grams` would re-execute the whole pipeline
         n = ray.data.read_parquet(args.out_dir).count()
         print(json.dumps({"out": args.out_dir, "rows": n}))
+        return 0
+
+    if args.cmd == "query":
+        import importlib.util
+        import os
+
+        # the driver contract lives at the repo root, beside this package
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", os.path.join(root, "__ray_entry__.py")
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+        qs = entry.queries()
+        if args.name == "list":
+            for k in sorted(qs):
+                print(k)
+            return 0
+        if args.name not in qs:
+            raise SystemExit(f"unknown query {args.name!r} (try 'list')")
+        res = qs[args.name](args.sf_dir)
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(res, pa.Table):
+            df = res.to_pandas()
+        elif isinstance(res, pd.DataFrame):
+            df = res
+        else:
+            df = res.to_pandas()  # ray Dataset
+        if args.out:
+            df.to_parquet(args.out)
+            print(json.dumps({"query": args.name, "rows": len(df), "out": args.out}))
+        else:
+            print(df.head(args.head).to_string())
+            print(json.dumps({"query": args.name, "rows": len(df),
+                              "cols": list(map(str, df.columns))}))
         return 0
 
     return 2

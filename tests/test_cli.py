@@ -86,3 +86,34 @@ def test_cli_build_probe_revcomp(ray_session, tmp_path):
     res = pq.read_table(out)
     assert res.num_rows == 4 * (80 - 9 + 1)
     assert all(res.column("member").to_pylist())
+
+
+def test_cli_query_subcommand(tmp_path):
+    def run(*cli):
+        p = subprocess.run(
+            [sys.executable, "-m", "bloomfilter_multithread_ray", *cli],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return p.stdout
+
+    # list enumerates the driver contract
+    names = run("query", "list").split()
+    assert "tpch_q1" in names and "events_hourly" in names
+
+    out = str(tmp_path / "q1.parquet")
+    js = json.loads(
+        run("query", "tpch_q1", "/root/testdata/sf0.001", "-o", out)
+        .strip().splitlines()[-1]
+    )
+    assert js["rows"] > 0
+    t = pq.read_table(out)
+    assert t.num_rows == js["rows"]
+
+    # unknown name fails cleanly
+    p = subprocess.run(
+        [sys.executable, "-m", "bloomfilter_multithread_ray", "query", "nope"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert p.returncode != 0 and "unknown query" in p.stderr
