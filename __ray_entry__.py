@@ -378,6 +378,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["n_under_half"] = df["n_under_half"].astype(np.int64)
         return df[["l_returnflag", "n_under_half"]]
 
+    def validate_orders(sf_dir):
+        # distributed data-quality gate: row-local rules fold in ONE
+        # shared scan, uniqueness adds a key shuffle, FK integrity one
+        # auto-planned anti join; oracle = the same counts in SQL
+        from bloomfilter_multithread_ray.pipelines.validate import check
+
+        orders = R.read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+        cust = R.read(sf_dir, "customer", ["c_custkey"])
+        return check(
+            orders,
+            [
+                ("not_null", "o_custkey"),
+                ("range", "o_totalprice", 0.0, None),
+                ("unique", ["o_orderkey"]),
+                ("foreign_key", "o_custkey", cust, "c_custkey"),
+            ],
+        )
+
     def events_value_stats_by_type(sf_dir):
         # grouped population moments from mergeable (Σx, Σx², n)
         # partials; var/std rounded to 2dp on BOTH sides (one-pass vs
@@ -1681,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_orders": bucketed_join_orders,
         "embedding_dim_stats": embedding_dim_stats,
         "events_value_stats_by_type": events_value_stats_by_type,
+        "validate_orders": validate_orders,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1927,6 +1948,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN p USING (l_orderkey, l_partkey) "
             "WHERE 2 * CAST(ROUND(l_quantity) AS BIGINT) < pair_q "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # constraint-violation counts, same rules in SQL
+        "validate_orders": (
+            "SELECT rule, CAST(v AS BIGINT) AS violations FROM ("
+            "SELECT 'not_null(o_custkey)' AS rule, "
+            "COUNT(*) FILTER (WHERE o_custkey IS NULL) AS v FROM orders "
+            "UNION ALL SELECT 'range(o_totalprice,0.0,None)', "
+            "COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 0) "
+            "FROM orders "
+            "UNION ALL SELECT 'unique(o_orderkey)', "
+            "COALESCE((SELECT SUM(n) FROM (SELECT COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) "
+            "UNION ALL SELECT 'foreign_key(o_custkey->c_custkey)', "
+            "(SELECT COUNT(*) FROM orders o LEFT JOIN customer c "
+            "ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)"
+            ") ORDER BY rule"
         ),
         # grouped population variance from mergeable partials, 2dp
         "events_value_stats_by_type": (
