@@ -378,6 +378,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["n_under_half"] = df["n_under_half"].astype(np.int64)
         return df[["l_returnflag", "n_under_half"]]
 
+    def orders_snapshot_diff(sf_dir):
+        # CDC between two deterministic snapshots of orders: old drops
+        # keys %3==0, new drops %5==0 and doubles price on %7==0 —
+        # added/removed/modified classified from (key, fingerprint)
+        # pairs, payloads never shuffle
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bloomfilter_multithread_ray.pipelines.table_store import snapshot_diff
+
+        base = R.read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+        import numpy as np
+
+        def old_side(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(k % 3 != 0))
+
+        def new_side(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(k % 5 != 0))
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            bump = pc.if_else(
+                pa.array(k % 7 == 0),
+                pc.multiply(t.column("o_totalprice"), pa.scalar(2.0)),
+                t.column("o_totalprice"),
+            )
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "o_totalprice": bump})
+
+        old = base.map_batches(old_side, batch_format="pyarrow", zero_copy_batch=True)
+        new = base.map_batches(new_side, batch_format="pyarrow", zero_copy_batch=True)
+        df = (
+            snapshot_diff(old, new, "o_orderkey")
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        return df[["o_orderkey", "change"]]
+
     def validate_orders(sf_dir):
         # distributed data-quality gate: row-local rules fold in ONE
         # shared scan, uniqueness adds a key shuffle, FK integrity one
@@ -1702,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": embedding_dim_stats,
         "events_value_stats_by_type": events_value_stats_by_type,
         "validate_orders": validate_orders,
+        "orders_snapshot_diff": orders_snapshot_diff,
         "full_join_customer_order_counts": full_join_customer_order_counts,
         "anti_join_customers_no_orders": anti_join_customers_no_orders,
         "lang_id": lang_id,
@@ -1948,6 +1989,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN p USING (l_orderkey, l_partkey) "
             "WHERE 2 * CAST(ROUND(l_quantity) AS BIGINT) < pair_q "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # CDC diff: FULL JOIN + IS DISTINCT FROM over the same derived
+        # snapshots
+        "orders_snapshot_diff": (
+            "WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders "
+            "WHERE o_orderkey % 3 <> 0), "
+            "n AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 7 = 0 "
+            "THEN o_totalprice * 2 ELSE o_totalprice END AS v FROM orders "
+            "WHERE o_orderkey % 5 <> 0) "
+            "SELECT COALESCE(o.k, n.k) AS o_orderkey, "
+            "CASE WHEN o.k IS NULL THEN 'added' WHEN n.k IS NULL THEN 'removed' "
+            "ELSE 'modified' END AS change "
+            "FROM o FULL JOIN n ON o.k = n.k "
+            "WHERE o.k IS NULL OR n.k IS NULL OR o.v IS DISTINCT FROM n.v "
+            "ORDER BY 1"
         ),
         # constraint-violation counts, same rules in SQL
         "validate_orders": (

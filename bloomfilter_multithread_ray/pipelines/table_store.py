@@ -511,3 +511,79 @@ def bucketed_join(
 
     ids = ray.data.range(B, override_num_blocks=B)
     return ids.map_batches(join_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ snapshot diff
+def snapshot_diff(
+    old: "Dataset",
+    new: "Dataset",
+    key: str | list[str],
+    *,
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+    num_partitions: int = 32,
+) -> "Dataset":
+    """Change-data-capture between two snapshots → {key..., change}
+    with ``change`` ∈ {added, removed, modified} (+ ``unchanged`` when
+    requested). Each side reduces to (key, row-fingerprint) before the
+    ONE key-hash exchange — payload columns never shuffle; the
+    fingerprint is a 64-bit hash of the injectively-encoded compare
+    columns (same missed-change odds as the repo's content-hash dedup:
+    ~2⁻⁶⁴ per differing pair, documented stance of dedup_exact).
+
+    ``compare_cols`` defaults to every shared non-key column; rows
+    whose key appears only in ``new`` are ``added``, only in ``old``
+    are ``removed``. Null compare values fingerprint distinctly from
+    any real value (SQL ``IS DISTINCT FROM`` semantics).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_strings
+    from .join import _encode_composite, hash_join
+
+    keys = [key] if isinstance(key, str) else list(key)
+    o_schema, n_schema = old.schema(), new.schema()
+    if o_schema is None or n_schema is None:
+        raise ValueError("snapshot_diff: both sides need a schema")
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(o_schema.names) & set(n_schema.names)) - set(keys)
+        )
+    if not compare_cols:
+        raise ValueError("snapshot_diff: no compare columns")
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        enc = _encode_composite(t, compare_cols)
+        # nulls encode as null; give them their own fingerprint value
+        enc = pc.fill_null(enc, "\x00NULLROW")
+        h = hash_strings(enc).view(np.int64)
+        cols = {k: t.column(k) for k in keys}
+        cols["__fp"] = pa.array(h)
+        return pa.table(cols)
+
+    o = old.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    n = new.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(
+        o, n, on=keys if len(keys) > 1 else keys[0], how="full",
+        num_partitions=num_partitions, suffix="_new",
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        fo, fn = t.column("__fp"), t.column("__fp_new")
+        change = pc.if_else(
+            pc.is_null(fo),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.is_null(fn),
+                pa.scalar("removed"),
+                pc.if_else(
+                    pc.equal(fo, fn), pa.scalar("unchanged"), pa.scalar("modified")
+                ),
+            ),
+        )
+        out = t.drop_columns(["__fp", "__fp_new"]).append_column("change", change)
+        if not include_unchanged:
+            out = out.filter(pc.not_equal(out.column("change"), pa.scalar("unchanged")))
+        return out
+
+    return joined.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)

@@ -225,3 +225,54 @@ def test_bucketed_null_keys_and_resume(ray_session, tmp_path):
     m2 = TS.write_bucketed(ray.data.from_pandas(L), lp, "k", num_buckets=4)
     by = m2.set_index("bucket")["skipped"]
     assert not by.loc[victim] and by.drop(index=victim).all()
+
+
+# --------------------------------------------------------------- snapshot diff
+def test_snapshot_diff_classes_and_nulls(ray_session):
+    old = pd.DataFrame({"k": [1, 2, 3, 4, 5],
+                        "v": np.array([10, 20, 30, 40, 50], dtype="int64"),
+                        "s": ["a", "b", "c", "d", None]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5, 6],
+                        "v": np.array([20, 31, 40, 50, 60], dtype="int64"),
+                        "s": ["b", "c", "d", None, "f"]})
+    from bloomfilter_multithread_ray.pipelines.table_store import snapshot_diff
+
+    out = snapshot_diff(
+        ray.data.from_pandas(old).repartition(2),
+        ray.data.from_pandas(new).repartition(3), "k",
+    ).to_pandas().set_index("k")["change"]
+    assert out.to_dict() == {1: "removed", 3: "modified", 6: "added"}
+    # null == null compares unchanged (IS DISTINCT FROM semantics)
+    full = snapshot_diff(
+        ray.data.from_pandas(old), ray.data.from_pandas(new), "k",
+        include_unchanged=True,
+    ).to_pandas()
+    assert (full.set_index("k")["change"].loc[5]) == "unchanged"
+    # null -> value IS a modification
+    new2 = new.copy(); new2.loc[new2.k == 5, "s"] = "x"
+    out2 = snapshot_diff(
+        ray.data.from_pandas(old), ray.data.from_pandas(new2), "k",
+    ).to_pandas().set_index("k")["change"]
+    assert out2.loc[5] == "modified"
+
+
+def test_snapshot_diff_composite_key_and_compare_subset(ray_session):
+    old = pd.DataFrame({"a": [1, 1, 2], "b": [1, 2, 1],
+                        "v": np.array([5, 6, 7], dtype="int64"),
+                        "noise": ["x", "y", "z"]})
+    new = old.copy()
+    new.loc[(new.a == 1) & (new.b == 2), "v"] = 60      # real change
+    new["noise"] = ["p", "q", "r"]                       # ignored below
+    from bloomfilter_multithread_ray.pipelines.table_store import snapshot_diff
+
+    out = snapshot_diff(
+        ray.data.from_pandas(old), ray.data.from_pandas(new), ["a", "b"],
+        compare_cols=["v"],
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0][["a", "b", "change"]].tolist() == [1, 2, "modified"]
+    with pytest.raises(ValueError, match="no compare columns"):
+        snapshot_diff(
+            ray.data.from_pandas(old[["a", "b"]]),
+            ray.data.from_pandas(new[["a", "b"]]), ["a", "b"],
+        )
