@@ -609,6 +609,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "value_min_micros", "value_max_micros"]
         ]
 
+    def events_clustered_append(sf_dir):
+        # store lifecycle: write first-parity events clustered by ts,
+        # append the second parity as a delta (frozen splits, touched
+        # ranges merge-sort, exactly-once delta id), then a bounded
+        # scan must equal the whole-table predicate
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines import table_store as TS
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+        def half(parity: int):
+            ev = R.read(sf_dir, "events", ["event_id", "ts", "value"])
+
+            def f(t: pa.Table) -> pa.Table:
+                k = t.column("event_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(k % 2 == parity))
+
+            return ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+        out_dir = tempfile.mkdtemp(prefix="graft_clap_", dir="/tmp")
+        try:
+            TS.write_clustered(half(0), out_dir, "ts", num_ranges=16)
+            TS.append_clustered(half(1), out_dir, delta_id="odd")
+            TS.append_clustered(half(1), out_dir, delta_id="odd")  # no-op replay
+            lo, hi = "2024-01-10", "2024-01-20"
+            scan = TS.read_clustered(out_dir, lo=lo, hi=hi)
+
+            def derive(t: pa.Table) -> pa.Table:
+                ts = (
+                    t.column("ts").combine_chunks().cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                    .view(np.int64)
+                )
+                day = (ts // 86_400_000_000) * 86_400_000_000
+                v = np.rint(
+                    t.column("value").to_numpy(zero_copy_only=False) * 1e6
+                ).astype(np.int64)
+                return pa.table({"day_us": pa.array(day), "v_u6": pa.array(v)})
+
+            agg = grouped_agg(
+                scan.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+                "day_us",
+                {"n_events": ("count", None), "value_sum_micros": ("sum", "v_u6")},
+                num_partitions=8,
+            )
+            df = pd.DataFrame(agg.take_all())
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["value_sum_micros"] = df["value_sum_micros"].astype(np.int64)
+        return df.sort_values("day_us").reset_index(drop=True)[
+            ["day_us", "n_events", "value_sum_micros"]
+        ]
+
     def skew_join_revenue(sf_dir):
         # skew-aware shuffle join: detect_hot_keys picks the heaviest
         # lineitem orderkeys in one partial-counts pass, hash_join then
@@ -1735,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": join_orders_customer,
         "skew_join_revenue": skew_join_revenue,
         "events_clustered_scan": events_clustered_scan,
+        "events_clustered_append": events_clustered_append,
         "incremental_user_stats": incremental_user_stats,
         "composite_join_lines": composite_join_lines,
         "events_window_funcs": events_window_funcs,
@@ -1988,6 +2048,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_under_half "
             "FROM lineitem JOIN p USING (l_orderkey, l_partkey) "
             "WHERE 2 * CAST(ROUND(l_quantity) AS BIGINT) < pair_q "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # write+append+no-op-replay store must answer like the raw table
+        "events_clustered_append": (
+            "SELECT (CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)) "
+            "* 86400000000 AS day_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS value_sum_micros "
+            "FROM events WHERE ts BETWEEN '2024-01-10' AND '2024-01-20' "
             "GROUP BY 1 ORDER BY 1"
         ),
         # CDC diff: FULL JOIN + IS DISTINCT FROM over the same derived

@@ -276,3 +276,47 @@ def test_snapshot_diff_composite_key_and_compare_subset(ray_session):
             ray.data.from_pandas(old[["a", "b"]]),
             ray.data.from_pandas(new[["a", "b"]]), ["a", "b"],
         )
+
+
+# ------------------------------------------------------------ clustered append
+def test_append_clustered_merges_and_scans(ray_session, tmp_store):
+    df = _df(2000, seed=5)
+    base, delta = df.iloc[:1500], df.iloc[1500:]
+    TS.write_clustered(ray.data.from_pandas(base).repartition(4), tmp_store, "k",
+                       num_ranges=8)
+    rep = TS.append_clustered(ray.data.from_pandas(delta).repartition(2), tmp_store,
+                              delta_id="d1")
+    assert rep.n_added.sum() == len(delta)
+    # full scan sees everything; bounded scans stay exact after append
+    assert TS.read_clustered(tmp_store).count() == len(df)
+    got = TS.read_clustered(tmp_store, lo=100, hi=700).to_pandas()
+    assert len(got) == int(((df.k >= 100) & (df.k <= 700)).sum())
+    # replay is a no-op on every touched range
+    rep2 = TS.append_clustered(ray.data.from_pandas(delta).repartition(2), tmp_store,
+                               delta_id="d1")
+    assert rep2.skipped.all()
+    assert TS.read_clustered(tmp_store).count() == len(df)
+
+
+def test_append_clustered_widens_zone_maps(ray_session, tmp_store):
+    base = pd.DataFrame({"k": np.arange(100, 200, dtype="int64"),
+                         "v": np.zeros(100, dtype="int64")})
+    TS.write_clustered(ray.data.from_pandas(base), tmp_store, "k", num_ranges=4)
+    # out-of-range keys extend the FIRST and LAST ranges (frozen splits)
+    delta = pd.DataFrame({"k": np.array([5, 500], dtype="int64"),
+                          "v": np.zeros(2, dtype="int64")})
+    TS.append_clustered(ray.data.from_pandas(delta), tmp_store)
+    m = TS.read_manifest(tmp_store)
+    rids = TS.select_ranges(m, 400, 600)
+    assert len(rids) == 1  # widened top range now admits the probe
+    got = TS.read_clustered(tmp_store, lo=400, hi=600).to_pandas()
+    assert got["k"].tolist() == [500]
+    assert TS.read_clustered(tmp_store, lo=0, hi=10).to_pandas()["k"].tolist() == [5]
+
+
+def test_append_clustered_kind_mismatch(ray_session, tmp_store):
+    base = pd.DataFrame({"k": np.arange(50, dtype="int64"), "v": np.zeros(50, dtype="int64")})
+    TS.write_clustered(ray.data.from_pandas(base), tmp_store, "k", num_ranges=2)
+    bad = pd.DataFrame({"k": np.linspace(0, 1, 10), "v": np.zeros(10, dtype="int64")})
+    with pytest.raises(Exception, match="kind"):
+        TS.append_clustered(ray.data.from_pandas(bad), tmp_store)
