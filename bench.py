@@ -258,6 +258,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_window_funcs",
         "events_unpivot",
         "events_latest_per_user",
+        "bucketed_join_orders",
+        "embedding_dim_stats",
+        "events_value_stats_by_type",
+        "validate_orders",
+        "orders_snapshot_diff",
+        "events_clustered_append",
+        "doc_graph_kcore",
     ]
     times: dict[str, float] = {}
     for name in names:

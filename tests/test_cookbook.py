@@ -49,7 +49,7 @@ def _blocks():
 
 def test_cookbook_blocks_execute(cookbook_fixtures, ray_session):
     blocks = _blocks()
-    assert len(blocks) == 8
+    assert len(blocks) == 9
     env: dict = {}
     for i, code in enumerate(blocks):
         # the first block's ray.init is owned by the session fixture
@@ -81,3 +81,6 @@ def test_cookbook_blocks_execute(cookbook_fixtures, ray_session):
     # detect-then-salted join exact (in-block asserts cover the rest)
     assert env["latest"].user_id.is_unique
     assert env["state"].n.sum() == 4000
+    # recipe 9: audit clean, CDC classes exact, append replay no-op
+    assert (env["audit"].violations == 0).all()
+    assert env["replay9"].skipped.all()
