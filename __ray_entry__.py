@@ -1740,6 +1740,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return BPE.bpe_merges(_docs(sf_dir, ["text"]), num_merges=8)
 
+    def events_asof_click(sf_dir):
+        # as-of join: each purchase matched to the user's most recent
+        # prior-or-simultaneous click (DuckDB ASOF JOIN semantics); the
+        # right side pre-aggregates to unique (user, ts) so the tie
+        # winner is well-defined on both engines
+        import pyarrow.compute as pc
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+        from bloomfilter_multithread_ray.pipelines.asof import asof_join
+
+        ev = R.read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+        def _of_type(kind, cols):
+            def fn(t):
+                return t.filter(pc.equal(t.column("event_type"), kind)).select(cols)
+
+            return fn
+
+        purchases = ev.map_batches(
+            _of_type("purchase", ["event_id", "user_id", "ts", "value"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        clicks = grouped_agg(
+            ev.map_batches(
+                _of_type("click", ["user_id", "ts", "value"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            ["user_id", "ts"],
+            {"click_value": ("max", "value")},
+            num_partitions=16,
+        )
+        out = asof_join(
+            purchases, clicks, "ts", by="user_id", how="inner", num_partitions=16
+        )
+        return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -1878,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": events_unpivot,
         "events_latest_per_user": events_latest_per_user,
         "frequent_part_pairs": frequent_part_pairs,
+        "events_asof_click": events_asof_click,
     }
 
 
@@ -3352,6 +3389,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(1 AS BIGINT) AS dist "
             "FROM v a JOIN v b ON a.tok < b.tok "
             "WHERE levenshtein(a.tok, b.tok) <= 1 ORDER BY tok_a, tok_b"
+        ),
+        # as-of join: DuckDB ASOF JOIN is the same greatest-ts<=ts
+        # match; right side pre-aggregated to unique (user, ts)
+        "events_asof_click": (
+            "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "r AS (SELECT user_id, ts, MAX(value) AS click_value FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts) "
+            "SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ts_r, "
+            "r.click_value FROM l ASOF JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"
         ),
         # A-Priori 2-itemset pass: parts co-purchased in one order
         "frequent_part_pairs": (

@@ -265,6 +265,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_snapshot_diff",
         "events_clustered_append",
         "doc_graph_kcore",
+        "events_asof_click",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -152,6 +152,45 @@ def detect_hot_keys(
     return pa.Array.from_pandas(hot["k"])
 
 
+def _pa_type(t) -> pa.DataType:
+    # ray.data.Schema.types holds pyarrow types for arrow-backed
+    # blocks but numpy/pandas-extension types for pandas-backed ones
+    if isinstance(t, pa.DataType):
+        return t
+    if isinstance(t, pd.api.extensions.ExtensionDtype):
+        pa_dt = getattr(t, "pyarrow_dtype", None)  # pd.ArrowDtype
+        if pa_dt is not None:
+            return pa_dt
+        try:  # masked dtypes (Int64, boolean, ...) expose numpy_dtype
+            return pa.from_numpy_dtype(t.numpy_dtype)
+        except (TypeError, AttributeError):
+            return pa.string()
+    try:
+        if np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+    except TypeError:
+        return pa.string()
+
+
+def _types_of(schema) -> dict:
+    """{column: pyarrow type} of a ray.data.Schema. Schema.types can
+    hold None for pandas-extension-dtype columns; the wrapped
+    base_schema still knows the dtype (e.g. Int64Dtype)."""
+    types = list(schema.types)
+    base = getattr(schema, "base_schema", None)
+    base_types = list(getattr(base, "types", [])) if base is not None else []
+    out = {}
+    for i, n in enumerate(schema.names):
+        t = types[i]
+        if t is None and i < len(base_types):
+            t = base_types[i]
+        if t is None:
+            raise ValueError(f"cannot determine dtype of column {n!r}")
+        out[n] = _pa_type(t)
+    return out
+
+
 def _key_hash(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(uint64 key hashes, valid mask) for an int or string key column.
     Null keys hash to 0 with valid=False."""
@@ -548,42 +587,6 @@ def hash_join(
     else:
         r_cols = list(r_schema.names)
     r_out = [c for c in r_cols if c != right_on]
-    def _pa_type(t) -> pa.DataType:
-        # ray.data.Schema.types holds pyarrow types for arrow-backed
-        # blocks but numpy/pandas-extension types for pandas-backed ones
-        if isinstance(t, pa.DataType):
-            return t
-        if isinstance(t, pd.api.extensions.ExtensionDtype):
-            pa_dt = getattr(t, "pyarrow_dtype", None)  # pd.ArrowDtype
-            if pa_dt is not None:
-                return pa_dt
-            try:  # masked dtypes (Int64, boolean, ...) expose numpy_dtype
-                return pa.from_numpy_dtype(t.numpy_dtype)
-            except (TypeError, AttributeError):
-                return pa.string()
-        try:
-            if np.dtype(t) == np.dtype("O"):
-                return pa.string()
-            return pa.from_numpy_dtype(np.dtype(t))
-        except TypeError:
-            return pa.string()
-
-    def _types_of(schema) -> dict:
-        # Schema.types can hold None for pandas-extension-dtype columns;
-        # the wrapped base_schema still knows the dtype (e.g. Int64Dtype)
-        types = list(schema.types)
-        base = getattr(schema, "base_schema", None)
-        base_types = list(getattr(base, "types", [])) if base is not None else []
-        out = {}
-        for i, n in enumerate(schema.names):
-            t = types[i]
-            if t is None and i < len(base_types):
-                t = base_types[i]
-            if t is None:
-                raise ValueError(f"hash_join: cannot determine dtype of column {n!r}")
-            out[n] = _pa_type(t)
-        return out
-
     l_types = _types_of(l_schema)
     r_types = _types_of(r_schema)
 
