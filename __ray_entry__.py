@@ -1776,6 +1776,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
+    def lineitem_ship_windows(sf_dir):
+        # general interval join, SHUFFLE plan: lineitems matched to
+        # every overlapping 30-day window starting each 14 days from a
+        # fixed 1992-01-01 anchor (~3 windows per row), then exact
+        # cents-int aggregation per window
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+        from bloomfilter_multithread_ray.pipelines.interval import interval_join
+
+        ANCHOR = 694224000000000  # epoch_us(1992-01-01)
+        HOP = 14 * 86_400_000_000
+        SPAN = 30 * 86_400_000_000
+        k = np.arange(186, dtype=np.int64)
+        iv = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "window_id": k,
+                    "w0": pd.to_datetime(ANCHOR + k * HOP, unit="us").astype("datetime64[us]"),
+                    "w1": pd.to_datetime(ANCHOR + k * HOP + SPAN, unit="us").astype("datetime64[us]"),
+                }
+            )
+        )
+        li = R.read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+        joined = interval_join(
+            li, iv, "l_shipdate", "w0", "w1",
+            broadcast=False, bucket_width=HOP, num_partitions=16,
+        )
+
+        def widen(t: pa.Table) -> pa.Table:
+            q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "window_id": t.column("window_id"),
+                    "qty_c": pa.array(np.round(q * 100).astype(np.int64)),
+                }
+            )
+
+        agg = grouped_agg(
+            joined.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+            "window_id",
+            {"n_lines": ("count", None), "sum_qty_c": ("sum", "qty_c")},
+            num_partitions=16,
+        )
+        return agg.to_pandas().sort_values("window_id").reset_index(drop=True)
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -1915,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": events_latest_per_user,
         "frequent_part_pairs": frequent_part_pairs,
         "events_asof_click": events_asof_click,
+        "lineitem_ship_windows": lineitem_ship_windows,
     }
 
 
@@ -3400,6 +3450,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.event_id, l.user_id, l.ts, l.value, r.ts AS ts_r, "
             "r.click_value FROM l ASOF JOIN r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"
+        ),
+        # general interval join: same containment predicate as an
+        # inequality join over generated hopping windows; sums in
+        # exact cents
+        "lineitem_ship_windows": (
+            "WITH w AS (SELECT unnest(generate_series(0, 185)) AS window_id), "
+            "b AS (SELECT CAST(window_id AS BIGINT) AS window_id, "
+            "694224000000000 + window_id * 1209600000000 AS w0, "
+            "694224000000000 + window_id * 1209600000000 + 2592000000000 AS w1 "
+            "FROM w) "
+            "SELECT b.window_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c "
+            "FROM lineitem JOIN b ON epoch_us(l_shipdate) >= b.w0 "
+            "AND epoch_us(l_shipdate) < b.w1 GROUP BY 1 ORDER BY 1"
         ),
         # A-Priori 2-itemset pass: parts co-purchased in one order
         "frequent_part_pairs": (

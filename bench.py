@@ -266,6 +266,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_clustered_append",
         "doc_graph_kcore",
         "events_asof_click",
+        "lineitem_ship_windows",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -7,6 +7,7 @@ from .bloom import (  # noqa: F401
 )
 from .agg import grouped_agg  # noqa: F401
 from .asof import asof_join  # noqa: F401
+from .interval import interval_join  # noqa: F401
 from .graph import connected_components, k_core, keep_set_distributed  # noqa: F401
 from .join import detect_hot_keys, hash_join  # noqa: F401
 from .analytics import (  # noqa: F401
