@@ -1825,6 +1825,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return agg.to_pandas().sort_values("window_id").reset_index(drop=True)
 
+    def events_rolling(sf_dir):
+        # bounded ROWS-frame window: per-user rolling 5-row sum/max of
+        # the value in exact micros-int units; (ts, event_id) order is
+        # unique so the frame is deterministic on both engines
+        import numpy as np
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+        ev = R.read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+        def widen(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            return t.drop_columns(["value"]).append_column(
+                "vm", pa.array(np.round(v * 1e6).astype(np.int64))
+            )
+
+        out = partitioned_window(
+            ev.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            ["ts", "event_id"],
+            {
+                "roll_sum_micros": ("rolling_sum", "vm", 5),
+                "roll_max_micros": ("rolling_max", "vm", 5),
+            },
+            num_partitions=16,
+        )
+        df = out.to_pandas().drop(columns=["vm"])
+        # rolling emits float64 (pandas rolling); micros sums over a
+        # 5-row frame stay far inside float64 exactness -> exact cast
+        df["roll_sum_micros"] = df["roll_sum_micros"].astype("int64")
+        df["roll_max_micros"] = df["roll_max_micros"].astype("int64")
+        return df.sort_values("event_id").reset_index(drop=True)
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -1965,6 +1999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_part_pairs": frequent_part_pairs,
         "events_asof_click": events_asof_click,
         "lineitem_ship_windows": lineitem_ship_windows,
+        "events_rolling": events_rolling,
     }
 
 
@@ -3464,6 +3499,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c "
             "FROM lineitem JOIN b ON epoch_us(l_shipdate) >= b.w0 "
             "AND epoch_us(l_shipdate) < b.w1 GROUP BY 1 ORDER BY 1"
+        ),
+        # bounded ROWS frame, micros-exact; (ts, event_id) is unique
+        # so the frame content is engine-independent
+        "events_rolling": (
+            "WITH b AS (SELECT event_id, user_id, ts, "
+            "CAST(ROUND(value * 1e6) AS BIGINT) AS vm FROM events) "
+            "SELECT event_id, user_id, ts, "
+            "CAST(SUM(vm) OVER w AS BIGINT) AS roll_sum_micros, "
+            "CAST(MAX(vm) OVER w AS BIGINT) AS roll_max_micros "
+            "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"
         ),
         # A-Priori 2-itemset pass: parts co-purchased in one order
         "frequent_part_pairs": (

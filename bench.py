@@ -267,6 +267,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_graph_kcore",
         "events_asof_click",
         "lineitem_ship_windows",
+        "events_rolling",
     ]
     times: dict[str, float] = {}
     for name in names:

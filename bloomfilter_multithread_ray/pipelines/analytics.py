@@ -1022,8 +1022,14 @@ def hopping_window_agg(
 # ---------------------------------------------- partitioned window functions
 _WINDOW_KINDS = (
     "row_number", "rank", "dense_rank", "lag", "lead", "cumsum", "cummax",
-    "cummin", "ntile", "percent_rank", "cume_dist"
+    "cummin", "ntile", "percent_rank", "cume_dist",
+    "rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
 )
+
+_ROLLING_AGG = {
+    "rolling_sum": "sum", "rolling_mean": "mean",
+    "rolling_min": "min", "rolling_max": "max",
+}
 
 
 def partitioned_window(
@@ -1042,8 +1048,13 @@ def partitioned_window(
       ``("lag", col, offset, default)`` / ``("lead", col, offset, default)``
       ``("cumsum", col)`` / ``("cummax", col)`` / ``("cummin", col)``
       ``("ntile", k)`` / ``("percent_rank",)`` / ``("cume_dist",)``
+      ``("rolling_sum"|"rolling_mean"|"rolling_min"|"rolling_max", col, k)``
     (cumulatives use the ROWS UNBOUNDED PRECEDING..CURRENT frame;
-    ntile follows SQL's first-buckets-take-the-extra-row split).
+    rolling kinds are the bounded ``ROWS BETWEEN (k-1) PRECEDING AND
+    CURRENT ROW`` frame with SQL null-skipping — pin ties in
+    ``order_by`` with a unique tiebreak column, a ROWS frame over tied
+    keys is order-dependent in ANY engine; ntile follows SQL's
+    first-buckets-take-the-extra-row split).
 
     ``order_by`` entries are column names or ``(name, "desc")``. Nulls
     order LAST regardless of direction (state the same in the SQL when
@@ -1074,6 +1085,10 @@ def partitioned_window(
             raise ValueError(f"window output {out!r} collides with an input column")
         if spec[0] == "ntile" and (len(spec) < 2 or int(spec[1]) <= 0):
             raise ValueError(f"window {out!r}: ntile requires k >= 1")
+        if spec[0] in _ROLLING_AGG and (len(spec) < 3 or int(spec[2]) <= 0):
+            raise ValueError(
+                f"window {out!r}: {spec[0]} requires (kind, col, k) with k >= 1"
+            )
 
     from .agg import _partition_of_keys
 
@@ -1175,6 +1190,17 @@ def partitioned_window(
                 df[out] = np.where(seg_len > 1, rank / denom, 0.0)
             elif kind == "cume_dist":
                 df[out] = (tie_end - seg_start) / seg_len
+            elif kind in _ROLLING_AGG:
+                # SQL ROWS BETWEEN (k-1) PRECEDING AND CURRENT ROW;
+                # nulls are skipped (all-null frame -> NULL), matching
+                # the SQL aggregate-over-frame semantics. seg_id is
+                # nondecreasing after the sort, so the groupby.rolling
+                # (Cython) output concatenates back in row order.
+                col, k = spec[1], int(spec[2])
+                roll = df.groupby(seg_id, sort=False)[col].rolling(
+                    k, min_periods=1
+                )
+                df[out] = getattr(roll, _ROLLING_AGG[kind])().to_numpy()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (

@@ -839,3 +839,56 @@ def test_explode_list_sliced_offsets(ray_session):
         .sort_values(["id", "idx"]).reset_index(drop=True)
     assert out["xs"].tolist() == [4, 5, 6, 7]
     assert out["idx"].tolist() == [0, 1, 2, 0]
+
+
+def test_window_rolling_frames_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    df = _win_df(1500, seed=21)
+    # plant nulls: SQL frame aggregates skip them (all-null frame -> NULL)
+    df["v"] = df["v"].astype("float64")
+    df.loc[df.index % 7 == 0, "v"] = np.nan  # NaN == SQL NULL for both engines
+    out = partitioned_window(
+        rd.from_pandas(df).repartition(4), "u", ["t", "rid"],
+        {
+            "rs": ("rolling_sum", "v", 3),
+            "rm": ("rolling_mean", "v", 3),
+            "rlo": ("rolling_min", "v", 5),
+            "rhi": ("rolling_max", "v", 5),
+        },
+        num_partitions=8,
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT rid, "
+        "SUM(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rs, "
+        "AVG(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rm, "
+        "MIN(v) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rlo, "
+        "MAX(v) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rhi "
+        "FROM df WINDOW w AS (PARTITION BY u ORDER BY t, rid) ORDER BY rid"
+    ).df()
+    for c in ("rs", "rm", "rlo", "rhi"):
+        g = out[c].to_numpy(dtype=np.float64)
+        w = exp[c].to_numpy(dtype=np.float64)
+        assert np.allclose(np.nan_to_num(g, nan=-1e300),
+                           np.nan_to_num(w, nan=-1e300)), c
+
+
+def test_window_rolling_k1_and_validation(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    df = _win_df(100, seed=3)
+    out = partitioned_window(
+        rd.from_pandas(df).repartition(2), "u", ["t", "rid"],
+        {"rs": ("rolling_sum", "v", 1)},
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    assert (out["rs"].to_numpy() == df.sort_values("rid")["v"].to_numpy()).all()
+    ds = rd.from_pandas(pd.DataFrame({"u": [1], "t": [1], "v": [1]}))
+    with pytest.raises(ValueError, match="rolling_sum"):
+        partitioned_window(ds, "u", "t", {"x": ("rolling_sum", "v", 0)})
+    with pytest.raises(ValueError, match="rolling_mean"):
+        partitioned_window(ds, "u", "t", {"x": ("rolling_mean",)})
