@@ -2109,6 +2109,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT doc_id, h FROM s3 ORDER BY h LIMIT 100"
         ),
+        # A-ES weighted sample: u = (splitmix64(doc_id XOR 8) + 1) / 2^64,
+        # key = u^(1/n_tok), top-50 keys win (same libm pow both sides);
+        # same mulmod splitmix chain as corpus_sample with the seed pre-XOR
+        "corpus_sample_weighted": (
+            "WITH t AS (SELECT doc_id, "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok "
+            "FROM documents), "
+            "m0 AS (SELECT doc_id, n_tok, "
+            "(CAST(xor(CAST(doc_id AS UBIGINT), CAST(8 AS UBIGINT)) AS HUGEINT) "
+            "+ 11400714819323198485) % 18446744073709551616 AS z "
+            "FROM t WHERE n_tok > 0), "
+            "x1 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS a FROM m0), "
+            "s1 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, n_tok, "
+            "xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h FROM s2), "
+            "k AS (SELECT doc_id, n_tok, "
+            "pow((CAST(h AS DOUBLE) + 1) / 18446744073709551616.0, "
+            "1.0 / CAST(n_tok AS DOUBLE)) AS akey FROM s3) "
+            "SELECT doc_id, n_tok FROM "
+            "(SELECT * FROM k ORDER BY akey DESC LIMIT 50) ORDER BY doc_id"
+        ),
         # per-source top-5 tokens: ROW_NUMBER window, ties (cnt desc, tok)
         "heavy_hitters_by_source": (
             "SELECT source, tok, cnt FROM ("
