@@ -900,6 +900,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def pack_sequences(sf_dir):
         return TS.pack_sequences(sf_dir, seq_len=64)
 
+    def chunk_docs(sf_dir):
+        # overlapping sliding-window chunking WITH the text payload
+        # (40-token windows every 30 tokens, tails under 5 dropped);
+        # map-only, deterministic — SQL-exact
+        out = TS.chunk_documents(
+            _docs(sf_dir, ["doc_id", "text"]),
+            chunk_tokens=40,
+            stride=30,
+            min_tokens=5,
+        )
+        return (
+            out.to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+
     def doc_quality(sf_dir):
         ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
             Q.make_quality_fn(), batch_format="pyarrow", zero_copy_batch=True
@@ -1898,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": vocab_coverage,
         "length_filter_percentile": length_filter_percentile,
         "pack_sequences": pack_sequences,
+        "chunk_docs": chunk_docs,
         "heavy_hitters_by_source": heavy_hitters_by_source,
         "distinct_by_source": distinct_by_source,
         "distinct_by_source_hll": distinct_by_source_hll,
@@ -2450,6 +2467,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(LEAST(64, n - 64 * c) AS INT) AS chunk_len "
             "FROM (SELECT doc_id, n, unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS c "
             "FROM t) ORDER BY doc_id, chunk_id"
+        ),
+        # sliding-window chunks: starts generate_series(0, n-5, 30),
+        # 1-based inclusive list slice, single-space rejoin
+        "chunk_docs": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS w FROM documents), "
+            "nn AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 5), "
+            "s AS (SELECT doc_id, w, n, unnest(generate_series(0, n - 5, 30)) AS st "
+            "FROM nn) "
+            "SELECT doc_id, CAST(st // 30 AS INT) AS chunk_id, "
+            "CAST(least(st + 40, n) - st AS INT) AS n_tok, "
+            "array_to_string(w[st + 1 : least(st + 40, n)], ' ') AS chunk_text "
+            "FROM s ORDER BY doc_id, chunk_id"
         ),
         # top-100 vocabulary coverage: integer sums, one rounded division
         "vocab_coverage": (

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash_strings
 from ..stages.text import _flat_nonempty_with_counts
@@ -214,6 +215,79 @@ def pack_sequences(sf_dir: str, seq_len: int = 64) -> pd.DataFrame:
     return (
         out.to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     )
+
+
+def chunk_documents(
+    ds,
+    *,
+    chunk_tokens: int,
+    stride: int | None = None,
+    min_tokens: int = 1,
+    col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sliding-window document chunking WITH the text payload — the
+    materializing form of :func:`pack_sequences` (which emits only the
+    chunk plan). Each document's non-empty tokens split into windows
+    of ``chunk_tokens`` starting every ``stride`` tokens (``stride <
+    chunk_tokens`` = overlapping context windows, the RAG/pretraining
+    shape; default ``stride == chunk_tokens`` = disjoint); windows
+    shorter than ``min_tokens`` (only possible at the tail) are
+    dropped. Output: Dataset {id_col, chunk_id, n_tok, chunk_text}
+    with ``chunk_id = start // stride`` (dense 0..k-1 per doc) and
+    ``chunk_text`` the window re-joined with single spaces.
+
+    Map-only — NO shuffle: every chunk derives from one document row,
+    so the operator streams at input parallelism and its output is
+    directly consumable by a partitioned sink. Per-batch kernel is
+    fully vectorized: one offsets pass sizes all windows, one flat
+    ``take`` gathers every window's tokens (overlap = index
+    replication, not data copy until the take), one ``binary_join``
+    materializes the chunk strings.
+
+    Deterministic and partition-invariant by construction (row-local).
+    Exact SQL analog (the oracle): ``generate_series(0, n - min_tok,
+    stride)`` starts, 1-based inclusive list slice, array_to_string.
+    """
+    from ..stages.text import flat_nonempty_with_offsets
+
+    C, m = int(chunk_tokens), int(min_tokens)
+    S = C if stride is None else int(stride)
+    if C < 1 or S < 1:
+        raise ValueError(f"chunk_tokens/stride must be >= 1, got {C}/{S}")
+    if not (1 <= m <= C):
+        raise ValueError(f"min_tokens must be in [1, chunk_tokens], got {m}")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        flat, offs = flat_nonempty_with_offsets(batch, col)
+        n = offs[1:] - offs[:-1]
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # starts 0, S, 2S, ... with window length min(C, n-start) >= m
+        # <=> start <= n - m (window length shrinks with start)
+        nch = np.where(n >= m, (n - m) // S + 1, 0)
+        rep = np.repeat(np.arange(len(n)), nch)
+        cw = np.concatenate(([0], np.cumsum(nch)))
+        cid = (np.arange(cw[-1], dtype=np.int64) - cw[rep]).astype(np.int32)
+        start = cid.astype(np.int64) * S
+        length = np.minimum(C, n[rep] - start)
+        # gather every window's tokens from the flat array in one take
+        cl = np.concatenate(([0], np.cumsum(length)))
+        cov = np.repeat(np.arange(len(length)), length)  # chunk of value
+        flat_idx = (offs[:-1][rep] + start)[cov] + (np.arange(cl[-1]) - cl[cov])
+        vals = flat.take(pa.array(flat_idx, pa.int64()))
+        la = pa.ListArray.from_arrays(pa.array(cl, pa.int32()), vals)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(rep, pa.int64())),
+                "chunk_id": pa.array(cid),
+                "n_tok": pa.array(length.astype(np.int32)),
+                "chunk_text": pc.binary_join(la, " "),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def vocab_coverage(sf_dir: str, vocab_size: int = 100, round_dp: int = 6) -> pd.DataFrame:

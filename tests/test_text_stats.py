@@ -269,3 +269,95 @@ def test_doc_token_entropy_planted(ray_session, tmp_path):
     for i, want in [(1, math.log(4.0)), (3, math.log(2.0))]:
         assert abs(got.loc[i, "entropy"] - want) < 2e-6, i
     assert got.loc[3, "n_tok"] == 4  # double space didn't add a token
+
+
+def _chunk_ref(texts, C, S, m):
+    rows = []
+    for i, t in enumerate(texts):
+        w = [x for x in t.split(" ") if x]
+        n = len(w)
+        st = 0
+        while n >= m and st <= n - m:
+            seg = w[st : st + C]
+            rows.append((i, st // S, len(seg), " ".join(seg)))
+            st += S
+    df = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "n_tok", "chunk_text"])
+    return df.astype({"doc_id": "int64", "chunk_id": "int32", "n_tok": "int32"})
+
+
+@pytest.mark.parametrize(
+    "C,S,m",
+    [(4, 3, 1), (4, 3, 2), (5, 5, 1), (3, 7, 1), (6, 2, 6)],
+)
+def test_chunk_documents_parity(ray_session, C, S, m):
+    """Overlap, disjoint, gapped (S>C) and full-window-only (m=C)
+    chunking all match a sequential reference, at any partitioning."""
+    import ray
+
+    texts = [
+        "a b c d e f g h i j",
+        "  x  y ",  # leading/double spaces -> 2 tokens
+        "",  # empty -> no chunks
+        "one",
+        "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ref = _chunk_ref(texts, C, S, m)
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (
+            TS.chunk_documents(ds, chunk_tokens=C, stride=S, min_tokens=m)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        if ref.empty:
+            assert len(got) == 0
+        else:
+            pd.testing.assert_frame_equal(got, ref)
+
+
+def test_chunk_documents_duckdb_cross(ray_session):
+    """Random corpus vs the oracle-shaped DuckDB query."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 90)))
+        for _ in range(60)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    got = (
+        TS.chunk_documents(
+            ray.data.from_pandas(df).repartition(5),
+            chunk_tokens=16, stride=10, min_tokens=3,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (
+        "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "nn AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 3), "
+        "s AS (SELECT doc_id, w, n, unnest(generate_series(0, n - 3, 10)) AS st FROM nn) "
+        "SELECT doc_id, CAST(st // 10 AS INT) AS chunk_id, "
+        "CAST(least(st + 16, n) - st AS INT) AS n_tok, "
+        "array_to_string(w[st + 1 : least(st + 16, n)], ' ') AS chunk_text "
+        "FROM s ORDER BY doc_id, chunk_id"
+    )
+    want = con.execute(sql).df().astype({"chunk_id": "int32", "n_tok": "int32"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_chunk_documents_validation(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        TS.chunk_documents(ds, chunk_tokens=0)
+    with pytest.raises(ValueError, match="min_tokens"):
+        TS.chunk_documents(ds, chunk_tokens=4, min_tokens=5)
