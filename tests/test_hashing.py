@@ -180,3 +180,46 @@ def test_revcomp_probe_opposite_strand_end_to_end(ray_session, tmp_path):
     ).to_pandas()
     assert len(probe) == 8 * (150 - 15 + 1)
     assert probe.member.all(), "opposite-strand probe must have zero false negatives"
+
+
+def test_hash_strings_nul_bytes_distinct():
+    """Regression: pandas' categorize=True hash path truncates strings
+    at embedded NULs (all '\\x00…' strings collapsed to one hash,
+    breaking content dedup and the \\x00NULL routing sentinel)."""
+    import pyarrow as pa
+
+    from bloomfilter_multithread_ray.functions.hashing import hash_strings
+
+    strs = ["\x00NULL\x1fs2", "\x00NULL\x1fs3", "\x00NULL\x1fs0",
+            "a\x00b", "a\x00c", "a", "", "\x00"]
+    h = hash_strings(pa.array(strs))
+    assert len(set(h.tolist())) == len(strs), h
+    # stable across array layouts (sliced/chunked vs fresh)
+    ch = pa.chunked_array([pa.array(strs[:3]), pa.array(strs[3:])])
+    h2 = hash_strings(ch.combine_chunks())
+    assert (h == h2).all()
+
+
+def test_partition_of_keys_null_key_spreads():
+    """Null in ONE key column must not collapse the partition of the
+    whole row — the other key columns still spread (was: every
+    null-key row of any other-key value landed on one partition, and
+    the same row could route differently per batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bloomfilter_multithread_ray.pipelines.agg import _partition_of_keys
+
+    t = pa.table(
+        {"a": pa.array([None] * 64, pa.float64()),
+         "b": [f"s{i}" for i in range(64)]}
+    )
+    parts = _partition_of_keys(t, ["a", "b"], 16)
+    assert len(np.unique(parts)) > 4, parts
+    # determinism: same logical rows, different layout -> same partitions
+    t2 = pa.table(
+        {"a": pa.concat_arrays([t.column("a").combine_chunks().slice(0, 10),
+                                t.column("a").combine_chunks().slice(10)]),
+         "b": t.column("b")}
+    )
+    assert (parts == _partition_of_keys(t2, ["a", "b"], 16)).all()
