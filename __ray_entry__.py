@@ -1525,6 +1525,137 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["event_id"] = df["event_id"].astype(np.int64)
         return df[["user_id", "event_id", "ts", "event_type"]]
 
+    def user_event_paths(sf_dir):
+        # ordered per-key sequence building (group_concat /
+        # string_agg): each user's chronological event-type path; one
+        # fixed-P shuffle, one vectorized binary_join per partition
+        import numpy as np
+
+        from bloomfilter_multithread_ray.pipelines.analytics import group_concat
+
+        ev = R.read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+        df = (
+            group_concat(
+                ev, "user_id", "event_type", ["ts", "event_id"],
+                sep="->", out_name="path", count_name="n_events",
+                num_partitions=16,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        df["n_events"] = df["n_events"].astype(np.int64)
+        return df[["user_id", "path", "n_events"]]
+
+    def docs_capped_per_source(sf_dir):
+        # per-key cap (topn_by_key): keep each source's 10 greatest
+        # doc_ids — the per-source share bound of a curation mix; the
+        # per-batch combiner bounds exchange volume to O(keys x n)
+        from bloomfilter_multithread_ray.pipelines.analytics import topn_by_key
+
+        docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        df = (
+            topn_by_key(docs, "source", "doc_id", 10, num_partitions=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return df[["doc_id", "source", "n_chars"]]
+
+    def _event_strata(sf_dir):
+        # (user, type, value-decile) coverage strata, split at mid-month
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ev = R.read(sf_dir, "events", ["user_id", "event_type", "value", "ts"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            vdec = pc.cast(
+                pc.floor(pc.divide(t.column("value"), pa.scalar(10.0))), pa.int64()
+            )
+            h1 = pc.less_equal(pc.day(t.column("ts")), pa.scalar(15))
+            return pa.table(
+                {"user_id": t.column("user_id"),
+                 "event_type": t.column("event_type"),
+                 "vdec": vdec, "h1": h1}
+            )
+
+        def half(first):
+            def f(t: pa.Table) -> pa.Table:
+                m = t.column("h1") if first else pc.invert(t.column("h1"))
+                return t.filter(m).drop_columns(["h1"])
+            return f
+
+        d = ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        return (
+            d.map_batches(half(True), batch_format="pyarrow", zero_copy_batch=True),
+            d.map_batches(half(False), batch_format="pyarrow", zero_copy_batch=True),
+        )
+
+    def strata_lost_h2(sf_dir):
+        # SQL EXCEPT (setops.except_distinct): coverage strata present
+        # in days 1-15 that VANISH in days 16-30 — the sampling-drift
+        # audit; per-batch distinct before the one row-hash exchange
+        from bloomfilter_multithread_ray.pipelines.setops import except_distinct
+
+        a, b = _event_strata(sf_dir)
+        return (
+            except_distinct(a, b, num_partitions=16)
+            .to_pandas()
+            .sort_values(["user_id", "event_type", "vdec"])
+            .reset_index(drop=True)
+        )
+
+    def strata_stable(sf_dir):
+        # SQL INTERSECT twin of strata_lost_h2: strata covered in BOTH
+        # window halves
+        from bloomfilter_multithread_ray.pipelines.setops import intersect_distinct
+
+        a, b = _event_strata(sf_dir)
+        return (
+            intersect_distinct(a, b, num_partitions=16)
+            .to_pandas()
+            .sort_values(["user_id", "event_type", "vdec"])
+            .reset_index(drop=True)
+        )
+
+    def events_resampled(sf_dir):
+        # time-series densify + gap fill (resample_fill): per-user
+        # DAILY grid over each user's active span — count gaps become
+        # explicit 0 rows, running exposure carries via ffill; one
+        # fixed-P key shuffle after a (key, bucket) map-side combine
+        import numpy as np
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.analytics import resample_fill
+
+        ev = R.read(sf_dir, "events", ["user_id", "ts", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            v = np.rint(
+                t.column("value").to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)
+            return pa.table(
+                {"user_id": t.column("user_id"), "ts": t.column("ts"),
+                 "v_u6": pa.array(v)}
+            )
+
+        ds = ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        df = (
+            resample_fill(
+                ds, "user_id", "ts", 86_400_000_000,
+                {"n_events": ("count", None),
+                 "value_sum_micros": ("sum", "v_u6")},
+                fill={"n_events": "zero", "value_sum_micros": "ffill"},
+                num_partitions=16,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        df["n_events"] = df["n_events"].astype(np.int64)
+        return df[["user_id", "bucket", "n_events", "value_sum_micros"]]
+
     def events_unpivot(sf_dir):
         # pivot(fill=NULL) -> unpivot(drop_null) round trip: the wide
         # reshape and its inverse compose to the plain long aggregate,
@@ -2013,6 +2144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": events_pivot,
         "events_unpivot": events_unpivot,
         "events_latest_per_user": events_latest_per_user,
+        "user_event_paths": user_event_paths,
+        "docs_capped_per_source": docs_capped_per_source,
+        "strata_lost_h2": strata_lost_h2,
+        "strata_stable": strata_stable,
+        "events_resampled": events_resampled,
         "frequent_part_pairs": frequent_part_pairs,
         "events_asof_click": events_asof_click,
         "lineitem_ship_windows": lineitem_ship_windows,
@@ -3517,6 +3653,60 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, ts, event_type FROM events "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) = 1 ORDER BY user_id"
+        ),
+        # daily densified per-user grid: generate_series span LEFT JOIN
+        # the bucket aggregate; count gap -> 0, running sum carries via
+        # last_value IGNORE NULLS over the default to-current-row frame
+        "events_resampled": (
+            "WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 "
+            "* 86400000000 AS BIGINT) AS b, "
+            "CAST(round(value*1000000) AS BIGINT) AS v "
+            "FROM events WHERE ts IS NOT NULL), "
+            "a AS (SELECT user_id, b, count(*) AS n, CAST(SUM(v) AS BIGINT) AS vs "
+            "FROM e GROUP BY 1, 2), "
+            "s AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM a GROUP BY 1), "
+            "g AS (SELECT user_id, unnest(generate_series(mn, mx, 86400000000)) AS b "
+            "FROM s), "
+            "j AS (SELECT g.user_id, g.b, coalesce(a.n, 0) AS n_events, a.vs "
+            "FROM g LEFT JOIN a USING (user_id, b)) "
+            "SELECT user_id, make_timestamp(b) AS bucket, "
+            "CAST(n_events AS BIGINT) AS n_events, "
+            "last_value(vs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b) "
+            "AS value_sum_micros FROM j ORDER BY user_id, b"
+        ),
+        # ordered string_agg per user; count(col) skips nulls like the
+        # operator's count_name
+        "user_event_paths": (
+            "SELECT user_id, string_agg(event_type, '->' ORDER BY ts, event_id) "
+            "AS path, count(event_type) AS n_events "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        # per-key cap = row_number() <= n over the same desc order
+        "docs_capped_per_source": (
+            "SELECT doc_id, source, n_chars FROM ("
+            "SELECT doc_id, source, n_chars, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id DESC) AS rn FROM documents) t "
+            "WHERE rn <= 10 ORDER BY doc_id"
+        ),
+        # SQL EXCEPT over (user, type, value-decile) strata split at day 15
+        "strata_lost_h2": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "CAST(floor(value/10) AS BIGINT) AS vdec, day(ts) <= 15 AS h1 "
+            "FROM events) "
+            "SELECT user_id, event_type, vdec FROM ("
+            "SELECT DISTINCT user_id, event_type, vdec FROM s WHERE h1 "
+            "EXCEPT SELECT DISTINCT user_id, event_type, vdec FROM s WHERE NOT h1) "
+            "ORDER BY user_id, event_type, vdec"
+        ),
+        # SQL INTERSECT twin
+        "strata_stable": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "CAST(floor(value/10) AS BIGINT) AS vdec, day(ts) <= 15 AS h1 "
+            "FROM events) "
+            "SELECT user_id, event_type, vdec FROM ("
+            "SELECT DISTINCT user_id, event_type, vdec FROM s WHERE h1 "
+            "INTERSECT SELECT DISTINCT user_id, event_type, vdec FROM s WHERE NOT h1) "
+            "ORDER BY user_id, event_type, vdec"
         ),
         # pivot->unpivot round trip collapses to the plain long GROUP BY
         "events_unpivot": (

@@ -268,6 +268,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_asof_click",
         "lineitem_ship_windows",
         "events_rolling",
+        "chunk_docs",
+        "user_event_paths",
+        "docs_capped_per_source",
+        "strata_lost_h2",
+        "strata_stable",
+        "events_resampled",
     ]
     times: dict[str, float] = {}
     for name in names:

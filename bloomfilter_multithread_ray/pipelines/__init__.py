@@ -25,3 +25,5 @@ from .table_store import (  # noqa: F401
     write_bucketed,
     write_clustered,
 )
+from .analytics import group_concat, resample_fill, topn_by_key  # noqa: F401
+from .setops import except_distinct, intersect_distinct, set_op  # noqa: F401

@@ -1382,3 +1382,352 @@ def explode_list(
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------- group_concat
+def group_concat(
+    ds: "Dataset",
+    by: str | list[str],
+    value_col: str,
+    order_by: "str | tuple | list",
+    *,
+    sep: str = ",",
+    out_name: str = "concat",
+    count_name: str | None = None,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """SQL ``string_agg(value_col, sep ORDER BY order_by)`` per ``by``
+    group — ordered per-key sequence building (behavioral event paths,
+    conversation reassembly, per-document line rejoin): the string
+    counterpart of an ordered ARRAY_AGG.
+
+    SQL semantics throughout: null values are SKIPPED (an all-null
+    group emits SQL NULL, not ``""``); null ``by`` keys form their own
+    group (GROUP BY); the value column is cast to string with Arrow's
+    canonical formatting — pre-format on the caller side when SQL text
+    casts must match. ``order_by`` entries are names or ``(name,
+    "desc")``, nulls last either way; pin ties with a unique tiebreak
+    column or the concatenation order is engine-dependent (same caveat
+    as any ORDER BY inside an aggregate). ``count_name`` optionally
+    emits the non-null value count (SQL ``count(value_col)``).
+
+    Scale shape: ONE fixed-P shuffle on ``hash(by) % P`` (whole groups
+    co-locate — the only requirement), then a single vectorized kernel
+    per partition: one stable sort, factorized segment ids, and ONE
+    ``binary_join`` over a ListArray built from per-segment non-null
+    counts — no per-group Python. Output rows are O(groups); the
+    concatenated payload is the inherent output size. A group's full
+    sequence must fit one partition's memory — at web scale that bound
+    is per-KEY payload, which is the operator's contract (a key whose
+    sequence exceeds a worker's heap needs the chunked form: window +
+    partitioned sink).
+    """
+    import pyarrow.compute as pc
+
+    from .agg import _partition_of_keys
+
+    by = [by] if isinstance(by, str) else list(by)
+    order_cols: list[str] = []
+    ascending: list[bool] = []
+    for o in [order_by] if isinstance(order_by, (str, tuple)) else list(order_by):
+        if isinstance(o, tuple):
+            name, direction = o
+            order_cols.append(name)
+            ascending.append(direction != "desc")
+        else:
+            order_cols.append(o)
+            ascending.append(True)
+    bad = set(by) & ({value_col} | set(order_cols))
+    if out_name in by or (count_name and count_name in by):
+        raise ValueError("group_concat: output names collide with by columns")
+    if bad:
+        raise ValueError(f"group_concat: by columns also used as value/order: {bad}")
+    P = int(num_partitions)
+
+    def route(t: pa.Table) -> pa.Table:
+        keep = list(dict.fromkeys(by + order_cols + [value_col]))
+        t = t.select(keep)
+        return t.append_column("__gc", pa.array(_partition_of_keys(t, by, P)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["__gc"]).to_pandas()
+        df = df.sort_values(
+            by + order_cols,
+            ascending=[True] * len(by) + ascending,
+            na_position="last",
+            kind="mergesort",
+        )
+        # factorized per-by-column codes -> segment starts (null-safe:
+        # factorize gives nulls their own code with use_na_sentinel)
+        nseg_mask = np.zeros(len(df), dtype=bool)
+        nseg_mask[0] = True
+        for c in by:
+            codes = pd.factorize(df[c], use_na_sentinel=False)[0]
+            nseg_mask[1:] |= codes[1:] != codes[:-1]
+        seg = np.cumsum(nseg_mask) - 1
+        nseg = int(seg[-1]) + 1 if len(df) else 0
+        starts = np.flatnonzero(nseg_mask)
+        vals = pa.Array.from_pandas(df[value_col])
+        if not pa.types.is_string(vals.type) and not pa.types.is_large_string(vals.type):
+            vals = pc.cast(vals, pa.string())
+        valid = np.asarray(vals.is_valid())
+        counts = np.bincount(seg[valid], minlength=nseg)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), vals.filter(pa.array(valid))
+        )
+        joined = pc.if_else(
+            pa.array(counts > 0), pc.binary_join(la, sep), pa.scalar(None, pa.string())
+        )
+        out = {c: pa.Array.from_pandas(df[c].iloc[starts]) for c in by}
+        out[out_name] = joined
+        if count_name:
+            out[count_name] = pa.array(counts.astype(np.int64))
+        return pa.table(out)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gc")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------- topn_by_key
+def topn_by_key(
+    ds: "Dataset",
+    by: str | list[str],
+    order_col: str,
+    n: int,
+    *,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    num_partitions: int = 32,
+) -> "Dataset":
+    """Keep each key's top-``n`` rows by ``order_col`` — the general
+    form of :func:`latest_by_key` (``n=1``) and the streaming-shaped
+    per-key cap a curation pipeline uses to bound any one source's
+    share (``QUALIFY row_number() OVER (PARTITION BY by ORDER BY
+    order_col [DESC]) <= n``).
+
+    Scale shape: the per-batch combiner keeps at most ``n`` candidate
+    rows per key it saw (one C-speed sort + Cython ``groupby.head``),
+    so the single fixed-P exchange moves O(keys_per_batch × n) rows,
+    not the input — a per-key top-n is closed under "top-n of unioned
+    per-batch top-ns", then the identical kernel per partition picks
+    the global winners. Null order values order LAST under either
+    direction (SQL NULLS LAST) — they survive only in groups with
+    fewer than ``n`` better rows. Pass ``tiebreak`` (ordered the same
+    direction) for deterministic results when ``order_col`` ties;
+    output row order is unspecified (sort downstream).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    order_keys = [order_col] + ([tiebreak] if tiebreak else [])
+    if int(n) < 1:
+        raise ValueError(f"topn_by_key: n must be >= 1, got {n}")
+
+    from .agg import _partition_of_keys
+
+    P = int(num_partitions)
+
+    def winners(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            by + order_keys,
+            ascending=[True] * len(by) + [not descending] * len(order_keys),
+            na_position="last",
+            kind="mergesort",
+        )
+        df = df.groupby(by, dropna=False, sort=False).head(int(n))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def route(t: pa.Table) -> pa.Table:
+        return t.append_column("__tp", pa.array(_partition_of_keys(t, by, P)))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        return winners(g.drop_columns(["__tp"]))
+
+    return (
+        ds.map_batches(winners, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__tp")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------- resample_fill
+def resample_fill(
+    ds: "Dataset",
+    by: str | list[str],
+    ts_col: str,
+    every_us: int,
+    aggs: dict,
+    *,
+    fill: dict | None = None,
+    num_partitions: int = 32,
+) -> "Dataset":
+    """Per-key time-series resampling with gap densification — the
+    alignment step downstream time-series consumers need and Ray Data
+    lacks: bucket ``ts_col`` into ``every_us``-microsecond bins,
+    aggregate per ``(by, bucket)``, then emit EVERY bucket in each
+    key's ``[min_bucket, max_bucket]`` span (missing buckets become
+    explicit rows) with per-column fill strategies.
+
+    ``aggs`` maps output name → ``(func, col)`` with func in
+    ``sum | count | min | max`` (count takes ``col=None``). ``fill``
+    maps output name → ``"ffill"`` (carry the last seen value down the
+    gap — SQL ``last_value(x IGNORE NULLS) OVER (PARTITION BY key
+    ORDER BY bucket)``), ``"zero"`` (SQL ``coalesce(x, 0)``, the
+    natural count fill), or ``None``/absent (keep SQL NULL). Output:
+    by columns + ``bucket`` (timestamp[us]) + one column per agg, one
+    row per key per grid bucket. Null timestamps are ignored (SQL
+    ``WHERE ts IS NOT NULL``); bucket arithmetic is integer
+    floor-division (exact, pre-1970-safe — never float).
+
+    Scale shape: a per-batch map-side combine folds each batch to one
+    partial row per (key, bucket) through pyarrow's C++ hash-agg (the
+    exchange moves partials, not events), then ONE fixed-P shuffle on
+    ``hash(by) % P`` — the key-only co-location that densify+ffill
+    needs — and a vectorized kernel per partition: Arrow-side partial
+    merge (int64 sums never round-trip through float), one
+    ``np.repeat`` grid pass, one scatter into grid slots, and an
+    index-accumulate forward fill with per-segment reset. Grid size is
+    each key's span / every — the inherent output size; a key spanning
+    years at second resolution is the caller's contract to pre-split.
+    """
+    import pyarrow.compute as pc
+
+    from .agg import _partition_of_keys
+
+    by = [by] if isinstance(by, str) else list(by)
+    E = int(every_us)
+    if E <= 0:
+        raise ValueError(f"resample_fill: every_us must be > 0, got {every_us}")
+    fill = dict(fill or {})
+    _PFUNC = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for out, (func, col) in aggs.items():
+        if func not in _PFUNC:
+            raise ValueError(f"resample_fill: unsupported agg {func!r} for {out!r}")
+        if (func == "count") != (col is None):
+            raise ValueError(
+                f"resample_fill: count takes col=None, others a column ({out!r})"
+            )
+    for out, strat in fill.items():
+        if out not in aggs or strat not in ("ffill", "zero", None):
+            raise ValueError(f"resample_fill: bad fill entry {out!r}: {strat!r}")
+    P = int(num_partitions)
+    pcols = [f"__rs{i}" for i in range(len(aggs))]
+    specs = list(aggs.items())
+
+    def _partial_agg(t: pa.Table, in_names: list[str], *, merge: bool) -> pa.Table:
+        """group (by, __rb) and aggregate in_names -> pcols (name-safe).
+
+        ``merge=False`` is the map-side combine (count counts rows);
+        ``merge=True`` folds partials (count partials SUM — re-counting
+        rows here would cap every count at the number of batches)."""
+        agg_list, emitted = [], []
+        for name, (_out, (func, _col)) in zip(in_names, specs):
+            if func == "count" and not merge:
+                agg_list.append(([], "count_all"))
+                emitted.append("count_all")
+            else:
+                f = _PFUNC[func]
+                agg_list.append((name, f))
+                emitted.append(f"{name}_{f}")
+        res = t.group_by(by + ["__rb"]).aggregate(agg_list)
+        cols = {c: res.column(c) for c in by + ["__rb"]}
+        for e, p in zip(emitted, pcols):
+            cols[p] = res.column(e)
+        return pa.table(cols)
+
+    def combine(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if not pa.types.is_timestamp(ts.type):
+            raise TypeError(f"resample_fill: {ts_col!r} is {ts.type}, not timestamp")
+        t = t.filter(pc.is_valid(ts))
+        # normalize to microsecond resolution (ns inputs truncate)
+        us = pc.cast(
+            t.column(ts_col),
+            pa.timestamp("us", getattr(ts.type, "tz", None)),
+            safe=False,
+        )
+        tsv = pc.cast(us, pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.floor_divide(tsv, E) * E  # toward -inf, integer-exact
+        work = {c: t.column(c) for c in by}
+        work["__rb"] = pa.array(b)
+        names = []
+        for p, (_out, (func, col)) in zip(pcols, specs):
+            if col is not None:
+                work[f"i{p}"] = t.column(col)
+            names.append(f"i{p}")
+        out_t = _partial_agg(pa.table(work), names, merge=False)
+        return out_t.append_column("__rp", pa.array(_partition_of_keys(out_t, by, P)))
+
+    def _seg_mask(cols: list[pa.Array], n: int) -> np.ndarray:
+        """row-starts-new-segment mask under IS DISTINCT FROM."""
+        m = np.zeros(n, dtype=bool)
+        if n:
+            m[0] = True
+        for col in cols:
+            valid = np.asarray(col.is_valid())
+            neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+            neq = np.asarray(neq.fill_null(False))
+            m[1:] |= (valid[1:] != valid[: n - 1]) | (valid[1:] & valid[: n - 1] & neq)
+        return m
+
+    def kernel(g: pa.Table) -> pa.Table:
+        merged = _partial_agg(g.drop_columns(["__rp"]), pcols, merge=True)
+        merged = merged.sort_by([(c, "ascending") for c in by + ["__rb"]])
+        merged = merged.combine_chunks()
+        n = len(merged)
+        bycols = [merged.column(c).combine_chunks() for c in by]
+        nseg_mask = _seg_mask(bycols, n)
+        seg = np.cumsum(nseg_mask) - 1
+        starts = np.flatnonzero(nseg_mask)
+        b = merged.column("__rb").to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n) - 1
+        mn, mx = b[starts], b[ends]
+        counts = (mx - mn) // E + 1
+        goff = np.concatenate(([0], np.cumsum(counts)))
+        total = int(goff[-1])
+        rep = np.repeat(np.arange(len(starts)), counts)
+        grid_b = mn[rep] + (np.arange(total, dtype=np.int64) - goff[rep]) * E
+        pos = goff[seg] + (b - mn[seg]) // E  # slot of each merged row
+        take_keys = pa.array(starts[rep], pa.int64())
+        out = {c: col.take(take_keys) for c, col in zip(by, bycols)}
+        out["bucket"] = pa.array(grid_b).cast(pa.timestamp("us"))
+        arange = np.arange(total, dtype=np.int64)
+        seg_base = goff[rep]  # first grid index of this row's segment
+        for p, (oname, (_func, _col)) in zip(pcols, specs):
+            arr = merged.column(p).combine_chunks()
+            t = arr.type
+            base = pa.float64() if pa.types.is_floating(t) else pa.int64()
+            a = pc.cast(arr, base)
+            vnp = a.to_numpy(zero_copy_only=False)
+            avalid = np.asarray(a.is_valid())
+            if base == pa.float64():
+                vnp = np.nan_to_num(vnp, nan=0.0)
+            else:
+                vnp = np.where(avalid, np.nan_to_num(vnp.astype(np.float64)), 0).astype(
+                    np.int64
+                ) if vnp.dtype != np.int64 else np.where(avalid, vnp, 0)
+            gv = np.zeros(total, dtype=vnp.dtype)
+            gvalid = np.zeros(total, dtype=bool)
+            gv[pos] = vnp
+            gvalid[pos] = avalid
+            strat = fill.get(oname)
+            if strat == "ffill":
+                idx = np.where(gvalid, arange, -1)
+                acc = np.maximum.accumulate(idx)
+                ok = (acc >= seg_base) & (acc >= 0)  # no cross-segment leak
+                gv = gv[np.clip(acc, 0, None)]
+                gvalid = ok
+            elif strat == "zero":
+                gvalid = np.ones(total, dtype=bool)
+            out[oname] = pa.array(gv, mask=~gvalid).cast(t)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__rp")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
