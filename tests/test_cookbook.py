@@ -49,7 +49,7 @@ def _blocks():
 
 def test_cookbook_blocks_execute(cookbook_fixtures, ray_session):
     blocks = _blocks()
-    assert len(blocks) == 9
+    assert len(blocks) == 10
     env: dict = {}
     for i, code in enumerate(blocks):
         # the first block's ray.init is owned by the session fixture
@@ -77,6 +77,9 @@ def test_cookbook_blocks_execute(cookbook_fixtures, ray_session):
     assert set(env["rep"].doc_id) == set(range(120))
     assert {1, 4} <= env["dirty"]
     assert len(env["merges"]) >= 1 and env["merges"].pair_count.min() >= 2
+    # recipe 10: sequences/caps/setops/grid (asserts live in the block;
+    # spot-check the env shapes here)
+    assert set(env["paths"].user) == set(env["grid"].user)
     # recipe 8: warehouse primitives — stores resumable, window sane,
     # detect-then-salted join exact (in-block asserts cover the rest)
     assert env["latest"].user_id.is_unique
