@@ -95,7 +95,7 @@ def tpch_q7(
     ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
     li_s = hash_join(
         li, supp, on="l_suppkey", right_on="s_suppkey",
-        how="inner", bloom_prefilter=True,
+        how="inner", bloom_prefilter=True, broadcast="auto",
     )
 
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
@@ -105,7 +105,7 @@ def tpch_q7(
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     ord_c = hash_join(
         orders, cust, on="o_custkey", right_on="c_custkey",
-        how="inner", bloom_prefilter=True,
+        how="inner", bloom_prefilter=True, broadcast="auto",
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     j = hash_join(
@@ -168,7 +168,7 @@ def tpch_q13(sf_dir: str, exclude_priority: str = "1-URGENT") -> pd.DataFrame:
     counts = grouped_agg(orders, "o_custkey", {"c_count": ("count", None)}, num_partitions=32)
 
     cust = read(sf_dir, "customer", columns=["c_custkey"])
-    j = hash_join(cust, counts, on="c_custkey", right_on="o_custkey", how="left")
+    j = hash_join(cust, counts, on="c_custkey", right_on="o_custkey", how="left", broadcast="auto")
 
     def fill_zero(t: pa.Table) -> pa.Table:
         cc = pc.fill_null(pc.cast(t["c_count"], pa.int64()), 0)
@@ -233,7 +233,7 @@ def tpch_q15(
         batch_format="pyarrow", zero_copy_batch=True,
     )
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-    dec = hash_join(winners, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    dec = hash_join(winners, supp, on="l_suppkey", right_on="s_suppkey", how="inner", broadcast="auto")
     df = pd.DataFrame(dec.take_all())
     out = pd.DataFrame({
         "s_suppkey": df["l_suppkey"].astype(np.int64),
@@ -273,7 +273,7 @@ def tpch_q17(
         sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
     )
     sub = hash_join(li, part, on="l_partkey", right_on="p_partkey",
-                    how="semi", bloom_prefilter=True)
+                    how="semi", bloom_prefilter=True, broadcast="auto")
 
     P = 16
 
@@ -362,7 +362,7 @@ def tpch_q19(
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(li, part, on="l_partkey", right_on="p_partkey",
-                  how="inner", bloom_prefilter=True)
+                  how="inner", bloom_prefilter=True, broadcast="auto")
 
     def partials(t: pa.Table) -> pa.Table:
         b = t["p_brand"].to_numpy(zero_copy_only=False)
@@ -533,7 +533,7 @@ def tpch_q8(
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
     li_p = hash_join(li, part, on="l_partkey", right_on="p_partkey",
-                     how="semi", bloom_prefilter=True)
+                     how="semi", bloom_prefilter=True, broadcast="auto")
 
     def ord_derive(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
@@ -556,10 +556,10 @@ def tpch_q8(
         batch_format="pyarrow", zero_copy_batch=True,
     )
     j2 = hash_join(j1, cust, on="o_custkey", right_on="c_custkey",
-                   how="semi", bloom_prefilter=True)
+                   how="semi", bloom_prefilter=True, broadcast="auto")
 
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    j3 = hash_join(j2, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    j3 = hash_join(j2, supp, on="l_suppkey", right_on="s_suppkey", how="inner", broadcast="auto")
 
     def shares(t: pa.Table) -> pa.Table:
         vol = t["vol_u4"].to_numpy(zero_copy_only=False)
@@ -626,7 +626,7 @@ def tpch_q9(sf_dir: str, name_token: str = "red") -> pd.DataFrame:
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
     li_p = hash_join(li, part, on="l_partkey", right_on="p_partkey",
-                     how="semi", bloom_prefilter=True)
+                     how="semi", bloom_prefilter=True, broadcast="auto")
 
     def ord_derive(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -643,7 +643,7 @@ def tpch_q9(sf_dir: str, name_token: str = "red") -> pd.DataFrame:
                    how="inner", bloom_prefilter=True)
 
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    j2 = hash_join(j1, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    j2 = hash_join(j1, supp, on="l_suppkey", right_on="s_suppkey", how="inner", broadcast="auto")
 
     sums = grouped_agg(
         j2.select_columns(["s_nationkey", "o_year", "profit_u4"]),
@@ -712,6 +712,7 @@ def tpch_q2(
     li_p = hash_join(
         li, part.select_columns(["p_partkey"]),
         on="l_partkey", right_on="p_partkey", how="semi", bloom_prefilter=True,
+        broadcast="auto",
     )
     pairs = grouped_agg(
         li_p, ["l_partkey", "l_suppkey"], {"__n": ("count", None)}, num_partitions=16
@@ -730,7 +731,7 @@ def tpch_q2(
     supp = read(
         sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
     ).map_batches(supp_derive, batch_format="pyarrow", zero_copy_batch=True)
-    cand = hash_join(pairs, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    cand = hash_join(pairs, supp, on="l_suppkey", right_on="s_suppkey", how="inner", broadcast="auto")
 
     P = 8
 
@@ -827,7 +828,7 @@ def tpch_q16(
     pairs = grouped_agg(
         hash_join(li, part.select_columns(["p_partkey"]),
                   on="l_partkey", right_on="p_partkey",
-                  how="semi", bloom_prefilter=True),
+                  how="semi", bloom_prefilter=True, broadcast="auto"),
         ["l_partkey", "l_suppkey"], {"__n": ("count", None)}, num_partitions=16,
     ).select_columns(["l_partkey", "l_suppkey"])
 
@@ -835,9 +836,9 @@ def tpch_q16(
         lambda t: t.filter(pc.less(t["s_acctbal"], 0.0)).select(["s_suppkey"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    pairs_ok = hash_join(pairs, bad, on="l_suppkey", right_on="s_suppkey", how="anti")
+    pairs_ok = hash_join(pairs, bad, on="l_suppkey", right_on="s_suppkey", how="anti", broadcast="auto")
 
-    dec = hash_join(pairs_ok, part, on="l_partkey", right_on="p_partkey", how="inner")
+    dec = hash_join(pairs_ok, part, on="l_partkey", right_on="p_partkey", how="inner", broadcast="auto")
     quads = grouped_agg(
         dec.select_columns(["p_brand", "p_type", "p_size", "l_suppkey"]),
         ["p_brand", "p_type", "p_size", "l_suppkey"],
@@ -966,7 +967,7 @@ def tpch_q21(
                    .select(["s_suppkey", "s_name"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    dec = hash_join(waits, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    dec = hash_join(waits, supp, on="l_suppkey", right_on="s_suppkey", how="inner", broadcast="auto")
     df = pd.DataFrame(dec.take_all())
     if df.empty:
         return pd.DataFrame({
@@ -1032,7 +1033,7 @@ def tpch_q11(
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
     li_n = hash_join(li, supp, on="l_suppkey", right_on="s_suppkey",
-                     how="semi", bloom_prefilter=True)
+                     how="semi", bloom_prefilter=True, broadcast="auto")
 
     per_part = grouped_agg(
         li_n, "l_partkey", {"val_u4": ("sum", "val_u4")}, num_partitions=16
@@ -1194,7 +1195,7 @@ def tpch_q20(
         columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
     ).map_batches(li_derive, batch_format="pyarrow", zero_copy_batch=True)
     li_p = hash_join(li, part, on="l_partkey", right_on="p_partkey",
-                     how="semi", bloom_prefilter=True)
+                     how="semi", bloom_prefilter=True, broadcast="auto")
 
     P = 8
 
@@ -1234,7 +1235,7 @@ def tpch_q20(
                    .select(["s_suppkey", "s_name"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    dec = hash_join(distinct, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    dec = hash_join(distinct, supp, on="l_suppkey", right_on="s_suppkey", how="inner", broadcast="auto")
     df = pd.DataFrame(dec.take_all())
     if df.empty:
         return pd.DataFrame({"s_name": pd.Series(dtype=object)})
