@@ -954,6 +954,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             topk=20,
         )
 
+    def token_f2_countsketch(sf_dir):
+        # AMS self-join-size estimate (rows-only; the bound vs the
+        # exact F2 is asserted in pytest and token_f2_exact is the
+        # SQL-oracled anchor on the same data)
+        return A.token_f2_countsketch(_docs(sf_dir, ["text"]), T.make_token_hash_fn())
+
+    def token_f2_exact(sf_dir):
+        return A.token_f2_exact(
+            _docs(sf_dir, ["text"]), T.make_explode_token_counts_fn()
+        )
+
     def source_overlap(sf_dir):
         return A.source_overlap_exact(
             _docs(sf_dir, ["text", "source"]), T.make_unique_tokens_by_fn("source"),
@@ -2021,6 +2032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p95": events_value_p95,
         "distinct_tokens_hll": distinct_tokens_hll,
         "heavy_hitters_cms": heavy_hitters_cms,
+        "token_f2_countsketch": token_f2_countsketch,
+        "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
         "sketch_lineage": sketch_lineage,
@@ -2168,6 +2181,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok, count(*) AS cnt FROM ("
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
             "WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20"
+        ),
+        "token_f2_exact": (
+            "SELECT CAST(SUM(c * c) AS BIGINT) AS f2, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct FROM ("
+            "SELECT tok, count(*) AS c FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
+            "WHERE tok <> '' GROUP BY tok)"
         ),
         "ntok_quantiles": (
             "SELECT source, quantile_cont(n_tok, 0.5) AS p50, "

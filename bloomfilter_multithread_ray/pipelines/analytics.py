@@ -76,6 +76,87 @@ def distinct_count_hll(ds: "Dataset", hash_fn, p: int = 14) -> pd.DataFrame:
     )
 
 
+def token_f2_countsketch(
+    ds: "Dataset",
+    hash_fn,
+    width: int = 1 << 13,
+    depth: int = 7,
+) -> pd.DataFrame:
+    """Second frequency moment (F2 / self-join size) of the token
+    stream via a Count-Sketch → 1-row {f2_estimate, rel_error_bound,
+    point_err_bound, n_tokens}.
+
+    F2 = sum_tok count(tok)^2 is the token-level self-join size — the
+    standard skew statistic that prices any token-keyed shuffle or join
+    (AMS 1996). One streaming pass, per-block partial sketches,
+    ``SketchAgg`` tree merge; the sketch is ~depth*width*8 bytes of
+    state regardless of vocabulary, and its merge is bit-exact under
+    any tree shape (tests). rel_error_bound is the AMS one-sigma bound
+    sqrt(2/width) concentrated by the median over ``depth`` rows;
+    point_err_bound is the per-item two-sided radius 3*sqrt(F2/width)
+    the same sketch guarantees for unbiased per-token estimates
+    (``CountSketch.estimate_hashes``).
+    """
+    from ..state import CountSketch
+
+    hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
+    res = hashed.aggregate(
+        SketchAgg(lambda: CountSketch(width=width, depth=depth), on="gh")
+    )
+    blob = res["sketch"] if res else None
+    cs = deserialize_sketch(blob) if blob is not None else CountSketch(width, depth)
+    return pd.DataFrame(
+        {
+            "f2_estimate": [cs.estimate_f2()],
+            "rel_error_bound": [float(np.sqrt(2.0 / cs.width))],
+            "point_err_bound": [cs.error_bound()],
+            "n_tokens": [int(cs.total)],
+        }
+    )
+
+
+def token_f2_exact(ds: "Dataset", counts_fn) -> pd.DataFrame:
+    """Exact token-frequency second moment → 1-row {f2, n_distinct}.
+
+    The exact-mode skeleton of :func:`token_f2_countsketch` (and its
+    oracle anchor): per-batch partial counts (combiner) → fixed-P
+    token-hash shuffle → per-partition exact per-token sums → each
+    partition emits ONE (sum c^2, distinct) row → driver folds P rows.
+    int64 throughout — exact at driver scales; the sketch mode is the
+    10^12-token scale path (where F2 itself outgrows int64).
+    """
+    partials = ds.map_batches(counts_fn, batch_format="pyarrow", zero_copy_batch=True)
+    P_SHUF = 64
+
+    def add_tp(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        h = hash_strings(t.column("tok").combine_chunks()).view(np.int64)
+        return t.append_column("tp", pa.array(np.abs(h) % P_SHUF))
+
+    def part_f2(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"tok": g.column("tok").to_pandas(),
+             "cnt": g.column("cnt").to_numpy(zero_copy_only=False)}
+        )
+        sums = df.groupby("tok", sort=False)["cnt"].sum().to_numpy(dtype=np.int64)
+        return pa.table({
+            "f2": pa.array([int((sums * sums).sum())], pa.int64()),
+            "n_distinct": pa.array([len(sums)], pa.int64()),
+        })
+
+    folded = (
+        partials.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp")
+        .map_groups(part_f2, batch_format="pyarrow")
+    )
+    agg = folded.sum(["f2", "n_distinct"])
+    return pd.DataFrame({
+        "f2": pd.array([int(agg["sum(f2)"])], dtype="int64"),
+        "n_distinct": pd.array([int(agg["sum(n_distinct)"])], dtype="int64"),
+    })
+
+
 # ----------------------------------------------------------- heavy hitters
 def heavy_hitters_exact(ds: "Dataset", counts_fn, topk: int = 20) -> pd.DataFrame:
     """Exact top-k token counts → DataFrame {tok, cnt}.

@@ -8,3 +8,4 @@ from .minhash import MinHash  # noqa: F401
 from .simhash import simhash64  # noqa: F401
 from .kmv import BottomKSample  # noqa: F401
 from .misra_gries import MisraGries  # noqa: F401
+from .countsketch import CountSketch  # noqa: F401

@@ -892,3 +892,27 @@ def test_window_rolling_k1_and_validation(ray_session):
         partitioned_window(ds, "u", "t", {"x": ("rolling_sum", "v", 0)})
     with pytest.raises(ValueError, match="rolling_mean"):
         partitioned_window(ds, "u", "t", {"x": ("rolling_mean",)})
+
+
+def test_countsketch_f2_within_bound_of_exact_and_sql():
+    """token_f2_exact matches DuckDB bit-exact; token_f2_countsketch's
+    F2 estimate lands within the AMS bound of that exact value."""
+    import duckdb
+
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+    from bloomfilter_multithread_ray.stages import text as T
+
+    exact = A.token_f2_exact(_docs(["text"]), T.make_explode_token_counts_fn())
+    sql = duckdb.sql(
+        "SELECT CAST(SUM(c * c) AS BIGINT) AS f2, CAST(COUNT(*) AS BIGINT) AS n_distinct "
+        "FROM (SELECT tok, count(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+        f"FROM read_parquet('{SF}/documents.parquet')) t WHERE tok <> '' GROUP BY tok)"
+    ).df()
+    assert int(exact["f2"][0]) == int(sql["f2"][0])
+    assert int(exact["n_distinct"][0]) == int(sql["n_distinct"][0])
+
+    est = A.token_f2_countsketch(_docs(["text"]), T.make_token_hash_fn())
+    f2_true = float(exact["f2"][0])
+    # 4x the one-sigma AMS bound sqrt(2/width), median-concentrated
+    assert abs(est["f2_estimate"][0] - f2_true) <= 4.0 * est["rel_error_bound"][0] * f2_true
+    assert est["n_tokens"][0] > 0 and est["point_err_bound"][0] > 0

@@ -369,3 +369,87 @@ def test_misra_gries_serialization_handles_delimiter_bytes():
     assert r.counters == s.counters
     assert r.estimate("a\x00b") == 2 and r.estimate("plain") == 1
     assert r.n_total == s.n_total and r.err == s.err
+
+
+# ---------------------------------------------------------- CountSketch
+def _zipf_hashes(seed=11, n=300_000):
+    rng = np.random.default_rng(seed)
+    items = rng.zipf(1.3, size=n)
+    return splitmix64(items[items < 500_000].astype(np.uint64))
+
+
+def test_countsketch_point_estimates_within_l2_bound():
+    from bloomfilter_multithread_ray.state import CountSketch
+
+    h = _zipf_hashes()
+    cs = CountSketch(width=4096, depth=7)
+    cs.update_hashes(h)
+    uniq, cnt = np.unique(h, return_counts=True)
+    f2 = float((cnt.astype(np.float64) ** 2).sum())
+    bound = 3.0 * np.sqrt(f2 / cs.width)
+    # published: per item P(|err| > 3*sqrt(F2/w)) is tiny after the
+    # median over depth rows; check every one of the 200 heaviest and
+    # 200 random light items
+    order = np.argsort(-cnt)
+    probe = np.concatenate([uniq[order[:200]], uniq[order[::-1][:200]]])
+    true = np.concatenate([cnt[order[:200]], cnt[order[::-1][:200]]])
+    est = cs.estimate_hashes(probe)
+    assert np.abs(est - true).max() <= bound
+    # two-sided (unlike CMS): on Zipf data some estimates land below
+    # truth — unbiasedness in action
+    assert (est < true).any() and (est > true).any()
+    # and the sketch's own bound reporting is consistent
+    assert cs.error_bound() == pytest.approx(3.0 * np.sqrt(cs.estimate_f2() / cs.width), rel=1e-12)
+
+
+def test_countsketch_f2_estimate_within_ams_bound():
+    from bloomfilter_multithread_ray.state import CountSketch
+
+    h = _zipf_hashes(seed=23)
+    cs = CountSketch(width=4096, depth=7)
+    cs.update_hashes(h)
+    uniq, cnt = np.unique(h, return_counts=True)
+    f2 = float((cnt.astype(np.float64) ** 2).sum())
+    # Var(row) <= 2 F2^2 / w; median over 7 rows: allow 4 sigma
+    assert abs(cs.estimate_f2() - f2) <= 4.0 * np.sqrt(2.0 / cs.width) * f2
+    assert cs.estimate() == len(h)
+
+
+def test_countsketch_merge_bit_identical_any_tree():
+    from bloomfilter_multithread_ray.state import CountSketch
+
+    h = _zipf_hashes(seed=5, n=80_000)
+    single = CountSketch(width=1024, depth=5)
+    single.update_hashes(h)
+
+    parts = np.array_split(h, 9)
+    left = CountSketch(width=1024, depth=5)
+    for p in parts[:4]:
+        left.update_hashes(p)
+    right = CountSketch(width=1024, depth=5)
+    for p in parts[4:]:
+        right.update_hashes(p)
+    left.merge(right)
+    assert np.array_equal(left.counts, single.counts)
+    assert left.total == single.total
+
+    # weighted replay path (sparse partials) == raw path
+    uniq, cnt = np.unique(h, return_counts=True)
+    w = CountSketch(width=1024, depth=5)
+    w.update_hash_counts(uniq, cnt)
+    assert np.array_equal(w.counts, single.counts)
+
+
+def test_countsketch_roundtrip_and_validation():
+    from bloomfilter_multithread_ray.state import CountSketch
+
+    cs = CountSketch(width=512, depth=3)
+    cs.update_hashes(_hashes(4000))
+    blob = cs.serialize()
+    t = deserialize_sketch(blob)
+    assert type(t) is CountSketch and t.serialize() == blob
+    assert np.array_equal(t.counts, cs.counts) and t.total == cs.total
+    with pytest.raises(ValueError):
+        CountSketch(width=4)
+    with pytest.raises(ValueError):
+        cs.merge(CountSketch(width=512, depth=4))
