@@ -1459,6 +1459,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return SIM.embedding_pca(R.read(sf_dir, "embeddings", ["embedding"]))
 
+    def embedding_fd_pca(sf_dir):
+        # Frequent-Directions sketch-mode PCA (rows-only; the spectral
+        # certificate vs the exact pipeline is asserted in pytest)
+        from bloomfilter_multithread_ray.pipelines import similarity as SIM
+
+        return SIM.embedding_fd_pca(R.read(sf_dir, "embeddings", ["embedding"]))
+
     def events_rollup(sf_dir):
         return R.events_rollup(sf_dir)
 
@@ -2153,6 +2160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_token_pairs": fuzzy_token_pairs,
         "embedding_covariance": embedding_covariance,
         "embedding_pca": embedding_pca,
+        "embedding_fd_pca": embedding_fd_pca,
         "events_rollup": events_rollup,
         "events_pivot": events_pivot,
         "events_unpivot": events_unpivot,

@@ -811,6 +811,57 @@ def embedding_pca(ds: "Dataset", *, topk: int = 8, round_dp: int = 6) -> pd.Data
     )
 
 
+def embedding_fd_pca(
+    ds: "Dataset",
+    *,
+    ell: int = 64,
+    topk: int = 8,
+    col: str = "embedding",
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Sketch-mode PCA via a mergeable Frequent-Directions sketch:
+    {component, eigenvalue, explained_ratio, err_bound}.
+
+    The scale path of :func:`embedding_pca`: the exact mode shuffles
+    d^2/2 covariance partials per block; this one streams each block
+    into an O(ell*d) FD sketch and tree-merges the sketches
+    (``PartialMergeAgg``), so state is independent of both n and the
+    d^2 cross-term count. ``err_bound`` is the sketch's own spectral
+    certificate delta_sum/n: every reported eigenvalue is within it
+    of the exact covariance spectrum (Weyl's inequality on the
+    0 <= A'A - B'B <= delta_sum*I sandwich; asserted vs the exact
+    pipeline in pytest)."""
+    from ..state.base import deserialize_sketch
+    from ..state.fd import FrequentDirections
+    from ..stages.sketch_agg import PartialMergeAgg
+
+    factory = lambda: FrequentDirections(ell)  # noqa: E731
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = factory()
+        s.update_rows(_emb_matrix(t, col).astype(np.float64))
+        return pa.table({"partial": pa.array([s.serialize()], pa.binary())})
+
+    res = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        PartialMergeAgg(factory)
+    )
+    blob = res["sketch"] if res else None
+    if blob is None:
+        raise ValueError("embedding_fd_pca: no embedding rows")
+    fd = deserialize_sketch(blob)
+    vals = np.linalg.eigvalsh(fd.covariance())[::-1]
+    total = float(fd.frob2 / fd.n - (fd.colsum / fd.n) @ (fd.colsum / fd.n))
+    if total <= 0:
+        raise ValueError("embedding_fd_pca: zero total variance")
+    k = min(topk, len(vals))
+    return pd.DataFrame(
+        {"component": np.arange(k, dtype=np.int64),
+         "eigenvalue": np.round(vals[:k], round_dp),
+         "explained_ratio": np.round(vals[:k] / total, round_dp),
+         "err_bound": np.round(np.full(k, fd.error_bound() / max(fd.n, 1)), round_dp)}
+    )
+
+
 # ------------------------------------------------- SemDeDup-style dedup
 def semantic_dedup(
     emb: "Dataset",

@@ -9,3 +9,4 @@ from .simhash import simhash64  # noqa: F401
 from .kmv import BottomKSample  # noqa: F401
 from .misra_gries import MisraGries  # noqa: F401
 from .countsketch import CountSketch  # noqa: F401
+from .fd import FrequentDirections  # noqa: F401

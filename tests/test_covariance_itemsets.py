@@ -113,3 +113,35 @@ def test_frequent_part_pairs_refuses_capped_baskets(ray_session, tmp_path):
     got = frequent_part_pairs(str(d), max_basket=16, min_support=1)
     assert got.iloc[0][["part_a", "part_b", "support"]].tolist() == [1, 2, 2]
     assert len(got) >= 10
+
+
+def test_fd_pca_within_certificate_of_exact(ray_session):
+    """Sketch-mode PCA (Frequent Directions) vs the exact pipeline:
+    every eigenvalue within the sketch's own err_bound (Weyl), and the
+    dominant direction's ratio recovered."""
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        embedding_fd_pca,
+        embedding_pca,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(600, 8))
+    base[:, 0] *= 6.0
+    base[:, 1] *= 3.0
+    V = (base + 0.25).astype(np.float32)
+
+    exact = embedding_pca(_emb_ds(V, 7), topk=8, round_dp=9)
+    # ell >= d: lossless pass-through of the covariance
+    full = embedding_fd_pca(_emb_ds(V, 7), ell=16, topk=8, round_dp=9)
+    assert np.allclose(full["eigenvalue"], exact["eigenvalue"], atol=1e-5)
+    assert float(full["err_bound"][0]) == 0.0
+
+    # compressed sketch: certificate honored
+    sk = embedding_fd_pca(_emb_ds(V, 7), ell=6, topk=8, round_dp=9)
+    bound = float(sk["err_bound"][0]) + 1e-6
+    assert bound > 0
+    assert np.abs(sk["eigenvalue"].to_numpy() - exact["eigenvalue"].to_numpy()).max() <= bound
+    # partitioning changes merge order but the bound still holds
+    sk2 = embedding_fd_pca(_emb_ds(V, 2), ell=6, topk=8, round_dp=9)
+    b2 = float(sk2["err_bound"][0]) + 1e-6
+    assert np.abs(sk2["eigenvalue"].to_numpy() - exact["eigenvalue"].to_numpy()).max() <= b2

@@ -453,3 +453,84 @@ def test_countsketch_roundtrip_and_validation():
         CountSketch(width=4)
     with pytest.raises(ValueError):
         cs.merge(CountSketch(width=512, depth=4))
+
+
+# ------------------------------------------------- FrequentDirections
+def _fd_matrix(seed=3, n=4000, d=48, rank=5, mean=0.5):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, rank)) @ rng.normal(size=(rank, d))
+    return A + 0.1 * rng.normal(size=(n, d)) + mean
+
+
+def test_fd_spectral_certificate_and_published_bound():
+    from bloomfilter_multithread_ray.state import FrequentDirections
+
+    A = _fd_matrix()
+    ell = 24
+    fd = FrequentDirections(ell)
+    for chunk in np.array_split(A, 11):
+        fd.update_rows(chunk)
+    AtA = A.T @ A
+    frob2 = float((A * A).sum())
+    eigs = np.linalg.eigvalsh(AtA - fd.btb())
+    # sandwich: 0 <= A'A - B'B (PSD) ...
+    assert eigs.min() >= -1e-6 * frob2
+    # ... <= the sketch's own certificate <= the published 2*frob2/ell
+    assert eigs.max() <= fd.delta_sum + 1e-6 * frob2
+    assert fd.delta_sum <= 2.0 * frob2 / ell + 1e-9
+    # centered covariance inherits the bound /n (exact first moment)
+    cov = np.cov(A, rowvar=False, bias=True)
+    cerr = np.abs(np.linalg.eigvalsh(cov - fd.covariance())).max()
+    assert cerr <= fd.delta_sum / fd.n + 1e-9
+    assert fd.estimate() == len(A)
+
+
+def test_fd_merge_tree_keeps_certificate():
+    from bloomfilter_multithread_ray.state import FrequentDirections
+
+    A = _fd_matrix(seed=9, n=3000)
+    ell = 16
+    parts = np.array_split(A, 5)
+    sks = []
+    for p in parts:
+        s = FrequentDirections(ell)
+        s.update_rows(p)
+        sks.append(s)
+    # lopsided merge tree
+    m = sks[0]
+    for s in sks[1:3]:
+        m.merge(s)
+    rest = sks[3].merge(sks[4])
+    m.merge(rest)
+    AtA = A.T @ A
+    frob2 = float((A * A).sum())
+    eigs = np.linalg.eigvalsh(AtA - m.btb())
+    assert eigs.min() >= -1e-6 * frob2
+    assert eigs.max() <= m.delta_sum + 1e-6 * frob2
+    assert m.delta_sum <= 2.0 * frob2 / ell + 1e-9
+    assert m.n == len(A)
+    # exact moments survive the merge exactly
+    assert np.allclose(m.colsum, A.sum(axis=0))
+    assert m.frob2 == pytest.approx(frob2, rel=1e-12)
+
+
+def test_fd_roundtrip_and_validation():
+    from bloomfilter_multithread_ray.state import FrequentDirections
+
+    fd = FrequentDirections(8)
+    fd.update_rows(_fd_matrix(seed=1, n=300, d=12))
+    blob = fd.serialize()
+    t = deserialize_sketch(blob)
+    assert type(t) is FrequentDirections
+    assert np.allclose(t.btb(), fd.btb())
+    assert t.n == fd.n and t.delta_sum == fd.delta_sum
+    assert np.allclose(t.colsum, fd.colsum)
+    # empty sketch round-trips (d unresolved)
+    e = deserialize_sketch(FrequentDirections(8).serialize())
+    assert e.n == 0 and e.B is None
+    with pytest.raises(ValueError):
+        FrequentDirections(1)
+    with pytest.raises(ValueError):
+        fd.merge(FrequentDirections(16))
+    with pytest.raises(ValueError):
+        fd.update_rows(np.zeros((3, 99)))  # width mismatch
