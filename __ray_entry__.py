@@ -460,6 +460,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["value_std"] = df["value_std"].round(2)
         return df[["event_type", "n_events", "value_var", "value_std"]]
 
+    def events_value_hour_corr(sf_dir):
+        # per-type Pearson corr + OLS of value on hour-of-day from ONE
+        # grouped_agg pass of mergeable moments; 4dp-rounded on both
+        # sides (small-magnitude x/y, one-pass vs DuckDB streaming
+        # moments agree far inside the boundary)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ev = R.read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(pc.hour(t.column("ts")), pa.float64()),
+                "value": t.column("value"),
+            })
+
+        return A.grouped_corr(
+            ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+            "event_type", "hour", "value", num_partitions=4, round_dp=4,
+        )
+
     def embedding_dim_stats(sf_dir):
         # unnest-with-ordinality (explode_list) -> per-dimension stats;
         # values quantized micros-exact so the grouped sums hash-match
@@ -2088,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_orders": bucketed_join_orders,
         "embedding_dim_stats": embedding_dim_stats,
         "events_value_stats_by_type": events_value_stats_by_type,
+        "events_value_hour_corr": events_value_hour_corr,
         "validate_orders": validate_orders,
         "orders_snapshot_diff": orders_snapshot_diff,
         "full_join_customer_order_counts": full_join_customer_order_counts,
@@ -2429,6 +2452,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(VAR_POP(value), 2) AS value_var, "
             "ROUND(STDDEV_POP(value), 2) AS value_std "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "events_value_hour_corr": (
+            "SELECT event_type, "
+            "CAST(regr_count(value, CAST(extract(hour FROM ts) AS DOUBLE)) AS BIGINT) AS n, "
+            "ROUND(corr(CAST(extract(hour FROM ts) AS DOUBLE), value), 4) AS corr, "
+            "ROUND(regr_slope(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) AS slope, "
+            "ROUND(regr_intercept(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) AS intercept, "
+            "ROUND(POWER(corr(CAST(extract(hour FROM ts) AS DOUBLE), value), 2), 4) AS r2 "
             "FROM events GROUP BY 1 ORDER BY 1"
         ),
         # unnest-with-ordinality per-dimension stats, micros-exact

@@ -306,6 +306,92 @@ def heavy_hitters_by_group(
     ).reset_index(drop=True)
 
 
+# ------------------------------------------------------ corr / simple OLS
+def grouped_corr(
+    ds: "Dataset",
+    by: str | list[str],
+    x: str,
+    y: str,
+    *,
+    num_partitions: int = 32,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Per-group Pearson correlation + simple OLS of y on x →
+    {by..., n, corr, slope, intercept, r2}.
+
+    One pass, ONE fixed-P key shuffle: the five mergeable moments
+    (Σx, Σy, Σxy, Σx², Σy², n) ride :func:`~.agg.grouped_agg`'s
+    map-side-combined partials (Σxy as a derived column, Σx²/Σy² via
+    the var kinds), then a map-only finalize:
+
+        cov   = E[xy] - E[x]E[y]
+        corr  = cov / sqrt(var_x * var_y)      (population == sample)
+        slope = cov / var_x;  intercept = E[y] - slope * E[x]
+        r2    = corr²
+
+    SQL semantics: rows where EITHER x or y is null are excluded
+    (``corr`` / ``regr_*`` pairwise-null behavior); degenerate groups
+    (n==1 or zero variance in x) get NULL corr/slope/intercept/r2 like
+    SQL. One-pass moments in float64 — results are rounded to
+    ``round_dp`` and keep |x|,|y| in sane magnitudes (center upstream
+    when |mean| >> std; the docstring caveat of grouped_agg's var).
+    """
+    from .agg import grouped_agg
+
+    by = [by] if isinstance(by, str) else list(by)
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        xv = pc.cast(t.column(x), pa.float64())
+        yv = pc.cast(t.column(y), pa.float64())
+        ok = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        t = t.filter(ok)
+        xv = pc.cast(t.column(x), pa.float64())
+        yv = pc.cast(t.column(y), pa.float64())
+        return pa.table(
+            {**{k: t.column(k) for k in by},
+             "__x": xv, "__y": yv, "__xy": pc.multiply(xv, yv)}
+        )
+
+    g = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        by,
+        {
+            "__mx": ("mean", "__x"),
+            "__my": ("mean", "__y"),
+            "__mxy": ("mean", "__xy"),
+            "__vx": ("var", "__x"),
+            "__vy": ("var", "__y"),
+            "n": ("count", None),
+        },
+        num_partitions=num_partitions,
+    )
+    df = g.to_pandas()
+    if df.empty:
+        return pd.DataFrame({**{k: pd.Series(dtype=object) for k in by},
+                             "n": pd.Series(dtype="int64"),
+                             "corr": pd.Series(dtype="float64"),
+                             "slope": pd.Series(dtype="float64"),
+                             "intercept": pd.Series(dtype="float64"),
+                             "r2": pd.Series(dtype="float64")})
+    cov = df["__mxy"] - df["__mx"] * df["__my"]
+    vx = df["__vx"].to_numpy(dtype=np.float64)
+    vy = df["__vy"].to_numpy(dtype=np.float64)
+    denom = np.sqrt(np.clip(vx, 0, None) * np.clip(vy, 0, None))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.where(denom > 0, cov / denom, np.nan)
+        slope = np.where(vx > 0, cov / vx, np.nan)
+    intercept = np.where(vx > 0, df["__my"] - slope * df["__mx"], np.nan)
+    out = pd.DataFrame({**{k: df[k] for k in by},
+                        "n": df["n"].astype("int64"),
+                        "corr": np.round(corr, round_dp),
+                        "slope": np.round(slope, round_dp),
+                        "intercept": np.round(intercept, round_dp),
+                        "r2": np.round(corr * corr, round_dp)})
+    return out.sort_values(by).reset_index(drop=True)
+
+
 # --------------------------------------------------------------- quantiles
 def grouped_quantiles_exact(
     ds: "Dataset",

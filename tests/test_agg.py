@@ -144,3 +144,52 @@ def test_grouped_var_std_match_numpy_and_duckdb(ray_session):
         num_partitions=16,
     ).to_pandas().sort_values("g").reset_index(drop=True)
     assert np.allclose(out["var"], out2["var"], rtol=1e-12)
+
+
+def test_grouped_corr_matches_duckdb_with_nulls_and_degenerates(ray_session):
+    """grouped_corr vs DuckDB corr/regr_* on planted data: pairwise
+    nulls excluded, n==1 and zero-variance groups NULL like SQL,
+    constant-y group slope 0."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import grouped_corr
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    g = rng.integers(0, 6, n)
+    x = rng.normal(10, 3, n)
+    y = 2.5 * x + rng.normal(0, 1, n) + g
+    x = np.where(rng.random(n) < 0.05, np.nan, x)
+    y = np.where(rng.random(n) < 0.05, np.nan, y)
+    # group 6: single row; group 7: zero x-variance; group 8: constant y
+    g = np.concatenate([g, [6], [7] * 5, [8] * 5])
+    x = np.concatenate([x, [1.0], [3.0] * 5, [1, 2, 3, 4, 5]])
+    y = np.concatenate([y, [2.0], [1, 2, 3, 4, 5], [7.0] * 5])
+
+    t = pa.table({"grp": pa.array(g.astype("int64")),
+                  "x": pa.array(x, from_pandas=True),  # NaN -> true null
+                  "y": pa.array(y, from_pandas=True)})
+    got = grouped_corr(ray.data.from_arrow(t).repartition(9), "grp", "x", "y",
+                       num_partitions=5, round_dp=6)
+
+    want = duckdb.arrow(t).query("t", """
+        SELECT grp, CAST(regr_count(y, x) AS BIGINT) AS n,
+               ROUND(corr(x, y), 6) AS corr,
+               ROUND(regr_slope(y, x), 6) AS slope,
+               ROUND(regr_intercept(y, x), 6) AS intercept,
+               ROUND(POWER(corr(x, y), 2), 6) AS r2
+        FROM t GROUP BY 1 ORDER BY 1
+    """).df()
+    got2 = got.reset_index(drop=True)
+    assert list(got2["grp"]) == list(want["grp"])
+    assert list(got2["n"]) == list(want["n"])
+    for c in ("corr", "slope", "intercept", "r2"):
+        a = got2[c].to_numpy(dtype=np.float64)
+        b = want[c].to_numpy(dtype=np.float64)
+        assert np.allclose(a, b, atol=2e-6, equal_nan=True), (c, a, b)
+    # partitioning invariance
+    again = grouped_corr(ray.data.from_arrow(t).repartition(2), "grp", "x", "y",
+                         num_partitions=11, round_dp=6)
+    assert again.reset_index(drop=True).equals(got2)
