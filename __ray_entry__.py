@@ -1457,6 +1457,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return REP.gopher_repetition(_docs(sf_dir, ["doc_id", "text"]))
 
+    def doc_graph_bfs(sf_dir):
+        # multi-source BFS layers over the exact 3-gram Jaccard dup
+        # graph from the 5 lowest doc ids that appear in any pair: the
+        # edge set materializes once and never shuffles; each round is
+        # a map-only broadcast-semi-join + layer-sized exchanges.
+        # Oracle: recursive-CTE shortest path (UNION walk + MIN(dist)).
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.graph import bfs_distances
+
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.3
+        ).map_batches(
+            lambda t: pa.table({"a": t.column("doc_a"), "b": t.column("doc_b")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        # 5 smallest participating nodes, computed distributed
+        # (doc_a < doc_b always, so min nodes appear as doc_a too —
+        # but take the union side anyway for robustness)
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+        def both(t: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.concat_arrays(
+                [t.column("a").combine_chunks(), t.column("b").combine_chunks()])})
+
+        nodes = grouped_agg(
+            pairs.map_batches(both, batch_format="pyarrow", zero_copy_batch=True),
+            "node", {"__c": ("count", None)}, num_partitions=8,
+        ).select_columns(["node"])
+        srcs = [r["node"] for r in nodes.sort("node").limit(5).take_all()]
+        out = bfs_distances(pairs, srcs)
+        return out.to_pandas().sort_values("node").reset_index(drop=True)
+
     def substring_dedup(sf_dir):
         from bloomfilter_multithread_ray.pipelines import repetition as REP
 
@@ -2075,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
         "doc_graph_kcore": doc_graph_kcore,
+        "doc_graph_bfs": doc_graph_bfs,
         "dedup_embedding": dedup_embedding,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
@@ -2600,6 +2634,27 @@ def oracle_sql() -> dict[str, str]:
         # connected components over the exact n-gram-Jaccard pairs:
         # recursive transitive closure (UNION dedup => terminates),
         # component label = min reachable node
+        # multi-source BFS over the 0.3-threshold exact 3-gram Jaccard
+        # graph: recursive walk capped at 63 hops (far beyond the dup
+        # graph's diameter), MIN(dist) collapses revisits
+        "doc_graph_bfs": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+            "AS gram FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "p AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "srcs AS (SELECT a AS node FROM (SELECT DISTINCT a FROM edges ORDER BY a LIMIT 5)), "
+            "walk(node, dist) AS (SELECT node, 0 FROM srcs UNION "
+            "SELECT e.b, w.dist + 1 FROM walk w JOIN edges e ON e.a = w.node WHERE w.dist < 63) "
+            "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node ORDER BY node"
+        ),
         "dedup_ngram_components": (
             "WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
             "FROM documents), "

@@ -709,6 +709,103 @@ def triangle_count(
     )
 
 
+# ------------------------------------------------------------ BFS layers
+def bfs_distances(
+    edges: "Dataset",
+    sources,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 64,
+) -> "Dataset":
+    """Multi-source BFS shortest-path distances over an undirected
+    graph → Dataset of {node, dist} for every node reachable from
+    ``sources`` (hop metric; sources get dist 0).
+
+    Level-synchronous frontier expansion in which the EDGE SET NEVER
+    SHUFFLES: the symmetrized edges materialize once, then each round
+    is (1) a map-only broadcast-semi-join of the cached edge blocks
+    against the current frontier (frontiers are the small side by
+    construction), (2) one tiny grouped distinct over the candidate
+    layer, (3) an auto-planned anti join against the visited set to
+    keep only first-time nodes. BFS layering guarantees the first
+    round that reaches a node is its shortest distance, so no
+    min-merge is needed. Driver state per round: one scalar (the new
+    layer's count). Cost per round: one O(m) map-only scan + two
+    small exchanges over the LAYER (not the graph) — the standard
+    at-scale BFS shape when the frontier fits plasma; for frontiers
+    too large to broadcast, flip the semi join to ``broadcast=False``
+    (same semantics, one extra edge shuffle per round).
+
+    Raises RuntimeError if the frontier is still non-empty after
+    ``max_rounds`` (diameter guard, like :func:`k_core`'s
+    non-convergence error).
+    """
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t.column(a_col), t.column(b_col)
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        t = t.filter(ok)
+        a, b = t.column(a_col), t.column(b_col)
+        return pa.table(
+            {"a": pa.concat_arrays([pc.cast(a, a.type).combine_chunks(),
+                                    pc.cast(b, b.type).combine_chunks()]),
+             "b": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])}
+        )
+
+    edges_sym = edges.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    src = np.unique(np.asarray(sources))
+    if src.size == 0:
+        raise ValueError("bfs_distances: no sources")
+    sch = edges_sym.schema()
+    node_t = dict(zip(sch.names, sch.types))["a"]
+    frontier = ray.data.from_arrow(
+        pa.table({"node": pa.array(src).cast(node_t)})
+    ).materialize()
+    visited = ray.data.from_arrow(
+        pa.table({"node": pa.array(src).cast(node_t),
+                  "dist": pa.array(np.zeros(src.size, dtype=np.int64))})
+    ).materialize()
+
+    for r in range(1, max_rounds + 1):
+        # map-only over the cached edge blocks (frontier broadcast)
+        touched = hash_join(
+            edges_sym, frontier, on="a", right_on="node",
+            how="semi", broadcast=True,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("b")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        # distinct within the layer (exchange sized by the layer)
+        layer = grouped_agg(
+            touched, "node", {"__c": ("count", None)}, num_partitions=16
+        ).select_columns(["node"])
+        new = hash_join(
+            layer, visited, on="node", how="anti", broadcast="auto"
+        ).map_batches(
+            lambda t, _r=r: t.append_column(
+                "dist", pa.array(np.full(len(t), _r, dtype=np.int64))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        if new.count() == 0:
+            return visited
+        visited = visited.union(new).materialize()
+        frontier = new.select_columns(["node"]).materialize()
+    raise RuntimeError(
+        f"bfs_distances: frontier still non-empty after {max_rounds} rounds"
+    )
+
+
 # ---------------------------------------------------------- k-core peeling
 def k_core(
     edges: "Dataset",

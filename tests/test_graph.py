@@ -275,3 +275,64 @@ def test_k_core_partition_invariance(ray_session):
     ka = a.sort_values("node").reset_index(drop=True)
     kb = b.sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(ka, kb, check_dtype=False)
+
+
+# --------------------------------------------------------------- BFS layers
+def _bfs_reference(edge_list, sources):
+    """Single-process BFS oracle."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for a, b in edge_list:
+        adj[a].append(b)
+        adj[b].append(a)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_distances_matches_reference_and_partitioning(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import bfs_distances
+
+    rng = np.random.default_rng(13)
+    # random sparse graph + a long path to force many rounds
+    m = 400
+    ra = rng.integers(0, 120, m)
+    rb = rng.integers(0, 120, m)
+    path = [(1000 + i, 1001 + i) for i in range(6)]
+    edges = [(int(a), int(b)) for a, b in zip(ra, rb) if a != b] + path + [(0, 1000)]
+    t = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                  "b": pa.array([e[1] for e in edges], pa.int64())})
+
+    want = _bfs_reference(edges, [0, 7])
+    for nblocks in (1, 5):
+        out = bfs_distances(rd.from_arrow(t).repartition(nblocks), [0, 7]).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == want, (nblocks, len(got), len(want))
+
+
+def test_bfs_distances_unreachable_strings_and_guards(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import bfs_distances
+
+    se = pa.table({"a": pa.array(["x", "y", "p"]), "b": pa.array(["y", "z", "q"])})
+    out = bfs_distances(rd.from_arrow(se), ["x"]).to_pandas()
+    # p/q unreachable and absent; dist hops exact
+    assert dict(zip(out["node"], out["dist"])) == {"x": 0, "y": 1, "z": 2}
+
+    with pytest.raises(ValueError):
+        bfs_distances(rd.from_arrow(se), [])
+    with pytest.raises(RuntimeError):
+        # path needs 2 rounds; cap at 1
+        bfs_distances(rd.from_arrow(se), ["x"], max_rounds=1)
