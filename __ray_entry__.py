@@ -176,6 +176,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def range_join_bands(sf_dir):
         return R.range_join_price_bands(sf_dir)
 
+    def join_size_events_orders(sf_dir):
+        # exact equi-join SIZE without materializing the join: per-key
+        # counts each side (map-side combined) -> one count-table join
+        # -> sum of products; the oracle anchor of the AGMS twin below
+        ev = R.read(sf_dir, "events", ["user_id"])
+        orders = R.read(sf_dir, "orders", ["o_custkey"])
+        return A.join_size_exact(ev, orders, "user_id", "o_custkey")
+
+    def join_size_events_orders_cs(sf_dir):
+        # AGMS CountSketch inner product: join-size estimate with NO
+        # shuffle at all (one streaming sketch pass per side); bound vs
+        # the exact twin asserted in pytest -> rows-only driver check
+        ev = R.read(sf_dir, "events", ["user_id"])
+        orders = R.read(sf_dir, "orders", ["o_custkey"])
+        return A.join_size_countsketch(ev, orders, "user_id", "o_custkey")
+
     def join_orders_customer(sf_dir):
         # the general hash-partitioned equi-join operator (large×large
         # shape: both sides shuffle on hash(key) % P, no broadcast)
@@ -2135,6 +2151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events_asof,
         "range_join_bands": range_join_bands,
         "join_orders_customer": join_orders_customer,
+        "join_size_events_orders": join_size_events_orders,
+        "join_size_events_orders_cs": join_size_events_orders_cs,
         "skew_join_revenue": skew_join_revenue,
         "events_clustered_scan": events_clustered_scan,
         "events_clustered_append": events_clustered_append,
@@ -2400,6 +2418,12 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer": (
             "SELECT o_orderkey, o_custkey, c_name, o_totalprice "
             "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"
+        ),
+        "join_size_events_orders": (
+            "SELECT CAST((SELECT COUNT(*) FROM events e JOIN orders o "
+            "ON e.user_id = o.o_custkey) AS BIGINT) AS join_size, "
+            "CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_left, "
+            "CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_right"
         ),
         # clustered-store scan is I/O elision only: the oracle is the
         # same inclusive ts predicate over the raw table, per-day

@@ -306,6 +306,122 @@ def heavy_hitters_by_group(
     ).reset_index(drop=True)
 
 
+def _key_hash_fn(key: str):
+    """Per-batch key -> uint64 'gh' column (int fast path, string cast
+    otherwise; nulls dropped — SQL inner-join keys never match null)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import hash_strings, splitmix64
+
+        col = t.column(key)
+        col = col.filter(pc.is_valid(col))
+        if pa.types.is_integer(col.type):
+            h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = hash_strings(pc.cast(col, pa.string()).combine_chunks())
+        return pa.table({"gh": pa.array(h, pa.uint64())})
+
+    return fn
+
+
+def join_size_countsketch(
+    left: "Dataset",
+    right: "Dataset",
+    left_key: str,
+    right_key: str,
+    *,
+    width: int = 1 << 13,
+    depth: int = 7,
+) -> pd.DataFrame:
+    """Equi-join SIZE estimate |left join right| WITHOUT a shuffle —
+    the AGMS sketch inner product (Alon-Gibbons-Matias-Szegedy
+    PODS'99) → 1-row {est_join_size, err_bound, n_left, n_right}.
+
+    One streaming pass per side builds a CountSketch of the join-key
+    frequency vector (``SketchAgg`` tree merge, O(depth*width) state);
+    the estimate is the median over rows of the two count matrices'
+    dot products — unbiased, with 3-sigma radius
+    3*sqrt(F2_l * F2_r / width). This is the shuffle-pricing primitive:
+    it tells a planner whether a join explodes BEFORE paying the
+    all-to-all (pytest asserts the bound against the exact
+    :func:`join_size_exact` twin)."""
+    from ..state import CountSketch
+
+    factory = lambda: CountSketch(width=width, depth=depth)  # noqa: E731
+    sketches = []
+    for ds, key in ((left, left_key), (right, right_key)):
+        res = ds.map_batches(
+            _key_hash_fn(key), batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(SketchAgg(factory, on="gh"))
+        blob = res["sketch"] if res else None
+        sketches.append(deserialize_sketch(blob) if blob is not None else factory())
+    a, b = sketches
+    return pd.DataFrame(
+        {
+            "est_join_size": [a.estimate_inner(b)],
+            "err_bound": [a.inner_error_bound(b)],
+            "n_left": [int(a.total)],
+            "n_right": [int(b.total)],
+        }
+    )
+
+
+def join_size_exact(
+    left: "Dataset",
+    right: "Dataset",
+    left_key: str,
+    right_key: str,
+    *,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Exact equi-join size → 1-row {join_size, n_left, n_right}: the
+    oracle anchor of :func:`join_size_countsketch`. Never materializes
+    the join — each side collapses to per-key counts (map-side
+    combined), ONE key-hash join of the two count tables, then a sum
+    of count products. int64-exact at driver scales."""
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    cl = grouped_agg(left, left_key, {"__cl": ("count", None)},
+                     num_partitions=num_partitions)
+    cr = grouped_agg(right, right_key, {"__cr": ("count", None)},
+                     num_partitions=num_partitions)
+    nl = int(cl.sum("__cl") or 0)
+    nr = int(cr.sum("__cr") or 0)
+
+    def drop_null_key(key):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_valid(t.column(key)))
+
+        return fn
+
+    j = hash_join(
+        cl.map_batches(drop_null_key(left_key), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        cr.map_batches(drop_null_key(right_key), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        on=left_key, right_on=right_key, how="inner", broadcast="auto",
+    )
+
+    def prod(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = pc.multiply(pc.cast(t.column("__cl"), pa.int64()),
+                        pc.cast(t.column("__cr"), pa.int64()))
+        return pa.table({"__p": p})
+
+    total = j.map_batches(prod, batch_format="pyarrow", zero_copy_batch=True).sum("__p")
+    return pd.DataFrame({
+        "join_size": pd.array([int(total or 0)], dtype="int64"),
+        "n_left": pd.array([nl], dtype="int64"),
+        "n_right": pd.array([nr], dtype="int64"),
+    })
+
+
 # ------------------------------------------------------ corr / simple OLS
 def grouped_corr(
     ds: "Dataset",

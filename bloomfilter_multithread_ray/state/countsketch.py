@@ -113,6 +113,26 @@ class CountSketch(Sketch):
         sketch's own F2 estimate standing in for the true F2)."""
         return 3.0 * math.sqrt(max(self.estimate_f2(), 0.0) / self.width)
 
+    def estimate_inner(self, other: "CountSketch") -> float:
+        """AGMS inner-product estimate <f, g> of the two sketched
+        frequency vectors — the equi-join size |R join S| when each
+        sketch absorbed one side's join-key stream (Alon, Gibbons,
+        Matias & Szegedy PODS'99). Each row's dot product is unbiased
+        with Var <= (F2(f)*F2(g) + <f,g>^2) / width; the median over
+        rows concentrates it. Requires identical (width, depth) —
+        same hash/sign streams by construction."""
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("cannot inner-product CountSketch with different shapes")
+        per_row = (self.counts.astype(np.float64) * other.counts.astype(np.float64)).sum(axis=1)
+        return float(np.median(per_row))
+
+    def inner_error_bound(self, other: "CountSketch") -> float:
+        """3-sigma radius 3*sqrt(F2(f)*F2(g))/sqrt(width) on the
+        inner-product estimate (sketch-estimated F2s stand in)."""
+        return 3.0 * math.sqrt(
+            max(self.estimate_f2(), 0.0) * max(other.estimate_f2(), 0.0) / self.width
+        )
+
     def merge(self, other: "CountSketch") -> "CountSketch":
         if (other.width, other.depth) != (self.width, self.depth):
             raise ValueError("cannot merge CountSketch with different shapes")

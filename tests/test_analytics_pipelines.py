@@ -916,3 +916,27 @@ def test_countsketch_f2_within_bound_of_exact_and_sql():
     # 4x the one-sigma AMS bound sqrt(2/width), median-concentrated
     assert abs(est["f2_estimate"][0] - f2_true) <= 4.0 * est["rel_error_bound"][0] * f2_true
     assert est["n_tokens"][0] > 0 and est["point_err_bound"][0] > 0
+
+
+def test_join_size_sketch_within_bound_of_exact():
+    """join_size_countsketch (AGMS, zero-shuffle) lands within its own
+    3-sigma bound of join_size_exact, which itself matches DuckDB."""
+    import duckdb
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    exact = A.join_size_exact(ev, orders, "user_id", "o_custkey")
+    want = duckdb.sql(
+        f"SELECT COUNT(*) c FROM read_parquet('{SF}/events.parquet') e "
+        f"JOIN read_parquet('{SF}/orders.parquet') o ON e.user_id = o.o_custkey"
+    ).df()
+    assert int(exact["join_size"][0]) == int(want["c"][0])
+
+    est = A.join_size_countsketch(ev, orders, "user_id", "o_custkey")
+    true = float(exact["join_size"][0])
+    assert abs(est["est_join_size"][0] - true) <= est["err_bound"][0] + 1e-9
+    assert est["n_left"][0] == int(exact["n_left"][0])
+    assert est["n_right"][0] == int(exact["n_right"][0])

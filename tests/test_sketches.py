@@ -534,3 +534,28 @@ def test_fd_roundtrip_and_validation():
         fd.merge(FrequentDirections(16))
     with pytest.raises(ValueError):
         fd.update_rows(np.zeros((3, 99)))  # width mismatch
+
+
+def test_countsketch_inner_product_join_size():
+    """AGMS inner product: unbiased join-size estimate within the
+    3-sigma L2 bound; shape mismatch rejected."""
+    from bloomfilter_multithread_ray.state import CountSketch
+
+    rng = np.random.default_rng(29)
+    f = rng.zipf(1.4, 200_000)
+    f = splitmix64(f[f < 100_000].astype(np.uint64))
+    g = rng.zipf(1.2, 150_000)
+    g = splitmix64(g[g < 100_000].astype(np.uint64))
+    a = CountSketch(width=8192, depth=7)
+    a.update_hashes(f)
+    b = CountSketch(width=8192, depth=7)
+    b.update_hashes(g)
+
+    uf, cf = np.unique(f, return_counts=True)
+    ug, cg = np.unique(g, return_counts=True)
+    _, ia, ib = np.intersect1d(uf, ug, return_indices=True)
+    true = float((cf[ia].astype(np.float64) * cg[ib]).sum())
+    est = a.estimate_inner(b)
+    assert abs(est - true) <= a.inner_error_bound(b)
+    with pytest.raises(ValueError):
+        a.estimate_inner(CountSketch(width=4096, depth=7))
