@@ -786,6 +786,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_sliding(sf_dir):
         return R.events_sliding(sf_dir)
 
+    def events_sliding_distinct(sf_dir):
+        # exact sliding COUNT(DISTINCT user): the distinct PAIR set
+        # (never the raw events) replicates w-fold; SQL-oracled
+        return A.sliding_distinct_exact(
+            R.read(sf_dir, "events", ["ts", "user_id"]),
+            bucket_s=3600, window_buckets=3, num_partitions=8,
+        )
+
+    def events_sliding_distinct_hll(sf_dir):
+        # per-bucket mergeable HLLs + driver-side sliding merge: no
+        # replication at all (rows-only; bound vs exact in pytest)
+        return A.sliding_distinct_hll(
+            R.read(sf_dir, "events", ["ts", "user_id"]),
+            bucket_s=3600, window_buckets=3,
+        )
+
     def events_sessions(sf_dir):
         return R.events_sessionize(sf_dir)
 
@@ -2148,6 +2164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_mean": events_rolling_mean,
         "token_count_regex": token_count_regex,
         "events_sliding": events_sliding,
+        "events_sliding_distinct": events_sliding_distinct,
+        "events_sliding_distinct_hll": events_sliding_distinct_hll,
         "events_asof": events_asof,
         "range_join_bands": range_join_bands,
         "join_orders_customer": join_orders_customer,
@@ -2593,6 +2611,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, window_start, count(*) AS n_events, "
             "ROUND(SUM(value), 2) AS sum_value FROM w "
             "GROUP BY event_type, window_start ORDER BY event_type, window_start"
+        ),
+        # sliding COUNT(DISTINCT): window start = every bucket within
+        # w hops below an observed (user, bucket) pair's bucket
+        "events_sliding_distinct": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS b FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "r AS (SELECT user_id, b - 3600 * g.i AS ws "
+            "FROM p, generate_series(0, 2) g(i)) "
+            "SELECT ws, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users "
+            "FROM r GROUP BY ws ORDER BY ws"
         ),
         # exact set algebra over distinct tokens of two sources
         "source_overlap": (

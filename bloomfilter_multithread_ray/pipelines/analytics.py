@@ -306,6 +306,147 @@ def heavy_hitters_by_group(
     ).reset_index(drop=True)
 
 
+def sliding_distinct_exact(
+    ds: "Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    bucket_s: int = 3600,
+    window_buckets: int = 3,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Exact sliding-window COUNT(DISTINCT key) → {ws, distinct_users}
+    for every hop-aligned window start covering at least one event
+    (``ws`` = epoch seconds of the window's first bucket; window spans
+    ``window_buckets`` buckets of ``bucket_s`` seconds, sliding one
+    bucket per hop).
+
+    Distinct is not sum-decomposable, so the exact plan replicates the
+    DISTINCT (key, bucket) PAIR SET — never the raw events — w-fold:
+    (1) one grouped distinct collapses events to pairs, (2) a map-only
+    explode fans each pair to the w windows containing its bucket,
+    (3) a (window, key) grouped distinct removes multi-bucket repeats,
+    (4) a window-keyed count. Three exchanges, all over pair-scale
+    rows. :func:`sliding_distinct_hll` is the sketch path that drops
+    the w-fold replication entirely.
+    """
+    from .agg import grouped_agg
+
+    w = int(window_buckets)
+    bs = int(bucket_s)
+    if w < 1 or bs < 1:
+        raise ValueError("sliding_distinct: window_buckets and bucket_s must be >= 1")
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(pc.is_valid(t.column(ts_col)), pc.is_valid(t.column(key_col)))
+        t = t.filter(ok)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        b = (ts.astype("datetime64[s]").astype(np.int64) // bs) * bs
+        return pa.table({"b": pa.array(b), "k": t.column(key_col)})
+
+    pairs = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["b", "k"], {"__c": ("count", None)}, num_partitions=num_partitions,
+    ).select_columns(["b", "k"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        k = t.column("k").combine_chunks()
+        n = len(b)
+        idx = np.repeat(np.arange(n, dtype=np.int64), w)
+        ws = np.repeat(b, w) - np.tile(np.arange(w, dtype=np.int64) * bs, n)
+        return pa.table({"ws": pa.array(ws), "k": k.take(pa.array(idx))})
+
+    dedup = grouped_agg(
+        pairs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["ws", "k"], {"__c": ("count", None)}, num_partitions=num_partitions,
+    ).select_columns(["ws"])
+    counts = grouped_agg(
+        dedup, "ws", {"distinct_users": ("count", None)},
+        num_partitions=num_partitions,
+    )
+    df = counts.to_pandas()
+    df["ws"] = df["ws"].astype("int64")
+    df["distinct_users"] = df["distinct_users"].astype("int64")
+    return df.sort_values("ws").reset_index(drop=True)
+
+
+def sliding_distinct_hll(
+    ds: "Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    bucket_s: int = 3600,
+    window_buckets: int = 3,
+    p: int = 14,
+) -> pd.DataFrame:
+    """Sliding COUNT(DISTINCT) via mergeable per-bucket HyperLogLogs →
+    {ws, estimate, rel_error_bound}: the scale path of
+    :func:`sliding_distinct_exact`.
+
+    HLL union is lossless merge, so distinct-over-window decomposes:
+    ONE grouped sketch build (bucket-keyed ``SketchAgg``, map-side
+    partials) replaces the exact plan's w-fold pair replication, then
+    the driver slides a w-bucket merge over the per-bucket sketches —
+    O(buckets * 2^p) driver state (time-bounded, independent of keys
+    and events), each window estimate within the published
+    1.04/sqrt(2^p) bound of the exact count (asserted in pytest).
+    """
+    from ..functions.hashing import hash_strings, splitmix64
+
+    w = int(window_buckets)
+    bs = int(bucket_s)
+    if w < 1 or bs < 1:
+        raise ValueError("sliding_distinct: window_buckets and bucket_s must be >= 1")
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(pc.is_valid(t.column(ts_col)), pc.is_valid(t.column(key_col)))
+        t = t.filter(ok)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        b = (ts.astype("datetime64[s]").astype(np.int64) // bs) * bs
+        col = t.column(key_col)
+        if pa.types.is_integer(col.type):
+            gh = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            import pyarrow.compute as pc2
+
+            gh = hash_strings(pc2.cast(col, pa.string()).combine_chunks())
+        return pa.table({"b": pa.array(b), "gh": pa.array(gh, pa.uint64())})
+
+    rows = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(SketchAgg(lambda: HyperLogLog(p), on="gh"))
+        .take_all()
+    )
+    if not rows:
+        return pd.DataFrame({"ws": pd.Series(dtype="int64"),
+                             "estimate": pd.Series(dtype="float64"),
+                             "rel_error_bound": pd.Series(dtype="float64")})
+    by_bucket = {int(r["b"]): r["sketch"] for r in rows}
+    buckets = sorted(by_bucket)
+    bset = set(buckets)
+    starts = sorted({b - j * bs for b in buckets for j in range(w)})
+    del bset  # every constructed start covers >= 1 observed bucket
+    out_ws, out_est = [], []
+    for ws_ in starts:
+        acc = HyperLogLog(p)
+        for j in range(w):
+            blob = by_bucket.get(ws_ + j * bs)
+            if blob is not None:
+                acc.merge(deserialize_sketch(blob))
+        out_ws.append(ws_)
+        out_est.append(float(acc.estimate()))
+    bound = HyperLogLog(p).rel_error()
+    return pd.DataFrame({"ws": pd.array(out_ws, dtype="int64"),
+                         "estimate": out_est,
+                         "rel_error_bound": bound})
+
+
 def _key_hash_fn(key: str):
     """Per-batch key -> uint64 'gh' column (int fast path, string cast
     otherwise; nulls dropped — SQL inner-join keys never match null)."""

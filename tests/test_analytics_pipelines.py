@@ -940,3 +940,41 @@ def test_join_size_sketch_within_bound_of_exact():
     assert abs(est["est_join_size"][0] - true) <= est["err_bound"][0] + 1e-9
     assert est["n_left"][0] == int(exact["n_left"][0])
     assert est["n_right"][0] == int(exact["n_right"][0])
+
+
+def test_sliding_distinct_hll_within_bound_of_exact():
+    """Per-window HLL estimates within the published bound of the
+    exact sliding COUNT(DISTINCT); identical window-start sets."""
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    exact = A.sliding_distinct_exact(ev, bucket_s=3600, window_buckets=3,
+                                     num_partitions=8)
+    est = A.sliding_distinct_hll(ev, bucket_s=3600, window_buckets=3, p=14)
+    assert list(exact["ws"]) == list(est["ws"])
+    true = exact["distinct_users"].to_numpy(dtype=np.float64)
+    got = est["estimate"].to_numpy()
+    rel = np.abs(got - true) / np.maximum(true, 1.0)
+    assert rel.max() <= 3 * float(est["rel_error_bound"][0]) + 0.05
+
+
+def test_sliding_distinct_exact_planted():
+    """Planted multi-bucket users: a user spanning two buckets counts
+    once in the window containing both."""
+    import pyarrow as pa
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import sliding_distinct_exact
+
+    h = 3600 * 1_000_000  # one bucket in us
+    ts = np.array([0, 1, h, h + 5, 2 * h, 5 * h], dtype="datetime64[us]")
+    users = pa.array([1, 2, 1, 3, 1, 9], pa.int64())
+    t = pa.table({"ts": pa.array(ts), "user_id": users})
+    out = sliding_distinct_exact(ray.data.from_arrow(t).repartition(3),
+                                 bucket_s=3600, window_buckets=2)
+    got = dict(zip(out["ws"], out["distinct_users"]))
+    # windows (start bucket s covers s, s+1h):
+    # -1h: {1,2}; 0: {1,2,3}; 1h: {1,3}; 2h: {1}; 4h: {9}; 5h: {9}
+    assert got == {-3600: 2, 0: 3, 3600: 2, 7200: 1, 14400: 1, 18000: 1}, got
