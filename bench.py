@@ -274,6 +274,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "strata_lost_h2",
         "strata_stable",
         "events_resampled",
+        "token_f2_exact",
+        "token_f2_countsketch",
+        "embedding_fd_pca",
+        "events_value_hour_corr",
+        "doc_graph_bfs",
+        "join_size_events_orders",
+        "join_size_events_orders_cs",
+        "events_sliding_distinct",
+        "events_sliding_distinct_hll",
     ]
     times: dict[str, float] = {}
     for name in names:
