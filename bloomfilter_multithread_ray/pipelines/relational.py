@@ -1046,7 +1046,7 @@ def tpch_q3(
     )
     orders_b = hash_join(
         orders, cust, on="o_custkey", right_on="c_custkey",
-        how="semi", bloom_prefilter=True,
+        how="semi", bloom_prefilter=True, broadcast="auto",
     )
 
     def li_derive(t: pa.Table) -> pa.Table:
@@ -1065,7 +1065,7 @@ def tpch_q3(
     j = hash_join(
         li,
         orders_b.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
-        on="l_orderkey", right_on="o_orderkey", how="inner",
+        on="l_orderkey", right_on="o_orderkey", how="inner", broadcast="auto",
     )
     sums = grouped_agg(
         j, ["l_orderkey", "o_orderdate", "o_orderpriority"],
@@ -1271,7 +1271,7 @@ def tpch_q5(
         ).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    ord_c = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner")
+    ord_c = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner", broadcast="auto")
 
     def li_derive(t: pa.Table) -> pa.Table:
         price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
@@ -1301,7 +1301,7 @@ def tpch_q5(
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
         in_region("s_nationkey"), batch_format="pyarrow", zero_copy_batch=True
     )
-    li_s = hash_join(li_o, supp, on="l_suppkey", right_on="s_suppkey", how="inner")
+    li_s = hash_join(li_o, supp, on="l_suppkey", right_on="s_suppkey", how="inner", broadcast="auto")
 
     names = sorted(nname)
     lut_keys = np.fromiter(names, np.int64)
@@ -1379,7 +1379,7 @@ def tpch_q10(
     per_cust = grouped_agg(j, "o_custkey", {"rev_u4": ("sum", "rev_u4")}, num_partitions=32)
 
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
-    dec = hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey", how="inner")
+    dec = hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey", how="inner", broadcast="auto")
 
     def local_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(["rev_u4", "o_custkey"], ascending=[False, True])
@@ -1489,9 +1489,9 @@ def tpch_q18(
         batch_format="pyarrow", zero_copy_batch=True,
     )
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-    j = hash_join(big, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
+    j = hash_join(big, orders, on="l_orderkey", right_on="o_orderkey", how="inner", broadcast="auto")
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    dec = hash_join(j, cust, on="o_custkey", right_on="c_custkey", how="inner")
+    dec = hash_join(j, cust, on="o_custkey", right_on="c_custkey", how="inner", broadcast="auto")
 
     def local_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(
