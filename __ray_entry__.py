@@ -1008,6 +1008,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             topk=20,
         )
 
+    def bloom_retract_reprobe(sf_dir):
+        # counting-Bloom corpus membership with retraction: one
+        # streaming build+retract pass (deletes commute under counter
+        # merge), one broadcast probe pass. kept_contained ==
+        # kept_total is the zero-FN invariant; retracted keys test
+        # positive only at the live-population FPR (both asserted in
+        # pytest) -> rows-only driver check
+        return A.counting_bloom_retract(
+            _docs(sf_dir, ["text", "source"]), retract_source="src7"
+        )
+
     def token_f2_countsketch(sf_dir):
         # AMS self-join-size estimate (rows-only; the bound vs the
         # exact F2 is asserted in pytest and token_f2_exact is the
@@ -2127,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_hll": distinct_tokens_hll,
         "heavy_hitters_cms": heavy_hitters_cms,
         "token_f2_countsketch": token_f2_countsketch,
+        "bloom_retract_reprobe": bloom_retract_reprobe,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,

@@ -306,6 +306,93 @@ def heavy_hitters_by_group(
     ).reset_index(drop=True)
 
 
+def counting_bloom_retract(
+    ds: "Dataset",
+    retract_source: str,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+) -> pd.DataFrame:
+    """Corpus membership with RETRACTION via a counting Bloom filter →
+    1-row {n_added, n_deleted, n_live, kept_contained, kept_total,
+    retracted_contained, retracted_total, fpr_bound}.
+
+    ONE streaming pass builds the global filter: each block's partial
+    CountingBloom inserts every (source, text) key and retracts the
+    block's ``retract_source`` rows, then ``PartialMergeAgg``
+    tree-merges the counter arrays (inserts and deletes commute under
+    counter addition, so merge order is free — the capability the
+    plain Bloom's OR-merge can't express). A second map-only pass
+    probes every row against the broadcast filter and folds two exact
+    int64 partials per block. Zero-FN invariant: kept_contained ==
+    kept_total always; retracted keys (disjoint from kept keys by the
+    source prefix) test positive only at the counting-Bloom FPR of the
+    LIVE population — retraction genuinely restores FPR headroom.
+    """
+    import ray
+
+    from ..functions.hashing import hash_strings
+    from ..state import CountingBloom
+
+    factory = lambda: CountingBloom(num_bits, num_hashes)  # noqa: E731
+
+    def _keys(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow.compute as pc
+
+        joined = pc.binary_join_element_wise(
+            pc.cast(t.column(source_col), pa.string()),
+            pc.cast(t.column(text_col), pa.string()),
+            "\x1f",
+        )
+        h = hash_strings(joined.combine_chunks())
+        retract = pc.equal(t.column(source_col), retract_source).to_numpy(
+            zero_copy_only=False
+        )
+        return h, retract
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = factory()
+        h, retract = _keys(t)
+        s.update_hashes(h)
+        s.delete_hashes(h[retract])
+        return pa.table({"partial": pa.array([s.serialize()], pa.binary())})
+
+    res = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        PartialMergeAgg(factory)
+    )
+    blob = res["sketch"] if res else None
+    cb = deserialize_sketch(blob) if blob is not None else factory()
+    cb_ref = ray.put(cb)
+
+    def probe(t: pa.Table) -> pa.Table:
+        filt = ray.get(cb_ref)
+        h, retract = _keys(t)
+        hit = filt.contains(h)
+        return pa.table({
+            "kept_contained": pa.array([int(hit[~retract].sum())], pa.int64()),
+            "kept_total": pa.array([int((~retract).sum())], pa.int64()),
+            "retracted_contained": pa.array([int(hit[retract].sum())], pa.int64()),
+            "retracted_total": pa.array([int(retract.sum())], pa.int64()),
+        })
+
+    folded = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["kept_contained", "kept_total", "retracted_contained", "retracted_total"]
+    )
+    return pd.DataFrame({
+        "n_added": pd.array([cb.n_added], dtype="int64"),
+        "n_deleted": pd.array([cb.n_deleted], dtype="int64"),
+        "n_live": pd.array([cb.n_live()], dtype="int64"),
+        "kept_contained": pd.array([int(folded["sum(kept_contained)"] or 0)], dtype="int64"),
+        "kept_total": pd.array([int(folded["sum(kept_total)"] or 0)], dtype="int64"),
+        "retracted_contained": pd.array(
+            [int(folded["sum(retracted_contained)"] or 0)], dtype="int64"),
+        "retracted_total": pd.array([int(folded["sum(retracted_total)"] or 0)], dtype="int64"),
+        "fpr_bound": [cb.fpr_bound()],
+    })
+
+
 def sliding_distinct_exact(
     ds: "Dataset",
     *,

@@ -10,3 +10,4 @@ from .kmv import BottomKSample  # noqa: F401
 from .misra_gries import MisraGries  # noqa: F401
 from .countsketch import CountSketch  # noqa: F401
 from .fd import FrequentDirections  # noqa: F401
+from .counting_bloom import CountingBloom  # noqa: F401

@@ -174,14 +174,17 @@ def test_grouped_corr_matches_duckdb_with_nulls_and_degenerates(ray_session):
     got = grouped_corr(ray.data.from_arrow(t).repartition(9), "grp", "x", "y",
                        num_partitions=5, round_dp=6)
 
-    want = duckdb.arrow(t).query("t", """
+    con = duckdb.connect()  # fresh connection: never pollute the
+    con.register("tcorr", t)  # module-shared :default: view namespace
+    want = con.execute("""
         SELECT grp, CAST(regr_count(y, x) AS BIGINT) AS n,
                ROUND(corr(x, y), 6) AS corr,
                ROUND(regr_slope(y, x), 6) AS slope,
                ROUND(regr_intercept(y, x), 6) AS intercept,
                ROUND(POWER(corr(x, y), 2), 6) AS r2
-        FROM t GROUP BY 1 ORDER BY 1
+        FROM tcorr GROUP BY 1 ORDER BY 1
     """).df()
+    con.close()
     got2 = got.reset_index(drop=True)
     assert list(got2["grp"]) == list(want["grp"])
     assert list(got2["n"]) == list(want["n"])

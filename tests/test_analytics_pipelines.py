@@ -978,3 +978,26 @@ def test_sliding_distinct_exact_planted():
     # windows (start bucket s covers s, s+1h):
     # -1h: {1,2}; 0: {1,2,3}; 1h: {1,3}; 2h: {1}; 4h: {9}; 5h: {9}
     assert got == {-3600: 2, 0: 3, 3600: 2, 7200: 1, 14400: 1, 18000: 1}, got
+
+
+def test_counting_bloom_retract_pipeline_invariants():
+    """Zero FN on kept rows, retracted keys at ~live FPR, lineage
+    counts exact, partition invariance of the merged counters."""
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text", "source"])
+    out = A.counting_bloom_retract(docs, retract_source="src7")
+    r = out.iloc[0]
+    assert r["kept_contained"] == r["kept_total"] > 0  # zero FN
+    assert r["n_added"] == r["kept_total"] + r["retracted_total"]
+    assert r["n_deleted"] == r["retracted_total"] > 0
+    assert r["n_live"] == r["kept_total"]
+    # retracted (source-prefixed, disjoint) keys ~absent within bound
+    assert r["retracted_contained"] <= max(
+        3, 3 * r["fpr_bound"] * r["retracted_total"] + 3
+    )
+    # partition invariance: merged counters independent of block count
+    again = A.counting_bloom_retract(docs.repartition(7), retract_source="src7")
+    assert again.equals(out)

@@ -559,3 +559,74 @@ def test_countsketch_inner_product_join_size():
     assert abs(est - true) <= a.inner_error_bound(b)
     with pytest.raises(ValueError):
         a.estimate_inner(CountSketch(width=4096, depth=7))
+
+
+# ------------------------------------------------------- CountingBloom
+def test_counting_bloom_zero_fn_and_fpr_after_retraction():
+    from bloomfilter_multithread_ray.state import CountingBloom
+
+    live = _hashes(20_000, seed=1)
+    dead = _hashes(60_000, seed=2)  # inserted then retracted
+    neg = _hashes(20_000, seed=3)  # never inserted
+    cb = CountingBloom(1 << 18, 4)
+    cb.update_hashes(live)
+    cb.update_hashes(dead)
+    cb.delete_hashes(dead)
+    # zero false negatives on the live set
+    assert cb.contains(live).all()
+    assert cb.n_live() == len(live)
+    # FPR on disjoint negatives bounded by the LIVE population's
+    # theoretical rate (retraction restored the headroom): with
+    # n=80k a plain Bloom would sit at ~4.5%, live-only is ~0.24%
+    fpr = cb.contains(neg).mean()
+    assert fpr <= cb.fpr_bound() + 3 * np.sqrt(cb.fpr_bound() / len(neg)) + 1e-4
+    # and the retracted keys themselves now test ~absent
+    assert cb.contains(dead).mean() <= cb.fpr_bound() + 0.01
+
+
+def test_counting_bloom_merge_bit_identical_with_deletes():
+    from bloomfilter_multithread_ray.state import CountingBloom
+
+    h = _hashes(30_000, seed=7)
+    dead = h[::3]
+    single = CountingBloom(1 << 16, 4)
+    single.update_hashes(h)
+    single.delete_hashes(dead)
+
+    # deletes and inserts split across partials in a lopsided tree
+    parts_h = np.array_split(h, 5)
+    parts_d = np.array_split(dead, 3)
+    sks = []
+    for i in range(5):
+        s = CountingBloom(1 << 16, 4)
+        s.update_hashes(parts_h[i])
+        if i < 3:
+            s.delete_hashes(parts_d[i])
+        sks.append(s)
+    m = sks[0].merge(sks[1])
+    m.merge(sks[2].merge(sks[3]).merge(sks[4]))
+    assert np.array_equal(m.counts, single.counts)
+    assert (m.n_added, m.n_deleted) == (single.n_added, single.n_deleted)
+    # duplicate insert + duplicate delete balance exactly
+    dup = CountingBloom(1 << 16, 4)
+    dup.update_hashes(np.repeat(h[:5], 3))
+    dup.delete_hashes(np.repeat(h[:5], 3))
+    assert dup.counts.sum() == 0 and dup.n_live() == 0
+
+
+def test_counting_bloom_matches_plain_bloom_positions_and_roundtrip():
+    from bloomfilter_multithread_ray.state import BloomFilter, CountingBloom
+
+    h = _hashes(5_000, seed=9)
+    cb = CountingBloom(1 << 16, 4)
+    cb.update_hashes(h)
+    bf = BloomFilter(1 << 16, 4)
+    bf.update_hashes(h)
+    # same double-hash stream: counter>0 positions == plain bit set
+    assert np.array_equal((cb.counts > 0).astype(np.uint8), bf.bits)
+    rt = deserialize_sketch(cb.serialize())
+    assert type(rt) is CountingBloom
+    assert np.array_equal(rt.counts, cb.counts)
+    assert (rt.n_added, rt.n_deleted) == (cb.n_added, cb.n_deleted)
+    with pytest.raises(ValueError):
+        cb.merge(CountingBloom(1 << 15, 4))
