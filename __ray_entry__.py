@@ -1500,6 +1500,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return REP.gopher_repetition(_docs(sf_dir, ["doc_id", "text"]))
 
+    def docs_sorted_neighbors(sf_dir):
+        # sorted-neighborhood blocking (SIGMOD'95): candidate pairs
+        # within 5 rows of the global (lowercased 16-char prefix,
+        # doc_id) sort order; distributed total order via sampled
+        # string ranges + dense-rank neighbor buckets
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from bloomfilter_multithread_ray.pipelines.fuzzy import (
+            sorted_neighborhood_pairs,
+        )
+
+        def key(t: pa.Table) -> pa.Table:
+            k = pc.utf8_lower(pc.utf8_slice_codeunits(t.column("text"), 0, 16))
+            return pa.table({"k": k, "doc_id": t.column("doc_id")})
+
+        ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            key, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return sorted_neighborhood_pairs(ds, "k", "doc_id", window=5)
+
     def doc_graph_bfs(sf_dir):
         # multi-source BFS layers over the exact 3-gram Jaccard dup
         # graph from the 5 lowest doc ids that appear in any pair: the
@@ -2153,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": ngram_jaccard,
         "doc_graph_kcore": doc_graph_kcore,
         "doc_graph_bfs": doc_graph_bfs,
+        "docs_sorted_neighbors": docs_sorted_neighbors,
         "dedup_embedding": dedup_embedding,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
@@ -2699,6 +2721,17 @@ def oracle_sql() -> dict[str, str]:
         # connected components over the exact n-gram-Jaccard pairs:
         # recursive transitive closure (UNION dedup => terminates),
         # component label = min reachable node
+        # sorted-neighborhood blocking: window self-join on the global
+        # row_number over (lower 16-char prefix, doc_id)
+        "docs_sorted_neighbors": (
+            "WITH r AS (SELECT doc_id, ROW_NUMBER() OVER ("
+            "ORDER BY lower(substring(text, 1, 16)), doc_id) - 1 AS rn "
+            "FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(b.rn - a.rn AS BIGINT) AS gap "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5 "
+            "ORDER BY id_a, id_b"
+        ),
         # multi-source BFS over the 0.3-threshold exact 3-gram Jaccard
         # graph: recursive walk capped at 63 hops (far beyond the dup
         # graph's diameter), MIN(dist) collapses revisits

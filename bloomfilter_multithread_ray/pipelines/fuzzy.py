@@ -180,3 +180,166 @@ def fuzzy_token_pairs(
     # pairs are strictly tok_a < tok_b, so the verified distance is 1
     out["dist"] = np.ones(len(out), dtype=np.int64)
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------- sorted-neighborhood pairs
+def sorted_neighborhood_pairs(
+    ds: "Dataset",
+    key_col: str,
+    id_col: str,
+    *,
+    window: int = 5,
+    num_ranges: int = 32,
+    sample_per_block: int = 256,
+) -> pd.DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95):
+    all id pairs within ``window`` ROWS of each other in the global
+    (key, id) sort order → {id_a, id_b, gap} with gap = rank_b -
+    rank_a in [1, window]. The classic entity-resolution candidate
+    generator for keys where lexicographic neighbors are likely
+    duplicates (normalized names/titles/prefixes).
+
+    Fully distributed total order with O(ranges) driver state:
+
+      1. split points from a distributed stride sample of the key
+         (each block contributes <= sample_per_block values);
+      2. one range shuffle: rid = searchsorted(splits, key) — equal
+         keys land in ONE range, so a per-range lexsort((id, key)) is
+         a global sort; per-range counts fold to prefix offsets on
+         the driver (O(ranges) ints) and global rank = offset +
+         local position;
+      3. because global ranks are DENSE consecutive ints, the
+         neighbor join needs no search: each row routes to rank
+         buckets g = rank // window and g-1, bucket g owns pairs
+         whose smaller rank sits in [g*w, (g+1)*w) and sees every
+         partner rank < (g+2)*w — pairs materialize once, by
+         construction, with pure arithmetic (np.repeat + cumsum
+         offsets) per bucket.
+
+    Null keys are dropped (SQL ORDER BY semantics do not apply to
+    candidate blocking; filter upstream if nulls must pair). The id
+    column must be unique — it is the sort tiebreak that makes the
+    order (and therefore the pair set) deterministic at any
+    partitioning (tested).
+    """
+    import pyarrow.compute as pc
+
+    w = int(window)
+    B = int(num_ranges)
+    if w < 1:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 1")
+
+    keyed = ds.map_batches(
+        lambda t: t.select([key_col, id_col]).filter(pc.is_valid(t.column(key_col))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    # --- stride-sampled string split points (driver folds scalars) ---
+    cap = int(sample_per_block)
+
+    def samp(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        if len(v) > cap:
+            v = v[np.linspace(0, len(v) - 1, cap).astype(np.int64)]
+        return pa.table({"v": pa.array(v, pa.string())})
+
+    sdf = keyed.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if sdf.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "gap": pd.Series(dtype=np.int64)})
+    v = np.sort(sdf["v"].to_numpy(dtype=object))
+    qpos = np.linspace(0, len(v) - 1, B + 1)[1:-1].astype(np.int64)
+    splits = np.unique(v[qpos])
+
+    def route(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        rid = np.searchsorted(splits, k, side="right").astype(np.int32)
+        return t.append_column("__rid", pa.array(rid))
+
+    bucketed = keyed.map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    hdf = bucketed.map_batches(
+        lambda t: pa.table({
+            "b": pa.array(np.arange(len(splits) + 1, dtype=np.int64)),
+            "n": pa.array(np.bincount(
+                t.column("__rid").to_numpy(zero_copy_only=False),
+                minlength=len(splits) + 1).astype(np.int64)),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    counts = np.zeros(len(splits) + 1, dtype=np.int64)
+    np.add.at(counts, hdf["b"].to_numpy(), hdf["n"].to_numpy())
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = int(counts.sum())
+
+    def rank_range(g: pa.Table) -> pa.Table:
+        b = int(g.column("__rid")[0].as_py())
+        k = np.asarray(g.column(key_col).to_pylist(), dtype=object)
+        i = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, k))
+        rank = offsets[b] + np.arange(len(k), dtype=np.int64)
+        return pa.table({"rank": pa.array(rank),
+                         "id": pa.array(i[order].astype(np.int64))})
+
+    ranked = bucketed.groupby("__rid").map_groups(rank_range, batch_format="pyarrow")
+
+    def to_pair_buckets(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        g = r // w
+        # copy 1: own bucket (owner + partner); copy 2: previous bucket
+        # (partner for its owners); bucket -1 rows never own or pair
+        gg = np.concatenate([g, g - 1])
+        rr = np.concatenate([r, r])
+        ii = np.concatenate([i, i])
+        keep = gg >= 0
+        return pa.table({"g": pa.array(gg[keep]), "rank": pa.array(rr[keep]),
+                         "id": pa.array(ii[keep])})
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        gval = int(t.column("g")[0].as_py())
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        order = np.argsort(r, kind="stable")
+        r, i = r[order], i[order]
+        base = gval * w
+        owners = (r >= base) & (r < base + w)
+        # ranks in this bucket are the consecutive ints [base, hi]
+        hi = int(r[-1])
+        ro = r[owners]
+        cnt = np.minimum(w, hi - ro).astype(np.int64)
+        nz = cnt > 0  # the global max rank owns no pairs — drop before
+        ro, cnt = ro[nz], cnt[nz]  # the cumsum-reset (zero segments break it)
+        pos = ro - int(r[0])  # position of each owner in the sorted array
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "gap": pa.array([], pa.int64())})
+        # partner offsets 1..cnt per owner via the repeat/cumsum idiom
+        step = np.ones(total, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        step[starts] = np.concatenate([[1], 1 - cnt[:-1]])
+        offs = np.cumsum(step)
+        a_pos = np.repeat(pos, cnt)
+        return pa.table({"id_a": pa.array(i[a_pos]),
+                         "id_b": pa.array(i[a_pos + offs]),
+                         "gap": pa.array(offs)})
+
+    pairs = (
+        ranked.map_batches(to_pair_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(pair_kernel, batch_format="pyarrow")
+    )
+    df = pairs.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "gap": pd.Series(dtype=np.int64)})
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    del n_total
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -74,3 +75,49 @@ def test_fuzzy_token_pairs_planted(ray_session):
     assert ("spork", "stork") in pairs
     assert ("spark", "stork") not in pairs  # distance 2
     assert (got["dist"] == 1).all()
+
+
+def test_sorted_neighborhood_pairs_matches_sql_window_join(ray_session):
+    """SNM pair set == ROW_NUMBER window self-join in DuckDB, under
+    heavy key ties, at two partitionings / range counts; null keys
+    dropped; guards raise."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    keys = np.array(["k%03d" % x for x in rng.integers(0, 200, n)], dtype=object)
+    keys[::97] = None  # planted null keys: dropped
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    t = pa.table({"k": pa.array(keys, pa.string()), "id": pa.array(ids)})
+
+    con = duckdb.connect()
+    con.register("tsnm", t)
+    want = con.execute("""
+        WITH r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY k, id) - 1 AS rn
+                   FROM tsnm WHERE k IS NOT NULL)
+        SELECT a.id AS id_a, b.id AS id_b, CAST(b.rn - a.rn AS BIGINT) AS gap
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+        ORDER BY id_a, id_b
+    """).df().astype({"id_a": "int64", "id_b": "int64", "gap": "int64"})
+    con.close()
+
+    for blocks, B in ((1, 2), (6, 16)):
+        got = sorted_neighborhood_pairs(
+            rd.from_arrow(t).repartition(blocks), "k", "id",
+            window=3, num_ranges=B,
+        )
+        assert got.equals(want.reset_index(drop=True)), (blocks, B)
+
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(rd.from_arrow(t), "k", "id", window=0)
+    # all-null keys -> typed empty
+    tn = pa.table({"k": pa.array([None, None], pa.string()),
+                   "id": pa.array([1, 2], pa.int64())})
+    empty = sorted_neighborhood_pairs(rd.from_arrow(tn), "k", "id")
+    assert empty.empty and list(empty.columns) == ["id_a", "id_b", "gap"]
