@@ -1157,6 +1157,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pairs.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
         )
 
+    def dbscan_clusters(sf_dir):
+        # Deterministic DBSCAN over the embedding eps-graph (cosine >=
+        # 0.4 @6dp, min_pts=3 counting self): core = min-core-id CC
+        # label, border = MIN core-neighbor cluster, noise = NULL.
+        import ray.data
+
+        from bloomfilter_multithread_ray.pipelines.clustering import (
+            dbscan_embeddings,
+        )
+
+        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ids, V = S.load_embeddings(sf_dir)
+        out = dbscan_embeddings(emb, ids, V, tau=0.4, min_pts=3)
+        df = out.to_pandas()
+        df["cluster"] = df["cluster"].astype("float64")
+        return df.sort_values("vec_id").reset_index(drop=True)
+
     # ---- similarity search ----
     def ann_topk(sf_dir):
         import ray.data
@@ -2176,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_bfs": doc_graph_bfs,
         "docs_sorted_neighbors": docs_sorted_neighbors,
         "dedup_embedding": dedup_embedding,
+        "dbscan_clusters": dbscan_clusters,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -2780,6 +2798,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.vec_id < b.vec_id "
             "WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4 "
             "ORDER BY vec_a, vec_b"
+        ),
+        # deterministic DBSCAN: same eps predicate as dedup_embedding;
+        # core = |N(p)| >= 3 counting self; cluster = min core id of the
+        # core-core CC (recursive-CTE closure); border = MIN core
+        # neighbor's cluster; noise = NULL cluster
+        "dbscan_clusters": (
+            "WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+            "FROM embeddings), "
+            "p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4), "
+            "sym AS (SELECT va AS s, vb AS d FROM p UNION ALL SELECT vb, va FROM p), "
+            "deg AS (SELECT s, COUNT(*) AS n FROM sym GROUP BY s), "
+            "core AS (SELECT e.vec_id FROM embeddings e JOIN deg ON deg.s = e.vec_id WHERE deg.n + 1 >= 3), "
+            "ce AS (SELECT s, d FROM sym WHERE s IN (SELECT vec_id FROM core) "
+            "AND d IN (SELECT vec_id FROM core)), "
+            "reach(n, m) AS (SELECT s, s FROM ce UNION SELECT r.n, e.d FROM reach r JOIN ce e ON e.s = r.m), "
+            "lab AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n), "
+            "corelab AS (SELECT c.vec_id, COALESCE(l.comp, c.vec_id) AS cluster "
+            "FROM core c LEFT JOIN lab l ON l.node = c.vec_id), "
+            "border AS (SELECT s.s AS vec_id, MIN(cl.cluster) AS cluster FROM sym s "
+            "JOIN corelab cl ON cl.vec_id = s.d "
+            "WHERE s.s NOT IN (SELECT vec_id FROM core) GROUP BY s.s) "
+            "SELECT e.vec_id, COALESCE(cl.cluster, b.cluster) AS cluster, "
+            "CASE WHEN cl.vec_id IS NOT NULL THEN 'core' "
+            "WHEN b.vec_id IS NOT NULL THEN 'border' ELSE 'noise' END AS role "
+            "FROM embeddings e LEFT JOIN corelab cl ON cl.vec_id = e.vec_id "
+            "LEFT JOIN border b ON b.vec_id = e.vec_id ORDER BY e.vec_id"
         ),
         # tf-idf top-3 per doc: idf = ln(N/df); ranking by the ROUNDED
         # score (desc, term asc) on both sides -> identical order

@@ -1,0 +1,196 @@
+"""Density-based clustering (DBSCAN) over an embedding column.
+
+Deterministic DBSCAN composed ENTIRELY from the engine's existing
+distributed primitives — the eps-neighbor pair generator
+(`similarity.embedding_dup_pairs`, cosine >= tau rounded to 6 dp), the
+map-side-combined `grouped_agg`, the auto-broadcast `hash_join`, and
+alternating-star-contraction `connected_components` — so every stage
+inherits those operators' scale paths (fixed-P shuffles, broadcast
+small sides, no all-pairs materialization beyond the pair generator
+itself, whose LSH-bucketed variant is the documented 100-TB swap-in).
+
+Determinism (classic DBSCAN's border assignment is scan-order
+dependent; ours is pinned):
+
+- eps-neighborhood: cosine(a, b) >= tau after rounding to 6 dp, the
+  exact predicate of the SQL oracle (`list_cosine_similarity`).
+- core point: |N_eps(p)| >= min_pts, counting p ITSELF (the standard
+  textbook definition; degree + 1 >= min_pts).
+- cluster label: MIN vec_id over the cluster's CORE points (the
+  connected component of the core-core eps-graph; a core point with no
+  core neighbor is its own singleton cluster).
+- border point: non-core with >= 1 core eps-neighbor; assigned the
+  MIN cluster label among its core neighbors (order-free tie rule).
+- noise: everything else; cluster is NULL.
+
+Reference analog: the partition-local membership state of
+`src/SkmerSplitter.cpp:62-89` generalizes to the eps-graph's
+content-keyed partitioning — identical vectors always meet in the
+same partition, which is what makes the pair generator's bucketed
+scale path correct.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ray.data import Dataset
+
+_EMPTY_SYM = pa.table(
+    {"s": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+)
+
+
+def _symmetrize(t: pa.Table) -> pa.Table:
+    """{vec_a, vec_b} pair block -> both directed edges {s, d}."""
+    if t.num_rows == 0:
+        return _EMPTY_SYM
+    a = t.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "s": pa.array(np.concatenate([a, b])),
+            "d": pa.array(np.concatenate([b, a])),
+        }
+    )
+
+
+def dbscan_embeddings(
+    emb: "Dataset",
+    all_ids: np.ndarray,
+    allV: np.ndarray,
+    *,
+    tau: float = 0.4,
+    min_pts: int = 3,
+    num_partitions: int = 32,
+) -> "Dataset":
+    """Deterministic DBSCAN -> Dataset ``{vec_id, cluster, role}``.
+
+    ``cluster`` is int64 (MIN core vec_id of the cluster; NULL for
+    noise), ``role`` in {'core', 'border', 'noise'}. One row per input
+    vector. ``all_ids``/``allV`` feed the exact pair generator (the
+    documented small-side oracle anchor — swap in
+    ``embedding_dup_pairs_lsh`` for the bucketed 100-TB path; every
+    stage downstream of the pair list is unchanged).
+    """
+    from .agg import grouped_agg
+    from .graph import connected_components
+    from .join import hash_join
+    from .similarity import embedding_dup_pairs
+
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    P = num_partitions
+
+    ids = emb.select_columns(["vec_id"])
+    pairs = embedding_dup_pairs(emb, all_ids, allV, tau=tau)
+    sym = pairs.map_batches(
+        _symmetrize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed by degree count, core-edge filter, AND border scan
+
+    # |N_eps(p)| >= min_pts counting p itself => degree >= min_pts - 1.
+    # Isolated points have no sym row: only core when min_pts == 1.
+    if min_pts == 1:
+        core = ids
+    else:
+        deg = grouped_agg(sym, "s", {"n": ("count", None)}, num_partitions=P)
+        need = min_pts - 1
+
+        def _core_filter(t: pa.Table) -> pa.Table:
+            keep = pa.compute.greater_equal(t.column("n"), need)
+            return t.filter(keep).select(["s"]).rename_columns(["vec_id"])
+
+        core = deg.map_batches(
+            _core_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    core = core.materialize()  # small side reused by three joins
+
+    # Core-core eps-edges -> connected components -> min-core-id label.
+    ce = hash_join(
+        sym, core, on="s", right_on="vec_id", how="semi",
+        num_partitions=P, broadcast="auto",
+    )
+    ce = hash_join(
+        ce, core, on="d", right_on="vec_id", how="semi",
+        num_partitions=P, broadcast="auto",
+    )
+    cc = connected_components(ce, cols=("s", "d"), num_partitions=P)
+
+    corelab = hash_join(
+        core, cc, on="vec_id", right_on="node", how="left",
+        num_partitions=P, broadcast="auto",
+    )
+
+    def _finish_core(t: pa.Table) -> pa.Table:
+        # Singleton core clusters never enter the edge list: label = own id.
+        comp = pa.compute.coalesce(
+            pa.compute.cast(t.column("comp"), pa.int64()),
+            pa.compute.cast(t.column("vec_id"), pa.int64()),
+        )
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": comp,
+                "role": pa.array(["core"] * t.num_rows, pa.string()),
+            }
+        )
+
+    core_rows = corelab.map_batches(
+        _finish_core, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # Border: non-core endpoint s of an edge whose d is core, labeled
+    # MIN over its core neighbors' clusters.
+    to_core = hash_join(
+        sym,
+        core_rows.select_columns(["vec_id", "cluster"]),
+        on="d", right_on="vec_id", how="inner",
+        num_partitions=P, broadcast="auto",
+    )
+    to_core = hash_join(
+        to_core, core, on="s", right_on="vec_id", how="anti",
+        num_partitions=P, broadcast="auto",
+    )
+    border = grouped_agg(
+        to_core, "s", {"cluster": ("min", "cluster")}, num_partitions=P
+    )
+
+    def _finish_border(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.compute.cast(t.column("s"), pa.int64()),
+                "cluster": pa.compute.cast(t.column("cluster"), pa.int64()),
+                "role": pa.array(["border"] * t.num_rows, pa.string()),
+            }
+        )
+
+    border_rows = border.map_batches(
+        _finish_border, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    labeled_ids = core_rows.select_columns(["vec_id"]).union(
+        border_rows.select_columns(["vec_id"])
+    )
+    noise = hash_join(
+        ids, labeled_ids, on="vec_id", how="anti",
+        num_partitions=P, broadcast="auto",
+    )
+
+    def _finish_noise(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.compute.cast(t.column("vec_id"), pa.int64()),
+                "cluster": pa.array([None] * t.num_rows, pa.int64()),
+                "role": pa.array(["noise"] * t.num_rows, pa.string()),
+            }
+        )
+
+    noise_rows = noise.map_batches(
+        _finish_noise, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    return core_rows.union(border_rows).union(noise_rows)
