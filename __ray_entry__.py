@@ -142,6 +142,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def top_customers(sf_dir):
         return _round(R.top_customers(sf_dir), ["revenue"])
 
+    def parts_skyline(sf_dir):
+        # Pareto frontier of part: cheapest price vs biggest size —
+        # local frontiers merge once, raw rows never shuffle.
+        from bloomfilter_multithread_ray.pipelines.skyline import skyline
+
+        part = R.read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+        out = skyline(part, ["p_retailprice", "p_size"], maximize=["p_size"])
+        df = out.to_pandas()
+        df["p_size"] = df["p_size"].astype("int64")
+        return df.sort_values("p_partkey").reset_index(drop=True)
+
     def events_hourly(sf_dir):
         return _round(R.events_hourly(sf_dir), ["sum_value"])
 
@@ -2170,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": tpch_q1,
         "bloom_semijoin": bloom_semijoin,
         "top_customers": top_customers,
+        "parts_skyline": parts_skyline,
         "events_hourly": events_hourly,
         "events_hourly_distinct": events_hourly_distinct,
         "events_value_p95": events_value_p95,
@@ -2383,6 +2395,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_custkey, c_name ORDER BY SUM(o_totalprice) DESC, c_custkey LIMIT 10"
+        ),
+        # Pareto frontier: NOT EXISTS dominance (<= all dims oriented,
+        # < in one); duplicates of an optimal point all survive
+        "parts_skyline": (
+            "SELECT p_partkey, p_size, p_retailprice FROM part r "
+            "WHERE NOT EXISTS (SELECT 1 FROM part s "
+            "WHERE s.p_retailprice <= r.p_retailprice AND s.p_size >= r.p_size "
+            "AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size)) "
+            "ORDER BY p_partkey"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, "
