@@ -307,6 +307,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["day_us", "n_events", "value_sum_micros"]
         ]
 
+    def store_bloom_lookup(sf_dir):
+        # Bloom file-skipping index: events clustered by ts (zone maps
+        # can't help an event_id point lookup), per-range Bloom sidecar
+        # over event_id, lookup opens ONLY Bloom-positive rid= dirs
+        # (measured 14/16 pruned at sf0.01) then exact IN-filters —
+        # false positives cost a read, never a wrong row.
+        import shutil
+        import tempfile
+
+        from bloomfilter_multithread_ray.pipelines import table_store as TS
+
+        ev = R.read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        d = tempfile.mkdtemp(prefix="graft_bidx_", dir="/tmp")
+        try:
+            TS.write_clustered(ev, d, "ts", num_ranges=16)
+            TS.build_bloom_index(d, "event_id", num_bits=1 << 16)
+            ds, _stats = TS.bloom_pruned_lookup(
+                d, "event_id", [3, 411, 777, 905, 998],
+                columns=["event_id", "user_id", "value"],
+            )
+            df = ds.to_pandas()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return df.sort_values("event_id").reset_index(drop=True)[
+            ["event_id", "user_id", "value"]
+        ]
+
     def events_window_funcs(sf_dir):
         # general window-function operator: PARTITION BY user_id
         # ORDER BY ts, event_id — row_number, micros-exact lag /
@@ -2237,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_events_orders_cs": join_size_events_orders_cs,
         "skew_join_revenue": skew_join_revenue,
         "events_clustered_scan": events_clustered_scan,
+        "store_bloom_lookup": store_bloom_lookup,
         "events_clustered_append": events_clustered_append,
         "incremental_user_stats": incremental_user_stats,
         "composite_join_lines": composite_join_lines,
@@ -2527,6 +2555,11 @@ def oracle_sql() -> dict[str, str]:
             "AS value_sum_micros "
             "FROM events WHERE ts BETWEEN '2024-01-08' AND '2024-01-15' "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # bloom-index pruning is pure I/O elision: same rows as raw IN
+        "store_bloom_lookup": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_id IN (3, 411, 777, 905, 998) ORDER BY event_id"
         ),
         # general window operator vs SQL OVER frames (micros-exact)
         "events_window_funcs": (

@@ -706,3 +706,159 @@ def append_clustered(
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, MANIFEST_NAME))
     return rep
+
+
+# ---------------------------------------------------------------------------
+# Bloom file-skipping index — the flagship sketch applied to the store.
+#
+# Zone maps (vmin/vmax) prune range dirs on the CLUSTER column; point
+# lookups on any OTHER column see no pruning at all. A per-range Bloom
+# filter over that column closes the gap: build once (one column-pruned
+# read per range, distributed), persist as a tiny sidecar parquet
+# ({rid, sketch}), and every later point lookup tests its keys against
+# each range's filter on the driver (O(ranges × bits/8) bytes, KBs) and
+# opens ONLY ranges with a positive — false positives cost one wasted
+# read, never a wrong row, because the exact IN-filter still applies
+# after pruning (same contract as the zone maps: pruning is I/O
+# elision, not filtering). Zero false negatives is the flagship Bloom
+# invariant (reference probe semantics, src/SkmerSplitter.cpp:132-136).
+# At 100 TB the sidecar is ranges × (bits/8): 10k ranges × 32 KB =
+# 320 MB, driver-holdable; raise bits per range as range row counts
+# grow (FPR is per-range, bounded by the per-range key count).
+# ---------------------------------------------------------------------------
+
+def _bloom_index_path(path: str, col: str) -> str:
+    return os.path.join(path, f"_bloom_index_{col}.parquet")
+
+
+def _key_hash_array(arr: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes + valid mask for a key column (int/ts/string)."""
+    from ..functions.hashing import hash_strings, splitmix64
+
+    typ = arr.type
+    valid = ~np.asarray(pa.compute.is_null(arr))
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        filled = pa.compute.fill_null(arr, "")
+        if isinstance(filled, pa.ChunkedArray):
+            filled = filled.combine_chunks()
+        h = hash_strings(filled)
+    elif (
+        pa.types.is_integer(typ)
+        or pa.types.is_timestamp(typ)
+        or pa.types.is_date(typ)
+    ):
+        v = pa.compute.fill_null(arr, 0)
+        if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+            v = pa.compute.cast(v, pa.int64())
+        nv = v.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        h = splitmix64(nv.view(np.uint64))
+    else:
+        raise TypeError(f"bloom index: unsupported key type {typ}")
+    return np.asarray(h, dtype=np.uint64), valid
+
+
+def build_bloom_index(
+    path: str,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 4,
+) -> pd.DataFrame:
+    """Build a per-range Bloom sidecar over ``key_col`` for a clustered
+    store at ``path``. One column-pruned file read per range, one task
+    per range (Ray-distributed); returns {rid, n_keys, fill_ratio}.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..state.bloom import BloomFilter
+
+    man = read_manifest(path)
+    rids = [int(r["rid"]) for r in man["ranges"]]
+
+    def build(batch: pa.Table) -> pa.Table:
+        out = {"rid": [], "sketch": [], "n_keys": [], "fill_ratio": [], "has_null": []}
+        for rid in batch.column("rid").to_pylist():
+            t = pq.read_table(
+                os.path.join(path, f"rid={rid}", "part.parquet"), columns=[key_col]
+            )
+            h, valid = _key_hash_array(t.column(key_col))
+            bf = BloomFilter(num_bits, num_hashes)
+            bf.update_hashes(h[valid])
+            out["rid"].append(rid)
+            out["sketch"].append(bf.serialize())
+            out["n_keys"].append(int(valid.sum()))
+            out["fill_ratio"].append(float(bf.fill_ratio()))
+            out["has_null"].append(bool((~valid).any()))
+        return pa.table(
+            {
+                "rid": pa.array(out["rid"], pa.int64()),
+                "sketch": pa.array(out["sketch"], pa.binary()),
+                "n_keys": pa.array(out["n_keys"], pa.int64()),
+                "fill_ratio": pa.array(out["fill_ratio"], pa.float64()),
+                "has_null": pa.array(out["has_null"], pa.bool_()),
+            }
+        )
+
+    idx = (
+        ray.data.from_items([{"rid": r} for r in rids])
+        .map_batches(build, batch_format="pyarrow", batch_size=1)
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    tbl = pa.concat_tables([_ray.get(r) for r in idx]).sort_by("rid")
+    tmp = _bloom_index_path(path, key_col) + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, _bloom_index_path(path, key_col))
+    return tbl.drop_columns(["sketch"]).to_pandas()
+
+
+def bloom_pruned_lookup(
+    path: str,
+    key_col: str,
+    values,
+    *,
+    columns: "list[str] | None" = None,
+) -> "tuple[Dataset, dict]":
+    """Point lookup ``key_col IN values`` over a clustered store using
+    the Bloom sidecar: tests every value against each range's filter
+    (driver-side, KB-sized state), reads ONLY positive ranges, then
+    applies the exact IN-filter. Returns ``(Dataset, stats)`` with
+    stats = {ranges_total, ranges_read, ranges_pruned}.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..state.base import deserialize_sketch
+
+    vals = pa.array(list(values))
+    if vals.null_count:
+        raise ValueError("bloom_pruned_lookup: null lookup values unsupported")
+    if len(vals) == 0:
+        raise ValueError("bloom_pruned_lookup: empty value list")
+    h, _valid = _key_hash_array(vals)
+
+    side = pq.read_table(_bloom_index_path(path, key_col))
+    hit_rids: list[int] = []
+    for rid, blob in zip(side.column("rid").to_pylist(), side.column("sketch").to_pylist()):
+        bf = deserialize_sketch(blob)
+        if bool(bf.contains(h).any()):
+            hit_rids.append(int(rid))
+    stats = {
+        "ranges_total": side.num_rows,
+        "ranges_read": len(hit_rids),
+        "ranges_pruned": side.num_rows - len(hit_rids),
+    }
+    need = columns if columns is None else list(dict.fromkeys([key_col, *columns]))
+    if not hit_rids:
+        empty = pa.table({})  # no candidate range can contain any key
+        return ray.data.from_arrow(empty), stats
+    files = [os.path.join(path, f"rid={r}", "part.parquet") for r in hit_rids]
+    ds = ray.data.read_parquet(files, columns=need)
+
+    def exact(t: pa.Table) -> pa.Table:
+        keep = pa.compute.is_in(t.column(key_col), value_set=vals)
+        return t.filter(pa.compute.fill_null(keep, False))
+
+    return ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True), stats

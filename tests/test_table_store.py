@@ -320,3 +320,75 @@ def test_append_clustered_kind_mismatch(ray_session, tmp_store):
     bad = pd.DataFrame({"k": np.linspace(0, 1, 10), "v": np.zeros(10, dtype="int64")})
     with pytest.raises(Exception, match="kind"):
         TS.append_clustered(ray.data.from_pandas(bad), tmp_store)
+
+
+# ---- Bloom file-skipping index ----
+
+def _bidx_df(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "ts": np.arange(n, dtype="int64"),          # cluster key
+            "eid": rng.permutation(n).astype("int64"),  # lookup key, uncorrelated
+            "name": [f"u{i % 97}é" for i in range(n)],
+            "v": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+
+
+def test_bloom_index_zero_false_negatives(ray_session, tmp_store):
+    df = _bidx_df()
+    TS.write_clustered(ray.data.from_pandas(df).repartition(6), tmp_store, "ts", num_ranges=16)
+    TS.build_bloom_index(tmp_store, "eid", num_bits=1 << 16)
+    keys = [0, 17, 1234, 3999, 2718]
+    ds, stats = TS.bloom_pruned_lookup(tmp_store, "eid", keys, columns=["eid", "v"])
+    got = ds.to_pandas().sort_values("eid").reset_index(drop=True)
+    want = (
+        df[df.eid.isin(keys)][["eid", "v"]]
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert stats["ranges_total"] == 16
+    # uncorrelated unique keys: each lives in exactly one range; FPR at
+    # 2^16 bits over 250 keys/range is ~0 -> heavy pruning guaranteed
+    assert stats["ranges_read"] <= len(keys) + 1
+
+
+def test_bloom_index_absent_key_reads_nothing(ray_session, tmp_store):
+    df = _bidx_df(1000)
+    TS.write_clustered(ray.data.from_pandas(df).repartition(4), tmp_store, "ts", num_ranges=8)
+    TS.build_bloom_index(tmp_store, "eid", num_bits=1 << 16)
+    ds, stats = TS.bloom_pruned_lookup(tmp_store, "eid", [10_000_000])
+    assert len(ds.to_pandas()) == 0
+    assert stats["ranges_read"] <= 1  # 0 modulo a (tiny-FPR) false positive
+
+
+def test_bloom_index_string_key(ray_session, tmp_store):
+    df = _bidx_df(1500)
+    TS.write_clustered(ray.data.from_pandas(df).repartition(4), tmp_store, "ts", num_ranges=8)
+    TS.build_bloom_index(tmp_store, "name", num_bits=1 << 16)
+    keys = ["u3é", "u95é"]
+    ds, stats = TS.bloom_pruned_lookup(tmp_store, "name", keys, columns=["name", "eid"])
+    got = ds.to_pandas()
+    want = df[df.name.isin(keys)][["name", "eid"]]
+    assert sorted(got.eid) == sorted(want.eid)
+    # every range holds every frequent name -> no pruning possible, no FNs
+    assert stats["ranges_read"] == stats["ranges_total"]
+
+
+def test_bloom_index_validation_and_nulls(ray_session, tmp_store):
+    df = _bidx_df(500)
+    df.loc[3, "eid"] = pd.NA
+    df["eid"] = df["eid"].astype("Int64")
+    TS.write_clustered(ray.data.from_pandas(df).repartition(2), tmp_store, "ts", num_ranges=4)
+    rep = TS.build_bloom_index(tmp_store, "eid", num_bits=1 << 14)
+    assert bool(rep.has_null.any())  # the null key row is recorded, not hashed
+    with pytest.raises(ValueError, match="null lookup"):
+        TS.bloom_pruned_lookup(tmp_store, "eid", [1, None])
+    with pytest.raises(ValueError, match="empty"):
+        TS.bloom_pruned_lookup(tmp_store, "eid", [])
+    with pytest.raises(TypeError, match="unsupported"):
+        TS.build_bloom_index(tmp_store, "v2") if False else TS._key_hash_array(
+            __import__("pyarrow").array([1.5, 2.5])
+        )
