@@ -334,6 +334,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "user_id", "value"]
         ]
 
+    def events_peak_concurrency(sf_dir):
+        # sweep-line max-overlap: deterministic durations derived from
+        # event_id, half-open [start, end) semantics, peak per type
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.interval import (
+            interval_concurrency,
+        )
+
+        ev = R.read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ts = (
+                t.column("ts").combine_chunks().cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                .view(np.int64)
+            )
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            dur = (30 + eid % 90) * 1_000_000
+            return pa.table(
+                {"event_type": t.column("event_type"),
+                 "s": pa.array(ts), "e": pa.array(ts + dur)}
+            )
+
+        iv = ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        out = interval_concurrency(
+            iv, by="event_type", start_col="s", end_col="e", num_partitions=8
+        )
+        return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
     def events_window_funcs(sf_dir):
         # general window-function operator: PARTITION BY user_id
         # ORDER BY ts, event_id — row_number, micros-exact lag /
@@ -2265,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_revenue": skew_join_revenue,
         "events_clustered_scan": events_clustered_scan,
         "store_bloom_lookup": store_bloom_lookup,
+        "events_peak_concurrency": events_peak_concurrency,
         "events_clustered_append": events_clustered_append,
         "incremental_user_stats": incremental_user_stats,
         "composite_join_lines": composite_join_lines,
@@ -2560,6 +2593,19 @@ def oracle_sql() -> dict[str, str]:
         "store_bloom_lookup": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_id IN (3, 411, 777, 905, 998) ORDER BY event_id"
+        ),
+        # sweep-line peak overlap; ends before starts at equal t (the
+        # half-open rule) via ORDER BY t, delta; the peak is invariant
+        # to order within (t, delta) ties
+        "events_peak_concurrency": (
+            "WITH iv AS (SELECT event_type, epoch_us(ts) AS s, "
+            "epoch_us(ts) + (30 + event_id % 90) * 1000000 AS e FROM events), "
+            "d AS (SELECT event_type, s AS t, 1 AS delta FROM iv "
+            "UNION ALL SELECT event_type, e, -1 FROM iv), "
+            "c AS (SELECT event_type, SUM(delta) OVER (PARTITION BY event_type "
+            "ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d) "
+            "SELECT event_type, CAST(MAX(run) AS BIGINT) AS peak FROM c "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         # general window operator vs SQL OVER frames (micros-exact)
         "events_window_funcs": (

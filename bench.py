@@ -283,6 +283,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "join_size_events_orders_cs",
         "events_sliding_distinct",
         "events_sliding_distinct_hll",
+        "docs_sorted_neighbors",
+        "bloom_retract_reprobe",
+        "dbscan_clusters",
+        "parts_skyline",
+        "store_bloom_lookup",
+        "events_peak_concurrency",
     ]
     times: dict[str, float] = {}
     for name in names:

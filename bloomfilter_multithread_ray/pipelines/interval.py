@@ -474,3 +474,92 @@ def _interval_shuffle(
         return out
 
     return tagged.groupby("__jp").map_groups(merge_partition, batch_format="pyarrow")
+
+
+def interval_concurrency(
+    ds: "Dataset",
+    *,
+    by: "str | list[str]",
+    start_col: str,
+    end_col: str,
+    num_partitions: int = 64,
+) -> "Dataset":
+    """Peak concurrent-interval count per ``by`` group (the classic
+    sweep-line max-overlap statistic: rooms needed, peak sessions,
+    max in-flight requests) → ``by`` columns + ``peak`` (int64).
+
+    Semantics: half-open intervals ``[start, end)`` — an interval
+    ending at t does not overlap one starting at t. Rows with a null
+    endpoint or ``end <= start`` are dropped (SQL comparison
+    semantics: a null never admits overlap; empty/inverted intervals
+    cover nothing). Groups whose every row is dropped do not appear.
+
+    Execution: each interval explodes into two (t, ±1) deltas in one
+    map-only pass, then the engine's ``partitioned_window`` cumsum runs
+    the sweep — ONE fixed-P shuffle on hash(by), one C-speed
+    sort+cumsum kernel per partition (ends sort before starts at equal
+    t, enforcing the half-open rule) — and a map-side-combined
+    ``grouped_agg`` max takes the per-group peak. The peak is invariant
+    to ordering WITHIN ties of (t, delta) (a run of +1s reaches the
+    same max after all of them), so no tiebreak column is needed.
+
+    Partitioning note: concurrency is inherently sequential per group —
+    a group's whole sweep runs in one partition. ``by`` must have
+    enough cardinality to spread (at 100 TB: sweep per (tenant, shard)
+    and combine exactly, or accept per-key sequential cost — same
+    constraint as any ORDER BY window).
+    """
+    from .agg import grouped_agg
+    from .analytics import partitioned_window
+
+    by = [by] if isinstance(by, str) else list(by)
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = t.column(start_col)
+        e = t.column(end_col)
+        if pa.types.is_timestamp(s.type):
+            s = pa.compute.cast(s, pa.int64())
+        if pa.types.is_timestamp(e.type):
+            e = pa.compute.cast(e, pa.int64())
+        if pa.types.is_null(s.type) or pa.types.is_null(e.type):
+            # an all-null block arrives as Arrow null type: no interval survives
+            valid = np.zeros(t.num_rows, dtype=bool)
+            sv = ev = np.zeros(t.num_rows, np.int64)
+        else:
+            nulls = np.asarray(pa.compute.is_null(s)) | np.asarray(
+                pa.compute.is_null(e)
+            )
+            sv = pa.compute.fill_null(s, 0).to_numpy(zero_copy_only=False)
+            ev = pa.compute.fill_null(e, 0).to_numpy(zero_copy_only=False)
+            valid = ~nulls & (ev > sv)
+        keys = t.select(by).filter(pa.array(valid))
+        sv, ev = sv[valid], ev[valid]
+        n = len(sv)
+        both_keys = pa.concat_tables([keys, keys])
+        out = {k: both_keys.column(k) for k in by}
+        out["__t"] = pa.array(np.concatenate([sv, ev]))
+        out["__delta"] = pa.array(
+            np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+        )
+        return pa.table(out)
+
+    deltas = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    swept = partitioned_window(
+        deltas,
+        by,
+        ["__t", "__delta"],  # -1 before +1 at equal t = half-open
+        {"__run": ("cumsum", "__delta")},
+        num_partitions=num_partitions,
+    )
+    out = grouped_agg(
+        swept, by, {"peak": ("max", "__run")}, num_partitions=num_partitions
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("peak"),
+            "peak",
+            pa.compute.cast(pa.compute.round(t.column("peak")), pa.int64()),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

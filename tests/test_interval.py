@@ -208,3 +208,75 @@ def test_validation(sides):
         interval_join(_mk(pts), _mk(iv), "nope", "lo", "hi")
     with pytest.raises(ValueError, match="bucket_width"):
         interval_join(_mk(pts), _mk(iv), "x", "lo", "hi", bucket_width=0.0)
+
+
+# ---- interval_concurrency (sweep-line peak overlap) ----
+
+def _conc(df, by, P=8, blocks=3):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.interval import interval_concurrency
+
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    out = interval_concurrency(ds, by=by, start_col="s", end_col="e", num_partitions=P)
+    cols = ([by] if isinstance(by, str) else list(by)) + ["peak"]
+    return out.to_pandas().sort_values(cols[:-1]).reset_index(drop=True)[cols]
+
+
+def test_concurrency_planted_half_open(ray_session):
+    # g: [0,10) [5,15) [10,20) -> peak 2 (the end-at-10 does NOT
+    # overlap the start-at-10); h: three copies of [0,5) -> peak 3
+    df = pd.DataFrame(
+        {"g": ["g", "g", "g", "h", "h", "h"],
+         "s": [0, 5, 10, 0, 0, 0],
+         "e": [10, 15, 20, 5, 5, 5]}
+    )
+    out = _conc(df, "g")
+    assert out.values.tolist() == [["g", 2], ["h", 3]]
+
+
+def test_concurrency_null_and_inverted_dropped(ray_session):
+    df = pd.DataFrame(
+        {"g": ["a", "a", "a", "b"],
+         "s": pd.array([0, None, 7, 5], dtype="Int64"),
+         "e": pd.array([4, 9, 3, 5], dtype="Int64")}  # null, inverted, empty
+    )
+    out = _conc(df, "g")
+    # only a's [0,4) survives; b's empty [5,5) drops -> b absent
+    assert out.values.tolist() == [["a", 1]]
+
+
+def test_concurrency_matches_duckdb_random(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 7, n).astype("int64"),
+         "s": rng.integers(0, 500, n).astype("int64")}
+    )
+    df["e"] = df.s + rng.integers(1, 60, n).astype("int64")
+    want = duckdb.connect().execute(
+        """
+WITH d AS (SELECT k, s AS t, 1 AS delta FROM df
+           UNION ALL SELECT k, e, -1 FROM df),
+c AS (SELECT k, SUM(delta) OVER (PARTITION BY k ORDER BY t, delta
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d)
+SELECT k, CAST(MAX(run) AS BIGINT) AS peak FROM c GROUP BY k ORDER BY k
+"""
+    ).df()
+    for P, blocks in ((4, 1), (16, 5)):
+        got = _conc(df, "k", P=P, blocks=blocks)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_concurrency_composite_key_and_timestamps(ray_session):
+    df = pd.DataFrame(
+        {"t1": ["x", "x", "y"], "t2": [1, 1, 2],
+         "s": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:30",
+                              "2024-01-01 01:00:00"]),
+         "e": pd.to_datetime(["2024-01-01 00:01:00", "2024-01-01 00:00:45",
+                              "2024-01-01 01:05:00"])}
+    )
+    out = _conc(df, ["t1", "t2"])
+    assert out.values.tolist() == [["x", 1, 2], ["y", 2, 1]]
