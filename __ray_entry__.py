@@ -334,6 +334,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "user_id", "value"]
         ]
 
+    def events_cube(sf_dir):
+        # GROUP BY CUBE in one distributed pass: per-batch replication
+        # per grouping set + gid column -> ONE map-side-combined
+        # grouped_agg; SQL GROUPING() bitmask disambiguates rolled-up
+        # NULL from data NULL. Exact int64 micros sums.
+        import numpy as np
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.agg import cube
+
+        ds = R.read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            day = (
+                t.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]").astype(str)
+            )
+            v = t.column("value").to_numpy(zero_copy_only=False) * 1_000_000.0
+            vmic = np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+            return pa.table(
+                {"event_type": t.column("event_type"),
+                 "day": pa.array(day, pa.string()), "vmic": pa.array(vmic)}
+            )
+
+        out = cube(
+            ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+            ["event_type", "day"],
+            {"n_events": ("count", None), "vmic": ("sum", "vmic")},
+            num_partitions=16,
+        ).to_pandas()
+        out["sum_value"] = out.pop("vmic") / 1_000_000.0
+        out["n_events"] = out["n_events"].astype("int64")
+        return (
+            out.sort_values(["grouping_id", "event_type", "day"], na_position="last")
+            .reset_index(drop=True)
+            [["event_type", "day", "grouping_id", "n_events", "sum_value"]]
+        )
+
     def events_peak_concurrency(sf_dir):
         # sweep-line max-overlap: deterministic durations derived from
         # event_id, half-open [start, end) semantics, peak per type
@@ -2298,6 +2336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_clustered_scan": events_clustered_scan,
         "store_bloom_lookup": store_bloom_lookup,
         "events_peak_concurrency": events_peak_concurrency,
+        "events_cube": events_cube,
         "events_clustered_append": events_clustered_append,
         "incremental_user_stats": incremental_user_stats,
         "composite_join_lines": composite_join_lines,
@@ -2606,6 +2645,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d) "
             "SELECT event_type, CAST(MAX(run) AS BIGINT) AS peak FROM c "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        # one-pass CUBE; micros-exact sums, GROUPING() bitmask ids
+        "events_cube": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS grouping_id, "
+            "COUNT(*) AS n_events, "
+            "SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6 AS sum_value "
+            "FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d')) "
+            "ORDER BY grouping_id, event_type NULLS LAST, day NULLS LAST"
         ),
         # general window operator vs SQL OVER frames (micros-exact)
         "events_window_funcs": (

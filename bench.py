@@ -289,6 +289,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "parts_skyline",
         "store_bloom_lookup",
         "events_peak_concurrency",
+        "events_cube",
     ]
     times: dict[str, float] = {}
     for name in names:

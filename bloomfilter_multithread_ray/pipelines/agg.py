@@ -63,6 +63,48 @@ def _partition_of_keys(t: pa.Table, keys: list[str], P: int) -> np.ndarray:
     return (h % np.uint64(P)).astype(np.int32)
 
 
+def _group_by_nullsafe(t: pa.Table, keys: list[str], agg_list) -> pa.Table:
+    """``t.group_by(keys).aggregate(agg_list)`` with CORRECT null-key
+    grouping.
+
+    pyarrow's multi-key hash grouper (observed through 16.1.0)
+    FRAGMENTS groups whose key tuple contains a null — the same
+    (None, b) tuple comes back as several output rows with partial
+    counts, nondeterministically by input layout (measured: 22 groups
+    where 6 exist on a 200-row alternating pattern; single-key
+    grouping is unaffected). SQL GROUP BY requires one group per
+    distinct tuple with nulls equal. Workaround: for every key column
+    that actually has nulls, group on (fill_null(col), is_null(col))
+    instead — the validity companion makes a genuine fill-value row
+    and a null row DIFFERENT tuples, so no collision is possible —
+    then restore nulls afterwards. Zero cost when no key has nulls.
+    """
+    nullable = [k for k in keys if t.column(k).null_count > 0]
+    if len(keys) <= 1 or not nullable:
+        return t.group_by(keys).aggregate(agg_list)
+    nv_names = []
+    for k in nullable:
+        col = t.column(k)
+        nv = f"__nv_{k}"
+        nv_names.append(nv)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            fill = pa.scalar("", col.type)
+        elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            fill = pa.scalar(b"", col.type)
+        else:
+            fill = pa.scalar(0, col.type)
+        t = t.set_column(
+            t.schema.get_field_index(k), k, pc.fill_null(col, fill)
+        ).append_column(nv, pc.is_null(col))
+    res = t.group_by(keys + nv_names).aggregate(agg_list)
+    for k, nv in zip(nullable, nv_names):
+        col = pc.if_else(
+            res.column(nv), pa.nulls(res.num_rows, res.column(k).type), res.column(k)
+        )
+        res = res.set_column(res.schema.get_field_index(k), k, col)
+    return res.drop_columns(nv_names)
+
+
 def grouped_agg(
     ds: "Dataset",
     keys: str | list[str],
@@ -124,7 +166,7 @@ def grouped_agg(
         Selects by the names pyarrow actually emits (``{col}_{func}`` /
         ``count_all``) rather than relying on keys-first column order,
         which is pyarrow-version-dependent."""
-        res = t.group_by(keys).aggregate(agg_list)
+        res = _group_by_nullsafe(t, keys, agg_list)
         emitted = [
             ("count_all" if c in ([], None) else f"{c}_{f}") for c, f in agg_list
         ]
@@ -187,3 +229,87 @@ def grouped_agg(
         .groupby("__gp")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def grouping_sets(
+    ds: "Dataset",
+    sets: "list[list[str] | tuple[str, ...]]",
+    aggs: dict[str, tuple[str, str | None]],
+    *,
+    num_partitions: int = 32,
+) -> "Dataset":
+    """SQL ``GROUP BY GROUPING SETS`` in ONE distributed pass →
+    columns = union of the sets' keys + ``grouping_id`` + ``aggs``.
+
+    Each batch replicates once per grouping set with the set's absent
+    key columns nulled and a ``grouping_id`` bitmask column (SQL
+    ``GROUPING(k1, …, kn)`` convention: bit ``2^(n-1-i)`` set when
+    union key *i* is AGGREGATED AWAY in that row's set — first key =
+    most significant), then the whole union rides ONE map-side-combined
+    ``grouped_agg`` keyed on ``[*union_keys, grouping_id]``. The gid
+    disambiguates rolled-up NULL from a genuine NULL key value exactly
+    as SQL's GROUPING() does, so data nulls keep SQL GROUP BY
+    semantics per level.
+
+    Replication factor = len(sets) (CUBE on n keys = 2^n) — paid
+    before the map-side combine, so the shuffle still moves O(groups)
+    partials per block, not raw rows.
+    """
+    sets = [list(s) for s in sets]
+    if not sets:
+        raise ValueError("grouping_sets needs at least one set")
+    union_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in union_keys:
+                union_keys.append(k)
+        if len(set(s)) != len(s):
+            raise ValueError(f"duplicate key in grouping set {s}")
+    n = len(union_keys)
+    if "grouping_id" in union_keys:
+        raise ValueError("'grouping_id' collides with a grouping key")
+    gids = [
+        sum((1 << (n - 1 - i)) for i, k in enumerate(union_keys) if k not in s)
+        for s in sets
+    ]
+    if len(set(gids)) != len(gids):
+        raise ValueError("duplicate grouping sets")
+    agg_cols = [c for (_k, c) in aggs.values() if c is not None]
+
+    def replicate(t: pa.Table) -> pa.Table:
+        reps = []
+        for s, gid in zip(sets, gids):
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for k in union_keys:
+                col = t.column(k)
+                cols[k] = col if k in s else pa.nulls(t.num_rows, col.type)
+            cols["grouping_id"] = pa.array(
+                np.full(t.num_rows, gid, dtype=np.int64)
+            )
+            for c in agg_cols:
+                if c not in cols:
+                    cols[c] = t.column(c)
+            reps.append(pa.table(cols))
+        return pa.concat_tables(reps)
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(
+        rep, [*union_keys, "grouping_id"], aggs, num_partitions=num_partitions
+    )
+
+
+def cube(ds, keys, aggs, *, num_partitions: int = 32):
+    """``GROUP BY CUBE(keys)``: all 2^n grouping sets, one pass."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sets = [
+        [k for i, k in enumerate(keys) if mask & (1 << i)]
+        for mask in range(1 << len(keys))
+    ]
+    return grouping_sets(ds, sets, aggs, num_partitions=num_partitions)
+
+
+def rollup(ds, keys, aggs, *, num_partitions: int = 32):
+    """``GROUP BY ROLLUP(keys)``: the n+1 prefix sets, one pass."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets(ds, sets, aggs, num_partitions=num_partitions)

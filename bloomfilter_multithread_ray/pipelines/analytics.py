@@ -2144,7 +2144,8 @@ def resample_fill(
                 f = _PFUNC[func]
                 agg_list.append((name, f))
                 emitted.append(f"{name}_{f}")
-        res = t.group_by(by + ["__rb"]).aggregate(agg_list)
+        from .agg import _group_by_nullsafe
+        res = _group_by_nullsafe(t, by + ["__rb"], agg_list)
         cols = {c: res.column(c) for c in by + ["__rb"]}
         for e, p in zip(emitted, pcols):
             cols[p] = res.column(e)

@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .agg import _partition_of_keys
+from .agg import _group_by_nullsafe, _partition_of_keys
 
 if TYPE_CHECKING:
     from ray.data import Dataset
@@ -87,7 +87,7 @@ def _combine(t: pa.Table, keys: list[str], state, P: int) -> pa.Table:
             emitted_of[name] = f"__in_{name}_{fn}"
     if any(e == "count_all" for e in emitted_of.values()):
         agg_list.append(([], "count_all"))
-    res = pa.table(proj).group_by(keys).aggregate(agg_list)
+    res = _group_by_nullsafe(pa.table(proj), keys, agg_list)
     # reference by emitted names (keys-first order is version-dependent)
     want = set(keys) | set(emitted_of.values())
     if not want <= set(res.column_names):
@@ -103,7 +103,7 @@ def _combine(t: pa.Table, keys: list[str], state, P: int) -> pa.Table:
 def _merge_states(t: pa.Table, keys: list[str], state) -> pa.Table:
     agg_list = [(name, "min" if fn == "min" else ("max" if fn == "max" else "sum"))
                 for name, fn, _c in state]
-    res = t.select(keys + [s[0] for s in state]).group_by(keys).aggregate(agg_list)
+    res = _group_by_nullsafe(t.select(keys + [s[0] for s in state]), keys, agg_list)
     emitted = [f"{name}_{fn}" for (name, fn) in
                [(a, b) for a, b in agg_list]]
     want = keys + emitted

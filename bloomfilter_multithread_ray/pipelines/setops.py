@@ -23,7 +23,7 @@ from typing import TYPE_CHECKING
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .agg import _partition_of_keys
+from .agg import _group_by_nullsafe, _partition_of_keys
 
 if TYPE_CHECKING:
     from ray.data import Dataset
@@ -34,7 +34,7 @@ _PART = "__so_p"
 
 def _prepared(ds: "Dataset", columns: list[str], side: int, P: int) -> "Dataset":
     def prep(t: pa.Table) -> pa.Table:
-        d = t.select(columns).group_by(columns).aggregate([])
+        d = _group_by_nullsafe(t.select(columns), columns, [])
         d = d.select(columns)  # group_by may reorder; pin the contract order
         d = d.append_column(_SIDE, pa.array([side] * len(d), pa.int8()))
         return d.append_column(_PART, pa.array(_partition_of_keys(d, columns, P)))
@@ -69,10 +69,8 @@ def set_op(
     both = _prepared(left, cols, 1, P).union(_prepared(right, cols, 2, P))
 
     def kernel(g: pa.Table) -> pa.Table:
-        res = (
-            g.drop_columns([_PART])
-            .group_by(cols)
-            .aggregate([(_SIDE, "min"), (_SIDE, "max")])
+        res = _group_by_nullsafe(
+            g.drop_columns([_PART]), cols, [(_SIDE, "min"), (_SIDE, "max")]
         )
         has_l = pc.equal(res.column(f"{_SIDE}_min"), pa.scalar(1, pa.int8()))
         has_r = pc.equal(res.column(f"{_SIDE}_max"), pa.scalar(2, pa.int8()))

@@ -5,6 +5,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+import ray.data
+
 
 def _ds(ray, table: pa.Table, parallelism=3):
     import ray.data as rd
@@ -196,3 +198,142 @@ def test_grouped_corr_matches_duckdb_with_nulls_and_degenerates(ray_session):
     again = grouped_corr(ray.data.from_arrow(t).repartition(2), "grp", "x", "y",
                          num_partitions=11, round_dp=6)
     assert again.reset_index(drop=True).equals(got2)
+
+
+# ---- null-key grouping correctness (pyarrow multi-key grouper bug) ----
+
+def test_group_by_nullsafe_fixes_pyarrow_fragmentation():
+    """pyarrow's multi-key grouper (observed through 16.1.0) fragments
+    null-key groups nondeterministically; the nullsafe wrapper must
+    return exactly one row per distinct tuple (nulls equal)."""
+    import pyarrow as pa
+
+    from bloomfilter_multithread_ray.pipelines.agg import _group_by_nullsafe
+
+    rng = np.random.default_rng(0)
+    vals = list(rng.choice(["x", "y", None], 500))
+    b = rng.integers(0, 3, 500)
+    t = pa.table({"a": pa.array(vals, pa.string()),
+                  "b": pa.array(b, type=pa.int64())})
+    raw = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+    fixed = _group_by_nullsafe(t, ["a", "b"], [([], "count_all")])
+    assert fixed.num_rows == 9  # 3 a-values (incl. null) x 3 b-values
+    assert raw.num_rows >= fixed.num_rows  # documents why the wrapper exists
+    df = fixed.to_pandas()
+    nulls = df[df.a.isna()].sort_values("b")
+    # counts must be complete, not fragments
+    want = pd.Series(vals).isna().sum()
+    assert nulls.count_all.sum() == want
+    # genuine "" must NOT merge with null (validity companion distinguishes)
+    t2 = pa.table({"a": pa.array(["", None, "", None], pa.string()),
+                   "b": pa.array([1, 1, 1, 1], pa.int64())})
+    f2 = _group_by_nullsafe(t2, ["a", "b"], [([], "count_all")]).to_pandas()
+    assert len(f2) == 2 and sorted(f2.count_all) == [2, 2]
+
+
+def test_grouped_agg_null_keys_match_duckdb(ray_session):
+    import duckdb
+
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {"a": rng.choice(["x", "y", None], 800),
+         "b": rng.choice([0, 1, 2, None], 800),
+         "v": rng.integers(0, 50, 800).astype("int64")}
+    )
+    want = duckdb.connect().execute(
+        "SELECT a, b, COUNT(*) AS n, SUM(v) AS sv FROM df "
+        "GROUP BY a, b ORDER BY a NULLS LAST, b NULLS LAST"
+    ).df()
+    for P, blocks in ((4, 2), (16, 5)):
+        got = (
+            grouped_agg(
+                ray.data.from_pandas(df).repartition(blocks),
+                ["a", "b"],
+                {"n": ("count", None), "sv": ("sum", "v")},
+                num_partitions=P,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert list(got.n) == list(want.n.astype("int64"))
+        assert list(got.sv) == list(want.sv.astype("int64"))
+
+
+# ---- grouping_sets / cube / rollup ----
+
+def test_cube_matches_duckdb_with_data_nulls(ray_session):
+    import duckdb
+
+    from bloomfilter_multithread_ray.pipelines.agg import cube
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {"a": rng.choice(["x", "y", None], 500),
+         "b": rng.integers(0, 3, 500).astype("int64"),
+         "v": rng.integers(0, 100, 500).astype("int64")}
+    )
+    want = duckdb.connect().execute(
+        "SELECT a, b, GROUPING(a, b) AS grouping_id, COUNT(*) AS n, SUM(v) AS sv "
+        "FROM df GROUP BY CUBE (a, b) "
+        "ORDER BY GROUPING(a, b), a NULLS LAST, b NULLS LAST"
+    ).df()
+    for P, blocks in ((4, 1), (8, 3)):
+        got = (
+            cube(
+                ray.data.from_pandas(df).repartition(blocks),
+                ["a", "b"],
+                {"n": ("count", None), "sv": ("sum", "v")},
+                num_partitions=P,
+            )
+            .to_pandas()
+            .sort_values(["grouping_id", "a", "b"], na_position="last")
+            .reset_index(drop=True)
+        )
+        g = got.astype({"b": "float64", "n": "int64", "sv": "int64",
+                        "grouping_id": "int64"})[want.columns.tolist()]
+        w = want.astype({"b": "float64", "n": "int64", "sv": "int64",
+                         "grouping_id": "int64"})
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_rollup_matches_duckdb(ray_session):
+    import duckdb
+
+    from bloomfilter_multithread_ray.pipelines.agg import rollup
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {"a": rng.choice(["p", "q"], 300),
+         "b": rng.integers(0, 4, 300).astype("int64"),
+         "v": rng.integers(0, 9, 300).astype("int64")}
+    )
+    want = duckdb.connect().execute(
+        "SELECT a, b, GROUPING(a, b) AS grouping_id, SUM(v) AS sv "
+        "FROM df GROUP BY ROLLUP (a, b) "
+        "ORDER BY GROUPING(a, b), a NULLS LAST, b NULLS LAST"
+    ).df()
+    got = (
+        rollup(ray.data.from_pandas(df).repartition(2), ["a", "b"],
+               {"sv": ("sum", "v")}, num_partitions=8)
+        .to_pandas()
+        .sort_values(["grouping_id", "a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert list(got.grouping_id) == list(want.grouping_id.astype("int64"))
+    assert list(got.sv) == list(want.sv.astype("int64"))
+
+
+def test_grouping_sets_validation(ray_session):
+    from bloomfilter_multithread_ray.pipelines.agg import grouping_sets
+
+    ds = ray.data.from_items([{"a": 1, "v": 2}])
+    with pytest.raises(ValueError, match="at least one"):
+        grouping_sets(ds, [], {"n": ("count", None)})
+    with pytest.raises(ValueError, match="duplicate key"):
+        grouping_sets(ds, [["a", "a"]], {"n": ("count", None)})
+    with pytest.raises(ValueError, match="duplicate grouping sets"):
+        grouping_sets(ds, [["a"], ["a"]], {"n": ("count", None)})

@@ -228,3 +228,44 @@ def test_set_ops_column_subset_and_validation(ray_session):
         set_op(l, r, "except")  # default columns include 'junk'
     with pytest.raises(ValueError, match="op must be"):
         set_op(l, r, "union", columns=["a"])
+
+
+def test_set_ops_null_components_compare_equal_at_scale(ray_session):
+    """Regression: pyarrow's multi-key grouper fragments null-key
+    tuples, which could split a tuple's sides across fragments and
+    flip an EXCEPT/INTERSECT decision. 600 rows with null components
+    on both sides must behave exactly like DuckDB (nulls equal)."""
+    import duckdb
+    import pandas as pd
+    import numpy as np
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.setops import set_op
+
+    rng = np.random.default_rng(6)
+    mk = lambda n, seed, avals, bvals: pd.DataFrame(
+        {"a": np.random.default_rng(seed).choice(avals, n),
+         "b": np.random.default_rng(seed + 1).choice(bvals, n)}
+    )
+    # right covers a strict subset of tuples -> EXCEPT is non-empty
+    L = mk(600, 1, ["u", "v", None], [1, 2, None])
+    Rt = mk(600, 7, ["u", None], [1, None])
+    con = duckdb.connect()
+    for op, sql in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        want = con.execute(
+            f"SELECT a, b FROM L {sql} SELECT a, b FROM Rt "
+            "ORDER BY a NULLS LAST, b NULLS LAST"
+        ).df()
+        got = (
+            set_op(ray.data.from_pandas(L).repartition(3),
+                   ray.data.from_pandas(Rt).repartition(2), op,
+                   num_partitions=8)
+            .to_pandas()
+            .sort_values(["a", "b"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), (op, len(got), len(want))
+        pd.testing.assert_frame_equal(
+            got.astype({"b": "float64"}), want.astype({"b": "float64"}),
+            check_dtype=False,
+        )
