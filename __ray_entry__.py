@@ -372,6 +372,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [["event_type", "day", "grouping_id", "n_events", "sum_value"]]
         )
 
+    def store_compact_scan(sf_dir):
+        # offline compaction drill: 32-range clustered write -> compact
+        # to ~4x fewer ranges -> the SAME bounded scan + aggregate as
+        # events_clustered_scan; compaction must be invisible to readers
+        # (same oracle SQL), while the manifest shrinks.
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines import table_store as TS
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+        ev = R.read(sf_dir, "events", ["event_id", "ts", "value"])
+        out_dir = tempfile.mkdtemp(prefix="graft_compact_", dir="/tmp")
+        try:
+            man = TS.write_clustered(ev, out_dir, "ts", num_ranges=32)
+            total = int(man.n_rows.sum())
+            TS.compact_clustered(out_dir, target_rows=max(1, total // 8))
+            scan = TS.read_clustered(out_dir, lo="2024-01-08", hi="2024-01-15")
+
+            def derive(t: pa.Table) -> pa.Table:
+                ts = (
+                    t.column("ts").combine_chunks().cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                    .view(np.int64)
+                )
+                day = (ts // 86_400_000_000) * 86_400_000_000
+                v = np.rint(
+                    t.column("value").to_numpy(zero_copy_only=False) * 1e6
+                ).astype(np.int64)
+                return pa.table({"day_us": pa.array(day), "v_u6": pa.array(v)})
+
+            agg = grouped_agg(
+                scan.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+                "day_us",
+                {"n_events": ("count", None), "value_sum_micros": ("sum", "v_u6")},
+                num_partitions=8,
+            )
+            df = pd.DataFrame(agg.take_all())
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["value_sum_micros"] = df["value_sum_micros"].astype(np.int64)
+        return df.sort_values("day_us").reset_index(drop=True)[
+            ["day_us", "n_events", "value_sum_micros"]
+        ]
+
     def events_peak_concurrency(sf_dir):
         # sweep-line max-overlap: deterministic durations derived from
         # event_id, half-open [start, end) semantics, peak per type
@@ -2337,6 +2387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_bloom_lookup": store_bloom_lookup,
         "events_peak_concurrency": events_peak_concurrency,
         "events_cube": events_cube,
+        "store_compact_scan": store_compact_scan,
         "events_clustered_append": events_clustered_append,
         "incremental_user_stats": incremental_user_stats,
         "composite_join_lines": composite_join_lines,
@@ -2632,6 +2683,16 @@ def oracle_sql() -> dict[str, str]:
         "store_bloom_lookup": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_id IN (3, 411, 777, 905, 998) ORDER BY event_id"
+        ),
+        # compaction invisible to readers: same SQL as clustered_scan
+        "store_compact_scan": (
+            "SELECT (CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)) "
+            "* 86400000000 AS day_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) "
+            "AS value_sum_micros "
+            "FROM events WHERE ts BETWEEN '2024-01-08' AND '2024-01-15' "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # sweep-line peak overlap; ends before starts at equal t (the
         # half-open rule) via ORDER BY t, delta; the peak is invariant

@@ -290,6 +290,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "store_bloom_lookup",
         "events_peak_concurrency",
         "events_cube",
+        "store_compact_scan",
     ]
     times: dict[str, float] = {}
     for name in names:

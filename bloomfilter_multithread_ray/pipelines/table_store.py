@@ -862,3 +862,152 @@ def bloom_pruned_lookup(
         return t.filter(pa.compute.fill_null(keep, False))
 
     return ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True), stats
+
+
+def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
+    """OFFLINE small-range compaction: greedily merge ADJACENT ranges
+    while the union stays ≤ ``target_rows``, renumber rids densely,
+    and rewrite the manifest — the maintenance pass a long-lived store
+    needs once many incremental ``append_clustered`` runs have left a
+    tail of small ranges (each range is one file AND one pruning/
+    resume unit; thousands of tiny ranges cost open-per-file latency
+    and manifest bloat at 100 TB).
+
+    Merged zone maps fold from the members' recorded vmin/vmax (no
+    re-read); every ``_bloom_index_*`` sidecar is folded too — Bloom
+    union is lossless, so lookups keep zero false negatives without
+    rebuilding. Group rewrites run as independent Ray tasks; each new
+    range publishes atomically (tmp + rename), the manifest replaces
+    LAST. NOT safe under concurrent readers (rids renumber in place);
+    run it like any offline table-maintenance job. Returns the new
+    manifest frame {rid, n_rows, vmin, vmax, merged_from}.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    man = read_manifest(path)
+    col, kind = man["cluster_col"], man["kind"]
+    ranges = sorted(man["ranges"], key=lambda r: r["rid"])
+    if not ranges:
+        raise ValueError(f"empty store at {path}")
+    # greedy adjacent grouping under the row budget
+    groups: list[list[dict]] = []
+    for r in ranges:
+        if groups and sum(g["n_rows"] for g in groups[-1]) + r["n_rows"] <= target_rows:
+            groups[-1].append(r)
+        else:
+            groups.append([r])
+    splits = man["splits"]
+    # boundary between new group g and g+1 = the original split between
+    # the last member of g and the first member of g+1 (split i sits
+    # between rid i and rid i+1)
+    new_splits = [splits[g[-1]["rid"]] for g in groups[:-1]]
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        out = {"new_rid": [], "n_rows": []}
+        for gi in batch.column("gi").to_pylist():
+            members = groups[gi]
+            rids = [m["rid"] for m in members]
+            d = os.path.join(path, f"rid={rids[0]}")
+            if len(members) > 1:
+                t = pa.concat_tables(
+                    [pq.read_table(os.path.join(path, f"rid={r}", "part.parquet"))
+                     for r in rids]
+                ).sort_by([(col, "ascending")])
+            else:
+                t = None  # single member: just (maybe) rename the dir
+            nd = os.path.join(path, f"rid={gi}.compact")
+            os.makedirs(nd, exist_ok=True)
+            fp = os.path.join(nd, "part.parquet")
+            if t is not None:
+                tmp = fp + ".tmp"
+                pq.write_table(t, tmp)
+                os.replace(tmp, fp)
+                nr = t.num_rows
+            else:
+                os.replace(os.path.join(d, "part.parquet"), fp)
+                nr = members[0]["n_rows"]
+            out["new_rid"].append(gi)
+            out["n_rows"].append(nr)
+        return pa.table({"new_rid": pa.array(out["new_rid"], pa.int64()),
+                         "n_rows": pa.array(out["n_rows"], pa.int64())})
+
+    rep = (
+        ray.data.from_items([{"gi": i} for i in range(len(groups))])
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+        .sort_values("new_rid")
+        .reset_index(drop=True)
+    )
+
+    # fold sidecars BEFORE removing old dirs (pure sketch merges)
+    sidecars = [
+        f for f in os.listdir(path)
+        if f.startswith("_bloom_index_") and f.endswith(".parquet")
+    ]
+    folded: dict[str, pa.Table] = {}
+    for sc in sidecars:
+        from ..state.base import deserialize_sketch
+
+        side = pq.read_table(os.path.join(path, sc))
+        by_rid = {int(r): i for i, r in enumerate(side.column("rid").to_pylist())}
+        rows = {"rid": [], "sketch": [], "n_keys": [], "fill_ratio": [], "has_null": []}
+        for gi, members in enumerate(groups):
+            bf = None
+            nk, hn = 0, False
+            for m in members:
+                i = by_rid[m["rid"]]
+                s = deserialize_sketch(side.column("sketch")[i].as_py())
+                bf = s if bf is None else bf.merge(s)
+                nk += int(side.column("n_keys")[i].as_py())
+                hn = hn or bool(side.column("has_null")[i].as_py())
+            rows["rid"].append(gi)
+            rows["sketch"].append(bf.serialize())
+            rows["n_keys"].append(nk)
+            rows["fill_ratio"].append(float(bf.fill_ratio()))
+            rows["has_null"].append(hn)
+        folded[sc] = pa.table(
+            {"rid": pa.array(rows["rid"], pa.int64()),
+             "sketch": pa.array(rows["sketch"], pa.binary()),
+             "n_keys": pa.array(rows["n_keys"], pa.int64()),
+             "fill_ratio": pa.array(rows["fill_ratio"], pa.float64()),
+             "has_null": pa.array(rows["has_null"], pa.bool_())}
+        )
+
+    # swap: drop old rid dirs, promote .compact dirs, manifest last
+    import shutil
+
+    for r in ranges:
+        shutil.rmtree(os.path.join(path, f"rid={r['rid']}"), ignore_errors=True)
+    for gi in range(len(groups)):
+        os.replace(os.path.join(path, f"rid={gi}.compact"),
+                   os.path.join(path, f"rid={gi}"))
+    for sc, tbl in folded.items():
+        tmp = os.path.join(path, sc + ".tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(path, sc))
+
+    conv = float if kind == "float" else int
+    new_ranges = []
+    merged_from = []
+    for gi, members in enumerate(groups):
+        vmins = [m["vmin"] for m in members if m["vmin"] is not None]
+        vmaxs = [m["vmax"] for m in members if m["vmax"] is not None]
+        new_ranges.append(
+            {"rid": gi, "n_rows": int(rep.n_rows[gi]),
+             "vmin": conv(min(vmins)) if vmins else None,
+             "vmax": conv(max(vmaxs)) if vmaxs else None}
+        )
+        merged_from.append(len(members))
+    man["ranges"] = new_ranges
+    man["splits"] = new_splits
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    out = pd.DataFrame(new_ranges)
+    out["merged_from"] = merged_from
+    return out

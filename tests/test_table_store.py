@@ -392,3 +392,55 @@ def test_bloom_index_validation_and_nulls(ray_session, tmp_store):
         TS.build_bloom_index(tmp_store, "v2") if False else TS._key_hash_array(
             __import__("pyarrow").array([1.5, 2.5])
         )
+
+
+# ---- offline compaction ----
+
+def test_compact_scan_equality_and_sidecar_fold(ray_session, tmp_store):
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {"k": rng.permutation(12000).astype("int64"),
+         "eid": rng.permutation(12000).astype("int64"),
+         "v": rng.integers(0, 100, 12000).astype("int64")}
+    )
+    TS.write_clustered(ray.data.from_pandas(df).repartition(6), tmp_store, "k", num_ranges=24)
+    TS.build_bloom_index(tmp_store, "eid", num_bits=1 << 15)
+    before_b = TS.read_clustered(tmp_store, lo=2000, hi=7000).to_pandas()
+    rep = TS.compact_clustered(tmp_store, target_rows=2500)
+    assert len(rep) < 24 and rep.merged_from.sum() == 24
+    assert list(rep.rid) == list(range(len(rep)))  # dense renumbering
+    after_b = TS.read_clustered(tmp_store, lo=2000, hi=7000).to_pandas()
+    key = lambda x: x.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(before_b), key(after_b))
+    assert len(TS.read_clustered(tmp_store).to_pandas()) == 12000
+    # bloom sidecar folded: zero FN on keys from formerly-distinct ranges
+    ds, stats = TS.bloom_pruned_lookup(tmp_store, "eid", [0, 6000, 11999])
+    assert sorted(ds.to_pandas().eid) == [0, 6000, 11999]
+    assert stats["ranges_total"] == len(rep)
+    # zone maps stay consistent with the new splits
+    man = TS.read_manifest(tmp_store)
+    assert len(man["splits"]) == len(rep) - 1
+    for r in man["ranges"]:
+        assert r["n_rows"] == int(rep.n_rows[r["rid"]])
+
+
+def test_compact_noop_when_target_small(ray_session, tmp_store):
+    df = _df(3000, seed=5)
+    TS.write_clustered(ray.data.from_pandas(df).repartition(4), tmp_store, "k", num_ranges=8)
+    before = TS.read_clustered(tmp_store, lo=100, hi=900).to_pandas()
+    rep = TS.compact_clustered(tmp_store, target_rows=1)  # nothing can merge
+    assert (rep.merged_from == 1).all()
+    after = TS.read_clustered(tmp_store, lo=100, hi=900).to_pandas()
+    key = lambda x: x.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(before), key(after))
+
+
+def test_compact_preserves_null_cluster_rows(ray_session, tmp_store):
+    df = _df(2000, seed=9)
+    df.loc[:9, "k"] = pd.NA
+    df["k"] = df["k"].astype("Int64")
+    TS.write_clustered(ray.data.from_pandas(df).repartition(3), tmp_store, "k", num_ranges=8)
+    assert len(TS.read_clustered(tmp_store).to_pandas()) == 2000
+    TS.compact_clustered(tmp_store, target_rows=600)
+    full = TS.read_clustered(tmp_store).to_pandas()
+    assert len(full) == 2000 and full.k.isna().sum() == 10
