@@ -422,6 +422,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["day_us", "n_events", "value_sum_micros"]
         ]
 
+    def parts_fuzzy_names(sf_dir):
+        # edit-distance similarity join (SymSpell depth-2 deletion
+        # blocking + banded pair-vectorized DP): all part-id pairs with
+        # levenshtein(p_name) <= 2 and the exact distance.
+        from bloomfilter_multithread_ray.pipelines.fuzzy import (
+            edit_distance_pairs,
+        )
+
+        part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
+        return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
+
     def events_peak_concurrency(sf_dir):
         # sweep-line max-overlap: deterministic durations derived from
         # event_id, half-open [start, end) semantics, peak per type
@@ -2386,6 +2397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_clustered_scan": events_clustered_scan,
         "store_bloom_lookup": store_bloom_lookup,
         "events_peak_concurrency": events_peak_concurrency,
+        "parts_fuzzy_names": parts_fuzzy_names,
         "events_cube": events_cube,
         "store_compact_scan": store_compact_scan,
         "events_clustered_append": events_clustered_append,
@@ -2693,6 +2705,13 @@ def oracle_sql() -> dict[str, str]:
             "AS value_sum_micros "
             "FROM events WHERE ts BETWEEN '2024-01-08' AND '2024-01-15' "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # exact-distance fuzzy join; DuckDB levenshtein is the oracle
+        "parts_fuzzy_names": (
+            "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+            "levenshtein(a.p_name, b.p_name) AS dist "
+            "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 2 ORDER BY id_a, id_b"
         ),
         # sweep-line peak overlap; ends before starts at equal t (the
         # half-open rule) via ORDER BY t, delta; the peak is invariant

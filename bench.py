@@ -291,6 +291,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_peak_concurrency",
         "events_cube",
         "store_compact_scan",
+        "parts_fuzzy_names",
     ]
     times: dict[str, float] = {}
     for name in names:

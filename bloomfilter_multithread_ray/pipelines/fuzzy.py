@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash_strings
 
@@ -343,3 +344,251 @@ def sorted_neighborhood_pairs(
         df[c] = df[c].astype(np.int64)
     del n_total
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------- general edit-distance (<= d) join
+def _codepoint_matrix(arr: np.ndarray, width: int) -> np.ndarray:
+    return arr.astype(f"U{width}").view(np.uint32).reshape(len(arr), width)
+
+
+def _edit_distances(a: np.ndarray, b: np.ndarray, d: int) -> np.ndarray:
+    """Exact Levenshtein distance per pair, clamped to d+1 past the
+    threshold. Banded DP (Ukkonen band 2d+1) vectorized ACROSS pairs:
+    the loops run over string positions × band offsets (O(maxlen·d)
+    numpy passes), never over pairs. For a given row i and band offset
+    k the b-column j = i+k−d is FIXED, so the substitution-cost column
+    compare is one full-array slice — no per-pair gathers in the hot
+    loop."""
+    n = len(a)
+    INF = d + 1
+    out = np.full(n, INF, dtype=np.int64)
+    if n == 0:
+        return out
+    a = a.astype(str)
+    b = b.astype(str)
+    la = np.char.str_len(a)
+    lb = np.char.str_len(b)
+    cand = np.abs(la - lb) <= d
+    if not cand.any():
+        return out
+    ai, bi = a[cand], b[cand]
+    lai, lbi = la[cand], lb[cand]
+    m = len(ai)
+    W = max(int(lai.max()), int(lbi.max()), 1)
+    A = _codepoint_matrix(ai, W)
+    B = _codepoint_matrix(bi, W)
+    width = 2 * d + 1
+    ans = np.full(m, INF, dtype=np.int64)
+    kans = lbi - lai + d  # band offset of each pair's answer cell
+    dp = np.full((width, m), INF, dtype=np.int64)
+    for k in range(d, width):  # row 0: dp[0][j] = j
+        j = k - d
+        dp[k] = np.minimum(j, np.where(j <= lbi, j, INF))
+    sel0 = lai == 0
+    if sel0.any():
+        ans[sel0] = np.minimum(lbi[sel0], INF)
+    for i in range(1, int(lai.max()) + 1):
+        ndp = np.full((width, m), INF, dtype=np.int64)
+        for k in range(width):
+            j = i + k - d
+            if j < 0:
+                continue
+            best = np.full(m, INF, dtype=np.int64)
+            if k + 1 < width:
+                best = np.minimum(best, dp[k + 1] + 1)  # delete a[i-1]
+            if k > 0:
+                best = np.minimum(best, ndp[k - 1] + 1)  # insert b[j-1]
+            if j == 0:
+                best = np.minimum(best, i)  # left edge: i deletions
+            elif j - 1 < B.shape[1]:  # past B's width every pair has j > lbi
+                cost = (A[:, i - 1] != B[:, j - 1]).astype(np.int64)
+                best = np.minimum(best, dp[k] + cost)  # substitute/match
+            invalid = (j > lbi) | (i > lai)
+            best[invalid] = INF
+            ndp[k] = np.minimum(best, INF)
+        dp = ndp
+        fin = lai == i
+        if fin.any():
+            ans[fin] = dp[kans[fin], np.flatnonzero(fin)]
+    out[np.flatnonzero(cand)] = ans
+    return out
+
+
+def _deletion_variants_d(
+    tok: np.ndarray, d: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(variant hash, token index) for ALL deletion variants of depth
+    ≤ d (SymSpell neighborhood: ed(a,b) ≤ d ⇒ the two neighborhoods
+    intersect). Vectorized by deletion-position tuple: O(maxlen^d)
+    passes, each a column-drop over the codepoint matrix."""
+    toks = tok.astype(str)
+    lens = np.char.str_len(toks)
+    hv = [hash_strings(pa.array(toks, pa.string()))]
+    ti = [np.arange(len(toks), dtype=np.int64)]
+    w = int(lens.max()) if len(lens) else 0
+
+    def emit(drop: tuple[int, ...]) -> None:
+        has = lens > max(drop)
+        if not has.any():
+            return
+        keep_cols = [c for c in range(w) if c not in drop]
+        M = _codepoint_matrix(toks[has], w)
+        pad = np.zeros((int(has.sum()), len(drop)), dtype=np.uint32)
+        Mp = np.concatenate([M[:, keep_cols], pad], axis=1)
+        variants = np.ascontiguousarray(Mp).view(f"U{w}").ravel()
+        hv.append(hash_strings(pa.array(variants, pa.string())))
+        ti.append(np.flatnonzero(has).astype(np.int64))
+
+    if w:
+        for p in range(w):
+            emit((p,))
+        if d >= 2:
+            for p in range(w):
+                for q in range(p + 1, w):
+                    emit((p, q))
+        if d >= 3:
+            raise ValueError("edit_distance_pairs supports max_dist <= 2")
+    return np.concatenate(hv), np.concatenate(ti)
+
+
+def edit_distance_pairs(
+    ds,
+    id_col: str,
+    str_col: str,
+    *,
+    max_dist: int = 2,
+    min_len: int = 1,
+    num_partitions: int = 32,
+    max_len: int = 64,
+) -> pd.DataFrame:
+    """Similarity JOIN on edit distance: all id pairs (id_a < id_b)
+    whose strings are within Levenshtein distance ``max_dist`` (0, 1 or
+    2), with the EXACT distance per pair → {id_a, id_b, dist}.
+
+    Scale shape (fuzzy_token_pairs generalized): only the DISTINCT
+    values travel — candidate generation is one value-keyed fixed-P
+    shuffle of the depth-≤d deletion neighborhood (SymSpell blocking:
+    never an all-pairs product), per-bucket candidates verify through
+    the banded pair-vectorized DP, a pair-keyed dedup collapses
+    multi-bucket hits, and id expansion is two broadcast-friendly
+    hash joins of the (tiny) verified value-pair list against the
+    (value → id) map plus within-value id pairs for duplicates
+    (dist 0). Strings longer than ``max_len`` are dropped with the
+    same honesty rule as the interval join's replication guard — the
+    d=2 neighborhood is O(len²) variants, so unbounded lengths belong
+    in a shingle-based join (ngram_jaccard), not this one.
+    """
+    if max_dist not in (0, 1, 2):
+        raise ValueError(f"max_dist must be 0, 1 or 2, got {max_dist}")
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    P = int(num_partitions)
+
+    def val_rows(t: pa.Table) -> pa.Table:
+        s = t.column(str_col)
+        if pa.types.is_null(s.type):
+            return pa.table({"val": pa.array([], pa.string()),
+                             "id": pa.array([], pa.int64())})
+        ids = pc.cast(t.column(id_col), pa.int64())
+        keep = pc.and_(
+            pc.invert(pc.is_null(s)),
+            pc.and_(
+                pc.greater_equal(pc.utf8_length(s), min_len),
+                pc.less_equal(pc.utf8_length(s), max_len),
+            ),
+        )
+        keep = pc.fill_null(keep, False)
+        return pa.table({"val": pc.cast(s, pa.string()).filter(keep),
+                         "id": ids.filter(keep)})
+
+    vals = ds.map_batches(val_rows, batch_format="pyarrow", zero_copy_batch=True)
+    vals = vals.materialize()  # reused: distinct + id expansion + dup pairs
+    distinct = grouped_agg(vals, "val", {"n": ("count", None)}, num_partitions=P)
+
+    def variant_rows(t: pa.Table) -> pa.Table:
+        v = t.column("val").to_numpy(zero_copy_only=False)
+        if len(v) == 0 or max_dist == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "vh": pa.array([], pa.uint64()),
+                             "val": pa.array([], pa.string())})
+        vh, ti = _deletion_variants_d(v, max_dist)
+        return pa.table(
+            {"part": pa.array((vh % np.uint64(P)).astype(np.int32)),
+             "vh": pa.array(vh),
+             "val": pa.array(v[ti], pa.string())}
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"vh": g.column("vh").to_numpy(zero_copy_only=False),
+             "val": g.column("val").to_pandas()}
+        ).drop_duplicates()
+        m = df.merge(df, on="vh")
+        m = m[m["val_x"] < m["val_y"]].drop_duplicates(["val_x", "val_y"])
+        empty = pa.table(
+            {"val_a": pa.array([], pa.string()),
+             "val_b": pa.array([], pa.string()),
+             "dist": pa.array([], pa.int64())}
+        )
+        if len(m) == 0:
+            return empty
+        a = m["val_x"].to_numpy(dtype=object)
+        b = m["val_y"].to_numpy(dtype=object)
+        dist = _edit_distances(a, b, max_dist)
+        ok = dist <= max_dist
+        return pa.table(
+            {"val_a": pa.array(a[ok], pa.string()),
+             "val_b": pa.array(b[ok], pa.string()),
+             "dist": pa.array(dist[ok])}
+        )
+
+    import ray.data  # noqa: F401  (Dataset ops below)
+
+    vpairs = (
+        distinct.map_batches(variant_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    vpairs = grouped_agg(  # multi-bucket dedup; dist identical per pair
+        vpairs, ["val_a", "val_b"], {"dist": ("min", "dist")}, num_partitions=8
+    )
+
+    # id expansion: value pair -> all (id_a, id_b) cross pairs
+    e1 = hash_join(vpairs, vals, on="val_a", right_on="val",
+                   how="inner", num_partitions=P, broadcast="auto", suffix="_l")
+    e2 = hash_join(e1, vals, on="val_b", right_on="val",
+                   how="inner", num_partitions=P, broadcast="auto", suffix="_r")
+
+    def orient(t: pa.Table) -> pa.Table:
+        ia = t.column("id").to_numpy(zero_copy_only=False)
+        ib = t.column("id_r").to_numpy(zero_copy_only=False)
+        dist = t.column("dist").to_numpy(zero_copy_only=False)
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "dist": pa.array(dist.astype(np.int64))})
+
+    cross = e2.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    # duplicates of the SAME value: within-group id pairs at dist 0
+    def dup_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("id").to_numpy(zero_copy_only=False))
+        k = len(ids)
+        if k < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(k, 1)
+        return pa.table({"id_a": pa.array(ids[iu]), "id_b": pa.array(ids[ju]),
+                         "dist": pa.array(np.zeros(len(iu), dtype=np.int64))})
+
+    dups = vals.groupby("val").map_groups(dup_pairs, batch_format="pyarrow")
+    out = cross.union(dups).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "dist": pd.Series(dtype=np.int64)}
+        )
+    out = out.astype({"id_a": np.int64, "id_b": np.int64, "dist": np.int64})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

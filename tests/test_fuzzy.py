@@ -1,6 +1,7 @@
 """Fuzzy token pairs: kernel properties and planted end-to-end cases."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 from hypothesis import given, settings
@@ -121,3 +122,101 @@ def test_sorted_neighborhood_pairs_matches_sql_window_join(ray_session):
                    "id": pa.array([1, 2], pa.int64())})
     empty = sorted_neighborhood_pairs(rd.from_arrow(tn), "k", "id")
     assert empty.empty and list(empty.columns) == ["id_a", "id_b", "gap"]
+
+
+# ---- general edit-distance join (max_dist <= 2) ----
+
+def _py_ed(a, b):
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[lb]
+
+
+def test_edit_distances_kernel_exact():
+    from bloomfilter_multithread_ray.pipelines.fuzzy import _edit_distances
+
+    rng = np.random.default_rng(1)
+    strs = ["".join(rng.choice(list("abcd"), rng.integers(0, 9))) for _ in range(300)]
+    a = np.array([rng.choice(strs) for _ in range(600)], dtype=object)
+    b = np.array([rng.choice(strs) for _ in range(600)], dtype=object)
+    for d in (1, 2):
+        got = _edit_distances(a, b, d)
+        want = np.array([min(_py_ed(x, y), d + 1) for x, y in zip(a, b)])
+        assert (got == want).all()
+    # empty + unicode + equal
+    assert list(_edit_distances(np.array([], dtype=object),
+                                np.array([], dtype=object), 2)) == []
+    got = _edit_distances(np.array(["héllo", "", "ab"], dtype=object),
+                          np.array(["hello", "ab", "ab"], dtype=object), 2)
+    assert list(got) == [1, 2, 0]
+
+
+def test_edit_distance_pairs_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import edit_distance_pairs
+
+    rng = np.random.default_rng(5)
+    base = ["widget", "gadget", "bolt", "nut", "fastener", "anchovy"]
+    names = []
+    for i in range(300):
+        w = rng.choice(base)
+        if rng.random() < 0.5:  # perturb: sub/ins/del up to 2 edits
+            w = list(w)
+            for _ in range(rng.integers(1, 3)):
+                op = rng.integers(3)
+                p = rng.integers(len(w))
+                if op == 0:
+                    w[p] = rng.choice(list("xyz"))
+                elif op == 1:
+                    w.insert(p, rng.choice(list("xyz")))
+                elif len(w) > 1:
+                    del w[p]
+            w = "".join(w)
+        names.append(w)
+    df = pd.DataFrame({"pid": np.arange(300, dtype=np.int64), "s": names})
+    want = duckdb.connect().execute(
+        "SELECT a.pid AS id_a, b.pid AS id_b, levenshtein(a.s, b.s) AS dist "
+        "FROM df a JOIN df b ON a.pid < b.pid "
+        "WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b"
+    ).df()
+    for P, blocks in ((8, 2), (32, 5)):
+        got = edit_distance_pairs(
+            ray.data.from_pandas(df).repartition(blocks), "pid", "s",
+            max_dist=2, num_partitions=P,
+        )
+        pd.testing.assert_frame_equal(got, want.astype("int64"), check_dtype=False)
+
+
+def test_edit_distance_pairs_d0_and_validation(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import edit_distance_pairs
+
+    df = pd.DataFrame({"pid": [5, 1, 9, 2], "s": ["aa", "aa", "aa", "zz"]})
+    got = edit_distance_pairs(ray.data.from_pandas(df), "pid", "s", max_dist=0)
+    assert got.values.tolist() == [[1, 5, 0], [1, 9, 0], [5, 9, 0]]
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(ray.data.from_pandas(df), "pid", "s", max_dist=3)
+
+
+def test_edit_distance_pairs_nulls_and_max_len(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import edit_distance_pairs
+
+    df = pd.DataFrame(
+        {"pid": [1, 2, 3, 4],
+         "s": ["abc", None, "abd", "x" * 200]}  # null + overlong dropped
+    )
+    got = edit_distance_pairs(
+        ray.data.from_pandas(df), "pid", "s", max_dist=2, max_len=64
+    )
+    assert got.values.tolist() == [[1, 3, 1]]
