@@ -433,6 +433,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
         return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
 
+    def doc_graph_sssp(sf_dir):
+        # bounded-hop weighted shortest paths (Bellman-Ford rounds)
+        # over the 0.3-threshold 3-gram Jaccard graph, weight =
+        # round((1 - jaccard) * 1e6) int micros (identical IEEE math
+        # both sides), sources = 5 lowest participating doc ids,
+        # max_hops=6. Edges materialize once and never re-shuffle.
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+        from bloomfilter_multithread_ray.pipelines.graph import sssp_hops
+
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.3
+        ).map_batches(
+            lambda t: pa.table(
+                {"a": t.column("doc_a"), "b": t.column("doc_b"),
+                 "w": pa.array(np.trunc(
+                     (1.0 - t.column("jaccard").to_numpy(zero_copy_only=False))
+                     * 1e6 + 0.5).astype(np.int64))}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        lows = grouped_agg(
+            pairs.map_batches(
+                lambda t: pa.table({"n": t.column("a")}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            "n", {"c": ("count", None)}, num_partitions=4,
+        ).to_pandas()
+        if lows.empty:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "dist": pd.Series(dtype=np.int64)})
+        srcs = np.sort(lows.n.to_numpy())[:5]
+        out = sssp_hops(pairs, srcs, max_hops=6).to_pandas()
+        out["node"] = out["node"].astype(np.int64)
+        out["dist"] = out["dist"].astype(np.int64)
+        return out.sort_values("node").reset_index(drop=True)
+
     def events_peak_concurrency(sf_dir):
         # sweep-line max-overlap: deterministic durations derived from
         # event_id, half-open [start, end) semantics, peak per type
@@ -2398,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_bloom_lookup": store_bloom_lookup,
         "events_peak_concurrency": events_peak_concurrency,
         "parts_fuzzy_names": parts_fuzzy_names,
+        "doc_graph_sssp": doc_graph_sssp,
         "events_cube": events_cube,
         "store_compact_scan": store_compact_scan,
         "events_clustered_append": events_clustered_append,
@@ -2498,8 +2539,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # --------------------------------------------------------------------------
+def _sssp_oracle() -> str:
+    """Chained-CTE Bellman-Ford: one MIN-fold per hop — O(E) per step,
+    no recursive path explosion (a UNION-ALL walk would enumerate
+    every path of <= 6 edges)."""
+    head = (
+        "WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, "
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+        "AS gram FROM toks WHERE len(w) >= 3)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "p AS (SELECT doc_a, doc_b, "
+        "CAST(ROUND((1 - CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1e6) AS BIGINT) AS w "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3), "
+        "e AS (SELECT doc_a AS a, doc_b AS b, w FROM p UNION ALL SELECT doc_b, doc_a, w FROM p), "
+        "srcs AS (SELECT DISTINCT a AS node FROM e ORDER BY a LIMIT 5), "
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM srcs), "
+    )
+    steps = "".join(
+        f"d{i + 1} AS (SELECT node, MIN(dist) AS dist FROM (SELECT * FROM d{i} "
+        f"UNION ALL SELECT e.b, d{i}.dist + e.w FROM d{i} JOIN e ON e.a = d{i}.node) "
+        "GROUP BY node), "
+        for i in range(6)
+    )
+    return head + steps.rstrip(", ") + " SELECT node, dist FROM d6 ORDER BY node"
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = {
+        "doc_graph_sssp": _sssp_oracle(),
         "distinct_tokens": (
             "SELECT count(DISTINCT tok) AS distinct_tokens FROM ("
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "

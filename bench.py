@@ -292,6 +292,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_cube",
         "store_compact_scan",
         "parts_fuzzy_names",
+        "doc_graph_sssp",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -913,3 +913,114 @@ def k_core(
         f"k_core: no fixpoint after {max_iters} rounds (rounds are bounded "
         "by the graph's degeneracy — raise max_iters for extreme graphs)"
     )
+
+
+def sssp_hops(
+    edges: "Dataset",
+    sources,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+    max_hops: int = 8,
+    num_partitions: int = 16,
+) -> "Dataset":
+    """Bounded-hop weighted shortest paths (Bellman-Ford rounds) →
+    {node, dist} = MIN total int64 weight over all paths from any
+    source using AT MOST ``max_hops`` edges (undirected; sources at 0;
+    unreached nodes absent).
+
+    The hop bound is the SEMANTICS, not a convergence guard — round r
+    relaxes exactly the paths of r edges, so the result is exact for
+    any int64 weights (negative included: no cycle can run more than
+    ``max_hops`` times). Early-exit when a round improves nothing.
+
+    Scale shape = :func:`bfs_distances` with a min-merge: weighted
+    symmetrized edges materialize ONCE and never shuffle; each round
+    (1) map-only inner-joins the cached edge blocks against the
+    broadcast frontier (nodes improved last round, with their dists),
+    (2) folds candidates to one MIN per node through the map-side-
+    combined grouped_agg, (3) one auto-broadcast left join against the
+    current dist table keeps strict improvements. Exchanges are sized
+    by the FRONTIER, driver sees one scalar per round.
+    """
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b, w = t.column(a_col), t.column(b_col), t.column(w_col)
+        ok = pc.and_(pc.and_(pc.is_valid(a), pc.is_valid(b)), pc.is_valid(w))
+        t = t.filter(ok)
+        a, b = t.column(a_col), t.column(b_col)
+        w = pc.cast(t.column(w_col), pa.int64())
+        return pa.table(
+            {"a": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+             "b": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+             "w": pa.concat_arrays([w.combine_chunks()] * 2)}
+        )
+
+    edges_sym = edges.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    src = np.unique(np.asarray(sources))
+    if src.size == 0:
+        raise ValueError("sssp_hops: no sources")
+    node_t = dict(zip(edges_sym.schema().names, edges_sym.schema().types))["a"]
+    start = pa.table(
+        {"node": pa.array(src).cast(node_t),
+         "dist": pa.array(np.zeros(src.size, dtype=np.int64))}
+    )
+    dist = ray.data.from_arrow(start).materialize()
+    frontier = dist  # improved-last-round nodes WITH their dists
+
+    for _hop in range(max_hops):
+        cand = hash_join(
+            edges_sym, frontier, on="a", right_on="node",
+            how="inner", broadcast=True,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t.column("b"),
+                 "nd": pc.add_checked(t.column("w"), t.column("dist"))}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        best = grouped_agg(
+            cand, "node", {"nd": ("min", "nd")}, num_partitions=num_partitions
+        )
+        joined = hash_join(
+            best, dist, on="node", how="left",
+            broadcast="auto", num_partitions=num_partitions, suffix="_old",
+        )
+
+        def improved(t: pa.Table) -> pa.Table:
+            nd = pc.cast(t.column("nd"), pa.int64())
+            old = t.column("dist") if "dist" in t.column_names else None
+            keep = (
+                pc.fill_null(pc.less(nd, old), True)
+                if old is not None
+                else pa.array(np.ones(t.num_rows, dtype=bool))
+            )
+            out = pa.table({"node": t.column("node"), "dist": nd})
+            return out.filter(keep)
+
+        new = joined.map_batches(
+            improved, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if new.count() == 0:
+            break
+        # merge: rows NOT improved + improved rows
+        keep_old = hash_join(
+            dist, new, on="node", how="anti",
+            broadcast="auto", num_partitions=num_partitions,
+        )
+        dist = keep_old.union(new).materialize()
+        frontier = new
+    return dist

@@ -3,6 +3,7 @@ distributed keep-set vs the round-1 driver keep-set."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -336,3 +337,83 @@ def test_bfs_distances_unreachable_strings_and_guards(ray_session):
     with pytest.raises(RuntimeError):
         # path needs 2 rounds; cap at 1
         bfs_distances(rd.from_arrow(se), ["x"], max_rounds=1)
+
+
+# ---- bounded-hop weighted SSSP (Bellman-Ford rounds) ----
+
+def _ref_sssp(a, b, w, srcs, k):
+    INF = float("inf")
+    adj = {}
+    for x, y, ww in zip(a, b, w):
+        adj.setdefault(int(x), []).append((int(y), int(ww)))
+        adj.setdefault(int(y), []).append((int(x), int(ww)))
+    cur = {int(s): 0 for s in srcs}
+    for _ in range(k):
+        nxt = dict(cur)
+        for u, du in cur.items():
+            for v, ww in adj.get(u, []):
+                if du + ww < nxt.get(v, INF):
+                    nxt[v] = du + ww
+        cur = nxt
+    return pd.DataFrame(sorted(cur.items()), columns=["node", "dist"])
+
+
+def test_sssp_hops_matches_reference_random(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.graph import sssp_hops
+
+    rng = np.random.default_rng(3)
+    n, m = 300, 900
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    w = rng.integers(1, 50, m)
+    keep = a != b
+    a, b, w = a[keep], b[keep], w[keep]
+    t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+                  "w": pa.array(w, pa.int64())})
+    for k in (0, 1, 3, 6):
+        want = _ref_sssp(a, b, w, [0, 5, 11], k)
+        for blocks in (1, 4):
+            got = (
+                sssp_hops(ray.data.from_arrow(t).repartition(blocks),
+                          [0, 5, 11], max_hops=k)
+                .to_pandas().sort_values("node").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sssp_weighted_beats_hop_path(ray_session):
+    """Planted: direct edge weight 10 vs 2-hop path 3+3 — the weighted
+    answer (6) must win over the BFS-style 1-hop answer (10)."""
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.graph import sssp_hops
+
+    t = pa.table({"a": pa.array([0, 0, 1], pa.int64()),
+                  "b": pa.array([2, 1, 2], pa.int64()),
+                  "w": pa.array([10, 3, 3], pa.int64())})
+    got = (sssp_hops(ray.data.from_arrow(t), [0], max_hops=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got.values.tolist() == [[0, 0], [1, 3], [2, 6]]
+    # with max_hops=1 the direct edge is the best 1-edge path
+    got1 = (sssp_hops(ray.data.from_arrow(t), [0], max_hops=1)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got1.values.tolist() == [[0, 0], [1, 3], [2, 10]]
+
+
+def test_sssp_validation_and_null_edges(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.graph import sssp_hops
+
+    t = pa.table({"a": pa.array([0, None], pa.int64()),
+                  "b": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([5, 1], pa.int64())})
+    got = (sssp_hops(ray.data.from_arrow(t), [0], max_hops=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got.values.tolist() == [[0, 0], [1, 5]]  # null edge dropped
+    with pytest.raises(ValueError, match="sources"):
+        sssp_hops(ray.data.from_arrow(t), [], max_hops=2)
+    with pytest.raises(ValueError, match="max_hops"):
+        sssp_hops(ray.data.from_arrow(t), [0], max_hops=-1)
