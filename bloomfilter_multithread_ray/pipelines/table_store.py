@@ -39,6 +39,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 if TYPE_CHECKING:
     from ray.data import Dataset
@@ -1011,3 +1012,133 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
     out = pd.DataFrame(new_ranges)
     out["merged_from"] = merged_from
     return out
+
+
+def upsert_clustered(
+    ds: "Dataset",
+    path: str,
+    *,
+    delta_id: str | None = None,
+) -> pd.DataFrame:
+    """MERGE INTO (last-write-wins upsert) on a clustered store whose
+    cluster column IS the primary key — the common warehouse shape
+    (user table clustered by user_id). That constraint is what makes
+    the merge range-LOCAL: a key's old row and its replacement always
+    route to the same ``rid`` through the frozen split points, so each
+    touched range rewrites once (existing rows whose key appears in
+    the delta are dropped, delta rows inserted) and untouched ranges
+    do zero I/O. A general MERGE where the cluster value can CHANGE
+    needs a full key join first — route it through ``hash_join`` +
+    ``write_clustered`` instead.
+
+    The delta must not contain duplicate keys (raises — last-write-
+    wins WITHIN one delta would be arrival-order nondeterminism);
+    null keys are rejected for the same reason. ``delta_id`` gives
+    exactly-once replay semantics as in :func:`append_clustered`.
+    Returns {rid, n_replaced, n_inserted, n_rows, skipped}.
+    """
+    import pyarrow.parquet as pq
+
+    man = read_manifest(path)
+    col, kind = man["cluster_col"], man["kind"]
+    splits = np.array(
+        man["splits"], dtype=np.float64 if kind == "float" else np.int64
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if pa.types.is_null(t.column(col).type):  # all-null block
+            raise ValueError("upsert_clustered: null keys in delta")
+        v, valid, k2 = _to_numeric(t.column(col))
+        if k2 != kind:
+            raise TypeError(
+                f"upsert_clustered: delta {col!r} kind {k2} != store kind {kind}"
+            )
+        if not valid.all():
+            raise ValueError("upsert_clustered: null keys in delta")
+        rid = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return t.append_column("__rid", pa.array(rid))
+
+    def merge_range(g: pa.Table) -> pa.Table:
+        rid = int(g.column("__rid")[0].as_py())
+        fresh = g.drop_columns(["__rid"])
+        fk = fresh.column(col)
+        if len(pc.unique(fk)) != fresh.num_rows:
+            raise ValueError("upsert_clustered: duplicate keys in delta")
+        d = os.path.join(path, f"rid={rid}")
+        fp = os.path.join(d, "part.parquet")
+        applied: list[str] = []
+        existing = None
+        replaced = 0
+        if os.path.exists(fp):
+            existing = pq.read_table(fp)
+            meta = existing.schema.metadata or {}
+            applied = json.loads(meta.get(b"applied_delta_ids", b"[]"))
+            if delta_id is not None and delta_id in applied:
+                return pa.table(
+                    {"rid": pa.array([rid], pa.int64()),
+                     "n_replaced": pa.array([0], pa.int64()),
+                     "n_inserted": pa.array([0], pa.int64()),
+                     "n_rows": pa.array([existing.num_rows], pa.int64()),
+                     "skipped": pa.array([True], pa.bool_())}
+                )
+            existing = existing.replace_schema_metadata(None)
+            hit = pc.is_in(existing.column(col), value_set=fk.combine_chunks())
+            replaced = int(pc.sum(hit).as_py() or 0)
+            existing = existing.filter(pc.invert(hit))
+        both = (
+            pa.concat_tables([existing, fresh], promote_options="permissive")
+            if existing is not None
+            else fresh
+        ).sort_by([(col, "ascending")])
+        if delta_id is not None:
+            both = both.replace_schema_metadata(
+                {b"applied_delta_ids": json.dumps(applied + [delta_id]).encode()}
+            )
+        os.makedirs(d, exist_ok=True)
+        tmp = fp + ".tmp"
+        pq.write_table(both, tmp)
+        os.replace(tmp, fp)
+        return pa.table(
+            {"rid": pa.array([rid], pa.int64()),
+             "n_replaced": pa.array([replaced], pa.int64()),
+             "n_inserted": pa.array([fresh.num_rows - replaced], pa.int64()),
+             "n_rows": pa.array([both.num_rows], pa.int64()),
+             "skipped": pa.array([False], pa.bool_())}
+        )
+
+    rep = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__rid")
+        .map_groups(merge_range, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(rep):
+        return pd.DataFrame(
+            {"rid": pd.array([], dtype="int64"),
+             "n_replaced": pd.array([], dtype="int64"),
+             "n_inserted": pd.array([], dtype="int64"),
+             "n_rows": pd.array([], dtype="int64"),
+             "skipped": pd.array([], dtype="bool")}
+        )
+    rep = rep.sort_values("rid").reset_index(drop=True)
+    # widen touched ranges' stats exactly like append_clustered
+    by_rid = {r["rid"]: dict(r) for r in man["ranges"]}
+    conv = float if kind == "float" else int
+    for rid in rep.rid:
+        fp = os.path.join(path, f"rid={int(rid)}", "part.parquet")
+        t = pq.read_table(fp, columns=[col])
+        v, valid, _k = _to_numeric(t.column(col))
+        vv = v[valid]
+        by_rid[int(rid)] = {
+            "rid": int(rid), "n_rows": t.num_rows,
+            "vmin": conv(vv.min()) if len(vv) else None,
+            "vmax": conv(vv.max()) if len(vv) else None,
+        }
+    man["ranges"] = [by_rid[r] for r in sorted(by_rid)]
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return rep

@@ -444,3 +444,43 @@ def test_compact_preserves_null_cluster_rows(ray_session, tmp_store):
     TS.compact_clustered(tmp_store, target_rows=600)
     full = TS.read_clustered(tmp_store).to_pandas()
     assert len(full) == 2000 and full.k.isna().sum() == 10
+
+
+# ---- upsert (MERGE INTO, key == cluster col) ----
+
+def test_upsert_replaces_and_inserts(ray_session, tmp_store):
+    base = _df(4000, seed=1)
+    TS.write_clustered(ray.data.from_pandas(base).repartition(4), tmp_store, "k", num_ranges=8)
+    # delta: replace 100 existing keys with v+1000, insert 50 new keys
+    delta = pd.concat([
+        base.iloc[:100].assign(v=lambda d: d.v + 1000),
+        pd.DataFrame({"k": np.arange(4000, 4050, dtype="int64"),
+                      "v": np.full(50, -7, dtype="int64")}),
+    ])
+    rep = TS.upsert_clustered(ray.data.from_pandas(delta).repartition(3), tmp_store)
+    assert int(rep.n_replaced.sum()) == 100 and int(rep.n_inserted.sum()) == 50
+    got = TS.read_clustered(tmp_store).to_pandas().sort_values("k").reset_index(drop=True)
+    want = (
+        pd.concat([base[~base.k.isin(delta.k)], delta])
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # zone maps widened: new max key visible to a bounded scan
+    top = TS.read_clustered(tmp_store, lo=4040).to_pandas()
+    assert sorted(top.k) == list(range(4040, 4050))
+
+
+def test_upsert_exactly_once_and_validation(ray_session, tmp_store):
+    base = _df(1000, seed=2)
+    TS.write_clustered(ray.data.from_pandas(base).repartition(2), tmp_store, "k", num_ranges=4)
+    delta = base.iloc[:10].assign(v=0)
+    TS.upsert_clustered(ray.data.from_pandas(delta), tmp_store, delta_id="d1")
+    rep2 = TS.upsert_clustered(ray.data.from_pandas(delta), tmp_store, delta_id="d1")
+    assert rep2.skipped.all()  # replay is a no-op
+    assert len(TS.read_clustered(tmp_store).to_pandas()) == 1000
+    dup = pd.DataFrame({"k": [1, 1], "v": [5, 6]})
+    with pytest.raises(Exception, match="duplicate keys"):
+        TS.upsert_clustered(ray.data.from_pandas(dup), tmp_store)
+    nul = pd.DataFrame({"k": pd.array([None], dtype="Int64"), "v": [1]})
+    with pytest.raises(Exception, match="null keys"):
+        TS.upsert_clustered(ray.data.from_pandas(nul), tmp_store)
