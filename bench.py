@@ -293,6 +293,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "store_compact_scan",
         "parts_fuzzy_names",
         "doc_graph_sssp",
+        "store_zorder_scan",
     ]
     times: dict[str, float] = {}
     for name in names:

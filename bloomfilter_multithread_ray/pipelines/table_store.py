@@ -1142,3 +1142,162 @@ def upsert_clustered(
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, MANIFEST_NAME))
     return rep
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering + multi-column zone maps: pruned scans on EITHER
+# of two columns. The cluster key is the bit-interleaved (Morton)
+# value of the two columns' 16-bit quantile ranks, so rows close in
+# EITHER dimension land in few ranges; each range then records a
+# per-column zone map in a stats sidecar, and a bounded scan on either
+# column opens only the ranges whose recorded [min, max] overlaps —
+# the multi-dimensional generalization of the single-column store
+# (pruning stays pure I/O elision; the exact predicate applies after).
+# ---------------------------------------------------------------------------
+
+STATS_NAME = "_column_stats.json"
+
+
+def _interleave16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Morton-interleave two uint16 rank arrays -> uint32 z-values."""
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x33333333)
+        v = (v | (v << 1)) & np.uint64(0x55555555)
+        return v
+
+    return (spread(x) | (spread(y) << np.uint64(1))).astype(np.int64)
+
+
+def write_zordered(
+    ds: "Dataset",
+    path: str,
+    cols: "tuple[str, str] | list[str]",
+    *,
+    num_ranges: int = 32,
+    sample_per_block: int = 1024,
+) -> pd.DataFrame:
+    """Write ``ds`` clustered by the Morton order of ``cols`` (two
+    numeric/timestamp columns) with per-range per-column zone maps.
+    Rank quantization uses a distributed stride sample per column
+    (driver folds O(blocks x sample) scalars). Returns the manifest
+    frame. Scans go through :func:`read_zordered_where`.
+    """
+    ca, cb = cols
+    qa, ka = _rank_edges(ds, ca, sample_per_block)
+    qb, kb = _rank_edges(ds, cb, sample_per_block)
+
+    def zval(t: pa.Table) -> pa.Table:
+        va, valid_a, _ = _to_numeric(t.column(ca))
+        vb, valid_b, _ = _to_numeric(t.column(cb))
+        ra = np.searchsorted(qa, va, side="right").astype(np.uint16)
+        rb = np.searchsorted(qb, vb, side="right").astype(np.uint16)
+        z = _interleave16(ra, rb)
+        z[~(valid_a & valid_b)] = -1  # null rows cluster first
+        return t.append_column("__z", pa.array(z))
+
+    man = write_clustered(
+        ds.map_batches(zval, batch_format="pyarrow", zero_copy_batch=True),
+        path,
+        "__z",
+        num_ranges=num_ranges,
+        sample_per_block=sample_per_block,
+    )
+    # per-range per-column zone maps (one column-pruned read per range)
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict[str, list]] = {}
+    for rid in man.rid:
+        t = pq.read_table(
+            os.path.join(path, f"rid={int(rid)}", "part.parquet"), columns=[ca, cb]
+        )
+        ent = {}
+        for c in (ca, cb):
+            v, valid, kind = _to_numeric(t.column(c))
+            vv = v[valid]
+            conv = float if kind == "float" else int
+            ent[c] = [conv(vv.min()), conv(vv.max())] if len(vv) else None
+        stats[str(int(rid))] = ent
+    doc = {"cols": [ca, cb], "kinds": {ca: ka, cb: kb}, "ranges": stats}
+    tmp = os.path.join(path, STATS_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, STATS_NAME))
+    return man
+
+
+def _rank_edges(ds: "Dataset", col: str, sample_per_block: int):
+    """255 quantile edges for 16-bit-safe rank quantization + kind."""
+    edges, kind = sample_splits(
+        ds, col, num_ranges=256, sample_per_block=sample_per_block
+    )
+    return np.array(
+        edges, dtype=np.float64 if kind == "float" else np.int64
+    ), kind
+
+
+def read_zordered_where(
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    *,
+    columns: "list[str] | None" = None,
+) -> "tuple[Dataset, dict]":
+    """Scan a z-ordered store with a bound on EITHER clustered column:
+    ranges prune by the recorded per-column zone maps, the exact
+    inclusive predicate applies after. Returns (Dataset, stats)."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    with open(os.path.join(path, STATS_NAME)) as f:
+        doc = json.load(f)
+    if col not in doc["cols"]:
+        raise ValueError(f"{col!r} is not a z-order stats column {doc['cols']}")
+    kind = doc["kinds"][col]
+    nlo = _bound_to_numeric(lo, kind)
+    nhi = _bound_to_numeric(hi, kind)
+    keep = []
+    for rid_s, ent in doc["ranges"].items():
+        zm = ent.get(col)
+        if zm is None:
+            continue  # all-null range never matches a bounded scan
+        vmin, vmax = zm
+        if (nlo is None or vmax >= nlo) and (nhi is None or vmin <= nhi):
+            keep.append(int(rid_s))
+    stats = {"ranges_total": len(doc["ranges"]), "ranges_read": len(keep),
+             "ranges_pruned": len(doc["ranges"]) - len(keep)}
+    need = columns if columns is None else list(dict.fromkeys([col, *columns]))
+    if not keep:
+        any_rid = next(iter(doc["ranges"]))
+        fp = os.path.join(path, f"rid={any_rid}", "part.parquet")
+        if need is None:  # typed empty: concrete columns, no __z/rid
+            import pyarrow.parquet as pq
+
+            need = [c for c in pq.read_schema(fp).names if c != "__z"]
+        ds = ray.data.read_parquet(fp, columns=need).limit(0)
+        return _drop_rid(ds, need), stats
+    files = [os.path.join(path, f"rid={r}", "part.parquet") for r in sorted(keep)]
+    flt = None
+    if lo is not None:
+        flt = pads.field(col) >= _scalar(lo, kind)
+    if hi is not None:
+        f2 = pads.field(col) <= _scalar(hi, kind)
+        flt = f2 if flt is None else (flt & f2)
+    ds = ray.data.read_parquet(files, columns=need, filter=flt)
+    return _strip_z(_drop_rid(ds, need), columns), stats
+
+
+def _strip_z(ds: "Dataset", columns):
+    if columns is not None:
+        return ds.select_columns(list(columns))
+    sch = ds.schema()
+    if sch is not None and "__z" in sch.names:
+        return ds.drop_columns(["__z"])
+    return ds

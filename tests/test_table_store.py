@@ -484,3 +484,47 @@ def test_upsert_exactly_once_and_validation(ray_session, tmp_store):
     nul = pd.DataFrame({"k": pd.array([None], dtype="Int64"), "v": [1]})
     with pytest.raises(Exception, match="null keys"):
         TS.upsert_clustered(ray.data.from_pandas(nul), tmp_store)
+
+
+# ---- z-order store: pruned scans on either column ----
+
+def test_zorder_scan_equality_and_pruning_both_dims(ray_session, tmp_store):
+    rng = np.random.default_rng(7)
+    n = 30000
+    df = pd.DataFrame(
+        {"ts": rng.integers(0, 1_000_000, n).astype("int64"),
+         "uid": rng.integers(0, 10_000, n).astype("int64"),
+         "v": rng.integers(0, 100, n).astype("int64")}
+    )
+    TS.write_zordered(ray.data.from_pandas(df).repartition(6), tmp_store,
+                      ("ts", "uid"), num_ranges=64)
+    for col, lo, hi in (("ts", 100_000, 160_000), ("uid", 2000, 2600)):
+        ds, stats = TS.read_zordered_where(tmp_store, col, lo, hi)
+        got = ds.to_pandas().sort_values(["ts", "uid", "v"]).reset_index(drop=True)
+        want = (
+            df[(df[col] >= lo) & (df[col] <= hi)]
+            .sort_values(["ts", "uid", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["ts", "uid", "v"]], want, check_dtype=False)
+        # ~6% selectivity must prune meaningfully on EITHER dim —
+        # the whole point vs a single-column cluster
+        assert stats["ranges_read"] < stats["ranges_total"] // 2, (col, stats)
+    # column pruning drops __z and unrequested columns
+    ds2, _ = TS.read_zordered_where(tmp_store, "uid", 0, 100, columns=["uid"])
+    assert list(ds2.to_pandas().columns) == ["uid"]
+
+
+def test_zorder_unbounded_and_empty_and_validation(ray_session, tmp_store):
+    df = pd.DataFrame(
+        {"ts": np.arange(1000, dtype="int64"),
+         "uid": np.arange(1000, dtype="int64")[::-1].copy(),
+         "v": np.ones(1000, dtype="int64")}
+    )
+    TS.write_zordered(ray.data.from_pandas(df).repartition(2), tmp_store,
+                      ("ts", "uid"), num_ranges=8)
+    full, _ = TS.read_zordered_where(tmp_store, "ts")
+    assert len(full.to_pandas()) == 1000
+    empty, stats = TS.read_zordered_where(tmp_store, "uid", 5_000_000, 6_000_000)
+    assert len(empty.to_pandas()) == 0 and stats["ranges_read"] == 0
+    with pytest.raises(ValueError, match="stats column"):
+        TS.read_zordered_where(tmp_store, "v", 0, 1)
