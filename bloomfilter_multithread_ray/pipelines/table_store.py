@@ -1301,3 +1301,75 @@ def _strip_z(ds: "Dataset", columns):
     if sch is not None and "__z" in sch.names:
         return ds.drop_columns(["__z"])
     return ds
+
+
+def read_zordered_box(
+    path: str,
+    bounds: "dict[str, tuple]",
+    *,
+    columns: "list[str] | None" = None,
+) -> "tuple[Dataset, dict]":
+    """Rectangle scan over a z-ordered store: bounds = {col: (lo, hi)}
+    for one or both clustered columns (None endpoints = open side).
+    Ranges prune by the AND of the per-column zone-map overlaps —
+    strictly tighter than either 1-D scan — then the exact conjunctive
+    predicate applies. Returns (Dataset, stats)."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    with open(os.path.join(path, STATS_NAME)) as f:
+        doc = json.load(f)
+    bad = [c for c in bounds if c not in doc["cols"]]
+    if bad:
+        raise ValueError(f"{bad} not z-order stats columns {doc['cols']}")
+    if not bounds:
+        raise ValueError("read_zordered_box: empty bounds")
+    nb = {
+        c: (_bound_to_numeric(lo, doc["kinds"][c]),
+            _bound_to_numeric(hi, doc["kinds"][c]))
+        for c, (lo, hi) in bounds.items()
+    }
+    keep = []
+    for rid_s, ent in doc["ranges"].items():
+        ok = True
+        for c, (nlo, nhi) in nb.items():
+            zm = ent.get(c)
+            if zm is None:
+                ok = False  # all-null in this dim never matches a bound
+                break
+            vmin, vmax = zm
+            if (nlo is not None and vmax < nlo) or (nhi is not None and vmin > nhi):
+                ok = False
+                break
+        if ok:
+            keep.append(int(rid_s))
+    stats = {"ranges_total": len(doc["ranges"]), "ranges_read": len(keep),
+             "ranges_pruned": len(doc["ranges"]) - len(keep)}
+    needed_cols = list(bounds)
+    need = (
+        columns
+        if columns is None
+        else list(dict.fromkeys([*needed_cols, *columns]))
+    )
+    if not keep:
+        any_rid = next(iter(doc["ranges"]))
+        fp = os.path.join(path, f"rid={any_rid}", "part.parquet")
+        if need is None:
+            import pyarrow.parquet as pq
+
+            need = [c for c in pq.read_schema(fp).names if c != "__z"]
+        ds = ray.data.read_parquet(fp, columns=need).limit(0)
+        return _drop_rid(ds, need), stats
+    files = [os.path.join(path, f"rid={r}", "part.parquet") for r in sorted(keep)]
+    flt = None
+    for c, (lo, hi) in bounds.items():
+        kind = doc["kinds"][c]
+        if lo is not None:
+            f1 = pads.field(c) >= _scalar(lo, kind)
+            flt = f1 if flt is None else (flt & f1)
+        if hi is not None:
+            f2 = pads.field(c) <= _scalar(hi, kind)
+            flt = f2 if flt is None else (flt & f2)
+    ds = ray.data.read_parquet(files, columns=need, filter=flt)
+    return _strip_z(_drop_rid(ds, need), columns), stats

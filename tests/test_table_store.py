@@ -528,3 +528,34 @@ def test_zorder_unbounded_and_empty_and_validation(ray_session, tmp_store):
     assert len(empty.to_pandas()) == 0 and stats["ranges_read"] == 0
     with pytest.raises(ValueError, match="stats column"):
         TS.read_zordered_where(tmp_store, "v", 0, 1)
+
+
+def test_zorder_box_scan_tighter_than_1d(ray_session, tmp_store):
+    rng = np.random.default_rng(3)
+    n = 30000
+    df = pd.DataFrame(
+        {"ts": rng.integers(0, 1_000_000, n).astype("int64"),
+         "uid": rng.integers(0, 10_000, n).astype("int64"),
+         "v": rng.integers(0, 100, n).astype("int64")}
+    )
+    TS.write_zordered(ray.data.from_pandas(df).repartition(5), tmp_store,
+                      ("ts", "uid"), num_ranges=64)
+    box = {"ts": (100_000, 300_000), "uid": (1000, 3000)}
+    ds, stats = TS.read_zordered_box(tmp_store, box)
+    got = ds.to_pandas().sort_values(["ts", "uid", "v"]).reset_index(drop=True)
+    want = (
+        df[(df.ts >= 100_000) & (df.ts <= 300_000)
+           & (df.uid >= 1000) & (df.uid <= 3000)]
+        .sort_values(["ts", "uid", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["ts", "uid", "v"]], want, check_dtype=False)
+    _, s_ts = TS.read_zordered_where(tmp_store, "ts", *box["ts"])
+    _, s_uid = TS.read_zordered_where(tmp_store, "uid", *box["uid"])
+    assert stats["ranges_read"] <= min(s_ts["ranges_read"], s_uid["ranges_read"])
+    # open-sided bound + validation
+    half, _ = TS.read_zordered_box(tmp_store, {"uid": (9900, None)})
+    assert (half.to_pandas().uid >= 9900).all()
+    with pytest.raises(ValueError, match="stats columns"):
+        TS.read_zordered_box(tmp_store, {"v": (0, 1)})
+    with pytest.raises(ValueError, match="empty bounds"):
+        TS.read_zordered_box(tmp_store, {})
