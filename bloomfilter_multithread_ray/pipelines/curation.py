@@ -888,3 +888,87 @@ def line_dedup(
         })
 
     return joined.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------ multi-pattern phrase match
+def _prefix_free_groups(phrases: list[str]) -> list[list[str]]:
+    """Partition phrases into groups where NO phrase is a prefix of
+    another — within such a group one length-sorted lookahead
+    alternation finds every occurrence (two phrases can only collide
+    at the same start position when one is the other's prefix).
+    Greedy first-fit; typical blocklists need 1-2 groups."""
+    groups: list[list[str]] = []
+    for p in sorted(set(phrases)):
+        for g in groups:
+            if not any(q.startswith(p) or p.startswith(q) for q in g):
+                g.append(p)
+                break
+        else:
+            groups.append([p])
+    return groups
+
+
+def phrase_match(
+    docs: "Dataset",
+    phrases: "list[str]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "Dataset":
+    """Blocklist / multi-pattern substring search → ``{doc_id,
+    phrase}``: one row per (document, phrase) where the phrase occurs
+    ANYWHERE in the text (SQL ``position(phrase IN text) > 0``
+    semantics, overlaps included).
+
+    Scale shape: the phrase set ships ONCE via the object store and
+    each actor compiles its scan regexes in ``__init__`` (the brief's
+    stateful-actor-pool pattern); per batch each document is scanned
+    once per prefix-free phrase group with a zero-width-lookahead
+    alternation — C-speed multi-pattern scan (the regex-alternation
+    Aho-Corasick stand-in), overlap-exact because phrases that can
+    collide at one start position (prefix chains) land in different
+    groups. Null texts never match.
+    """
+    import re
+
+    import ray
+
+    if not phrases:
+        raise ValueError("phrase_match: empty phrase list")
+    if any(p == "" for p in phrases):
+        raise ValueError("phrase_match: empty-string phrase")
+    ref = ray.put(_prefix_free_groups(list(phrases)))
+
+    class Matcher:
+        def __init__(self):
+            groups = ray.get(ref)
+            self.pats = [
+                re.compile("(?=(" + "|".join(
+                    re.escape(p) for p in sorted(g, key=len, reverse=True)
+                ) + "))")
+                for g in groups
+            ]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids_out: list = []
+            ph_out: list[str] = []
+            texts = t.column(text_col).to_pylist()
+            ids = t.column(id_col).to_pylist()
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                hits: set[str] = set()
+                for pat in self.pats:
+                    for m in pat.finditer(txt):
+                        hits.add(m.group(1))
+                if hits:
+                    ids_out.extend([did] * len(hits))
+                    ph_out.extend(sorted(hits))
+            return pa.table(
+                {id_col: pa.array(ids_out, t.column(id_col).type),
+                 "phrase": pa.array(ph_out, pa.string())}
+            )
+
+    return docs.map_batches(
+        Matcher, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )

@@ -227,3 +227,55 @@ def test_split_leakage_derives_boundary_from_permilles(ray_session):
 
     with pytest.raises(ValueError, match="permille"):
         C.split_leakage(ds, val_permille=600, test_permille=600)
+
+
+# ---- multi-pattern phrase match (blocklist scan) ----
+
+def test_phrase_match_matches_duckdb_with_overlaps(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.curation import phrase_match
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4],
+         "text": ["the hash join order is key",   # overlapping pair
+                  "sort merge then table scan",
+                  None,                            # null text: no rows
+                  "join joins joined"]}
+    )
+    phrases = ["hash join", "join order", "table scan", "join", "joins"]
+    got = (
+        phrase_match(ray.data.from_pandas(docs), phrases)
+        .to_pandas().sort_values(["doc_id", "phrase"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT d.doc_id, p.phrase FROM docs d JOIN (VALUES "
+        "('hash join'), ('join order'), ('table scan'), ('join'), ('joins')"
+        ") p(phrase) ON position(p.phrase IN d.text) > 0 "
+        "ORDER BY d.doc_id, p.phrase"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # overlap case really present: doc 1 matched BOTH overlapping phrases
+    d1 = set(got[got.doc_id == 1].phrase)
+    assert {"hash join", "join order", "join"} <= d1
+
+
+def test_phrase_match_regex_specials_and_validation(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.curation import phrase_match
+
+    docs = pd.DataFrame({"doc_id": [1], "text": ["cost is $5.99 (sale)"]})
+    got = phrase_match(
+        ray.data.from_pandas(docs), ["$5.99", "(sale)", "5X99"]
+    ).to_pandas()
+    assert sorted(got.phrase) == ["$5.99", "(sale)"]  # escaped literals
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty phrase list"):
+        phrase_match(ray.data.from_pandas(docs), [])
+    with _pt.raises(ValueError, match="empty-string"):
+        phrase_match(ray.data.from_pandas(docs), ["ok", ""])
