@@ -1535,6 +1535,7 @@ _WINDOW_KINDS = (
     "row_number", "rank", "dense_rank", "lag", "lead", "cumsum", "cummax",
     "cummin", "ntile", "percent_rank", "cume_dist",
     "rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
+    "first_value", "last_value", "nth_value",
 )
 
 _ROLLING_AGG = {
@@ -1596,6 +1597,10 @@ def partitioned_window(
             raise ValueError(f"window output {out!r} collides with an input column")
         if spec[0] == "ntile" and (len(spec) < 2 or int(spec[1]) <= 0):
             raise ValueError(f"window {out!r}: ntile requires k >= 1")
+        if spec[0] == "nth_value" and (len(spec) < 3 or int(spec[2]) <= 0):
+            raise ValueError(
+                f"window {out!r}: nth_value requires (kind, col, n) with n >= 1"
+            )
         if spec[0] in _ROLLING_AGG and (len(spec) < 3 or int(spec[2]) <= 0):
             raise ValueError(
                 f"window {out!r}: {spec[0]} requires (kind, col, k) with k >= 1"
@@ -1701,6 +1706,23 @@ def partitioned_window(
                 df[out] = np.where(seg_len > 1, rank / denom, 0.0)
             elif kind == "cume_dist":
                 df[out] = (tie_end - seg_start) / seg_len
+            elif kind == "first_value":
+                # value at the segment's first row (the RANGE UNBOUNDED
+                # PRECEDING frame SQL evaluates FIRST_VALUE over)
+                df[out] = df[spec[1]].to_numpy()[seg_start]
+            elif kind == "last_value":
+                # SQL default frame ends at CURRENT ROW (peers included
+                # under RANGE): value at the tie group's last row
+                df[out] = df[spec[1]].to_numpy()[tie_end - 1]
+            elif kind == "nth_value":
+                col, nth = spec[1], int(spec[2])
+                pos = seg_start + (nth - 1)
+                vals = df[col].to_numpy()
+                # frame = start..current row INCLUDING peers (RANGE):
+                # NULL only until the nth row enters that frame
+                inseg = pos <= tie_end - 1
+                picked = vals[np.minimum(pos, n - 1)] if n else vals
+                df[out] = pd.Series(picked).where(inseg)
             elif kind in _ROLLING_AGG:
                 # SQL ROWS BETWEEN (k-1) PRECEDING AND CURRENT ROW;
                 # nulls are skipped (all-null frame -> NULL), matching

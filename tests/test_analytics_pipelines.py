@@ -1001,3 +1001,63 @@ def test_counting_bloom_retract_pipeline_invariants():
     # partition invariance: merged counters independent of block count
     again = A.counting_bloom_retract(docs.repartition(7), retract_source="src7")
     assert again.equals(out)
+
+
+def test_window_first_last_nth_value_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    df = pd.DataFrame(
+        {"g": rng.integers(0, 9, n).astype("int64"),
+         "o": rng.integers(0, 40, n).astype("int64"),
+         "tb": np.arange(n, dtype="int64"),
+         "v": rng.integers(0, 100, n).astype("int64")}
+    )
+    out = partitioned_window(
+        ray.data.from_pandas(df).repartition(4), "g", ["o", "tb"],
+        {"fv": ("first_value", "v"), "lv": ("last_value", "v"),
+         "n3": ("nth_value", "v", 3)},
+        num_partitions=8,
+    ).to_pandas().sort_values(["g", "o", "tb"]).reset_index(drop=True)
+    want = duckdb.connect().execute(
+        """
+SELECT g, o, tb, v, FIRST_VALUE(v) OVER w AS fv,
+       LAST_VALUE(v) OVER w AS lv, NTH_VALUE(v, 3) OVER w AS n3
+FROM df WINDOW w AS (PARTITION BY g ORDER BY o, tb) ORDER BY g, o, tb
+"""
+    ).df()
+    for c in ("fv", "lv", "n3"):
+        a = out[c].to_numpy(dtype="float64")
+        b = want[c].to_numpy(dtype="float64")
+        assert np.allclose(a, b, equal_nan=True), c
+    # nth_value n validation
+    with pytest.raises(ValueError, match="nth_value"):
+        partitioned_window(
+            ray.data.from_pandas(df), "g", "o", {"x": ("nth_value", "v", 0)}
+        )
+
+
+def test_window_last_value_peers_under_ties(ray_session):
+    """Default SQL frame is RANGE ..- CURRENT ROW: last_value sees the
+    whole tie group, not just the current physical row."""
+    import duckdb
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import partitioned_window
+
+    df = pd.DataFrame(
+        {"g": [1] * 4, "o": [10, 10, 20, 20], "v": [1, 2, 3, 4]}
+    )
+    out = partitioned_window(
+        ray.data.from_pandas(df), "g", ["o"], {"lv": ("last_value", "v")},
+        num_partitions=2,
+    ).to_pandas().sort_values(["o", "v"]).reset_index(drop=True)
+    want = duckdb.connect().execute(
+        "SELECT g, o, v, LAST_VALUE(v) OVER "
+        "(PARTITION BY g ORDER BY o) AS lv FROM df ORDER BY o, v"
+    ).df()
+    assert list(out.lv) == list(want.lv)
