@@ -220,3 +220,22 @@ def test_edit_distance_pairs_nulls_and_max_len(ray_session):
         ray.data.from_pandas(df), "pid", "s", max_dist=2, max_len=64
     )
     assert got.values.tolist() == [[1, 3, 1]]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abñ🜚", max_size=10),
+                  st.text(alphabet="abñ🜚", max_size=10)),
+        min_size=1, max_size=30,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+def test_edit_distances_hypothesis(pairs, d):
+    from bloomfilter_multithread_ray.pipelines.fuzzy import _edit_distances
+
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = _edit_distances(a, b, d)
+    want = np.array([min(_py_ed(x, y), d + 1) for x, y in zip(a, b)])
+    assert (got == want).all()
