@@ -433,6 +433,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
         return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
 
+    def docs_phrase_hits(sf_dir):
+        # blocklist scan: actor-pool compiled prefix-free lookahead
+        # alternations, SQL position() semantics incl. overlaps
+        from bloomfilter_multithread_ray.pipelines.curation import phrase_match
+
+        phrases = [
+            "hash join", "sort merge", "table scan", "window agg",
+            "key order", "batch stream", "join order",
+        ]
+        out = phrase_match(_docs(sf_dir, ["doc_id", "text"]), phrases)
+        return (
+            out.to_pandas().sort_values(["doc_id", "phrase"]).reset_index(drop=True)
+        )
+
+    def jsonl_ingest(sf_dir):
+        # fault-tolerant JSONL round trip: documents re-encoded as
+        # JSONL + 3 planted malformed lines, read under the skip
+        # policy (bad lines counted, never dropped silently), then a
+        # per-source exact aggregate. bad_lines rides as a constant
+        # column so the oracle can assert it.
+        import json
+        import os
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+        from bloomfilter_multithread_ray.sources.jsonl import read_jsonl
+
+        docs = _docs(sf_dir, ["doc_id", "source", "n_chars"]).to_pandas()
+        d = tempfile.mkdtemp(prefix="graft_jsonl_", dir="/tmp")
+        p = os.path.join(d, "docs.jsonl")
+        with open(p, "w") as f:
+            for i, r in enumerate(docs.itertuples()):
+                if i in (1, 7):  # two malformed lines mid-stream
+                    f.write("{broken json\n")
+                f.write(json.dumps({"doc_id": int(r.doc_id),
+                                    "source": str(r.source),
+                                    "n_chars": int(r.n_chars)}) + "\n")
+            f.write("[not, an, object]\n")
+        try:
+            ds = read_jsonl(
+                p, {"doc_id": "int", "source": "str", "n_chars": "int"}
+            )
+            rows = ds.materialize()
+            bad = int(rows.sum("_bad") or 0)
+
+            def data_only(t: pa.Table) -> pa.Table:
+                keep = pa.compute.is_valid(t.column("doc_id"))
+                return t.select(["source", "n_chars"]).filter(keep)
+
+            agg = grouped_agg(
+                rows.map_batches(
+                    data_only, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                "source",
+                {"n_docs": ("count", None), "chars": ("sum", "n_chars")},
+                num_partitions=4,
+            ).to_pandas()
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        agg["chars"] = agg["chars"].astype(np.int64)
+        agg["bad_lines"] = np.int64(bad)
+        return agg.sort_values("source").reset_index(drop=True)[
+            ["source", "n_docs", "chars", "bad_lines"]
+        ]
+
+    def events_window_edges(sf_dir):
+        # first/last/nth window kinds over PARTITION BY user ORDER BY
+        # ts, event_id (unique tiebreak pins frames exactly)
+        import numpy as np
+        import pandas as pd
+
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            partitioned_window,
+        )
+
+        ev = R.read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        out = partitioned_window(
+            ev,
+            "user_id",
+            ["ts", "event_id"],
+            {"first_v": ("first_value", "value"),
+             "last_v": ("last_value", "value"),
+             "third_v": ("nth_value", "value", 3)},
+            num_partitions=16,
+        ).to_pandas()
+        out = out.drop(columns=["value"])
+        for c in ("first_v", "last_v", "third_v"):
+            out[c] = out[c].round(6)
+        return out.sort_values(["user_id", "ts", "event_id"]).reset_index(
+            drop=True
+        )[["user_id", "ts", "event_id", "first_v", "last_v", "third_v"]]
+
     def store_zorder_scan(sf_dir):
         # Z-order (Morton) clustering of events by (ts, user_id) with
         # per-range per-column zone maps: a bounded scan on EITHER
@@ -2486,6 +2584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_fuzzy_names": parts_fuzzy_names,
         "doc_graph_sssp": doc_graph_sssp,
         "store_zorder_scan": store_zorder_scan,
+        "docs_phrase_hits": docs_phrase_hits,
+        "jsonl_ingest": jsonl_ingest,
+        "events_window_edges": events_window_edges,
         "events_cube": events_cube,
         "store_compact_scan": store_compact_scan,
         "events_clustered_append": events_clustered_append,
@@ -2814,6 +2915,31 @@ def oracle_sql() -> dict[str, str]:
         "store_bloom_lookup": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_id IN (3, 411, 777, 905, 998) ORDER BY event_id"
+        ),
+        # substring containment incl. overlaps = SQL position()
+        "docs_phrase_hits": (
+            "SELECT d.doc_id, p.phrase FROM documents d JOIN (VALUES "
+            "('hash join'), ('sort merge'), ('table scan'), ('window agg'), "
+            "('key order'), ('batch stream'), ('join order')"
+            ") p(phrase) ON position(p.phrase IN d.text) > 0 "
+            "ORDER BY d.doc_id, p.phrase"
+        ),
+        # 3 planted malformed lines surface as the bad_lines tally; the
+        # data aggregate must equal the raw table's (no silent drops)
+        "jsonl_ingest": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS chars, "
+            "CAST(3 AS BIGINT) AS bad_lines "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        # first/last/nth over a uniquely-tiebroken window
+        "events_window_edges": (
+            "SELECT user_id, ts, event_id, "
+            "ROUND(FIRST_VALUE(value) OVER w, 6) AS first_v, "
+            "ROUND(LAST_VALUE(value) OVER w, 6) AS last_v, "
+            "ROUND(NTH_VALUE(value, 3) OVER w, 6) AS third_v "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            "ORDER BY user_id, ts, event_id"
         ),
         # z-order pruning is pure I/O elision: same rows as the raw filter
         "store_zorder_scan": (

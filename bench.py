@@ -294,6 +294,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "parts_fuzzy_names",
         "doc_graph_sssp",
         "store_zorder_scan",
+        "docs_phrase_hits",
+        "jsonl_ingest",
+        "events_window_edges",
     ]
     times: dict[str, float] = {}
     for name in names:
