@@ -433,6 +433,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
         return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
 
+    def users_pattern_match(sf_dir):
+        # MATCH_RECOGNIZE-lite: per-user ordered event-type sequence
+        # tested against an RE2 regex (view, no intervening error,
+        # then purchase); group_concat + map-only Arrow regex.
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            sequence_pattern_match,
+        )
+
+        ev = R.read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        out = sequence_pattern_match(
+            ev, "user_id", "event_type", ["ts", "event_id"],
+            r"view( (?:click|signup|view|purchase))* purchase",
+            num_partitions=16,
+        )
+        df = out.to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "seq", "matched"]
+        ]
+
     def docs_phrase_hits(sf_dir):
         # blocklist scan: actor-pool compiled prefix-free lookahead
         # alternations, SQL position() semantics incl. overlaps
@@ -2585,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_sssp": doc_graph_sssp,
         "store_zorder_scan": store_zorder_scan,
         "docs_phrase_hits": docs_phrase_hits,
+        "users_pattern_match": users_pattern_match,
         "jsonl_ingest": jsonl_ingest,
         "events_window_edges": events_window_edges,
         "events_cube": events_cube,
@@ -2915,6 +2935,14 @@ def oracle_sql() -> dict[str, str]:
         "store_bloom_lookup": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_id IN (3, 411, 777, 905, 998) ORDER BY event_id"
+        ),
+        # RE2 both sides (Arrow kernel / DuckDB regexp_matches);
+        # unique (ts, event_id) tiebreak pins the sequence
+        "users_pattern_match": (
+            "SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq, "
+            "regexp_matches(string_agg(event_type, ' ' ORDER BY ts, event_id), "
+            "'view( (?:click|signup|view|purchase))* purchase') AS matched "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         # substring containment incl. overlaps = SQL position()
         "docs_phrase_hits": (

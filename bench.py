@@ -297,6 +297,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_phrase_hits",
         "jsonl_ingest",
         "events_window_edges",
+        "users_pattern_match",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -2265,3 +2265,49 @@ def resample_fill(
         .groupby("__rp")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def sequence_pattern_match(
+    ds: "Dataset",
+    by: "str | list[str]",
+    label_col: str,
+    order_by,
+    pattern: str,
+    *,
+    sep: str = " ",
+    num_partitions: int = 64,
+    out_name: str = "matched",
+) -> "Dataset":
+    """MATCH_RECOGNIZE-lite: per-key ordered label sequences tested
+    against a regex → the ``by`` columns + ``seq`` + ``out_name``
+    (bool). The event-path analog of SQL's row-pattern matching,
+    composed from the engine's own primitives: :func:`group_concat`
+    builds each key's ordered label string in ONE fixed-P shuffle +
+    one vectorized kernel, then the regex runs map-only through
+    Arrow's RE2 kernel over the O(groups) sequence table — the raw
+    events never pass through Python and never move twice.
+
+    Semantics: labels join with ``sep`` (pick one that cannot occur
+    inside a label); an all-null-label group has a NULL sequence and
+    NEVER matches (SQL three-valued regexp on NULL); anchors and
+    greedy/lazy quantifiers are RE2's (same engine DuckDB's
+    ``regexp_matches`` uses, which is what the oracle checks). Pin
+    ``order_by`` ties with a unique tiebreak or the sequence — and
+    therefore the match — is engine-dependent.
+    """
+    import pyarrow.compute as pc
+
+    seq = group_concat(
+        ds, by, label_col, order_by,
+        sep=sep, out_name="seq", num_partitions=num_partitions,
+    )
+
+    def m(t: pa.Table) -> pa.Table:
+        s = t.column("seq")
+        if pa.types.is_null(s.type):
+            ok = pa.array([False] * t.num_rows, pa.bool_())
+        else:
+            ok = pc.fill_null(pc.match_substring_regex(s, pattern), False)
+        return t.append_column(out_name, ok)
+
+    return seq.map_batches(m, batch_format="pyarrow", zero_copy_batch=True)

@@ -1061,3 +1061,36 @@ def test_window_last_value_peers_under_ties(ray_session):
         "(PARTITION BY g ORDER BY o) AS lv FROM df ORDER BY o, v"
     ).df()
     assert list(out.lv) == list(want.lv)
+
+
+def test_sequence_pattern_match_duckdb_and_nulls(ray_session):
+    import duckdb
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import (
+        sequence_pattern_match,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    df = pd.DataFrame(
+        {"u": rng.integers(0, 150, n).astype("int64"),
+         "ts": np.arange(n, dtype="int64"),
+         "t": rng.choice(["view", "click", "cart", "purchase"], n)}
+    )
+    df.loc[df.index[:40], "t"] = None  # null labels skipped like SQL
+    df.loc[df.u == 149, "t"] = None    # one ALL-null group -> never matches
+    out = sequence_pattern_match(
+        ray.data.from_pandas(df).repartition(3), "u", "t", ["ts"],
+        r"view( \w+)* purchase", num_partitions=8,
+    ).to_pandas().sort_values("u").reset_index(drop=True)
+    want = duckdb.connect().execute(
+        """
+SELECT u, string_agg(t, ' ' ORDER BY ts) AS seq,
+  COALESCE(regexp_matches(string_agg(t, ' ' ORDER BY ts),
+           'view( \\w+)* purchase'), FALSE) AS matched
+FROM df GROUP BY u ORDER BY u
+"""
+    ).df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert not bool(out[out.u == 149].matched.iloc[0])
