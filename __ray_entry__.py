@@ -433,6 +433,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
         return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
 
+    def events_type_hour_assoc(sf_dir):
+        # chi-squared / mutual-information / Cramér's V between
+        # event_type and hour-of-day: distributed contingency build
+        # (one map-side-combined grouped count), O(|A|x|B|) driver fold
+        import numpy as np
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            association_stats,
+        )
+
+        ev = R.read(sf_dir, "events", ["event_type", "ts"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            ts = (
+                t.column("ts").combine_chunks().cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                .view(np.int64)
+            )
+            hour = (ts // 3_600_000_000) % 24
+            return pa.table(
+                {"event_type": t.column("event_type"),
+                 "hour": pa.array(hour.astype(np.int64))}
+            )
+
+        return association_stats(
+            ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+            "event_type", "hour",
+        )
+
     def users_pattern_match(sf_dir):
         # MATCH_RECOGNIZE-lite: per-user ordered event-type sequence
         # tested against an RE2 regex (view, no intervening error,
@@ -2605,6 +2635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_zorder_scan": store_zorder_scan,
         "docs_phrase_hits": docs_phrase_hits,
         "users_pattern_match": users_pattern_match,
+        "events_type_hour_assoc": events_type_hour_assoc,
         "jsonl_ingest": jsonl_ingest,
         "events_window_edges": events_window_edges,
         "events_cube": events_cube,
@@ -2935,6 +2966,28 @@ def oracle_sql() -> dict[str, str]:
         "store_bloom_lookup": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_id IN (3, 411, 777, 905, 998) ORDER BY event_id"
+        ),
+        # chi2 completes the zero-observed cells via the identity
+        # sum_unobs E = n - sum_obs E; mi over observed cells only;
+        # cramers_v = sqrt(chi2 / (n * min(r-1, k-1)))
+        "events_type_hour_assoc": (
+            "WITH c AS (SELECT event_type AS a, "
+            "(epoch_us(ts) // 3600000000) % 24 AS b, COUNT(*)::DOUBLE AS o "
+            "FROM events GROUP BY 1, 2), "
+            "tot AS (SELECT SUM(o) AS n FROM c), "
+            "rt AS (SELECT a, SUM(o) AS ra FROM c GROUP BY a), "
+            "ct AS (SELECT b, SUM(o) AS cb FROM c GROUP BY b), "
+            "dims AS (SELECT (SELECT COUNT(*) FROM rt) AS r, "
+            "(SELECT COUNT(*) FROM ct) AS k), "
+            "s AS (SELECT ANY_VALUE(n) AS n, "
+            "SUM(POWER(o - ra*cb/n, 2)/(ra*cb/n) - ra*cb/n) + ANY_VALUE(n) AS chi2, "
+            "SUM(o/n * LN(o*n/(ra*cb))) AS mi "
+            "FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot) "
+            "SELECT CAST(s.n AS BIGINT) AS n, "
+            "CAST((dims.r - 1) * (dims.k - 1) AS BIGINT) AS dof, "
+            "ROUND(s.chi2, 6) AS chi2, ROUND(s.mi, 6) AS mi, "
+            "ROUND(SQRT(s.chi2 / (s.n * LEAST(dims.r - 1, dims.k - 1))), 6) "
+            "AS cramers_v FROM s CROSS JOIN dims"
         ),
         # RE2 both sides (Arrow kernel / DuckDB regexp_matches);
         # unique (ts, event_id) tiebreak pins the sequence

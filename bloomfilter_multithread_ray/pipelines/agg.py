@@ -79,6 +79,23 @@ def _group_by_nullsafe(t: pa.Table, keys: list[str], agg_list) -> pa.Table:
     and a null row DIFFERENT tuples, so no collision is possible —
     then restore nulls afterwards. Zero cost when no key has nulls.
     """
+    # An ALL-null block arrives with Arrow null-typed key columns (Ray
+    # blocks are typed independently): such a column is constant for
+    # grouping, so drop it from the group key and re-attach its
+    # null-typed all-null column after — the null type then promotes
+    # cleanly when blocks concat, which a speculative cast would break.
+    null_typed = [k for k in keys if pa.types.is_null(t.column(k).type)]
+    if null_typed:
+        gkeys = [k for k in keys if k not in null_typed]
+        if not gkeys:
+            dummy = "__nsg_const"
+            t2 = t.append_column(dummy, pa.array(np.zeros(t.num_rows, np.int8)))
+            res = _group_by_nullsafe(t2, [dummy], agg_list).drop_columns([dummy])
+        else:
+            res = _group_by_nullsafe(t, gkeys, agg_list)
+        for k in null_typed:
+            res = res.append_column(k, pa.nulls(res.num_rows, pa.null()))
+        return res
     nullable = [k for k in keys if t.column(k).null_count > 0]
     if len(keys) <= 1 or not nullable:
         return t.group_by(keys).aggregate(agg_list)

@@ -2311,3 +2311,58 @@ def sequence_pattern_match(
         return t.append_column(out_name, ok)
 
     return seq.map_batches(m, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def association_stats(
+    ds: "Dataset",
+    col_a: str,
+    col_b: str,
+    *,
+    num_partitions: int = 16,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Association between two categorical columns → one row
+    ``{n, dof, chi2, mi, cramers_v}``: Pearson's chi-squared statistic
+    of independence, mutual information (nats), and Cramér's V — the
+    profiling statistics that decide whether a column pair is worth a
+    composite partitioning key or a learned feature cross.
+
+    Distributed part = the contingency table: ONE map-side-combined
+    ``grouped_agg`` count over ``(a, b)`` (SQL GROUP BY null
+    semantics: null categories form real rows). The driver then folds
+    the O(|A|·|B|) cell table — categorical cardinalities, not data
+    size. Rows with BOTH values present count toward n; chi2/mi
+    formulas use the standard observed-vs-expected sums over nonzero
+    cells, rounded to ``round_dp``.
+    """
+    from .agg import grouped_agg
+
+    cells = grouped_agg(
+        ds, [col_a, col_b], {"c": ("count", None)}, num_partitions=num_partitions
+    ).to_pandas()
+    cells = cells.dropna(subset=[col_a, col_b])
+    n = int(cells.c.sum())
+    if n == 0:
+        return pd.DataFrame(
+            {"n": [0], "dof": [0], "chi2": [np.nan], "mi": [np.nan],
+             "cramers_v": [np.nan]}
+        )
+    piv = cells.pivot_table(index=col_a, columns=col_b, values="c",
+                            fill_value=0, aggfunc="sum")
+    O = piv.to_numpy(dtype=np.float64)
+    row = O.sum(1, keepdims=True)
+    colt = O.sum(0, keepdims=True)
+    E = row @ colt / n
+    nz = E > 0
+    chi2 = float(((O - E)[nz] ** 2 / E[nz]).sum())
+    onz = O > 0
+    mi = float((O[onz] / n * np.log(O[onz] * n / (row @ colt)[onz])).sum())
+    r, k = O.shape
+    dof = (r - 1) * (k - 1)
+    denom = n * max(min(r - 1, k - 1), 1)
+    v = float(np.sqrt(chi2 / denom)) if dof > 0 else np.nan
+    return pd.DataFrame(
+        {"n": [n], "dof": [int(dof)], "chi2": [round(chi2, round_dp)],
+         "mi": [round(mi, round_dp)],
+         "cramers_v": [round(v, round_dp)] if dof > 0 else [np.nan]}
+    )

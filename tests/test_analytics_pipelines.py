@@ -1094,3 +1094,34 @@ FROM df GROUP BY u ORDER BY u
     ).df()
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
     assert not bool(out[out.u == 149].matched.iloc[0])
+
+
+def test_association_stats_planted_independence_and_dependence(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import association_stats
+
+    rng = np.random.default_rng(4)
+    n = 30000
+    # independent columns: chi2 ~ dof, MI ~ 0, V ~ 0
+    ind = pd.DataFrame({"a": rng.choice(list("xyz"), n),
+                        "b": rng.choice(list("pqrs"), n)})
+    gi = association_stats(ray.data.from_pandas(ind).repartition(3), "a", "b")
+    assert gi.dof[0] == 6
+    assert gi.chi2[0] < 30 and abs(gi.mi[0]) < 0.002 and gi.cramers_v[0] < 0.05
+    # perfectly dependent: V == 1, MI == entropy of a
+    dep = pd.DataFrame({"a": rng.choice(list("xyz"), n)})
+    dep["b"] = dep.a.str.upper()
+    gd = association_stats(ray.data.from_pandas(dep).repartition(3), "a", "b")
+    assert abs(gd.cramers_v[0] - 1.0) < 1e-9
+    p = dep.a.value_counts(normalize=True).to_numpy()
+    assert abs(gd.mi[0] - float(-(p * np.log(p)).sum())) < 1e-6
+    # nulls in either column are excluded from n
+    wn = pd.DataFrame({"a": ["x", None, "y"], "b": ["p", "q", None]})
+    g3 = association_stats(ray.data.from_pandas(wn), "a", "b")
+    assert g3.n[0] == 1
+    # all-null -> NaN row
+    g4 = association_stats(
+        ray.data.from_pandas(pd.DataFrame({"a": [None], "b": [None]})), "a", "b"
+    )
+    assert g4.n[0] == 0 and np.isnan(g4.chi2[0])
