@@ -433,6 +433,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
         return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
 
+    def events_value_p90_cont(sf_dir):
+        # PERCENTILE_CONT: the radix narrowing run at both bracketing
+        # ranks + one count pass; values never co-locate
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            grouped_quantile_cont,
+        )
+
+        out = grouped_quantile_cont(
+            R.read(sf_dir, "events", ["event_type", "value"]),
+            "event_type", "value", 0.9,
+        )
+        return out.rename(columns={"value": "p90"})
+
     def events_type_hour_assoc(sf_dir):
         # chi-squared / mutual-information / Cramér's V between
         # event_type and hour-of-day: distributed contingency build
@@ -2636,6 +2649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_phrase_hits": docs_phrase_hits,
         "users_pattern_match": users_pattern_match,
         "events_type_hour_assoc": events_type_hour_assoc,
+        "events_value_p90_cont": events_value_p90_cont,
         "jsonl_ingest": jsonl_ingest,
         "events_window_edges": events_window_edges,
         "events_cube": events_cube,
@@ -2966,6 +2980,10 @@ def oracle_sql() -> dict[str, str]:
         "store_bloom_lookup": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_id IN (3, 411, 777, 905, 998) ORDER BY event_id"
+        ),
+        "events_value_p90_cont": (
+            "SELECT event_type, ROUND(quantile_cont(value, 0.9), 6) AS p90 "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         # chi2 completes the zero-observed cells via the identity
         # sum_unobs E = n - sum_obs E; mi over observed cells only;

@@ -298,6 +298,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "jsonl_ingest",
         "events_window_edges",
         "users_pattern_match",
+        "events_type_hour_assoc",
+        "events_value_p90_cont",
     ]
     times: dict[str, float] = {}
     for name in names:

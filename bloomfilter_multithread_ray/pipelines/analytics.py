@@ -1019,6 +1019,7 @@ def grouped_quantile_disc(
     *,
     bits_per_pass: int = 16,
     num_partitions: int = 32,
+    _rank_of=None,
 ) -> pd.DataFrame:
     """EXACT per-group discrete quantile (``quantile_disc`` /
     PERCENTILE_DISC semantics: the element at 0-based index
@@ -1118,7 +1119,10 @@ def grouped_quantile_disc(
                 n = int(c.sum())
                 if n == 0:
                     continue
-                rank = int(np.ceil(q * n)) - 1
+                rank = (
+                    int(np.ceil(q * n)) - 1 if _rank_of is None
+                    else int(_rank_of(n))
+                )
                 rank = min(max(rank, 0), n - 1)
             else:
                 rank = state[kk][1]
@@ -2366,3 +2370,63 @@ def association_stats(
          "mi": [round(mi, round_dp)],
          "cramers_v": [round(v, round_dp)] if dof > 0 else [np.nan]}
     )
+
+
+def grouped_quantile_cont(
+    ds: "Dataset",
+    key: str,
+    col: str,
+    q: float,
+    *,
+    bits_per_pass: int = 16,
+    num_partitions: int = 32,
+    round_dp: int | None = 6,
+) -> pd.DataFrame:
+    """EXACT per-group interpolated quantile (``quantile_cont`` /
+    PERCENTILE_CONT: v[floor(h)] + (h − floor(h))·(v[ceil(h)] −
+    v[floor(h)]) at h = (n−1)·q over the group's sorted non-null
+    values) → {key, value}.
+
+    Rides :func:`grouped_quantile_disc`'s radix narrowing twice — once
+    per bracketing rank — plus one tiny non-null count pass for the
+    interpolation fraction; all three are streaming jobs with
+    O(groups × 2^bits) driver state, values never co-locate. Groups
+    where h is integral (or n == 1) reduce to the single order
+    statistic exactly.
+    """
+    from .agg import grouped_agg
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+
+    def valid_flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        varr = t.column(col)
+        ok = pc.cast(pc.is_valid(varr), pa.int64())
+        return pa.table({key: t.column(key), "ok": ok})
+
+    nn = grouped_agg(
+        ds.map_batches(valid_flag, batch_format="pyarrow", zero_copy_batch=True),
+        key, {"n": ("sum", "ok")}, num_partitions=num_partitions,
+    ).to_pandas()
+    nn = nn[nn.n > 0]
+
+    lo = grouped_quantile_disc(
+        ds, key, col, q, bits_per_pass=bits_per_pass,
+        num_partitions=num_partitions,
+        _rank_of=lambda n: int(np.floor((n - 1) * q)),
+    ).rename(columns={"value": "vlo"})
+    hi = grouped_quantile_disc(
+        ds, key, col, q, bits_per_pass=bits_per_pass,
+        num_partitions=num_partitions,
+        _rank_of=lambda n: int(np.ceil((n - 1) * q)),
+    ).rename(columns={"value": "vhi"})
+    m = nn.merge(lo, on=key).merge(hi, on=key)
+    h = (m.n.to_numpy(dtype=np.float64) - 1.0) * q
+    frac = h - np.floor(h)
+    v = m.vlo.to_numpy() + frac * (m.vhi.to_numpy() - m.vlo.to_numpy())
+    out = pd.DataFrame({key: m[key], "value": v})
+    if round_dp is not None:
+        out["value"] = out["value"].round(round_dp)
+    return out.sort_values(key).reset_index(drop=True)

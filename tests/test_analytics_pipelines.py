@@ -1125,3 +1125,31 @@ def test_association_stats_planted_independence_and_dependence(ray_session):
         ray.data.from_pandas(pd.DataFrame({"a": [None], "b": [None]})), "a", "b"
     )
     assert g4.n[0] == 0 and np.isnan(g4.chi2[0])
+
+
+def test_grouped_quantile_cont_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import (
+        grouped_quantile_cont,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    df = pd.DataFrame({"g": rng.integers(0, 25, n).astype("int64"),
+                       "v": np.round(rng.normal(50, 12, n), 3)})
+    df.loc[df.index[:400], "v"] = None
+    # group 30: one row (reduces to the value); group 31: two rows
+    df = pd.concat([df, pd.DataFrame({"g": [30, 31, 31], "v": [7.5, 1.0, 2.0]})])
+    for q in (0.0, 0.25, 0.9, 1.0):
+        got = grouped_quantile_cont(
+            ray.data.from_pandas(df).repartition(4), "g", "v", q
+        )
+        want = duckdb.connect().execute(
+            f"SELECT g, ROUND(quantile_cont(v, {q}), 6) AS value FROM df "
+            "WHERE v IS NOT NULL GROUP BY g ORDER BY g"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError, match="q must be"):
+        grouped_quantile_cont(ray.data.from_pandas(df), "g", "v", 1.5)
