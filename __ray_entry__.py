@@ -433,6 +433,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
         return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
 
+    def users_top_event_type(sf_dir):
+        # deterministic per-user MODE (ties -> smallest value): two
+        # map-side-combined count passes, rows never co-locate raw
+        from bloomfilter_multithread_ray.pipelines.analytics import grouped_mode
+
+        out = grouped_mode(
+            R.read(sf_dir, "events", ["user_id", "event_type"]),
+            "user_id", "event_type",
+        )
+        df = out.to_pandas()
+        df["mode_count"] = df["mode_count"].astype("int64")
+        return df.sort_values("user_id").reset_index(drop=True)
+
     def events_value_p90_cont(sf_dir):
         # PERCENTILE_CONT: the radix narrowing run at both bracketing
         # ranks + one count pass; values never co-locate
@@ -2650,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_pattern_match": users_pattern_match,
         "events_type_hour_assoc": events_type_hour_assoc,
         "events_value_p90_cont": events_value_p90_cont,
+        "users_top_event_type": users_top_event_type,
         "jsonl_ingest": jsonl_ingest,
         "events_window_edges": events_window_edges,
         "events_cube": events_cube,
@@ -2984,6 +2998,15 @@ def oracle_sql() -> dict[str, str]:
         "events_value_p90_cont": (
             "SELECT event_type, ROUND(quantile_cont(value, 0.9), 6) AS p90 "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        # mode with the pinned tie rule (highest count, then smallest)
+        "users_top_event_type": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events "
+            "GROUP BY user_id, event_type), "
+            "r AS (SELECT user_id, event_type, n, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn FROM c) "
+            "SELECT user_id, event_type AS mode, CAST(n AS BIGINT) AS mode_count "
+            "FROM r WHERE rn = 1 ORDER BY user_id"
         ),
         # chi2 completes the zero-observed cells via the identity
         # sum_unobs E = n - sum_obs E; mi over observed cells only;

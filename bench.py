@@ -300,6 +300,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "users_pattern_match",
         "events_type_hour_assoc",
         "events_value_p90_cont",
+        "users_top_event_type",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -2430,3 +2430,64 @@ def grouped_quantile_cont(
     if round_dp is not None:
         out["value"] = out["value"].round(round_dp)
     return out.sort_values(key).reset_index(drop=True)
+
+
+def grouped_mode(
+    ds: "Dataset",
+    key: "str | list[str]",
+    col: str,
+    *,
+    num_partitions: int = 32,
+) -> "Dataset":
+    """Deterministic per-group MODE → ``key`` cols + ``mode`` +
+    ``mode_count``: the most frequent non-null value, ties broken by
+    the SMALLEST value (SQL engines leave mode() ties unspecified;
+    pinning them makes the operator oracle-able). Two map-side-combined
+    ``grouped_agg`` passes — (key, value) counts, then a per-partition
+    argmax kernel over the O(distinct pairs) count table; raw rows
+    never co-locate by key alone.
+    """
+    import pyarrow.compute as pc
+
+    from .agg import grouped_agg
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def drop_null_vals(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(col)))
+
+    counts = grouped_agg(
+        ds.map_batches(drop_null_vals, batch_format="pyarrow", zero_copy_batch=True),
+        [*keys, col],
+        {"c": ("count", None)},
+        num_partitions=num_partitions,
+    )
+
+    def argmax_kernel(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values([*keys, "c", col], ascending=[*([True] * len(keys)), False, True])
+        top = df.groupby(keys, dropna=False, sort=False).head(1)
+        out = top.rename(columns={col: "mode", "c": "mode_count"})
+        return pa.Table.from_pandas(
+            out[[*keys, "mode", "mode_count"]], preserve_index=False
+        )
+
+    # count-table rows for one key group all share the key: ONE more
+    # keyed exchange over the (small) distinct-pair table
+    from .agg import _partition_of_keys
+
+    P = int(num_partitions)
+
+    def route(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__mp", pa.array(_partition_of_keys(t, keys, P))
+        )
+
+    return (
+        counts.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__mp")
+        .map_groups(
+            lambda g: argmax_kernel(g.drop_columns(["__mp"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -1153,3 +1153,32 @@ def test_grouped_quantile_cont_matches_duckdb(ray_session):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     with pytest.raises(ValueError, match="q must be"):
         grouped_quantile_cont(ray.data.from_pandas(df), "g", "v", 1.5)
+
+
+def test_grouped_mode_ties_nulls_partitionings(ray_session):
+    import duckdb
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import grouped_mode
+
+    rng = np.random.default_rng(1)
+    n = 15000
+    df = pd.DataFrame({"g": rng.integers(0, 40, n).astype("int64"),
+                       "v": rng.choice(["a", "b", "c", None], n)})
+    # planted exact tie: group 99 has b and a twice each -> mode 'a'
+    df = pd.concat([df, pd.DataFrame({"g": [99] * 4, "v": ["b", "a", "b", "a"]})])
+    want = duckdb.connect().execute(
+        """
+WITH c AS (SELECT g, v, COUNT(*) AS n FROM df WHERE v IS NOT NULL GROUP BY g, v),
+r AS (SELECT g, v, n, ROW_NUMBER() OVER (PARTITION BY g ORDER BY n DESC, v) AS rn FROM c)
+SELECT g, v AS mode, CAST(n AS BIGINT) AS mode_count FROM r WHERE rn = 1 ORDER BY g
+"""
+    ).df()
+    for P, blocks in ((4, 2), (16, 6)):
+        got = (
+            grouped_mode(ray.data.from_pandas(df).repartition(blocks), "g", "v",
+                         num_partitions=P)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert want[want.g == 99]["mode"].iloc[0] == "a"  # tie pinned
