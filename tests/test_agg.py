@@ -337,3 +337,26 @@ def test_grouping_sets_validation(ray_session):
         grouping_sets(ds, [["a", "a"]], {"n": ("count", None)})
     with pytest.raises(ValueError, match="duplicate grouping sets"):
         grouping_sets(ds, [["a"], ["a"]], {"n": ("count", None)})
+
+
+def test_group_by_nullsafe_null_typed_key_blocks():
+    """An ALL-null block arrives with Arrow null-typed key columns:
+    grouping must treat the column as one constant null key and emit
+    a null-typed (promotable) output column."""
+    import pyarrow as pa
+
+    from bloomfilter_multithread_ray.pipelines.agg import _group_by_nullsafe
+
+    # one null-typed key + one normal nullable key in the same batch
+    t = pa.table({"a": pa.nulls(6),  # null type
+                  "b": pa.array(["x", "x", None, "y", None, "x"], pa.string()),
+                  "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64())})
+    res = _group_by_nullsafe(t, ["a", "b"], [("v", "sum")])
+    df = res.to_pandas().sort_values("b", na_position="last").reset_index(drop=True)
+    assert list(df.v_sum) == [9, 4, 8]  # x, y, null groups
+    assert df.a.isna().all() and str(res.column("a").type) == "null"
+    # all keys null-typed: one global group via the dummy-key path
+    t2 = pa.table({"a": pa.nulls(3), "b": pa.nulls(3),
+                   "v": pa.array([1, 2, 3], pa.int64())})
+    r2 = _group_by_nullsafe(t2, ["a", "b"], [("v", "sum")])
+    assert r2.num_rows == 1 and r2.column("v_sum")[0].as_py() == 6
