@@ -2491,3 +2491,67 @@ def grouped_mode(
             batch_format="pyarrow",
         )
     )
+
+
+def grouped_entropy(
+    ds: "Dataset",
+    key: "str | list[str]",
+    col: str,
+    *,
+    num_partitions: int = 32,
+    round_dp: int | None = 6,
+) -> "Dataset":
+    """Per-group Shannon entropy (nats) of a categorical column →
+    ``key`` cols + ``n`` + ``entropy``: H = −Σ p·ln p over the group's
+    non-null value distribution (diversity / concentration profiling —
+    single-valued groups read 0, uniform groups read ln(k)).
+
+    Fully distributed: ONE map-side-combined count over (key, value),
+    then the −c·ln c partial rides a SECOND map-side-combined sum per
+    key (the identity H = ln n − (Σ c·ln c)/n lets both passes stay
+    mergeable — no per-group distribution ever co-locates, only
+    O(distinct pairs) count rows and O(groups) moment rows move).
+    """
+    import pyarrow.compute as pc
+
+    from .agg import grouped_agg
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def drop_null_vals(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(col)))
+
+    counts = grouped_agg(
+        ds.map_batches(drop_null_vals, batch_format="pyarrow", zero_copy_batch=True),
+        [*keys, col],
+        {"c": ("count", None)},
+        num_partitions=num_partitions,
+    )
+
+    def clogc(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {k: t.column(k) for k in keys}
+        cols["c"] = t.column("c")
+        cols["clc"] = pa.array(c * np.log(c))
+        return pa.table(cols)
+
+    moments = grouped_agg(
+        counts.map_batches(clogc, batch_format="pyarrow", zero_copy_batch=True),
+        keys,
+        {"n": ("sum", "c"), "sclc": ("sum", "clc")},
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sclc = t.column("sclc").to_numpy(zero_copy_only=False)
+        h = np.log(n) - sclc / n  # exact for n >= 1; 0 for single-value
+        h = np.maximum(h, 0.0)  # fp guard (H >= 0 by definition)
+        if round_dp is not None:
+            h = np.round(h, round_dp)
+        cols = {k: t.column(k) for k in keys}
+        cols["n"] = pa.compute.cast(t.column("n"), pa.int64())
+        cols["entropy"] = pa.array(h)
+        return pa.table(cols)
+
+    return moments.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1182,3 +1182,34 @@ SELECT g, v AS mode, CAST(n AS BIGINT) AS mode_count FROM r WHERE rn = 1 ORDER B
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert want[want.g == 99]["mode"].iloc[0] == "a"  # tie pinned
+
+
+def test_grouped_entropy_matches_duckdb_and_edges(ray_session):
+    import duckdb
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import grouped_entropy
+
+    rng = np.random.default_rng(3)
+    n = 15000
+    df = pd.DataFrame({"g": rng.integers(0, 25, n).astype("int64"),
+                       "v": rng.choice(["a", "b", "c", None], n)})
+    # planted: single-valued group (H=0) and 4-way uniform (H=ln 4)
+    df = pd.concat([df, pd.DataFrame({"g": [90] * 5, "v": ["z"] * 5}),
+                    pd.DataFrame({"g": [91] * 4, "v": ["a", "b", "c", "d"]})])
+    want = duckdb.connect().execute(
+        """
+WITH c AS (SELECT g, v, COUNT(*)::DOUBLE AS c FROM df WHERE v IS NOT NULL GROUP BY g, v),
+t AS (SELECT g, SUM(c) AS n FROM c GROUP BY g)
+SELECT g, CAST(t.n AS BIGINT) AS n, ROUND(-SUM((c/t.n) * LN(c/t.n)), 6) AS entropy
+FROM c JOIN t USING (g) GROUP BY g, t.n ORDER BY g
+"""
+    ).df()
+    for blocks in (1, 5):
+        got = (
+            grouped_entropy(ray.data.from_pandas(df).repartition(blocks), "g", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert float(want[want.g == 90].entropy.iloc[0]) == 0.0
+    assert abs(float(want[want.g == 91].entropy.iloc[0]) - np.log(4)) < 1e-6
