@@ -433,6 +433,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
         return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
 
+    def users_type_entropy(sf_dir):
+        # per-user event-type Shannon entropy via the mergeable
+        # H = ln n - (sum c ln c)/n identity; two combined passes
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            grouped_entropy,
+        )
+
+        out = grouped_entropy(
+            R.read(sf_dir, "events", ["user_id", "event_type"]),
+            "user_id", "event_type",
+        )
+        return out.to_pandas().sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "n", "entropy"]
+        ]
+
     def users_top_event_type(sf_dir):
         # deterministic per-user MODE (ties -> smallest value): two
         # map-side-combined count passes, rows never co-locate raw
@@ -2664,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_assoc": events_type_hour_assoc,
         "events_value_p90_cont": events_value_p90_cont,
         "users_top_event_type": users_top_event_type,
+        "users_type_entropy": users_type_entropy,
         "jsonl_ingest": jsonl_ingest,
         "events_window_edges": events_window_edges,
         "events_cube": events_cube,
@@ -2998,6 +3014,14 @@ def oracle_sql() -> dict[str, str]:
         "events_value_p90_cont": (
             "SELECT event_type, ROUND(quantile_cont(value, 0.9), 6) AS p90 "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "users_type_entropy": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*)::DOUBLE AS c "
+            "FROM events GROUP BY user_id, event_type), "
+            "t AS (SELECT user_id, SUM(c) AS n FROM c GROUP BY user_id) "
+            "SELECT user_id, CAST(t.n AS BIGINT) AS n, "
+            "ROUND(-SUM((c/t.n) * LN(c/t.n)), 6) AS entropy "
+            "FROM c JOIN t USING (user_id) GROUP BY user_id, t.n ORDER BY user_id"
         ),
         # mode with the pinned tie rule (highest count, then smallest)
         "users_top_event_type": (

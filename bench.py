@@ -301,6 +301,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_type_hour_assoc",
         "events_value_p90_cont",
         "users_top_event_type",
+        "users_type_entropy",
     ]
     times: dict[str, float] = {}
     for name in names:
