@@ -591,6 +591,21 @@ def snapshot_diff(
 
 
 # -------------------------------------------------------- clustered append
+def _invalidate_bloom_sidecars(path: str) -> list[str]:
+    """Remove every Bloom sidecar: ingest (append/upsert) adds keys the
+    filters have never seen, which would turn lookups' zero-false-
+    negative guarantee into SILENT false negatives. Deleting the
+    sidecar makes bloom_pruned_lookup fail loudly (file not found)
+    until build_bloom_index re-runs — the honest failure mode.
+    Returns the removed file names."""
+    removed = []
+    for f in os.listdir(path):
+        if f.startswith("_bloom_index_") and f.endswith(".parquet"):
+            os.remove(os.path.join(path, f))
+            removed.append(f)
+    return removed
+
+
 def append_clustered(
     ds: "Dataset",
     path: str,
@@ -612,6 +627,7 @@ def append_clustered(
     """
     import pyarrow.parquet as pq
 
+    _invalidate_bloom_sidecars(path)
     man = read_manifest(path)
     col, kind = man["cluster_col"], man["kind"]
     splits = np.array(
@@ -1039,6 +1055,7 @@ def upsert_clustered(
     """
     import pyarrow.parquet as pq
 
+    _invalidate_bloom_sidecars(path)
     man = read_manifest(path)
     col, kind = man["cluster_col"], man["kind"]
     splits = np.array(

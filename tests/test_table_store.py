@@ -559,3 +559,23 @@ def test_zorder_box_scan_tighter_than_1d(ray_session, tmp_store):
         TS.read_zordered_box(tmp_store, {"v": (0, 1)})
     with pytest.raises(ValueError, match="empty bounds"):
         TS.read_zordered_box(tmp_store, {})
+
+
+def test_ingest_invalidates_bloom_sidecars(ray_session, tmp_store):
+    """Append/upsert add keys the Bloom sidecar never saw — keeping it
+    would turn zero-FN lookups into silent false negatives, so ingest
+    must delete the sidecar and lookups must fail loudly until
+    build_bloom_index re-runs."""
+    df = _bidx_df(2000)
+    TS.write_clustered(ray.data.from_pandas(df).repartition(4), tmp_store, "ts", num_ranges=8)
+    TS.build_bloom_index(tmp_store, "eid", num_bits=1 << 14)
+    ds, _ = TS.bloom_pruned_lookup(tmp_store, "eid", [5])
+    assert len(ds.to_pandas()) == 1
+    delta = pd.DataFrame({"ts": [99999], "eid": [777777], "name": ["zz"], "v": [1]})
+    TS.append_clustered(ray.data.from_pandas(delta), tmp_store)
+    with pytest.raises(FileNotFoundError):
+        TS.bloom_pruned_lookup(tmp_store, "eid", [777777])
+    # rebuild restores zero-FN including the new key
+    TS.build_bloom_index(tmp_store, "eid", num_bits=1 << 14)
+    ds2, _ = TS.bloom_pruned_lookup(tmp_store, "eid", [777777])
+    assert list(ds2.to_pandas().eid) == [777777]
