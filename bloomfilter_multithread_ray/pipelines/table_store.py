@@ -992,6 +992,27 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
              "has_null": pa.array(rows["has_null"], pa.bool_())}
         )
 
+    # fold the z-order per-column stats sidecar, if present: merged
+    # zone maps = per-column min/max over members (stale rids would
+    # otherwise point scans at moved files)
+    zdoc = None
+    zp = os.path.join(path, STATS_NAME)
+    if os.path.exists(zp):
+        with open(zp) as f:
+            zdoc = json.load(f)
+        new_ranges_stats: dict[str, dict] = {}
+        for gi, members in enumerate(groups):
+            ent: dict = {}
+            for c in zdoc["cols"]:
+                zms = [zdoc["ranges"][str(m["rid"])].get(c) for m in members]
+                zms = [z for z in zms if z is not None]
+                ent[c] = (
+                    [min(z[0] for z in zms), max(z[1] for z in zms)]
+                    if zms else None
+                )
+            new_ranges_stats[str(gi)] = ent
+        zdoc["ranges"] = new_ranges_stats
+
     # swap: drop old rid dirs, promote .compact dirs, manifest last
     import shutil
 
@@ -1004,6 +1025,13 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
         tmp = os.path.join(path, sc + ".tmp")
         pq.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(path, sc))
+    if zdoc is not None:
+        tmp = zp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(zdoc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, zp)
 
     conv = float if kind == "float" else int
     new_ranges = []

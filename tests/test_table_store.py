@@ -579,3 +579,24 @@ def test_ingest_invalidates_bloom_sidecars(ray_session, tmp_store):
     TS.build_bloom_index(tmp_store, "eid", num_bits=1 << 14)
     ds2, _ = TS.bloom_pruned_lookup(tmp_store, "eid", [777777])
     assert list(ds2.to_pandas().eid) == [777777]
+
+
+def test_compact_folds_zorder_stats(ray_session, tmp_store):
+    rng = np.random.default_rng(5)
+    n = 20000
+    df = pd.DataFrame(
+        {"ts": rng.integers(0, 1_000_000, n).astype("int64"),
+         "uid": rng.integers(0, 10_000, n).astype("int64"),
+         "v": rng.integers(0, 100, n).astype("int64")}
+    )
+    TS.write_zordered(ray.data.from_pandas(df).repartition(4), tmp_store,
+                      ("ts", "uid"), num_ranges=32)
+    before = TS.read_zordered_where(tmp_store, "uid", 2000, 2500)[0].to_pandas()
+    TS.compact_clustered(tmp_store, target_rows=2500)
+    ds, stats = TS.read_zordered_where(tmp_store, "uid", 2000, 2500)
+    after = ds.to_pandas()
+    key = lambda x: x.sort_values(["ts", "uid", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        key(before)[["ts", "uid", "v"]], key(after)[["ts", "uid", "v"]]
+    )
+    assert stats["ranges_total"] < 32  # sidecar tracked the new layout
