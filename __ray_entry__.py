@@ -1697,6 +1697,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = A.weighted_sample(ds, "n_tok", id_col="doc_id", k=50, seed=7)
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def stratified_sample_weighted(sf_dir):
+        # per-source length-weighted sample: the A-ES keys of
+        # corpus_sample_weighted kept top-5 PER SOURCE (same derived
+        # randomness, same seed, so the oracle reuses the identical
+        # splitmix64 SQL chain with a PARTITION BY window)
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            weighted_sample_by_group,
+        )
+
+        stats_fn = T.make_doc_token_stats_fn()
+        docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+        def with_source(t: pa.Table) -> pa.Table:
+            st = stats_fn(t.select(["doc_id", "text"]))
+            return st.append_column("source", t.column("source"))
+
+        ds = docs.map_batches(
+            with_source, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return weighted_sample_by_group(
+            ds, "source", "n_tok", id_col="doc_id", k=5, seed=7
+        )[["source", "doc_id", "n_tok"]]
+
     def sketch_lineage(sf_dir):
         # Checkpoint-resumable epoch build + per-partition lineage table.
         # Deterministic: seed-fixed corpus; a completed store is a no-op
@@ -2627,6 +2652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_lineage": sketch_lineage,
         "corpus_sample": corpus_sample,
         "corpus_sample_weighted": corpus_sample_weighted,
+        "stratified_sample_weighted": stratified_sample_weighted,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_keep": dedup_minhash_keep,
         "dedup_keepset_exact": dedup_keepset_exact,
@@ -4656,4 +4682,21 @@ def oracle_sql() -> dict[str, str]:
     # same fixed point, same oracle: the distributed engine must land on
     # the broadcast engine's recursive-CTE PageRank to the last rounded dp
     sqls["textrank_distributed"] = sqls["textrank"]
+    # stratified_sample_weighted: the SAME splitmix64 A-ES chain as
+    # corpus_sample_weighted (same seed, same derived randomness),
+    # threaded with source and finished by a per-source top-5 window
+    v = sqls["corpus_sample_weighted"]
+    v = v.replace("WITH t AS (SELECT doc_id, ", "WITH t AS (SELECT doc_id, source, ")
+    v = v.replace("m0 AS (SELECT doc_id, n_tok, ", "m0 AS (SELECT doc_id, source, n_tok, ")
+    for st in ("x1", "s1", "x2", "s2", "s3", "k"):
+        v = v.replace(f"{st} AS (SELECT doc_id, n_tok, ",
+                      f"{st} AS (SELECT doc_id, source, n_tok, ")
+    v = v.replace(
+        "SELECT doc_id, n_tok FROM (SELECT * FROM k ORDER BY akey DESC LIMIT 50) ORDER BY doc_id",
+        "SELECT source, doc_id, n_tok FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY akey DESC) AS rn FROM k) WHERE rn <= 5 "
+        "ORDER BY source, doc_id",
+    )
+    assert "LIMIT 50" not in v
+    sqls["stratified_sample_weighted"] = v
     return sqls

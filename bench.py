@@ -302,6 +302,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_p90_cont",
         "users_top_event_type",
         "users_type_entropy",
+        "stratified_sample_weighted",
     ]
     times: dict[str, float] = {}
     for name in names:

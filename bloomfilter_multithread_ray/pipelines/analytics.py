@@ -2555,3 +2555,63 @@ def grouped_entropy(
         return pa.table(cols)
 
     return moments.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample_by_group(
+    ds: "Dataset",
+    group_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 5,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Per-group weighted sample WITHOUT replacement (A-ES keys per
+    :func:`weighted_sample`, kept top-k PER GROUP) → {group_col,
+    id_col, weight_col} — stratified sampling where each stratum's
+    inclusion probability is ∝ weight, deterministic and
+    partitioning-independent (derived randomness: splitmix64 of the
+    id hash ⊕ seed). Scale shape = :func:`stratified_sample`'s
+    combiner: each batch forwards ≤ k rows per group it saw, the
+    final fold sees O(groups × k × blocks) rows — the group catalog
+    is assumed bounded (sources, splits, shards), never a
+    fine-grained key.
+    """
+    from ..functions.hashing import hash64_ints, hash_strings
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_integer(ids.type):
+            h = hash64_ints(
+                ids.to_numpy(zero_copy_only=False).astype(np.int64), seed=seed + 1
+            )
+        else:
+            h = hash_strings(ids, seed=seed + 1)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        with np.errstate(divide="ignore"):
+            key = u ** (1.0 / np.maximum(w, 1e-300))
+        key = np.where(w > 0, key, -1.0)
+        df = pd.DataFrame(
+            {group_col: t.column(group_col).to_pandas(),
+             id_col: ids.to_pandas(),
+             weight_col: t.column(weight_col).to_pandas(),
+             "akey": key}
+        )
+        df = df[df.akey >= 0]
+        df = df.sort_values("akey", ascending=False).groupby(
+            group_col, sort=False
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(
+        block_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.sort_values("akey", ascending=False)
+        .groupby(group_col, sort=False)
+        .head(k)
+        .drop(columns=["akey"])
+    )
+    return out.sort_values([group_col, id_col]).reset_index(drop=True)

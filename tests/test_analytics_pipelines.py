@@ -1213,3 +1213,42 @@ FROM c JOIN t USING (g) GROUP BY g, t.n ORDER BY g
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert float(want[want.g == 90].entropy.iloc[0]) == 0.0
     assert abs(float(want[want.g == 91].entropy.iloc[0]) - np.log(4)) < 1e-6
+
+
+def test_weighted_sample_by_group_deterministic_and_proportional(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.analytics import (
+        weighted_sample_by_group,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 6000
+    df = pd.DataFrame(
+        {"g": rng.choice(["a", "b", "c"], n),
+         "id": np.arange(n, dtype=np.int64),
+         "w": rng.integers(0, 10, n).astype("float64")}
+    )
+    outs = [
+        weighted_sample_by_group(
+            ray.data.from_pandas(df).repartition(b), "g", "w", id_col="id",
+            k=4, seed=3,
+        )
+        for b in (1, 7)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-independent
+    assert (outs[0].groupby("g").size() == 4).all()
+    assert (outs[0].w > 0).all()  # zero-weight rows never sampled
+    # inclusion frequency tracks weight: across seeds, heavy ids appear
+    # far more often than light ids within a group
+    heavy = df[(df.g == "a") & (df.w >= 8)].id
+    light = df[(df.g == "a") & (df.w == 1)].id
+    hc = lc = 0
+    for s in range(40):
+        samp = weighted_sample_by_group(
+            ray.data.from_pandas(df), "g", "w", id_col="id", k=4, seed=s
+        )
+        got = set(samp[samp.g == "a"].id)
+        hc += len(got & set(heavy))
+        lc += len(got & set(light))
+    assert hc > 3 * max(lc, 1)
