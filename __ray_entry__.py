@@ -691,9 +691,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             batch_format="pyarrow", zero_copy_batch=True,
         ).materialize()
+        # source candidates = ALL endpoints (pairs are oriented
+        # doc_a < doc_b, so a doc appearing only as the larger endpoint
+        # would be invisible to a column-a-only scan — the oracle picks
+        # its 5 lowest ids from the symmetrized edge list)
         lows = grouped_agg(
             pairs.map_batches(
-                lambda t: pa.table({"n": t.column("a")}),
+                lambda t: pa.table({"n": pa.chunked_array(
+                    t.column("a").chunks + t.column("b").chunks,
+                    type=t.column("a").type,
+                )}),
                 batch_format="pyarrow", zero_copy_batch=True,
             ),
             "n", {"c": ("count", None)}, num_partitions=4,

@@ -291,6 +291,18 @@ def grouping_sets(
     ]
     if len(set(gids)) != len(gids):
         raise ValueError("duplicate grouping sets")
+    # An agg INPUT column that is also a union key would otherwise read
+    # the nulled copy at levels that roll the key up (SQL aggregates the
+    # real values regardless of the grouping level) — carry the raw
+    # values under an internal alias and aggregate over that instead.
+    alias_of = {
+        c: f"__agg_{c}"
+        for (_k, c) in aggs.values()
+        if c is not None and c in union_keys
+    }
+    aggs_in = {
+        out: (kind, alias_of.get(col, col)) for out, (kind, col) in aggs.items()
+    }
     agg_cols = [c for (_k, c) in aggs.values() if c is not None]
 
     def replicate(t: pa.Table) -> pa.Table:
@@ -304,14 +316,15 @@ def grouping_sets(
                 np.full(t.num_rows, gid, dtype=np.int64)
             )
             for c in agg_cols:
-                if c not in cols:
-                    cols[c] = t.column(c)
+                cols[alias_of.get(c, c)] = (
+                    t.column(c) if c in alias_of or c not in cols else cols[c]
+                )
             reps.append(pa.table(cols))
         return pa.concat_tables(reps)
 
     rep = ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_agg(
-        rep, [*union_keys, "grouping_id"], aggs, num_partitions=num_partitions
+        rep, [*union_keys, "grouping_id"], aggs_in, num_partitions=num_partitions
     )
 
 

@@ -322,42 +322,19 @@ def minhash_lsh_pairs(
 
 def keep_set_from_pairs(docs: "Dataset", pairs: "Dataset", id_col: str = "doc_id"):
     """Duplicate-cluster keep-set: keep the min doc_id per component.
+    Returns a pandas DataFrame {doc_id} of survivors.
 
-    Union-find over the *pair list* on the driver (|pairs| << |docs|;
-    scale path: hash-partitioned label propagation). Returns a pandas
-    DataFrame {doc_id} of survivors.
-    """
+    Thin wrapper over :func:`.graph.keep_set_distributed` (hash-
+    partitioned connected components + anti join) — the driver
+    union-find this signature used to run is gone, so no caller can
+    reach a driver-side ``take_all`` over the pair list by accident;
+    only the small SURVIVOR id list materializes, for the pandas
+    return shape."""
     import pandas as pd
 
-    plist = pairs.select_columns(["doc_a", "doc_b"]).take_all()
-    parent: dict[int, int] = {}
+    from .graph import keep_set_distributed
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for r in plist:
-        a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
-        if a != b:
-            lo, hi = (a, b) if a < b else (b, a)
-            parent[hi] = lo
-    drop = np.array(sorted(x for x in parent if find(x) != x), dtype=np.int64)
-
-    import ray
-
-    drop_ref = ray.put(drop)  # broadcast once; vectorized isin per batch
-
-    def keep_batch(t: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        ids_np = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.isin(ids_np, d, invert=True)
-        return t.filter(pa.array(mask))
-
-    kept = docs.select_columns([id_col]).map_batches(
-        keep_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
+    kept = keep_set_distributed(docs, pairs, id_col=id_col)
     out = kept.to_pandas().sort_values(id_col).reset_index(drop=True)
     return pd.DataFrame({id_col: out[id_col].astype("int64")})
 

@@ -183,6 +183,7 @@ def write_clustered(
     doc = {
         "cluster_col": cluster_col,
         "kind": kind,
+        "gen": 0,  # compaction bumps this; data root = _data_root()
         "splits": splits_py,  # JSON ints are exact (no 2^53 rounding)
         "ranges": [
             # vmin/vmax are the range's zone map (int64 units; None for
@@ -213,6 +214,22 @@ def write_clustered(
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         return json.load(f)
+
+
+def _data_root(path: str, man: dict) -> str:
+    """Directory holding the manifest's CURRENT generation of range
+    dirs + sidecars. Generation 0 (every fresh write, and manifests
+    from before the field existed) is ``path`` itself; compaction K
+    publishes a complete new layout under ``path/g{K}`` and makes the
+    atomic manifest replace the single commit point — a crash at any
+    earlier moment leaves the old generation fully intact and
+    referenced, never a manifest pointing at moved/deleted files."""
+    gen = int(man.get("gen", 0))
+    return path if gen == 0 else os.path.join(path, f"g{gen}")
+
+
+def _rid_file(root: str, rid) -> str:
+    return os.path.join(root, f"rid={int(rid)}", "part.parquet")
 
 
 def select_ranges(manifest: dict, lo=None, hi=None) -> list[int]:
@@ -263,6 +280,7 @@ def read_clustered(
     import ray.data
 
     man = read_manifest(path)
+    root = _data_root(path, man)
     col = man["cluster_col"]
     rids = select_ranges(man, lo, hi)
     need = list(columns) if columns is not None else None
@@ -276,11 +294,9 @@ def read_clustered(
         # NOTE: partitioning=None + columns trips a Ray UnboundLocalError
         # (parquet_datasource._infer_data_and_partition_columns), so keep
         # the default hive inference and drop the synthetic rid column
-        ds = ray.data.read_parquet(
-            os.path.join(path, f"rid={any_rid}", "part.parquet"), columns=need
-        ).limit(0)
+        ds = ray.data.read_parquet(_rid_file(root, any_rid), columns=need).limit(0)
         return _drop_rid(ds, need)
-    files = [os.path.join(path, f"rid={r}", "part.parquet") for r in rids]
+    files = [_rid_file(root, r) for r in rids]
     flt = None
     if lo is not None:
         flt = pads.field(col) >= _scalar(lo, man["kind"])
@@ -591,17 +607,17 @@ def snapshot_diff(
 
 
 # -------------------------------------------------------- clustered append
-def _invalidate_bloom_sidecars(path: str) -> list[str]:
-    """Remove every Bloom sidecar: ingest (append/upsert) adds keys the
-    filters have never seen, which would turn lookups' zero-false-
-    negative guarantee into SILENT false negatives. Deleting the
-    sidecar makes bloom_pruned_lookup fail loudly (file not found)
-    until build_bloom_index re-runs — the honest failure mode.
-    Returns the removed file names."""
+def _invalidate_bloom_sidecars(root: str) -> list[str]:
+    """Remove every Bloom sidecar (from the CURRENT generation root):
+    ingest (append/upsert) adds keys the filters have never seen, which
+    would turn lookups' zero-false-negative guarantee into SILENT false
+    negatives. Deleting the sidecar makes bloom_pruned_lookup fail
+    loudly (file not found) until build_bloom_index re-runs — the
+    honest failure mode. Returns the removed file names."""
     removed = []
-    for f in os.listdir(path):
+    for f in os.listdir(root):
         if f.startswith("_bloom_index_") and f.endswith(".parquet"):
-            os.remove(os.path.join(path, f))
+            os.remove(os.path.join(root, f))
             removed.append(f)
     return removed
 
@@ -627,8 +643,9 @@ def append_clustered(
     """
     import pyarrow.parquet as pq
 
-    _invalidate_bloom_sidecars(path)
     man = read_manifest(path)
+    root = _data_root(path, man)
+    _invalidate_bloom_sidecars(root)
     col, kind = man["cluster_col"], man["kind"]
     splits = np.array(
         man["splits"], dtype=np.float64 if kind == "float" else np.int64
@@ -647,7 +664,7 @@ def append_clustered(
     def merge_range(g: pa.Table) -> pa.Table:
         rid = int(g.column("__rid")[0].as_py())
         fresh = g.drop_columns(["__rid"])
-        d = os.path.join(path, f"rid={rid}")
+        d = os.path.join(root, f"rid={rid}")
         fp = os.path.join(d, "part.parquet")
         applied: list[str] = []
         existing = None
@@ -705,8 +722,7 @@ def append_clustered(
     by_rid = {r["rid"]: dict(r) for r in man["ranges"]}
     conv = float if kind == "float" else int
     for rid in rep.rid:
-        fp = os.path.join(path, f"rid={int(rid)}", "part.parquet")
-        t = pq.read_table(fp, columns=[col])
+        t = pq.read_table(_rid_file(root, rid), columns=[col])
         v, valid, _k = _to_numeric(t.column(col))
         vv = v[valid]
         by_rid[int(rid)] = {
@@ -744,8 +760,9 @@ def append_clustered(
 # grow (FPR is per-range, bounded by the per-range key count).
 # ---------------------------------------------------------------------------
 
-def _bloom_index_path(path: str, col: str) -> str:
-    return os.path.join(path, f"_bloom_index_{col}.parquet")
+def _bloom_index_path(root: str, col: str) -> str:
+    """Sidecar path INSIDE a generation root (see ``_data_root``)."""
+    return os.path.join(root, f"_bloom_index_{col}.parquet")
 
 
 def _key_hash_array(arr: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
@@ -791,14 +808,13 @@ def build_bloom_index(
     from ..state.bloom import BloomFilter
 
     man = read_manifest(path)
+    root = _data_root(path, man)
     rids = [int(r["rid"]) for r in man["ranges"]]
 
     def build(batch: pa.Table) -> pa.Table:
         out = {"rid": [], "sketch": [], "n_keys": [], "fill_ratio": [], "has_null": []}
         for rid in batch.column("rid").to_pylist():
-            t = pq.read_table(
-                os.path.join(path, f"rid={rid}", "part.parquet"), columns=[key_col]
-            )
+            t = pq.read_table(_rid_file(root, rid), columns=[key_col])
             h, valid = _key_hash_array(t.column(key_col))
             bf = BloomFilter(num_bits, num_hashes)
             bf.update_hashes(h[valid])
@@ -825,9 +841,9 @@ def build_bloom_index(
     import ray as _ray
 
     tbl = pa.concat_tables([_ray.get(r) for r in idx]).sort_by("rid")
-    tmp = _bloom_index_path(path, key_col) + ".tmp"
+    tmp = _bloom_index_path(root, key_col) + ".tmp"
     pq.write_table(tbl, tmp)
-    os.replace(tmp, _bloom_index_path(path, key_col))
+    os.replace(tmp, _bloom_index_path(root, key_col))
     return tbl.drop_columns(["sketch"]).to_pandas()
 
 
@@ -856,7 +872,9 @@ def bloom_pruned_lookup(
         raise ValueError("bloom_pruned_lookup: empty value list")
     h, _valid = _key_hash_array(vals)
 
-    side = pq.read_table(_bloom_index_path(path, key_col))
+    man = read_manifest(path)
+    root = _data_root(path, man)
+    side = pq.read_table(_bloom_index_path(root, key_col))
     hit_rids: list[int] = []
     for rid, blob in zip(side.column("rid").to_pylist(), side.column("sketch").to_pylist()):
         bf = deserialize_sketch(blob)
@@ -869,9 +887,14 @@ def bloom_pruned_lookup(
     }
     need = columns if columns is None else list(dict.fromkeys([key_col, *columns]))
     if not hit_rids:
-        empty = pa.table({})  # no candidate range can contain any key
-        return ray.data.from_arrow(empty), stats
-    files = [os.path.join(path, f"rid={r}", "part.parquet") for r in hit_rids]
+        # no candidate range can contain any key — but callers still
+        # select/sort on the documented columns, so the empty result
+        # must carry the REAL schema (read zero rows from one file),
+        # not a zero-column table
+        any_rid = man["ranges"][0]["rid"]
+        empty = ray.data.read_parquet(_rid_file(root, any_rid), columns=need).limit(0)
+        return empty, stats
+    files = [_rid_file(root, r) for r in hit_rids]
     ds = ray.data.read_parquet(files, columns=need)
 
     def exact(t: pa.Table) -> pa.Table:
@@ -893,17 +916,40 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
     Merged zone maps fold from the members' recorded vmin/vmax (no
     re-read); every ``_bloom_index_*`` sidecar is folded too — Bloom
     union is lossless, so lookups keep zero false negatives without
-    rebuilding. Group rewrites run as independent Ray tasks; each new
-    range publishes atomically (tmp + rename), the manifest replaces
-    LAST. NOT safe under concurrent readers (rids renumber in place);
-    run it like any offline table-maintenance job. Returns the new
-    manifest frame {rid, n_rows, vmin, vmax, merged_from}.
+    rebuilding. Exactly-once delta replay survives compaction: a
+    merged file's ``applied_delta_ids`` metadata is the UNION of its
+    members' (``pa.concat_tables`` alone would keep only the first
+    member's, letting an absorbed delta re-apply → duplicate rows).
+
+    Crash-safe: the ENTIRE new generation (range files via copy/
+    hardlink — never a move — plus folded sidecars and stats) is
+    staged under ``{path}/g{gen+1}``, untouched by any reader, and the
+    single atomic manifest replace is the commit point; the old
+    generation is deleted only AFTER. A crash at any earlier moment
+    leaves the old layout fully intact and referenced; a crash during
+    cleanup leaves harmless orphans; per-group rewrites are idempotent
+    (a Ray task retry skips files that already exist). NOT safe under
+    CONCURRENT compactions of the same store; readers are fine. Returns
+    the new manifest frame {rid, n_rows, vmin, vmax, merged_from}.
     """
+    import shutil
+
     import pyarrow.parquet as pq
     import ray
     import ray.data
 
     man = read_manifest(path)
+    old_gen = int(man.get("gen", 0))
+    old_root = _data_root(path, man)
+    new_gen = old_gen + 1
+    new_root = os.path.join(path, f"g{new_gen}")
+    # discard staging left by a TORN earlier compaction: the store may
+    # have been appended to since, so its plan (groups) can differ and
+    # stale staged files would be silently adopted by the idempotent
+    # skip below (which exists for same-run Ray task retries)
+    if os.path.exists(new_root):
+        shutil.rmtree(new_root)
+    os.makedirs(new_root)
     col, kind = man["cluster_col"], man["kind"]
     ranges = sorted(man["ranges"], key=lambda r: r["rid"])
     if not ranges:
@@ -926,25 +972,45 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
         for gi in batch.column("gi").to_pylist():
             members = groups[gi]
             rids = [m["rid"] for m in members]
-            d = os.path.join(path, f"rid={rids[0]}")
-            if len(members) > 1:
-                t = pa.concat_tables(
-                    [pq.read_table(os.path.join(path, f"rid={r}", "part.parquet"))
-                     for r in rids]
-                ).sort_by([(col, "ascending")])
-            else:
-                t = None  # single member: just (maybe) rename the dir
-            nd = os.path.join(path, f"rid={gi}.compact")
+            nd = os.path.join(new_root, f"rid={gi}")
             os.makedirs(nd, exist_ok=True)
             fp = os.path.join(nd, "part.parquet")
-            if t is not None:
-                tmp = fp + ".tmp"
-                pq.write_table(t, tmp)
-                os.replace(tmp, fp)
-                nr = t.num_rows
+            if os.path.exists(fp):  # idempotent: task retry / resumed run
+                out["new_rid"].append(gi)
+                out["n_rows"].append(int(pq.read_metadata(fp).num_rows))
+                continue
+            tmp = fp + ".tmp"
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            if len(members) == 1:
+                # copy, never move: the old generation stays fully
+                # intact (and referenced) until the manifest commit
+                src = _rid_file(old_root, rids[0])
+                try:
+                    os.link(src, tmp)  # O(1); preserves file metadata
+                except OSError:
+                    shutil.copyfile(src, tmp)
+                nr = int(members[0]["n_rows"])
             else:
-                os.replace(os.path.join(d, "part.parquet"), fp)
-                nr = members[0]["n_rows"]
+                parts: list[pa.Table] = []
+                applied: list[str] = []
+                for r in rids:
+                    t = pq.read_table(_rid_file(old_root, r))
+                    meta = t.schema.metadata or {}
+                    for d_id in json.loads(meta.get(b"applied_delta_ids", b"[]")):
+                        if d_id not in applied:
+                            applied.append(d_id)
+                    parts.append(t.replace_schema_metadata(None))
+                t = pa.concat_tables(parts).sort_by([(col, "ascending")])
+                if applied:
+                    # UNION of the members' absorbed delta ids (concat
+                    # keeps only the first member's metadata otherwise)
+                    t = t.replace_schema_metadata(
+                        {b"applied_delta_ids": json.dumps(applied).encode()}
+                    )
+                pq.write_table(t, tmp)
+                nr = t.num_rows
+            os.replace(tmp, fp)
             out["new_rid"].append(gi)
             out["n_rows"].append(nr)
         return pa.table({"new_rid": pa.array(out["new_rid"], pa.int64()),
@@ -958,16 +1024,16 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
         .reset_index(drop=True)
     )
 
-    # fold sidecars BEFORE removing old dirs (pure sketch merges)
+    # fold sidecars from the old generation (pure sketch merges)
     sidecars = [
-        f for f in os.listdir(path)
+        f for f in os.listdir(old_root)
         if f.startswith("_bloom_index_") and f.endswith(".parquet")
     ]
     folded: dict[str, pa.Table] = {}
     for sc in sidecars:
         from ..state.base import deserialize_sketch
 
-        side = pq.read_table(os.path.join(path, sc))
+        side = pq.read_table(os.path.join(old_root, sc))
         by_rid = {int(r): i for i, r in enumerate(side.column("rid").to_pylist())}
         rows = {"rid": [], "sketch": [], "n_keys": [], "fill_ratio": [], "has_null": []}
         for gi, members in enumerate(groups):
@@ -996,7 +1062,7 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
     # zone maps = per-column min/max over members (stale rids would
     # otherwise point scans at moved files)
     zdoc = None
-    zp = os.path.join(path, STATS_NAME)
+    zp = os.path.join(old_root, STATS_NAME)
     if os.path.exists(zp):
         with open(zp) as f:
             zdoc = json.load(f)
@@ -1013,25 +1079,19 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
             new_ranges_stats[str(gi)] = ent
         zdoc["ranges"] = new_ranges_stats
 
-    # swap: drop old rid dirs, promote .compact dirs, manifest last
-    import shutil
-
-    for r in ranges:
-        shutil.rmtree(os.path.join(path, f"rid={r['rid']}"), ignore_errors=True)
-    for gi in range(len(groups)):
-        os.replace(os.path.join(path, f"rid={gi}.compact"),
-                   os.path.join(path, f"rid={gi}"))
+    # publish the staged sidecars + stats INTO the new generation root
+    # (nothing references them until the manifest flips)
     for sc, tbl in folded.items():
-        tmp = os.path.join(path, sc + ".tmp")
+        tmp = os.path.join(new_root, sc + ".tmp")
         pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(path, sc))
+        os.replace(tmp, os.path.join(new_root, sc))
     if zdoc is not None:
-        tmp = zp + ".tmp"
+        tmp = os.path.join(new_root, STATS_NAME + ".tmp")
         with open(tmp, "w") as f:
             json.dump(zdoc, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, zp)
+        os.replace(tmp, os.path.join(new_root, STATS_NAME))
 
     conv = float if kind == "float" else int
     new_ranges = []
@@ -1045,6 +1105,10 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
              "vmax": conv(max(vmaxs)) if vmaxs else None}
         )
         merged_from.append(len(members))
+
+    # COMMIT: one atomic manifest replace flips every reader to the
+    # new generation
+    man["gen"] = new_gen
     man["ranges"] = new_ranges
     man["splits"] = new_splits
     tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
@@ -1053,6 +1117,25 @@ def compact_clustered(path: str, *, target_rows: int = 100_000) -> pd.DataFrame:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+
+    # post-commit cleanup of the old generation — best-effort: a crash
+    # here leaves orphan files, never a broken store
+    if old_gen == 0:
+        for r in ranges:
+            shutil.rmtree(os.path.join(path, f"rid={r['rid']}"), ignore_errors=True)
+        for f in sidecars:
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
+        if zdoc is not None:
+            try:
+                os.remove(zp)
+            except OSError:
+                pass
+    else:
+        shutil.rmtree(old_root, ignore_errors=True)
+
     out = pd.DataFrame(new_ranges)
     out["merged_from"] = merged_from
     return out
@@ -1083,8 +1166,9 @@ def upsert_clustered(
     """
     import pyarrow.parquet as pq
 
-    _invalidate_bloom_sidecars(path)
     man = read_manifest(path)
+    root = _data_root(path, man)
+    _invalidate_bloom_sidecars(root)
     col, kind = man["cluster_col"], man["kind"]
     splits = np.array(
         man["splits"], dtype=np.float64 if kind == "float" else np.int64
@@ -1109,7 +1193,7 @@ def upsert_clustered(
         fk = fresh.column(col)
         if len(pc.unique(fk)) != fresh.num_rows:
             raise ValueError("upsert_clustered: duplicate keys in delta")
-        d = os.path.join(path, f"rid={rid}")
+        d = os.path.join(root, f"rid={rid}")
         fp = os.path.join(d, "part.parquet")
         applied: list[str] = []
         existing = None
@@ -1170,8 +1254,7 @@ def upsert_clustered(
     by_rid = {r["rid"]: dict(r) for r in man["ranges"]}
     conv = float if kind == "float" else int
     for rid in rep.rid:
-        fp = os.path.join(path, f"rid={int(rid)}", "part.parquet")
-        t = pq.read_table(fp, columns=[col])
+        t = pq.read_table(_rid_file(root, rid), columns=[col])
         v, valid, _k = _to_numeric(t.column(col))
         vv = v[valid]
         by_rid[int(rid)] = {
@@ -1301,7 +1384,8 @@ def read_zordered_where(
 
     import ray.data
 
-    with open(os.path.join(path, STATS_NAME)) as f:
+    root = _data_root(path, read_manifest(path))
+    with open(os.path.join(root, STATS_NAME)) as f:
         doc = json.load(f)
     if col not in doc["cols"]:
         raise ValueError(f"{col!r} is not a z-order stats column {doc['cols']}")
@@ -1321,14 +1405,14 @@ def read_zordered_where(
     need = columns if columns is None else list(dict.fromkeys([col, *columns]))
     if not keep:
         any_rid = next(iter(doc["ranges"]))
-        fp = os.path.join(path, f"rid={any_rid}", "part.parquet")
+        fp = _rid_file(root, any_rid)
         if need is None:  # typed empty: concrete columns, no __z/rid
             import pyarrow.parquet as pq
 
             need = [c for c in pq.read_schema(fp).names if c != "__z"]
         ds = ray.data.read_parquet(fp, columns=need).limit(0)
         return _drop_rid(ds, need), stats
-    files = [os.path.join(path, f"rid={r}", "part.parquet") for r in sorted(keep)]
+    files = [_rid_file(root, r) for r in sorted(keep)]
     flt = None
     if lo is not None:
         flt = pads.field(col) >= _scalar(lo, kind)
@@ -1363,7 +1447,8 @@ def read_zordered_box(
 
     import ray.data
 
-    with open(os.path.join(path, STATS_NAME)) as f:
+    root = _data_root(path, read_manifest(path))
+    with open(os.path.join(root, STATS_NAME)) as f:
         doc = json.load(f)
     bad = [c for c in bounds if c not in doc["cols"]]
     if bad:
@@ -1399,14 +1484,14 @@ def read_zordered_box(
     )
     if not keep:
         any_rid = next(iter(doc["ranges"]))
-        fp = os.path.join(path, f"rid={any_rid}", "part.parquet")
+        fp = _rid_file(root, any_rid)
         if need is None:
             import pyarrow.parquet as pq
 
             need = [c for c in pq.read_schema(fp).names if c != "__z"]
         ds = ray.data.read_parquet(fp, columns=need).limit(0)
         return _drop_rid(ds, need), stats
-    files = [os.path.join(path, f"rid={r}", "part.parquet") for r in sorted(keep)]
+    files = [_rid_file(root, r) for r in sorted(keep)]
     flt = None
     for c, (lo, hi) in bounds.items():
         kind = doc["kinds"][c]

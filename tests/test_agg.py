@@ -360,3 +360,43 @@ def test_group_by_nullsafe_null_typed_key_blocks():
                    "v": pa.array([1, 2, 3], pa.int64())})
     r2 = _group_by_nullsafe(t2, ["a", "b"], [("v", "sum")])
     assert r2.num_rows == 1 and r2.column("v_sum")[0].as_py() == 6
+
+
+def test_grouping_sets_agg_over_grouping_key(ray_session):
+    """An agg INPUT that is also a grouping key must aggregate the REAL
+    values at every level — the rolled-up levels used to read the
+    nulled key copy (SUM(b) under ((a,b),(a)) summed nulls)."""
+    import duckdb
+
+    from bloomfilter_multithread_ray.pipelines.agg import grouping_sets
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"a": rng.choice(["x", "y", "z"], 300),
+         "b": rng.integers(1, 5, 300).astype("int64"),
+         "v": rng.integers(0, 100, 300).astype("int64")}
+    )
+    want = duckdb.connect().execute(
+        "SELECT a, b, GROUPING(a, b) AS grouping_id, SUM(b) AS sb, "
+        "MAX(b) AS mb, COUNT(*) AS n "
+        "FROM df GROUP BY GROUPING SETS ((a, b), (a)) "
+        "ORDER BY GROUPING(a, b), a NULLS LAST, b NULLS LAST"
+    ).df()
+    got = (
+        grouping_sets(
+            ray.data.from_pandas(df).repartition(3),
+            [["a", "b"], ["a"]],
+            {"sb": ("sum", "b"), "mb": ("max", "b"), "n": ("count", None)},
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["grouping_id", "a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    g = got[want.columns.tolist()].astype(
+        {"b": "float64", "sb": "int64", "mb": "int64",
+         "n": "int64", "grouping_id": "int64"}
+    )
+    w = want.astype({"b": "float64", "sb": "int64", "mb": "int64",
+                     "n": "int64", "grouping_id": "int64"})
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

@@ -600,3 +600,98 @@ def test_compact_folds_zorder_stats(ray_session, tmp_store):
         key(before)[["ts", "uid", "v"]], key(after)[["ts", "uid", "v"]]
     )
     assert stats["ranges_total"] < 32  # sidecar tracked the new layout
+
+
+# ---- compaction crash-safety: generation commit + delta-replay union ----
+
+def test_compact_unions_applied_delta_ids(ray_session, tmp_store):
+    """A compacted file's applied_delta_ids must be the UNION of its
+    members' (pa.concat_tables keeps only the first member's schema
+    metadata) — otherwise an already-absorbed delta replays after
+    compaction and duplicates rows."""
+    df = _df(4000, seed=21)
+    TS.write_clustered(
+        ray.data.from_pandas(df).repartition(4), tmp_store, "k", num_ranges=8
+    )
+    delta = pd.DataFrame(
+        {"k": np.arange(4000, 4040, dtype="int64"),
+         "v": np.full(40, 7, dtype="int64")}
+    )
+    rep1 = TS.append_clustered(ray.data.from_pandas(delta), tmp_store, delta_id="d1")
+    assert not rep1.skipped.any()
+    total = len(TS.read_clustered(tmp_store).to_pandas())
+    assert total == 4040
+    TS.compact_clustered(tmp_store, target_rows=4100)  # everything merges
+    # replay of d1 after compaction must be a no-op (skipped), not a dup
+    rep2 = TS.append_clustered(ray.data.from_pandas(delta), tmp_store, delta_id="d1")
+    assert rep2.skipped.all()
+    assert len(TS.read_clustered(tmp_store).to_pandas()) == total
+
+
+def test_compact_generation_commit_and_cleanup(ray_session, tmp_store):
+    """Compaction stages everything under g{K} and the manifest replace
+    is the commit point; the old generation is removed only after, and
+    a second compaction retires g{K} in turn."""
+    df = _df(6000, seed=22)
+    TS.write_clustered(
+        ray.data.from_pandas(df).repartition(4), tmp_store, "k", num_ranges=12
+    )
+    TS.compact_clustered(tmp_store, target_rows=1500)
+    man = TS.read_manifest(tmp_store)
+    assert man["gen"] == 1
+    assert os.path.isdir(os.path.join(tmp_store, "g1"))
+    # old gen-0 rid dirs are gone (cleanup ran post-commit)
+    assert not [d for d in os.listdir(tmp_store) if d.startswith("rid=")]
+    full = TS.read_clustered(tmp_store).to_pandas()
+    assert len(full) == 6000
+    TS.compact_clustered(tmp_store, target_rows=6500)
+    man2 = TS.read_manifest(tmp_store)
+    assert man2["gen"] == 2
+    assert not os.path.exists(os.path.join(tmp_store, "g1"))
+    assert len(TS.read_clustered(tmp_store).to_pandas()) == 6000
+
+
+def test_torn_compact_staging_is_ignored_then_discarded(ray_session, tmp_store):
+    """Uncommitted staging under g1 (torn previous compaction) must not
+    affect reads — the manifest still points at gen 0 — and the next
+    compaction must discard it rather than adopt stale files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = _df(3000, seed=23)
+    TS.write_clustered(
+        ray.data.from_pandas(df).repartition(3), tmp_store, "k", num_ranges=6
+    )
+    # fake a torn compaction: garbage staged file, manifest untouched
+    os.makedirs(os.path.join(tmp_store, "g1", "rid=0"), exist_ok=True)
+    pq.write_table(
+        pa.table({"k": pa.array([-1], pa.int64()), "v": pa.array([-1], pa.int64())}),
+        os.path.join(tmp_store, "g1", "rid=0", "part.parquet"),
+    )
+    before = TS.read_clustered(tmp_store).to_pandas()
+    assert len(before) == 3000 and (before.v >= 0).all()  # garbage invisible
+    TS.compact_clustered(tmp_store, target_rows=1200)
+    after = TS.read_clustered(tmp_store).to_pandas()
+    assert len(after) == 3000 and (after.v >= 0).all()  # garbage discarded
+
+
+def test_bloom_lookup_all_absent_keeps_schema(ray_session, tmp_store):
+    """All-pruned lookups must return a TYPED empty dataset (real
+    schema), so callers can still select/sort the documented columns."""
+    df = _bidx_df(2000)
+    TS.write_clustered(
+        ray.data.from_pandas(df).repartition(4), tmp_store, "ts", num_ranges=8
+    )
+    TS.build_bloom_index(tmp_store, "eid", num_bits=1 << 16)
+    ds, stats = TS.bloom_pruned_lookup(
+        tmp_store, "eid", [10_000_000, 10_000_001], columns=["name", "v"]
+    )
+    if stats["ranges_read"] == 0:  # all-pruned (Bloom FP could read one)
+        sch = ds.schema()
+        assert sch is not None
+        for c in ("eid", "name", "v"):
+            assert c in sch.names
+        # selectable/sortable like any non-empty result (the old
+        # zero-COLUMN empty made these raise KeyError)
+        out = ds.select_columns(["name", "v"]).sort("v").take_all()
+        assert out == []
