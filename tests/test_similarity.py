@@ -371,3 +371,96 @@ def test_semantic_dedup_max_cluster_guard(ray_session):
     )
     with pytest.raises(Exception, match="max_cluster|increase k"):
         semantic_dedup(ray.data.from_arrow(t), k=1, iters=2, tau=0.99, max_cluster=5)
+
+
+def _emb_ds(tmp_path, V, name="embX.parquet"):
+    ids = np.arange(len(V), dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(V.astype(np.float32).reshape(-1)), V.shape[1]
+         ).cast(pa.list_(pa.float32()))}
+    )
+    path = str(tmp_path / name)
+    pq.write_table(tbl, path)
+    return ids, ray.data.read_parquet(path)
+
+
+def test_blocked_pairs_match_broadcast_exact(tmp_path):
+    """The driver-matrix-free block-pair generator must be BIT-equal to
+    the broadcast exact generator (ids, pair set, cosines) under any
+    partitioning — that equality is what keeps the SQL-oracled
+    dbscan/dedup queries hash-green after the round-4 rewiring."""
+    import pandas as pd
+
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((60, 16))
+    V = np.concatenate([base, base + 0.05 * rng.standard_normal((60, 16)),
+                        rng.standard_normal((80, 16))])
+    ids, ds = _emb_ds(tmp_path, V)
+    want = (
+        embedding_dup_pairs(ds, ids, V.astype(np.float32), tau=0.3)
+        .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+    assert len(want) > 50
+    for nparts in (1, 5, 13):
+        got = (
+            embedding_dup_pairs_blocked(ds.repartition(nparts), tau=0.3)
+            .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_sample_embedding_matrix_partition_invariant(tmp_path):
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        sample_embedding_matrix,
+    )
+
+    rng = np.random.default_rng(8)
+    V = rng.standard_normal((400, 8))
+    _ids, ds = _emb_ds(tmp_path, V)
+    s_ids, s_V = sample_embedding_matrix(ds, 64, seed=17)
+    assert len(s_ids) == 64 and s_V.shape == (64, 8)
+    for nparts in (3, 11):
+        i2, V2 = sample_embedding_matrix(ds.repartition(nparts), 64, seed=17)
+        assert np.array_equal(s_ids, i2) and np.array_equal(s_V, V2)
+    # different seed -> different sample (derived randomness really used)
+    i3, _ = sample_embedding_matrix(ds, 64, seed=99)
+    assert not np.array_equal(s_ids, i3)
+    # n >= corpus -> everything, id-deduped shape
+    i4, V4 = sample_embedding_matrix(ds, 1000, seed=17)
+    assert len(i4) == 400 and sorted(i4) == list(range(400))
+
+
+def test_lsh_pairs_partition_invariant(tmp_path):
+    """The LSH pair set must not depend on input blocking (banks are
+    seed-derived per batch; bucket caps are id-sorted) — this is the
+    guarantee that lets it be DBSCAN's opt-in scale generator."""
+    from bloomfilter_multithread_ray.pipelines.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal((80, 16))
+    V = np.concatenate([base, base + 0.03 * rng.standard_normal((80, 16)),
+                        rng.standard_normal((140, 16))])
+    _ids, ds = _emb_ds(tmp_path, V)
+    ref = None
+    for nparts in (2, 9):
+        got = (
+            embedding_dup_pairs_lsh(ds.repartition(nparts), tau=0.8,
+                                    nbits=4, n_tables=16)
+            .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        )
+        if ref is None:
+            ref = got
+            assert len(ref) >= 60
+        else:
+            import pandas as pd
+
+            pd.testing.assert_frame_equal(got, ref)
