@@ -2854,9 +2854,123 @@ def _sssp_oracle() -> str:
     return head + steps.rstrip(", ") + " SELECT node, dist FROM d6 ORDER BY node"
 
 
+def _kcore_oracle(k: int = 2, steps: int = 16) -> str:
+    """Iterative k-core peeling as ``steps`` chained MATERIALIZED CTEs
+    (the d0..d6 chaining trick that oracled SSSP, applied to the peel):
+    each step keeps only edges whose BOTH endpoints have degree >= k,
+    which is exactly one engine peel round. Peeling is monotone — once
+    the edge set stops changing every further step is a no-op — so a
+    fixed ``steps`` overshoot equals the engine's fixpoint as long as
+    the fixture converges within it (convergence at both driver sfs is
+    pinned in tests/test_queries_oracle-adjacent pytest). MATERIALIZED
+    keeps DuckDB from inlining the chain exponentially."""
+    head = (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, "
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+        "AS gram FROM toks WHERE len(w) >= 3)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM inter "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3), "
+    )
+    step_sql = "".join(
+        f"d{i} AS MATERIALIZED (SELECT n, count(*) AS c FROM "
+        f"(SELECT u AS n FROM e{i} UNION ALL SELECT v FROM e{i}) GROUP BY n), "
+        f"e{i + 1} AS MATERIALIZED (SELECT u, v FROM e{i} "
+        f"WHERE u IN (SELECT n FROM d{i} WHERE c >= {k}) "
+        f"AND v IN (SELECT n FROM d{i} WHERE c >= {k})), "
+        for i in range(steps)
+    )
+    return (
+        head + step_sql.rstrip(", ")
+        + f" SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM "
+        f"(SELECT u AS n FROM e{steps} UNION ALL SELECT v FROM e{steps}) "
+        "GROUP BY n ORDER BY node"
+    )
+
+
+def _bpe_oracle_ctes(num_merges: int = 8) -> str:
+    """Shared CTE chain re-deriving byte-level BPE in SQL: distinct
+    word counts → one symbol row per CHARACTER (the fixture corpus is
+    pure ASCII, asserted in pytest, so characters == UTF-8 bytes and
+    the char-level SQL equals the engine's byte-level symbols) → per
+    merge step: overlapping adjacent-pair counts weighted by word
+    count, argmax by (count DESC, l, r) with the engine's stop rule
+    (count >= 2), greedy left-to-right application via the parity rule
+    (within each run of consecutive candidate positions, every other
+    one applies — runs only form when left == right)."""
+    base = (
+        "WITH w0 AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
+        "WHERE tok <> '' GROUP BY tok), "
+        "s0 AS MATERIALIZED (SELECT tok, cnt, pos, tok[pos] AS sym FROM ("
+        "SELECT tok, cnt, unnest(generate_series(1, length(tok))) AS pos FROM w0)), "
+    )
+    steps = []
+    for i in range(num_merges):
+        steps.append(
+            # ordinal + next symbol inside each word
+            f"x{i} AS MATERIALIZED (SELECT tok, cnt, pos, sym, "
+            f"row_number() OVER (PARTITION BY tok ORDER BY pos) AS idx, "
+            f"lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nxt FROM s{i}), "
+            # argmax adjacent pair (overlap counting), engine stop rule
+            f"t{i} AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(SUM(cnt) AS BIGINT) AS c "
+            f"FROM x{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt "
+            f"HAVING SUM(cnt) >= 2 ORDER BY c DESC, l, r LIMIT 1), "
+            # candidate positions, then greedy parity within runs
+            f"cand{i} AS (SELECT x.tok, x.idx FROM x{i} x, t{i} t "
+            f"WHERE x.sym = t.l AND x.nxt = t.r), "
+            f"sel{i} AS (SELECT tok, idx FROM ("
+            f"SELECT tok, idx, idx - row_number() OVER (PARTITION BY tok ORDER BY idx) AS rk "
+            f"FROM cand{i}) "
+            f"QUALIFY (idx - MIN(idx) OVER (PARTITION BY tok, rk)) % 2 = 0), "
+            # apply: merged symbol at selected idx, drop consumed idx+1
+            f"s{i + 1} AS MATERIALIZED (SELECT x.tok, x.cnt, x.pos, "
+            f"CASE WHEN s.idx IS NOT NULL THEN x.sym || x.nxt ELSE x.sym END AS sym "
+            f"FROM x{i} x "
+            f"LEFT JOIN sel{i} s ON s.tok = x.tok AND s.idx = x.idx "
+            f"LEFT JOIN sel{i} p ON p.tok = x.tok AND p.idx = x.idx - 1 "
+            f"WHERE p.idx IS NULL), "
+        )
+    return base + "".join(steps)
+
+
+def _bpe_merges_oracle(num_merges: int = 8) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, l AS \"left\", r AS \"right\", "
+        f"c AS pair_count FROM t{i}"
+        for i in range(num_merges)
+    )
+    return (
+        _bpe_oracle_ctes(num_merges)
+        + f"__dummy AS (SELECT 1) SELECT * FROM ({rows}) ORDER BY step"
+    )
+
+
+def _bpe_encode_stats_oracle(num_merges: int = 8) -> str:
+    applied = " + ".join(f"(SELECT count(*) FROM t{i})" for i in range(num_merges))
+    return (
+        _bpe_oracle_ctes(num_merges)
+        + "before AS (SELECT CAST(SUM(length(tok) * cnt) AS BIGINT) AS v FROM w0), "
+        "words AS (SELECT CAST(SUM(cnt) AS BIGINT) AS v FROM w0), "
+        f"after AS (SELECT CAST(SUM(cnt) AS BIGINT) AS v FROM s{num_merges}) "
+        f"SELECT CAST({applied} AS BIGINT) AS num_merges, "
+        "words.v AS words, before.v AS symbols_before, after.v AS symbols_after, "
+        "ROUND(CAST(before.v AS DOUBLE) / GREATEST(after.v, 1), 6) AS compression "
+        "FROM before, words, after"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = {
         "doc_graph_sssp": _sssp_oracle(),
+        "doc_graph_kcore": _kcore_oracle(k=2, steps=16),
+        "bpe_merges": _bpe_merges_oracle(8),
+        "bpe_encode_stats": _bpe_encode_stats_oracle(8),
         "distinct_tokens": (
             "SELECT count(DISTINCT tok) AS distinct_tokens FROM ("
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
@@ -4715,4 +4829,73 @@ def oracle_sql() -> dict[str, str]:
     )
     assert "LIMIT 50" not in v
     sqls["stratified_sample_weighted"] = v
+
+    # MinHash-LSH keep-set vs the EXACT keep-set oracle: on the fixture
+    # corpus the banded-MinHash pair list reaches recall AND precision
+    # 1.0 against the exact 3-gram-Jaccard >= 0.5 pairs (verified at
+    # sf0.001 and sf0.01), so the identical keep-set SQL is a genuine
+    # external check that the sketch pipeline loses nothing here — the
+    # same recall-1.0-anchored oracle style as dedup_keepset_exact.
+    sqls["dedup_minhash_keep"] = sqls["dedup_keepset_exact"]
+
+    # media_headers: ground truth comes from the payload GENERATOR's
+    # parameter draws (re-derived here, independent of the sniffing
+    # code), inlined as VALUES — sf-independent because the media
+    # fixture is seed-fixed, not sf-derived.
+    sqls["media_headers"] = _media_headers_oracle(100, seed=3)
+
+    # lang_id / doc_fingerprint: PINNED-SNAPSHOT oracles (the kmeans
+    # pattern) — deterministic pipelines whose hash primitive (pandas
+    # SipHash) has no SQL form. The committed snapshot parquets are
+    # produced by per-document pure-Python reimplementations written
+    # from the algorithm specs (tests/independent_impls.py — no
+    # pipeline code), dispatched on a content-derived md5 key so a
+    # changed fixture yields an empty oracle (loud rows mismatch, never
+    # a stale silent pass); pytest regenerates the snapshot and pins
+    # snapshot == regeneration == live pipeline.
+    sqls["lang_id"] = (
+        "WITH key AS (SELECT md5(string_agg(doc_id || '|' || text || '|' || lang, "
+        "chr(10) ORDER BY doc_id)) AS k FROM documents) "
+        "SELECT s.doc_id, s.lang_pred, s.lang_score "
+        "FROM read_parquet('/root/repo/fixtures/langid_snapshot.parquet') s, key "
+        "WHERE s.key = key.k ORDER BY s.doc_id"
+    )
+    sqls["doc_fingerprint"] = (
+        "WITH key AS (SELECT md5(string_agg(doc_id || '|' || text, "
+        "chr(10) ORDER BY doc_id)) AS k FROM documents) "
+        "SELECT s.doc_id, s.fp_min "
+        "FROM read_parquet('/root/repo/fixtures/fingerprint_snapshot.parquet') s, key "
+        "WHERE s.key = key.k ORDER BY s.doc_id"
+    )
     return sqls
+
+
+def _media_headers_oracle(n: int, seed: int) -> str:
+    """Expected {media_id, format, width, height, channels,
+    sample_rate} straight from synth_real_headers_table's deterministic
+    parameter draws (same rng stream: ws, hs, rates, chans) — the
+    sniffer must recover these from raw container bytes."""
+    import numpy as np
+
+    rng = np.random.default_rng([seed, n])
+    ws = rng.integers(16, 2048, n)
+    hs = rng.integers(16, 2048, n)
+    rates = rng.choice([8000, 16000, 44100, 48000], n)
+    chans = rng.integers(1, 3, n)
+    kinds = ["png", "gif", "bmp", "wav", "jpeg"]
+    rows = []
+    for i in range(n):
+        fmt = kinds[i % 5]
+        mid = f"m-{seed}-{i:06d}"
+        if fmt == "wav":
+            rows.append(f"('{mid}','wav',NULL,NULL,{int(chans[i])},{int(rates[i])})")
+        else:
+            rows.append(f"('{mid}','{fmt}',{int(ws[i])},{int(hs[i])},NULL,NULL)")
+    return (
+        "SELECT media_id, format, CAST(width AS BIGINT) AS width, "
+        "CAST(height AS BIGINT) AS height, CAST(channels AS BIGINT) AS channels, "
+        "CAST(sample_rate AS BIGINT) AS sample_rate FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, format, width, height, channels, sample_rate) "
+        "ORDER BY media_id"
+    )
