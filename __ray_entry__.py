@@ -433,6 +433,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
         return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
 
+    def parts_fuzzy_name_stats(sf_dir):
+        # pairs_only aggregate mode of the edit-distance join: one row
+        # per verified distinct NAME pair with the count of id pairs it
+        # would expand to — candidate-sized output, id expansion never
+        # runs (the 100-TB default; parts_fuzzy_names stays the exact
+        # expansion oracle anchor)
+        from bloomfilter_multithread_ray.pipelines.fuzzy import (
+            edit_distance_pairs,
+        )
+
+        part = R.read(sf_dir, "part", ["p_partkey", "p_name"])
+        return edit_distance_pairs(
+            part, "p_partkey", "p_name", max_dist=2, pairs_only=True
+        )
+
     def users_type_entropy(sf_dir):
         # per-user event-type Shannon entropy via the mergeable
         # H = ln n - (sum c ln c)/n identity; two combined passes
@@ -2714,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_bloom_lookup": store_bloom_lookup,
         "events_peak_concurrency": events_peak_concurrency,
         "parts_fuzzy_names": parts_fuzzy_names,
+        "parts_fuzzy_name_stats": parts_fuzzy_name_stats,
         "doc_graph_sssp": doc_graph_sssp,
         "store_zorder_scan": store_zorder_scan,
         "docs_phrase_hits": docs_phrase_hits,
@@ -3266,6 +3282,23 @@ def oracle_sql() -> dict[str, str]:
             "levenshtein(a.p_name, b.p_name) AS dist "
             "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) <= 2 ORDER BY id_a, id_b"
+        ),
+        # value-level aggregate of the same join: distinct name pairs
+        # within distance 2 + the id-pair count each expands to
+        "parts_fuzzy_name_stats": (
+            "WITH names AS (SELECT p_name AS val, COUNT(*) AS n "
+            "FROM part GROUP BY 1), "
+            "cross_pairs AS (SELECT a.val AS val_a, b.val AS val_b, "
+            "CAST(levenshtein(a.val, b.val) AS BIGINT) AS dist, "
+            "CAST(a.n * b.n AS BIGINT) AS n_pairs "
+            "FROM names a JOIN names b ON a.val < b.val "
+            "WHERE levenshtein(a.val, b.val) <= 2), "
+            "dup_pairs AS (SELECT val AS val_a, val AS val_b, "
+            "CAST(0 AS BIGINT) AS dist, "
+            "CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs "
+            "FROM names WHERE n >= 2) "
+            "SELECT * FROM cross_pairs UNION ALL SELECT * FROM dup_pairs "
+            "ORDER BY val_a, val_b"
         ),
         # sweep-line peak overlap; ends before starts at equal t (the
         # half-open rule) via ORDER BY t, delta; the peak is invariant

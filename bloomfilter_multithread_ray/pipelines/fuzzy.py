@@ -460,10 +460,26 @@ def edit_distance_pairs(
     min_len: int = 1,
     num_partitions: int = 32,
     max_len: int = 64,
+    pairs_only: bool = False,
+    sink_path: "str | None" = None,
 ) -> pd.DataFrame:
     """Similarity JOIN on edit distance: all id pairs (id_a < id_b)
     whose strings are within Levenshtein distance ``max_dist`` (0, 1 or
     2), with the EXACT distance per pair → {id_a, id_b, dist}.
+
+    Two output-cost escape hatches for when the expanded pair list is
+    the expensive part (each distinct value pair multiplies into
+    n_a × n_b id pairs):
+
+    - ``pairs_only=True`` returns the VALUE-level result
+      {val_a, val_b, dist, n_pairs} — one row per verified distinct
+      value pair (plus one per duplicated value at dist 0) with the
+      COUNT of id pairs it would expand to; the id expansion never
+      runs, so the result is candidate-sized, not output-sized.
+    - ``sink_path=...`` runs the full expansion but STREAMS it to
+      partitioned parquet at that path instead of collecting one
+      driver frame; returns a one-row summary {n_pairs}. This is the
+      100-TB shape — the driver never holds the pair list.
 
     Scale shape (fuzzy_token_pairs generalized): only the DISTINCT
     values travel — candidate generation is one value-keyed fixed-P
@@ -554,6 +570,52 @@ def edit_distance_pairs(
         vpairs, ["val_a", "val_b"], {"dist": ("min", "dist")}, num_partitions=8
     )
 
+    if pairs_only:
+        # value-level aggregate: attach per-value id counts (two
+        # broadcast-friendly joins of the tiny verified pair list
+        # against the distinct-count table) — ids never expand
+        s1 = hash_join(vpairs, distinct, on="val_a", right_on="val",
+                       how="inner", num_partitions=8, broadcast="auto")
+        s2 = hash_join(s1, distinct, on="val_b", right_on="val",
+                       how="inner", num_partitions=8, broadcast="auto")
+
+        def stat_rows(t: pa.Table) -> pa.Table:
+            na = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            nb = t.column("n_r").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"val_a": t.column("val_a"), "val_b": t.column("val_b"),
+                 "dist": pc.cast(t.column("dist"), pa.int64()),
+                 "n_pairs": pa.array(na * nb)}
+            )
+
+        def dup_stats(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = n >= 2
+            v = pc.cast(t.column("val"), pa.string()).filter(pa.array(keep))
+            n = n[keep]
+            return pa.table(
+                {"val_a": v, "val_b": v,
+                 "dist": pa.array(np.zeros(len(n), dtype=np.int64)),
+                 "n_pairs": pa.array(n * (n - 1) // 2)}
+            )
+
+        stats = s2.map_batches(
+            stat_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(distinct.map_batches(
+            dup_stats, batch_format="pyarrow", zero_copy_batch=True))
+        sdf = stats.to_pandas()
+        if sdf.empty:
+            return pd.DataFrame(
+                {"val_a": pd.Series(dtype=object),
+                 "val_b": pd.Series(dtype=object),
+                 "dist": pd.Series(dtype=np.int64),
+                 "n_pairs": pd.Series(dtype=np.int64)}
+            )
+        sdf = sdf.astype({"dist": np.int64, "n_pairs": np.int64})
+        return sdf.sort_values(["val_a", "val_b"]).reset_index(drop=True)[
+            ["val_a", "val_b", "dist", "n_pairs"]
+        ]
+
     # id expansion: value pair -> all (id_a, id_b) cross pairs
     e1 = hash_join(vpairs, vals, on="val_a", right_on="val",
                    how="inner", num_partitions=P, broadcast="auto", suffix="_l")
@@ -584,6 +646,12 @@ def edit_distance_pairs(
                          "dist": pa.array(np.zeros(len(iu), dtype=np.int64))})
 
     dups = vals.groupby("val").map_groups(dup_pairs, batch_format="pyarrow")
+    if sink_path is not None:
+        import ray.data as rd
+
+        cross.union(dups).write_parquet(sink_path)
+        n = rd.read_parquet(sink_path, columns=["id_a"]).count()
+        return pd.DataFrame({"n_pairs": np.array([n], dtype=np.int64)})
     out = cross.union(dups).to_pandas()
     if out.empty:
         return pd.DataFrame(

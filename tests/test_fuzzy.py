@@ -239,3 +239,59 @@ def test_edit_distances_hypothesis(pairs, d):
     got = _edit_distances(a, b, d)
     want = np.array([min(_py_ed(x, y), d + 1) for x, y in zip(a, b)])
     assert (got == want).all()
+
+
+def test_edit_distance_pairs_only_mode(ray_session, tmp_path):
+    """pairs_only aggregates to value pairs + id-pair counts; sink_path
+    streams the full expansion; both agree exactly with the exact mode."""
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import edit_distance_pairs
+
+    df = pd.DataFrame(
+        {"pid": np.arange(10, dtype=np.int64),
+         "s": ["cat", "cat", "cap", "dog", "dig", "dog",
+               "bird", "birds", "cat", "zzzz"]}
+    )
+    exact = edit_distance_pairs(ray.data.from_pandas(df), "pid", "s", max_dist=2)
+
+    stats = edit_distance_pairs(
+        ray.data.from_pandas(df).repartition(3), "pid", "s",
+        max_dist=2, pairs_only=True,
+    )
+    assert list(stats.columns) == ["val_a", "val_b", "dist", "n_pairs"]
+    # the aggregate's expansion count equals the exact pair count
+    assert int(stats["n_pairs"].sum()) == len(exact)
+    # every aggregated value pair is consistent: pick one and check
+    vmap = df.groupby("s")["pid"].apply(list).to_dict()
+    for _, r in stats.iterrows():
+        if r["val_a"] == r["val_b"]:  # duplicate values at dist 0
+            k = len(vmap[r["val_a"]])
+            assert r["dist"] == 0 and r["n_pairs"] == k * (k - 1) // 2
+        else:
+            assert r["n_pairs"] == len(vmap[r["val_a"]]) * len(vmap[r["val_b"]])
+
+    sink = str(tmp_path / "pairs")
+    summ = edit_distance_pairs(
+        ray.data.from_pandas(df), "pid", "s", max_dist=2, sink_path=sink
+    )
+    assert int(summ["n_pairs"].iloc[0]) == len(exact)
+    got = (
+        ray.data.read_parquet(sink).to_pandas()
+        .astype({"id_a": np.int64, "id_b": np.int64, "dist": np.int64})
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exact, check_dtype=False)
+
+
+def test_edit_distance_pairs_only_empty(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import edit_distance_pairs
+
+    df = pd.DataFrame({"pid": [1, 2], "s": ["abcdef", "zzzzzz"]})
+    stats = edit_distance_pairs(
+        ray.data.from_pandas(df), "pid", "s", max_dist=1, pairs_only=True
+    )
+    assert stats.empty
+    assert list(stats.columns) == ["val_a", "val_b", "dist", "n_pairs"]
