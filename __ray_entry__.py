@@ -1954,6 +1954,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return full_curation_report(sf_dir)
 
+    def full_pretrain_curation(sf_dir):
+        # the repetition/boilerplate/NEAR-dup curation chain composed
+        # end-to-end: Gopher gate -> corpus line dedup (95%-DF
+        # boilerplate rewrite) -> MinHash-LSH keep-set -> split
+        # assignment -> per-split report; the complement of
+        # full_curation's quality/decontamination/EXACT-dedup chain
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            pretrain_curation,
+        )
+
+        return pretrain_curation(_docs(sf_dir, ["doc_id", "text"]))
+
     def events_value_mad(sf_dir):
         return A.grouped_mad(
             lambda: R.read(sf_dir, "events", ["event_type", "value"]),
@@ -2778,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
         "full_curation": full_curation,
+        "full_pretrain_curation": full_pretrain_curation,
         "split_leakage": split_leakage,
         "doc_novelty": doc_novelty,
         "assign_splits": assign_splits,
@@ -3875,6 +3888,89 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT doc_id, n_tok FROM ded WHERE doc_id = keep_id), "
             "s0 AS (SELECT doc_id, n_tok, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
             "% 18446744073709551616 AS z FROM k), "
+            "x1 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) "
+            "% 1000 AS BIGINT) AS bucket FROM s2) "
+            "SELECT CASE WHEN bucket < 50 THEN 'test' WHEN bucket < 100 THEN 'val' "
+            "ELSE 'train' END AS split, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_tok) AS BIGINT) AS total_tok "
+            "FROM s3 GROUP BY 1 ORDER BY split"
+        ),
+        # the OTHER curation chain composed end-to-end: Gopher
+        # repetition gate (rounded fractions) -> 95%-DF word-segment
+        # line-dedup rewrite over the GATED corpus -> exact 3-gram
+        # Jaccard >= 0.5 keep-set over the REWRITTEN text (recursive-
+        # CTE transitive closure; the MinHash-LSH engine path must be
+        # lossless vs it, as dedup_minhash_keep proves standalone) ->
+        # splitmix buckets -> per-split report on rewritten-token counts
+        "full_pretrain_curation": (
+            "WITH RECURSIVE t AS (SELECT doc_id, text, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+            "m2 AS (SELECT doc_id, MAX(c) AS maxc FROM (SELECT doc_id, gram, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram "
+            "FROM t WHERE len(w) >= 2) GROUP BY doc_id, gram) GROUP BY doc_id), "
+            "m3 AS (SELECT doc_id, MAX(c) AS maxc FROM (SELECT doc_id, gram, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM t WHERE len(w) >= 3) GROUP BY doc_id, gram) GROUP BY doc_id), "
+            "m4 AS (SELECT doc_id, MAX(c) AS maxc FROM (SELECT doc_id, gram, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 2), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram "
+            "FROM t WHERE len(w) >= 4) GROUP BY doc_id, gram) GROUP BY doc_id), "
+            "g5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram "
+            "FROM t WHERE len(w) >= 5) GROUP BY doc_id, gram), "
+            "d5 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot "
+            "FROM g5 GROUP BY doc_id), "
+            "f AS (SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tok, "
+            "ROUND(COALESCE(m2.maxc * 2.0 / len(w), 0), 6) AS top2_frac, "
+            "ROUND(COALESCE(m3.maxc * 3.0 / len(w), 0), 6) AS top3_frac, "
+            "ROUND(COALESCE(m4.maxc * 4.0 / len(w), 0), 6) AS top4_frac, "
+            "ROUND(COALESCE(CAST(d5.dup AS DOUBLE) / d5.tot, 0), 6) AS dup5_frac "
+            "FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id) "
+            "LEFT JOIN m4 USING (doc_id) LEFT JOIN d5 USING (doc_id)), "
+            "gd AS (SELECT d.doc_id, d.text FROM documents d JOIN f USING (doc_id) "
+            "WHERE f.n_tok > 0 AND f.top2_frac <= 0.10 AND f.top3_frac <= 0.08 "
+            "AND f.top4_frac <= 0.06 AND f.dup5_frac <= 0.10), "
+            "ls AS (SELECT doc_id, unnest(string_split(text, ' ')) AS ln, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) AS idx FROM gd), "
+            "dup AS (SELECT ln FROM ls WHERE ln <> '' GROUP BY ln "
+            "HAVING COUNT(DISTINCT doc_id) * 20 >= (SELECT COUNT(*) FROM gd) * 19), "
+            "kept AS (SELECT doc_id, ln, idx FROM ls "
+            "WHERE ln = '' OR ln NOT IN (SELECT ln FROM dup)), "
+            "rw AS (SELECT g.doc_id, COALESCE(k.text, '') AS text FROM gd g "
+            "LEFT JOIN (SELECT doc_id, string_agg(ln, ' ' ORDER BY idx) AS text "
+            "FROM kept GROUP BY doc_id) k USING (doc_id)), "
+            "toks2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM rw), "
+            "grams2 AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks2 WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams2 GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams2 a JOIN grams2 b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "p AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "reach(n, m) AS (SELECT a, a FROM edges UNION "
+            "SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m), "
+            "comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n), "
+            "surv AS (SELECT rw.doc_id, "
+            "CAST(len(list_filter(string_split(rw.text, ' '), x -> x <> '')) AS BIGINT) AS n_tok "
+            "FROM rw WHERE rw.doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)), "
+            "s0 AS (SELECT doc_id, n_tok, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM surv), "
             "x1 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
             "AS HUGEINT) AS a FROM s0), "
             "s1 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 13787848793156543929 "

@@ -553,6 +553,160 @@ def _record_scaling(result: dict) -> None:
         pass
 
 
+def ensure_docs_corpus(mult: int, src: str = "/root/testdata/sf0.1") -> str:
+    """Deterministic ``mult``× replication of the sf0.1 documents table
+    (doc_id remapped per replica; text byte-identical — the dup-heavy
+    shape of a real crawl) → one parquet file per replica under /tmp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/graft_docs/x{mult}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(src, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        import numpy as np
+
+        base = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        for i in range(mult):
+            rt = pa.table(
+                {"doc_id": pa.array(base + i * 10_000_000),
+                 "text": t.column("text")}
+            )
+            pq.write_table(rt, os.path.join(path, f"part_{i:03d}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _stats_table(stats_text: str) -> list:
+    """Extract (operator, rows_total, bytes_total, peak_heap_mib) per
+    (sub)operator from a Dataset.stats() dump."""
+    import re
+
+    out = []
+    name = None
+    rows = size = heap = None
+    for line in stats_text.splitlines():
+        m = re.match(r"\s*(?:Operator \d+|Suboperator \d+) (.+?):", line)
+        if m:
+            if name is not None:
+                out.append((name, rows, size, heap))
+            name, rows, size, heap = m.group(1), None, None, None
+            continue
+        m = re.search(r"Output num rows per block:.* ([\d.]+) total", line)
+        if m:
+            rows = int(float(m.group(1)))
+        m = re.search(r"Output size bytes per block:.* ([\d.]+) total", line)
+        if m:
+            size = int(float(m.group(1)))
+        m = re.search(r"Peak heap memory usage \(MiB\): [\d.]+ min, ([\d.]+) max", line)
+        if m:
+            heap = max(heap or 0.0, float(m.group(1)))
+    if name is not None:
+        out.append((name, rows, size, heap))
+    return out
+
+
+def run_rehearsal(mult: int = 20) -> dict:
+    """100×-rehearsal (VERDICT r3 #3): the full pretraining-curation
+    chain — Gopher gate → line dedup → MinHash keep-set → split
+    assignment → staged sink + train shards — as ONE streaming job
+    over a ``mult``× replication of sf0.1 (mult=20 ≈ sf2.0), with the
+    per-operator shuffle volumes from ds.stats() recorded so the
+    no-corpus-materialization claim is measured, not asserted."""
+    import shutil
+
+    import ray
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.curation import pretrain_curation
+
+    path = ensure_docs_corpus(mult)
+    shard_dir = "/tmp/graft_pretrain_shards"
+    shutil.rmtree(shard_dir, ignore_errors=True)
+
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    n_docs = docs.count()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    rep = pretrain_curation(
+        docs, shard_dir=shard_dir, shard_size=2000, stats_out=stats
+    )
+    wall = time.perf_counter() - t0
+
+    ops = _stats_table(stats.get("curation_write", ""))
+
+    # Stage probes (untimed, labeled): the chain's shuffles execute in
+    # internal passes whose Dataset handles the composition consumes
+    # (line-dedup segment counts, signature bands, CC, anti-join), so
+    # re-drive each stage once with a held handle to capture its
+    # ds.stats() operator table. Re-execution is the probe's cost, not
+    # the job's.
+    from bloomfilter_multithread_ray.pipelines.curation import line_dedup
+    from bloomfilter_multithread_ray.pipelines.dedup import minhash_lsh_pairs
+    from bloomfilter_multithread_ray.pipelines.graph import keep_set_distributed
+    from bloomfilter_multithread_ray.pipelines.repetition import gopher_gate
+
+    probes = {}
+    rw = line_dedup(
+        gopher_gate(docs), sep=" ", min_frac=(19, 20)
+    ).select_columns(["doc_id", "text"])
+    def _consume(ds) -> int:
+        # stream-consume (no materialization) so ds.stats() populates;
+        # count() takes a metadata shortcut that skips stats
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            n += b.num_rows
+        return n
+
+    rw_rows = _consume(rw)
+    probes["line_dedup"] = _stats_table(rw.stats())
+    kept_ids = keep_set_distributed(
+        rw, minhash_lsh_pairs(rw, threshold=0.5, dedupe=False),
+        num_partitions=16,
+    )
+    kept_rows = _consume(kept_ids)
+    probes["minhash_keepset"] = _stats_table(kept_ids.stats())
+
+    all_ops = ops + [o for t in probes.values() for o in t]
+    shuffle_bytes = sum(
+        b for (n, r, b, h) in all_ops
+        if b and ("Aggregate" in n or "Sort" in n or "Shuffle" in n)
+    )
+    peak_heap = max((h for (_, _, _, h) in all_ops if h is not None), default=0.0)
+    n_shards = 0
+    train_dir = os.path.join(shard_dir, "train")
+    if os.path.isdir(train_dir):
+        n_shards = len([d for d in os.listdir(train_dir) if d.startswith("shard=")])
+    return {
+        "metric": "pretrain_curation_rehearsal",
+        "mult": mult,
+        "corpus_docs": int(n_docs),
+        "wall_s": round(wall, 2),
+        "report": {
+            r["split"]: {"n_docs": int(r["n_docs"]), "total_tok": int(r["total_tok"])}
+            for _, r in rep.iterrows()
+        },
+        "train_shards": n_shards,
+        "rewritten_docs": int(rw_rows),
+        "keepset_docs": int(kept_rows),
+        "curation_pass_ops": [
+            {"op": n, "rows": r, "bytes": b, "peak_heap_mib": h}
+            for (n, r, b, h) in ops
+        ],
+        "stage_probe_ops": {
+            k: [{"op": n, "rows": r, "bytes": b, "peak_heap_mib": h}
+                for (n, r, b, h) in t]
+            for k, t in probes.items()
+        },
+        "shuffle_bytes_total": int(shuffle_bytes),
+        "peak_task_heap_mib": peak_heap,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -560,6 +714,11 @@ def main() -> None:
     ap.add_argument("--skmer-ab", action="store_true",
                     help="A/B the run-length skmer build against the "
                          "map-side-combine default (bytes + wall)")
+    ap.add_argument("--rehearsal", action="store_true",
+                    help="run the pretraining-curation chain end-to-end "
+                         "over a --rehearsal-mult x replication of sf0.1 "
+                         "and report per-operator shuffle volumes")
+    ap.add_argument("--rehearsal-mult", type=int, default=20)
     ap.add_argument("--cpu-ceiling", action="store_true",
                     help="measure the host's hardware scaling ceiling "
                          "(pure-CPU, Ray-free) between --low and --high procs")
@@ -576,6 +735,19 @@ def main() -> None:
 
     if args.cpu_ceiling:
         print(json.dumps(run_cpu_ceiling(args.low, args.high)))
+        return
+
+    if args.rehearsal:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local",
+                     num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                     include_dashboard=False)
+        try:
+            print(json.dumps(run_rehearsal(args.rehearsal_mult)))
+        finally:
+            ray.shutdown()
         return
 
     if args.skmer_ab:

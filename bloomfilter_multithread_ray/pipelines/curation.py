@@ -641,6 +641,122 @@ def full_curation_report(
     return rep.sort_values("split").reset_index(drop=True)
 
 
+# ------------------------------------------- full pretraining curation
+def pretrain_curation(
+    docs: "Dataset",
+    *,
+    gates: dict | None = None,
+    line_sep: str = " ",
+    line_min_frac: "tuple[int, int]" = (19, 20),
+    minhash_threshold: float = 0.5,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    shard_dir: "str | None" = None,
+    shard_size: int = 200,
+    stats_out: "dict | None" = None,
+) -> pd.DataFrame:
+    """The 100-TB pretraining-data chain as ONE streaming composition —
+    Gopher repetition gate → corpus line dedup (boilerplate rewrite)
+    → MinHash-LSH near-dup keep-set → train/val/test assignment →
+    per-split report {split, n_docs, total_tok} (n_tok counted on the
+    REWRITTEN text).
+
+    Distinct from :func:`full_curation_report` (quality ratios +
+    benchmark decontamination + EXACT dedup): this is the repetition /
+    boilerplate / NEAR-dup chain — together they cover both halves of
+    a production curation stack. Every stage is an operator this repo
+    ships individually (same kernels, same thresholds, each with its
+    own oracle); the composition proves they chain the way the real
+    job runs them, and its own SQL oracle re-derives the whole chain.
+
+    Scale shape: the gate is map-only; line dedup moves segment hashes
+    only (text never shuffles); MinHash moves signatures and the
+    keep-set moves ids; text travels exactly once — into the final
+    semi-join that materializes the survivors. With ``shard_dir`` the
+    survivors stream STRAIGHT to a split-partitioned parquet staging
+    area (one pass; resumable), the train split is re-read from
+    staging (column-pruned, never recomputed) into
+    :func:`write_training_shards`, and the report is computed from the
+    staged ``n_tok`` column — the driver never holds the corpus.
+    """
+    from ..functions.hashing import hash64_ints
+    from ..stages.text import flat_nonempty_with_offsets
+    from .agg import grouped_agg
+    from .dedup import minhash_lsh_pairs
+    from .graph import keep_set_distributed
+    from .join import hash_join
+    from .repetition import gopher_gate
+
+    tp, vp = int(test_permille), int(val_permille)
+    if tp < 0 or vp < 0 or tp + vp > 1000:
+        raise ValueError("permille bounds must be >= 0 and sum <= 1000")
+
+    gated = gopher_gate(docs.select_columns(["doc_id", "text"]), gates=gates)
+    rewritten = line_dedup(
+        gated, sep=line_sep, min_frac=line_min_frac
+    ).select_columns(["doc_id", "text"])
+    # dedupe=False: the CC keep-set tolerates duplicate edges, skipping
+    # the pair-dedup sort-shuffle (same survivors, one less all-to-all)
+    pairs = minhash_lsh_pairs(rewritten, threshold=minhash_threshold, dedupe=False)
+    kept_ids = keep_set_distributed(rewritten, pairs, num_partitions=16)
+    kept = hash_join(
+        rewritten, kept_ids, on="doc_id", how="semi",
+        num_partitions=16, broadcast="auto",
+    )
+
+    def add_split_tok(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, offs = flat_nonempty_with_offsets(t, "text")
+        n_tok = np.diff(offs).astype(np.int64)
+        b = (hash64_ints(ids) % np.uint64(1000)).astype(np.int64)
+        split = np.where(b < tp, "test", np.where(b < tp + vp, "val", "train"))
+        return pa.table(
+            {"doc_id": pa.array(ids), "text": t.column("text"),
+             "split": pa.array(split), "n_tok": pa.array(n_tok)}
+        )
+
+    tagged = kept.map_batches(
+        add_split_tok, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    if shard_dir is not None:
+        import os
+
+        import ray.data as rd
+
+        staging = os.path.join(shard_dir, "staging")
+        tagged.write_parquet(staging, partition_cols=["split"])
+        if stats_out is not None:
+            # full operator-chain execution stats of the curation pass
+            # (gate / segment-hash shuffles / signature bands / CC /
+            # semi-join / sink) for shuffle-volume audits
+            stats_out["curation_write"] = tagged.stats()
+        train_dir = os.path.join(staging, "split=train")
+        if os.path.isdir(train_dir):
+            write_training_shards(
+                rd.read_parquet(train_dir, columns=["doc_id", "text", "n_tok"]),
+                os.path.join(shard_dir, "train"),
+                epoch=0, shard_size=shard_size,
+            )
+        # report from the staged sink: column-pruned read-back, the
+        # curation chain itself never re-executes
+        tagged = rd.read_parquet(staging, columns=["split", "n_tok"])
+
+    rep = grouped_agg(
+        tagged.select_columns(["split", "n_tok"]),
+        "split",
+        {"n_docs": ("count", None), "total_tok": ("sum", "n_tok")},
+    ).to_pandas()
+    if rep.empty:
+        return pd.DataFrame(
+            {"split": pd.Series(dtype=object),
+             "n_docs": pd.Series(dtype="int64"),
+             "total_tok": pd.Series(dtype="int64")}
+        )
+    rep["total_tok"] = rep["total_tok"].astype("int64")
+    return rep.sort_values("split").reset_index(drop=True)
+
+
 # ---------------------------------------------------- split leakage check
 def split_leakage(
     docs: "Dataset",

@@ -127,6 +127,37 @@ def gopher_repetition(
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def gopher_gate(
+    docs: "Dataset",
+    *,
+    gates: dict | None = None,
+    round_dp: int = 6,
+) -> "Dataset":
+    """Streaming FILTER form of :func:`gopher_repetition`: pass through
+    only the rows the Gopher gate keeps (n_tok > 0 and every ROUNDED
+    repetition fraction within its gate), with ALL input columns
+    preserved. Map-only — the composition stage a curation chain uses,
+    where the per-doc statistics report is not wanted, only the
+    surviving documents. Same kernel, same rounded-boundary semantics
+    as the report (SQL-oracle bit-identical).
+    """
+    g = dict(GOPHER_GATES, **(gates or {}))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        wh, offs = _word_hash_rows(batch)
+        n_tok = np.diff(offs).astype(np.int64)
+        safe_tok = np.maximum(n_tok, 1).astype(np.float64)
+        keep = n_tok > 0
+        for n in (2, 3, 4):
+            maxc, _, _ = _per_row_gram_stats(wh, offs, n)
+            keep &= np.round(maxc * n / safe_tok, round_dp) <= g[f"top{n}"]
+        _, dup, tot = _per_row_gram_stats(wh, offs, 5)
+        keep &= np.round(dup / np.maximum(tot, 1), round_dp) <= g["dup5"]
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def substring_dedup(
     docs: "Dataset",
     *,

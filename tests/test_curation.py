@@ -279,3 +279,74 @@ def test_phrase_match_regex_specials_and_validation(ray_session):
         phrase_match(ray.data.from_pandas(docs), [])
     with _pt.raises(ValueError, match="empty-string"):
         phrase_match(ray.data.from_pandas(docs), ["ok", ""])
+
+
+def test_gopher_gate_matches_report_keep_column(ray_session):
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.relational import read
+    from bloomfilter_multithread_ray.pipelines.repetition import (
+        gopher_gate,
+        gopher_repetition,
+    )
+
+    docs = read("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
+    rep = gopher_repetition(docs)
+    gated = gopher_gate(docs).to_pandas().sort_values("doc_id")
+    # the streaming filter keeps exactly the report's keep=True rows,
+    # with all input columns intact
+    assert list(gated.columns) == ["doc_id", "text"]
+    assert gated.doc_id.tolist() == rep[rep.keep].doc_id.tolist()
+    # partitioning-independent (map-only)
+    gated3 = gopher_gate(docs.repartition(7)).to_pandas().sort_values("doc_id")
+    assert gated3.doc_id.tolist() == gated.doc_id.tolist()
+
+
+def test_pretrain_curation_shard_path_matches_streaming_report(
+    ray_session, tmp_path
+):
+    """shard_dir mode writes split-partitioned staging + train shards and
+    derives the SAME report from the sink as the direct streaming mode."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.curation import pretrain_curation
+    from bloomfilter_multithread_ray.pipelines.relational import read
+
+    sf = "/root/testdata/sf0.001"
+    direct = pretrain_curation(read(sf, "documents", ["doc_id", "text"]))
+    sd = str(tmp_path / "pretrain")
+    sharded = pretrain_curation(
+        read(sf, "documents", ["doc_id", "text"]),
+        shard_dir=sd, shard_size=50,
+    )
+    pd.testing.assert_frame_equal(direct, sharded)
+
+    # train shards: every train doc exactly once, ranks contiguous from 0,
+    # shard files sized by rank // shard_size
+    train_dir = os.path.join(sd, "train")
+    shards = sorted(
+        d for d in os.listdir(train_dir) if d.startswith("shard=")
+    )
+    tables = [
+        pq.read_table(os.path.join(train_dir, d, "part.parquet"))
+        for d in shards
+    ]
+    n_train = int(direct.loc[direct.split == "train", "n_docs"].iloc[0])
+    tok_train = int(direct.loc[direct.split == "train", "total_tok"].iloc[0])
+    all_rows = pa.concat_tables(tables)
+    assert all_rows.num_rows == n_train
+    ranks = np.sort(all_rows.column("rank").to_numpy(zero_copy_only=False))
+    assert (ranks == np.arange(n_train)).all()
+    assert int(all_rows.column("n_tok").to_numpy(zero_copy_only=False).sum()) == tok_train
+    for d, t in zip(shards, tables):
+        s = int(d.split("=")[1])
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        assert (r // 50 == s).all()
+    # staging is split-partitioned and resumable-readable
+    staged = ray.data.read_parquet(
+        os.path.join(sd, "staging"), columns=["split", "n_tok"]
+    ).to_pandas()
+    assert len(staged) == int(direct.n_docs.sum())
