@@ -4996,6 +4996,88 @@ def oracle_sql() -> dict[str, str]:
         "FROM read_parquet('/root/repo/fixtures/fingerprint_snapshot.parquet') s, key "
         "WHERE s.key = key.k ORDER BY s.doc_id"
     )
+
+    # Deterministic-sketch pinned-snapshot oracles (same pattern): HLL /
+    # MG+CMS / Count-Sketch / KMV queries are partitioning-invariant
+    # and deterministic (register max, linear counters, set bottom-k;
+    # MG is exact below capacity), their hash primitives (pandas
+    # SipHash, splitmix64 double-hashing) have no SQL form, and the
+    # snapshots are regenerated by the from-spec reimplementations in
+    # tests/independent_sketches.py (no pipeline code) — pinned
+    # snapshot == regeneration == live pipeline in pytest. Key dispatch
+    # on the full input content (md5 of canonical row strings): any
+    # fixture drift empties the oracle loudly.
+    _SK = "/root/repo/fixtures/sketch_snapshots"
+    _DOCS_KEY = (
+        "(SELECT md5(string_agg(doc_id || '|' || text, chr(10) "
+        "ORDER BY doc_id)) FROM documents)"
+    )
+    _DOCS_SRC_KEY = (
+        "(SELECT md5(string_agg(doc_id || '|' || text || '|' || source, "
+        "chr(10) ORDER BY doc_id)) FROM documents)"
+    )
+    _EVENTS_KEY = (
+        "(SELECT md5(string_agg(event_id || '|' || CAST(epoch_us(ts) AS BIGINT) "
+        "|| '|' || user_id, chr(10) ORDER BY event_id)) FROM events)"
+    )
+    _JOIN_KEY = (
+        "md5((SELECT md5(string_agg(CAST(user_id AS VARCHAR), chr(10) "
+        "ORDER BY event_id)) FROM events) || "
+        "(SELECT md5(string_agg(CAST(o_custkey AS VARCHAR), chr(10) "
+        "ORDER BY o_orderkey)) FROM orders))"
+    )
+    sqls["distinct_tokens_hll"] = (
+        f"SELECT s.estimate, s.rel_error_bound FROM "
+        f"read_parquet('{_SK}/distinct_tokens_hll.parquet') s "
+        f"WHERE s.key = {_DOCS_KEY} ORDER BY s.ord"
+    )
+    sqls["heavy_hitters_cms"] = (
+        f"SELECT s.tok, s.lower_cnt, s.est_cnt, s.err_bound, s.eps_bound FROM "
+        f"read_parquet('{_SK}/heavy_hitters_cms.parquet') s "
+        f"WHERE s.key = {_DOCS_KEY} ORDER BY s.ord"
+    )
+    sqls["token_f2_countsketch"] = (
+        f"SELECT s.f2_estimate, s.rel_error_bound, s.point_err_bound, "
+        f"s.n_tokens FROM read_parquet('{_SK}/token_f2_countsketch.parquet') s "
+        f"WHERE s.key = {_DOCS_KEY} ORDER BY s.ord"
+    )
+    sqls["distinct_by_source_hll"] = (
+        f"SELECT s.source, s.estimate, s.rel_error_bound FROM "
+        f"read_parquet('{_SK}/distinct_by_source_hll.parquet') s "
+        f"WHERE s.key = {_DOCS_SRC_KEY} ORDER BY s.ord"
+    )
+    sqls["source_overlap_kmv"] = (
+        f"SELECT s.est_a, s.est_b, s.est_union, s.est_intersection, "
+        f"s.est_jaccard, s.rel_error_bound FROM "
+        f"read_parquet('{_SK}/source_overlap_kmv.parquet') s "
+        f"WHERE s.key = {_DOCS_SRC_KEY} ORDER BY s.ord"
+    )
+    sqls["events_sliding_distinct_hll"] = (
+        f"SELECT s.ws, s.estimate, s.rel_error_bound FROM "
+        f"read_parquet('{_SK}/events_sliding_distinct_hll.parquet') s "
+        f"WHERE s.key = {_EVENTS_KEY} ORDER BY s.ord"
+    )
+    sqls["join_size_events_orders_cs"] = (
+        f"SELECT s.est_join_size, s.err_bound, s.n_left, s.n_right FROM "
+        f"read_parquet('{_SK}/join_size_events_orders_cs.parquet') s "
+        f"WHERE s.key = {_JOIN_KEY} ORDER BY s.ord"
+    )
+    sqls["quality_classifier"] = (
+        f"SELECT s.n, s.tp, s.fp, s.tn, s.fn, s.accuracy, s.final_loss, "
+        f"s.w_bias, s.w_log_ntok, s.w_avg_tok_len, s.w_ttr, s.w_stop_ratio "
+        f"FROM read_parquet('{_SK}/quality_classifier.parquet') s "
+        f"WHERE s.key = {_DOCS_SRC_KEY} ORDER BY s.ord"
+    )
+    sqls["dedup_minhash_lsh"] = (
+        f"SELECT s.doc_a, s.doc_b, s.est_jaccard FROM "
+        f"read_parquet('{_SK}/dedup_minhash_lsh.parquet') s "
+        f"WHERE s.key = {_DOCS_KEY} ORDER BY s.ord"
+    )
+    sqls["dedup_simhash"] = (
+        f"SELECT s.doc_a, s.doc_b, s.hamming FROM "
+        f"read_parquet('{_SK}/dedup_simhash.parquet') s "
+        f"WHERE s.key = {_DOCS_KEY} ORDER BY s.ord"
+    )
     return sqls
 
 

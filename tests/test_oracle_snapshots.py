@@ -59,3 +59,63 @@ def test_langid_pipeline_matches_independent_impl(ray_session):
     assert list(got["lang_pred"]) == [preds[i] for i in order]
     assert np.array_equal(got["lang_score"].to_numpy(),
                           np.array(scores, dtype=np.float64)[order])
+
+
+def test_sketch_snapshots_match_fresh_regeneration():
+    from independent_sketches import SNAPSHOT_DIR as SKDIR
+    from independent_sketches import generate_sketch_snapshots
+
+    fresh = generate_sketch_snapshots(SFS)
+    for name, tbl in fresh.items():
+        committed = pq.read_table(f"{SKDIR}/{name}.parquet")
+        assert tbl.equals(committed), f"{name} snapshot differs from regeneration"
+
+
+def test_sketch_pipelines_match_independent_impls(ray_session):
+    """Live sketch pipelines == the from-spec reimplementations, bit
+    for bit, on sf0.001 — the third leg of the snapshot-oracle pinning
+    (snapshot == regeneration == live)."""
+    import importlib.util
+
+    import numpy as np
+    import pandas as pd
+
+    import independent_sketches as I
+
+    spec = importlib.util.spec_from_file_location("_e_snap", "/root/repo/__ray_entry__.py")
+    e = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(e)
+    qs = e.queries()
+
+    sf = SFS[0]
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    texts = d.column("text").to_pylist()
+    sources = d.column("source").to_pylist()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts", "user_id"])
+    ts_s = (ev.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]").astype(np.int64))
+    uid = ev.column("user_id").to_numpy(zero_copy_only=False)
+    ock = pq.read_table(f"{sf}/orders.parquet", columns=["o_custkey"]) \
+        .column("o_custkey").to_numpy(zero_copy_only=False)
+
+    want = {
+        "distinct_tokens_hll": I.indep_distinct_tokens_hll(texts),
+        "distinct_by_source_hll": I.indep_distinct_by_source_hll(texts, sources),
+        "heavy_hitters_cms": I.indep_heavy_hitters_cms(texts),
+        "token_f2_countsketch": I.indep_token_f2_countsketch(texts),
+        "source_overlap_kmv": I.indep_source_overlap_kmv(
+            texts, sources, "src0", "src1"),
+        "events_sliding_distinct_hll": I.indep_sliding_distinct_hll(ts_s, uid),
+        "join_size_events_orders_cs": I.indep_join_size_countsketch(uid, ock),
+        "quality_classifier": I.indep_quality_classifier(texts, sources),
+        "dedup_minhash_lsh": I.indep_dedup_minhash_lsh(
+            d.column("doc_id").to_pylist(), texts),
+        "dedup_simhash": I.indep_dedup_simhash(
+            d.column("doc_id").to_pylist(), texts),
+    }
+    for name, w in want.items():
+        got = qs[name](sf)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), w.reset_index(drop=True),
+            check_dtype=False)
