@@ -1380,7 +1380,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.write_table(synth_media_table(64, seed=5), path)
         out = decode_images(ray.data.read_parquet(path), concurrency=2, batch_size=16)
         df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
-        df["features"] = df["features"].apply(lambda f: [round(float(x), 6) for x in f])
+        # scalar feature columns (f00..f13): list columns are unsortable
+        # in the driver's order-insensitive value compare
+        import numpy as np
+
+        F = np.array(
+            [[round(float(x), 6) for x in f] for f in df.pop("features")]
+        )
+        for j in range(F.shape[1]):
+            df[f"f{j:02d}"] = F[:, j]
         return df
 
     def media_headers(sf_dir):
@@ -5078,6 +5086,56 @@ def oracle_sql() -> dict[str, str]:
         f"read_parquet('{_SK}/dedup_simhash.parquet') s "
         f"WHERE s.key = {_DOCS_KEY} ORDER BY s.ord"
     )
+
+    # Batch-3 pinned-snapshot oracles (tests/independent_pipelines.py):
+    # the last 13 rows-only queries, all verified bitwise partition-
+    # invariant (4 vs 16 cpus, 128 MiB vs 2 MiB blocks) and re-derived
+    # from-spec single-process (t-digest/KLL/FD/LSH/IVF/k-means/Bloom/
+    # counting-Bloom/fake-decode/lineage). Embedding and event keys
+    # quantize floats to int64 at 1e-6 (half away from zero) so DuckDB
+    # reproduces the Python key byte-for-byte; the three generator-
+    # input queries carry the md5 of their REGENERATED input as a
+    # literal (pytest pins snapshot == regeneration == live).
+    _PK = "/root/repo/fixtures/pipeline_snapshots"
+    _EMB_KEY = (
+        "(SELECT md5(string_agg(vec_id || ':' || label || ':' || "
+        "array_to_string(list_transform(embedding, e -> "
+        "CAST(TRUNC(CAST(e AS DOUBLE)*1000000 + 0.5*SIGN(e)) AS BIGINT)), ','), "
+        "chr(10) ORDER BY vec_id)) FROM embeddings)"
+    )
+    _EVENTS_VAL_KEY = (
+        "(SELECT md5(string_agg(event_id || '|' || event_type, chr(10) "
+        "ORDER BY event_id) || '|' || CAST(CAST(SUM(CAST(TRUNC(value*1000000 "
+        "+ 0.5*SIGN(value)) AS BIGINT)) AS BIGINT) AS VARCHAR)) FROM events)"
+    )
+    for _name, _cols, _key in (
+        ("ntok_quantiles_tdigest", "source, p50, p95, p99", _DOCS_SRC_KEY),
+        ("ntok_quantiles_kll", "source, p50, p95, p99", _DOCS_SRC_KEY),
+        ("bloom_retract_reprobe",
+         "n_added, n_deleted, n_live, kept_contained, kept_total, "
+         "retracted_contained, retracted_total, fpr_bound", _DOCS_SRC_KEY),
+        ("events_value_p95_tdigest", "event_type, p50, p95", _EVENTS_VAL_KEY),
+        ("ann_lsh", "qid, vec_id, cosine", _EMB_KEY),
+        ("ann_ivf", "qid, vec_id, cosine", _EMB_KEY),
+        ("dedup_embedding_lsh", "vec_a, vec_b, cosine", _EMB_KEY),
+        ("semantic_dedup", "vec_id, cluster, keep", _EMB_KEY),
+        ("embedding_pca", "component, eigenvalue, explained_ratio", _EMB_KEY),
+        ("embedding_fd_pca",
+         "component, eigenvalue, explained_ratio, err_bound", _EMB_KEY),
+        ("bloom_fpr_check",
+         "zero_false_negatives, n_probed_pos, empirical_fpr, "
+         "theoretical_bound, fpr_within_bound",
+         "'2e3eefca196f910e440b4c845d209b7e'"),
+        ("sketch_lineage", "epoch, part, n_fragments, n_added, fill_ratio",
+         "'fff67b7b5c143dc616ecae96a8fa3583'"),
+        ("multimodal_features",
+         "media_id, height, width, " + ", ".join(f"f{j:02d}" for j in range(14)),
+         "'daec755d2111fd83705127a2f8b7145c'"),
+    ):
+        sqls[_name] = (
+            f"SELECT {_cols} FROM read_parquet('{_PK}/{_name}.parquet') s "
+            f"WHERE s.key = {_key} ORDER BY s.ord"
+        )
     return sqls
 
 

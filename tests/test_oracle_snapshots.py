@@ -119,3 +119,74 @@ def test_sketch_pipelines_match_independent_impls(ray_session):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), w.reset_index(drop=True),
             check_dtype=False)
+
+
+def test_pipeline_snapshots_match_fresh_regeneration():
+    import independent_pipelines as P
+
+    fresh = P.generate_pipeline_snapshots(SFS)
+    for name, tbl in fresh.items():
+        committed = pq.read_table(f"{P.SNAPSHOT_DIR}/{name}.parquet")
+        assert tbl.equals(committed), f"{name} snapshot differs from regeneration"
+
+
+def test_pipeline_queries_match_independent_impls(ray_session):
+    """Live batch-3 pipelines == the from-spec reimplementations, bit
+    for bit, on sf0.001 — third leg of the snapshot-oracle pinning."""
+    import importlib.util
+    import shutil
+
+    import pandas as pd
+
+    import independent_pipelines as P
+
+    spec = importlib.util.spec_from_file_location(
+        "_e_snap3", "/root/repo/__ray_entry__.py")
+    e = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(e)
+    qs = e.queries()
+
+    sf = SFS[0]
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    texts = d.column("text").to_pylist()
+    sources = d.column("source").to_pylist()
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "value"])
+    em = pq.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    vids = em.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    V = np.asarray(em.column("embedding").combine_chunks().flatten(),
+                   dtype=np.float32).reshape(len(vids), -1)
+
+    # lineage store must rebuild fresh or the no-op resume path returns
+    # a previous session's (identical, but untested) manifest
+    shutil.rmtree("/tmp/graft_lineage_store", ignore_errors=True)
+
+    want = {
+        "ntok_quantiles_tdigest": P.indep_ntok_quantiles(
+            texts, sources, "tdigest",
+            n_blocks=P.engine_num_blocks(f"{sf}/documents.parquet")),
+        "ntok_quantiles_kll": P.indep_ntok_quantiles(texts, sources, "kll"),
+        "bloom_retract_reprobe": P.indep_bloom_retract(texts, sources),
+        "events_value_p95_tdigest": P.indep_events_p95(
+            ev.column("event_type").to_pylist(),
+            ev.column("value").to_numpy(zero_copy_only=False),
+            n_blocks=P.engine_num_blocks(f"{sf}/events.parquet")),
+        "ann_lsh": P.indep_ann_lsh(vids, V),
+        "ann_ivf": P.indep_ann_ivf(vids, V),
+        "dedup_embedding_lsh": P.indep_dedup_embedding_lsh(vids, V),
+        "semantic_dedup": P.indep_semantic_dedup(vids, V),
+        "embedding_pca": P.indep_embedding_pca(V),
+        "embedding_fd_pca": P.indep_embedding_fd_pca(V),
+        "bloom_fpr_check": P.indep_bloom_fpr_check(),
+        "sketch_lineage": P.indep_sketch_lineage(),
+        "multimodal_features": P.indep_multimodal_features(),
+    }
+    for name, w in want.items():
+        got = qs[name](sf)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), w.reset_index(drop=True),
+            check_dtype=False)
