@@ -1545,6 +1545,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def dedup_incremental(sf_dir):
+        # Persisted near-dup index + increment probe — the production
+        # "dedup today's crawl against the 100-TB corpus" shape: base
+        # corpus (doc_id < 400) builds a hash-partitioned banded-
+        # MinHash store on disk; the increment (doc_id >= 400) computes
+        # its own band rows, reads ONLY the store partitions its bucket
+        # keys land in, verifies in-bucket signature agreement (base x
+        # new and new x new pairs only — never base x base), and
+        # resolves survivors by connected components with the corpus
+        # pinned (any corpus doc in the component wins; else lowest
+        # increment id). Oracle: exact-Jaccard recursive-CTE CC with
+        # the same base-pinned encoding (MinHash-LSH reaches exact
+        # parity on the fixture, as dedup_minhash_keep proves).
+        import os
+
+        base = _docs(sf_dir, ["doc_id", "text"]).filter(expr="doc_id < 400")
+        inc = _docs(sf_dir, ["doc_id", "text"]).filter(expr="doc_id >= 400")
+        store = f"/tmp/graft_lsh_store/{os.path.basename(os.path.normpath(sf_dir))}"
+        D.build_minhash_store(base, store)
+        return D.minhash_increment(inc, store)
+
     def dedup_ngram_components(sf_dir):
         # connected components over the EXACT (oracle-checkable) n-gram
         # Jaccard pairs -> {node, comp}; DuckDB oracle = recursive-CTE
@@ -2706,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_weighted": stratified_sample_weighted,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_keep": dedup_minhash_keep,
+        "dedup_incremental": dedup_incremental,
         "dedup_keepset_exact": dedup_keepset_exact,
         "dedup_ngram_components": dedup_ngram_components,
         "dedup_simhash": dedup_simhash,
@@ -4263,6 +4285,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp) "
             "ORDER BY doc_id"
+        ),
+        # incremental dedup vs a persisted LSH store: same exact-Jaccard
+        # pair CTE, restricted to pairs touching the increment (the
+        # engine never does base x base work), then CC over ids encoded
+        # base=doc_id / increment=doc_id+2^40 so the component MIN is a
+        # corpus doc whenever one is present (corpus pinned) and the
+        # lowest increment id otherwise. keep <=> node == its comp;
+        # dup_of = decoded comp (-1 when kept).
+        "dedup_incremental": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "p AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 "
+            "AND (doc_a >= 400 OR doc_b >= 400)), "
+            "enc AS (SELECT CASE WHEN doc_a < 400 THEN doc_a ELSE doc_a + 1099511627776 END AS ea, "
+            "CASE WHEN doc_b < 400 THEN doc_b ELSE doc_b + 1099511627776 END AS eb FROM p), "
+            "edges AS (SELECT ea AS a, eb AS b FROM enc UNION SELECT eb, ea FROM enc), "
+            "reach(n, m) AS (SELECT a, a FROM edges UNION "
+            "SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m), "
+            "comp AS (SELECT n AS node, MIN(m) AS comp FROM reach GROUP BY n), "
+            "inc AS (SELECT doc_id FROM documents WHERE doc_id >= 400), "
+            "lab AS (SELECT i.doc_id, c.comp FROM inc i "
+            "LEFT JOIN comp c ON c.node = i.doc_id + 1099511627776) "
+            "SELECT doc_id, "
+            "(comp IS NULL OR comp = doc_id + 1099511627776) AS keep, "
+            "CAST(CASE WHEN comp IS NULL OR comp = doc_id + 1099511627776 THEN -1 "
+            "WHEN comp >= 1099511627776 THEN comp - 1099511627776 ELSE comp END AS BIGINT) AS dup_of "
+            "FROM lab ORDER BY doc_id"
         ),
         # k-means (k=8, 5 Lloyd iterations, content-derived splitmix64
         # seeding): a PINNED-SNAPSHOT oracle. Lloyd's in portable SQL

@@ -245,6 +245,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tpch_q12",
         "tpch_q20",
         "line_dedup",
+        "dedup_incremental",
         "bm25_search",
         "doc_entropy",
         "events_value_histogram",

@@ -627,3 +627,395 @@ def ngram_jaccard_pairs(
         .groupby("pp")
         .map_groups(finalize_partition, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------- incremental LSH index
+# A persisted near-dup index plus an increment probe: the production
+# shape for "dedup today's crawl against the 100-TB corpus". The store
+# holds the corpus's banded MinHash rows hash-partitioned on
+# bkey % num_partitions; an increment computes its own band rows, reads
+# ONLY the store partitions its bucket keys land in, verifies
+# signature agreement in-bucket, and resolves survivors by connected
+# components with the corpus docs pinned (an increment doc loses to ANY
+# corpus doc in its component, and to the lowest-id increment doc in an
+# all-new component). Cost is O(increment x bands + colliding bucket
+# rows) — never a corpus pass, never base-base pair work (the kernel
+# expands only base x new and new x new pairs). Reference analog: the
+# probe loads only its partition's filter (src/main.cpp:120), applied
+# to the near-dup index instead of the Bloom store.
+
+_INC_OFFSET = np.int64(1) << np.int64(40)  # increment-id encoding for CC
+
+
+def _minhash_manifest_path(store_path: str) -> str:
+    import os
+
+    return os.path.join(store_path, "manifest.json")
+
+
+def load_minhash_store_manifest(store_path: str) -> dict:
+    import json
+
+    with open(_minhash_manifest_path(store_path)) as f:
+        return json.load(f)
+
+
+def build_minhash_store(
+    docs: "Dataset",
+    store_path: str,
+    *,
+    k: int = 3,
+    num_perm: int = 128,
+    threshold: float = 0.5,
+    bands: int | None = None,
+    max_bucket: int = 256,
+    num_partitions: int = 64,
+) -> dict:
+    """One streaming pass: corpus → persisted banded-MinHash index.
+
+    Layout: ``{store}/bands/bp={p}/part-base.parquet`` rows
+    {bkey: uint64, doc_id: int64, sig: fsl<uint64, num_perm>}, manifest
+    committed LAST (tmp + atomic replace), so a crashed build leaves no
+    readable store. Rebuilds in place (full-refresh semantics — the
+    incremental path is :func:`minhash_increment` with ``ingest_id``).
+    """
+    import json
+    import os
+    import shutil
+
+    if bands is None:
+        bands = pick_lsh_bands(num_perm, threshold)
+    if num_perm % bands:
+        raise ValueError("num_perm must divide into equal bands")
+    P = int(num_partitions)
+
+    if os.path.exists(store_path):
+        shutil.rmtree(store_path)
+    bands_dir = os.path.join(store_path, "bands")
+    os.makedirs(bands_dir, exist_ok=True)
+
+    band_rows = minhash_signatures(docs, k, num_perm).map_batches(
+        _band_rows_fn(bands, num_perm // bands),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def add_bp(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bp", pa.array((bk % np.uint64(P)).astype(np.int32))
+        )
+
+    def write_partition(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        bp = int(g.column("bp")[0].as_py())
+        d = os.path.join(bands_dir, f"bp={bp}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-base.parquet")
+        tmp = path + ".tmp"
+        # deterministic row order inside the file (bkey, doc_id)
+        bk = g.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        pq.write_table(g.drop_columns(["bp"]).take(pa.array(order)), tmp)
+        os.replace(tmp, path)
+        return pa.table({"bp": pa.array([bp], pa.int32()),
+                         "n_rows": pa.array([g.num_rows], pa.int64())})
+
+    parts = (
+        band_rows.map_batches(add_bp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bp")
+        .map_groups(write_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    manifest = {
+        "algo": "minhash_lsh_store",
+        "k": k, "num_perm": num_perm, "bands": bands,
+        "threshold": threshold, "max_bucket": max_bucket,
+        "num_partitions": P,
+        "n_band_rows": int(parts["n_rows"].sum()) if len(parts) else 0,
+        "ingests": [],
+    }
+    tmp = _minhash_manifest_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _minhash_manifest_path(store_path))
+    return manifest
+
+
+def _probe_pairs_fn(threshold: float, num_perm: int, max_bucket: int):
+    """Partition kernel: mixed base+increment bucket rows → verified
+    pairs on ENCODED ids (base = doc_id, increment = doc_id + 2^40).
+
+    Expands base x new (cross) and new x new (triangular) pairs only —
+    base x base work, the quadratic term at corpus scale, never
+    happens. Per-class deterministic ``max_bucket`` cap (id-sorted)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"enc_a": pa.array([], pa.int64()), "enc_b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())}
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        bkey = group.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        enc = group.column("enc").to_numpy(zero_copy_only=False).astype(np.int64)
+        isnew = (enc >= _INC_OFFSET).astype(np.int8)
+        sig_col = group.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig = np.asarray(sig_col.values).reshape(n, num_perm)
+        order = np.lexsort((enc, isnew, bkey))
+        bkey, enc, isnew, sig = bkey[order], enc[order], isnew[order], sig[order]
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (bkey[1:] == bkey[:-1]) & (enc[1:] == enc[:-1])
+        bkey, enc, isnew, sig = bkey[~dup], enc[~dup], isnew[~dup], sig[~dup]
+        n = len(enc)
+        if n < 2:
+            return empty
+        starts = np.flatnonzero(np.diff(bkey, prepend=bkey[0] + np.uint64(1)))
+        lens = np.diff(np.concatenate([starts, [n]]))
+        seg_of = np.repeat(np.arange(len(starts)), lens)
+        nn = np.add.reduceat(isnew.astype(np.int64), starts)
+        nb = lens - nn
+        # per-class positions; cap each class at max_bucket (id-sorted)
+        pos = np.arange(n) - starts[seg_of]
+        pos_class = np.where(isnew == 1, pos - nb[seg_of], pos)
+        keep = pos_class < max_bucket
+        enc, isnew, sig = enc[keep], isnew[keep], sig[keep]
+        nbc = np.minimum(nb, max_bucket)
+        nnc = np.minimum(nn, max_bucket)
+        clens = nbc + nnc
+        offs = np.concatenate([[0], np.cumsum(clens)])
+        # cross pairs: every (base i, new j) per bucket
+        cross = nbc * nnc
+        ccum = np.concatenate([[0], np.cumsum(cross)])
+        tc = int(ccum[-1])
+        ia_list, ib_list = [], []
+        if tc:
+            seg = np.repeat(np.arange(len(cross)), cross)
+            local = np.arange(tc, dtype=np.int64) - ccum[seg]
+            i = local // nnc[seg]
+            j = local - i * nnc[seg]
+            ia_list.append(offs[seg] + i)
+            ib_list.append(offs[seg] + nbc[seg] + j)
+        # new-new pairs: triangular within the bucket's new block
+        seg2, a2, b2 = _triu_expand(nnc)
+        if len(seg2):
+            base2 = offs[seg2] + nbc[seg2]
+            ia_list.append(base2 + a2)
+            ib_list.append(base2 + b2)
+        if not ia_list:
+            return empty
+        ia = np.concatenate(ia_list)
+        ib = np.concatenate(ib_list)
+        CHUNK = 1 << 20
+        out_a, out_b, out_e = [], [], []
+        for lo in range(0, len(ia), CHUNK):
+            ca, cb = ia[lo : lo + CHUNK], ib[lo : lo + CHUNK]
+            est = (sig[ca] == sig[cb]).mean(axis=1)
+            hit = est >= threshold
+            out_a.append(enc[ca[hit]])
+            out_b.append(enc[cb[hit]])
+            out_e.append(est[hit])
+        return pa.table(
+            {"enc_a": pa.array(np.concatenate(out_a)),
+             "enc_b": pa.array(np.concatenate(out_b)),
+             "est_jaccard": pa.array(np.concatenate(out_e))}
+        )
+
+    return fn
+
+
+def minhash_increment(
+    new_docs: "Dataset",
+    store_path: str,
+    *,
+    ingest_id: str | None = None,
+) -> "pd.DataFrame":
+    """Dedup an increment against a persisted :func:`build_minhash_store`
+    index → {doc_id, keep, dup_of} for every increment doc (dup_of is
+    the component representative when dropped — the matching corpus
+    doc, or the surviving lower-id increment doc — and -1 when kept).
+
+    Semantics (CC keep-set with the corpus pinned): an increment doc is
+    dropped iff its near-dup component (over verified base-new and
+    new-new pairs) contains any corpus doc, or a lower-id increment
+    doc. Increment docs with < k tokens have no shingles and are
+    trivially kept, matching the batch pipeline's convention.
+
+    ``ingest_id`` (optional) appends the SURVIVORS' band rows to the
+    store exactly once so the next increment deduplicates against them
+    too. Replays with the same id are fully idempotent at ANY crash
+    point: the probe excludes this ingest's own part files (so the
+    result is computed against the pre-ingest store state), part
+    writes are atomic overwrites, and the manifest — updated last —
+    gates the append (already-recorded id = probe only, no rewrite).
+    """
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from .graph import connected_components
+
+    m = load_minhash_store_manifest(store_path)
+    k, num_perm, bands = m["k"], m["num_perm"], m["bands"]
+    threshold, max_bucket, P = m["threshold"], m["max_bucket"], m["num_partitions"]
+    already_ingested = ingest_id is not None and ingest_id in [
+        i["ingest_id"] for i in m.get("ingests", [])
+    ]
+
+    sigs = minhash_signatures(new_docs, k, num_perm).materialize()
+    band_rows = sigs.map_batches(
+        _band_rows_fn(bands, num_perm // bands),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def add_bp_enc(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("minhash_increment requires non-negative doc ids")
+        return pa.table(
+            {"bkey": batch.column("bkey"),
+             "enc": pa.array(ids + _INC_OFFSET),
+             "sig": batch.column("sig"),
+             "bp": pa.array((bk % np.uint64(P)).astype(np.int32))}
+        )
+
+    new_rows = band_rows.map_batches(
+        add_bp_enc, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # partition pruning: read ONLY the store partitions the increment's
+    # bucket keys land in (the whole point at corpus scale)
+    uniq_bp = (
+        new_rows.select_columns(["bp"]).unique("bp")
+        if new_rows.count() else []
+    )
+    need_bp = sorted(uniq_bp or [])
+    base_paths = []
+    skip_file = f"part-{ingest_id}.parquet" if ingest_id is not None else None
+    for bp in need_bp:
+        d = os.path.join(store_path, "bands", f"bp={bp}")
+        if os.path.isdir(d):
+            base_paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                # a replay of THIS ingest id must probe the pre-ingest
+                # store state: its own (possibly torn) part files are
+                # excluded, so the result is identical no matter where
+                # a crashed previous attempt stopped, and the rewrite
+                # below is a safe overwrite
+                if f.endswith(".parquet") and f != skip_file
+            )
+    parts: list = [new_rows]
+    if base_paths:
+        def tag_base(batch: pa.Table) -> pa.Table:
+            bk = batch.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table(
+                {"bkey": batch.column("bkey"),
+                 "enc": batch.column("doc_id"),
+                 "sig": batch.column("sig"),
+                 "bp": pa.array((bk % np.uint64(P)).astype(np.int32))}
+            )
+
+        parts.append(
+            ray.data.read_parquet(base_paths).map_batches(
+                tag_base, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    mixed = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    pairs = (
+        mixed.groupby("bp")
+        .map_groups(_probe_pairs_fn(threshold, num_perm, max_bucket),
+                    batch_format="pyarrow")
+    ).materialize()
+
+    comp = connected_components(pairs, cols=("enc_a", "enc_b"))
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        cmp_ = t.column("comp").to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (node >= int(_INC_OFFSET)) & (node != cmp_)
+        node, cmp_ = node[sel], cmp_[sel]
+        return pa.table(
+            {"doc_id": pa.array(node - int(_INC_OFFSET)),
+             "dup_of": pa.array(np.where(cmp_ >= int(_INC_OFFSET),
+                                         cmp_ - int(_INC_OFFSET), cmp_))}
+        )
+
+    lab = comp.map_batches(
+        to_drops, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if lab.empty:
+        # Ray drops the schema of all-empty datasets through to_pandas
+        lab = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                            "dup_of": pd.Series([], dtype=np.int64)})
+    drops = lab
+    all_ids = new_docs.select_columns(["doc_id"]).to_pandas()["doc_id"].astype(np.int64)
+    out = pd.DataFrame({"doc_id": np.sort(all_ids.to_numpy())})
+    out = out.merge(drops, on="doc_id", how="left")
+    out["keep"] = out["dup_of"].isna()
+    out["dup_of"] = out["dup_of"].fillna(-1).astype(np.int64)
+
+    if ingest_id is not None and not already_ingested:
+        _ingest_survivors(store_path, m, new_rows, out, ingest_id)
+    return out[["doc_id", "keep", "dup_of"]]
+
+
+def _ingest_survivors(store_path, manifest, new_rows, result, ingest_id) -> None:
+    """Append survivors' band rows to the store partitions, exactly
+    once (manifest records the ingest id; commit is manifest-last)."""
+    import json
+    import os
+
+    import ray
+
+    kept = set(result.loc[result["keep"], "doc_id"].astype(np.int64).tolist())
+    kept_ref = ray.put(kept)
+
+    def write_kept(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        ks = ray.get(kept_ref)
+        bp = int(g.column("bp")[0].as_py())
+        enc = g.column("enc").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = enc - int(_INC_OFFSET)
+        sel = np.flatnonzero(np.isin(ids, np.fromiter(ks, dtype=np.int64,
+                                                      count=len(ks))))
+        if len(sel) == 0:
+            return pa.table({"bp": pa.array([bp], pa.int32()),
+                             "n_rows": pa.array([0], pa.int64())})
+        bk = g.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)[sel]
+        order = sel[np.lexsort((ids[sel], bk))]
+        sub = pa.table(
+            {"bkey": g.column("bkey").take(pa.array(order)),
+             "doc_id": pa.array(ids[order]),
+             "sig": g.column("sig").combine_chunks().take(pa.array(order))}
+        )
+        d = os.path.join(store_path, "bands", f"bp={bp}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{ingest_id}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(sub, tmp)
+        os.replace(tmp, path)
+        return pa.table({"bp": pa.array([bp], pa.int32()),
+                         "n_rows": pa.array([sub.num_rows], pa.int64())})
+
+    counts = new_rows.groupby("bp").map_groups(
+        write_kept, batch_format="pyarrow"
+    ).to_pandas()
+    manifest["ingests"].append(
+        {"ingest_id": ingest_id, "n_band_rows": int(counts["n_rows"].sum())}
+    )
+    manifest["n_band_rows"] += int(counts["n_rows"].sum())
+    tmp = _minhash_manifest_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _minhash_manifest_path(store_path))

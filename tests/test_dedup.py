@@ -193,3 +193,127 @@ def test_ngram_pack_width_validation():
     ds = ray.data.from_arrow(bad)
     with pytest.raises(Exception, match="doc_id out of"):
         ngram_jaccard_pairs(ds, k=3).take_all()
+
+
+# ------------------------------------------------- incremental LSH store
+@pytest.fixture(scope="module")
+def lsh_store(docs_ds, tmp_path_factory):
+    from bloomfilter_multithread_ray.pipelines.dedup import build_minhash_store
+
+    path = str(tmp_path_factory.mktemp("lsh") / "store")
+    base = docs_ds.filter(expr="doc_id < 400")
+    manifest = build_minhash_store(base, path)
+    return path, manifest
+
+
+def _uf_reference(exact_jaccard, ids, split=400, threshold=0.5):
+    """Reference: union-find CC over exact-Jaccard pairs touching the
+    increment, base pinned via the +2^40 encoding, min per component."""
+    OFF = 1 << 40
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    def enc(d):
+        return d if d < split else d + OFF
+
+    for (a, b), j in exact_jaccard.items():
+        if j >= threshold and (a >= split or b >= split):
+            union(enc(a), enc(b))
+    rows = []
+    for d in sorted(i for i in ids if i >= split):
+        root = find(enc(d))
+        keep = root == enc(d)
+        dup_of = -1 if keep else (root - OFF if root >= OFF else root)
+        rows.append({"doc_id": d, "keep": keep, "dup_of": dup_of})
+    return pd.DataFrame(rows)
+
+
+def test_minhash_increment_matches_exact_reference(docs_ds, exact_jaccard, lsh_store):
+    from bloomfilter_multithread_ray.pipelines.dedup import minhash_increment
+
+    path, _ = lsh_store
+    inc = docs_ds.filter(expr="doc_id >= 400")
+    got = minhash_increment(inc, path).reset_index(drop=True)
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]) \
+        .column("doc_id").to_pylist()
+    want = _uf_reference(exact_jaccard, ids)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_increment_partition_invariance(docs_ds, lsh_store):
+    from bloomfilter_multithread_ray.pipelines.dedup import minhash_increment
+
+    path, _ = lsh_store
+    inc = docs_ds.filter(expr="doc_id >= 400")
+    a = minhash_increment(inc, path).reset_index(drop=True)
+    b = minhash_increment(inc.repartition(7), path).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_increment_ingest_exactly_once(docs_ds, tmp_path):
+    from bloomfilter_multithread_ray.pipelines.dedup import (
+        build_minhash_store,
+        load_minhash_store_manifest,
+        minhash_increment,
+    )
+
+    path = str(tmp_path / "store")
+    build_minhash_store(docs_ds.filter(expr="doc_id < 400"), path)
+    inc = docs_ds.filter(expr="doc_id >= 400")
+    first = minhash_increment(inc, path, ingest_id="epoch-1")
+    m1 = load_minhash_store_manifest(path)
+    assert [i["ingest_id"] for i in m1["ingests"]] == ["epoch-1"]
+    # replay with the same id: result identical, store unchanged
+    replay = minhash_increment(inc, path, ingest_id="epoch-1")
+    m2 = load_minhash_store_manifest(path)
+    pd.testing.assert_frame_equal(first, replay)
+    assert m2["n_band_rows"] == m1["n_band_rows"]
+    assert len(m2["ingests"]) == 1
+    # after ingest, re-probing the same docs drops every survivor as a
+    # self-duplicate of its ingested copy
+    again = minhash_increment(inc, path)
+    kept = set(first.loc[first["keep"], "doc_id"])
+    sub = again[again["doc_id"].isin(kept)]
+    assert (~sub["keep"]).all()
+    assert (sub["dup_of"] == sub["doc_id"]).all()
+
+
+def test_minhash_increment_short_docs_kept(lsh_store):
+    from bloomfilter_multithread_ray.pipelines.dedup import minhash_increment
+
+    path, _ = lsh_store
+    inc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([9001, 9002], pa.int64()),
+        "text": pa.array(["one two", ""]),  # < k tokens: no shingles
+    }))
+    got = minhash_increment(inc, path).reset_index(drop=True)
+    assert got["keep"].all()
+    assert (got["dup_of"] == -1).all()
+
+
+def test_build_minhash_store_layout_and_manifest(lsh_store):
+    import os
+
+    path, manifest = lsh_store
+    assert manifest["algo"] == "minhash_lsh_store"
+    assert os.path.exists(os.path.join(path, "manifest.json"))
+    bps = [d for d in os.listdir(os.path.join(path, "bands")) if d.startswith("bp=")]
+    assert 0 < len(bps) <= manifest["num_partitions"]
+    n = 0
+    for d in bps:
+        for f in os.listdir(os.path.join(path, "bands", d)):
+            assert f.endswith(".parquet")
+            n += pq.read_metadata(os.path.join(path, "bands", d, f)).num_rows
+    assert n == manifest["n_band_rows"]
