@@ -708,6 +708,80 @@ def run_rehearsal(mult: int = 20) -> dict:
     }
 
 
+def run_inc_rehearsal(mult: int = 20, base_frac: float = 0.8) -> dict:
+    """Incremental-dedup-store rehearsal: build the LSH index over the
+    first ``base_frac`` of a ``mult``× replicated sf0.1 corpus (every
+    replica's text is byte-identical — the dup-heavy crawl shape), then
+    probe the remaining replicas as the increment. Every increment doc
+    with >= k tokens is an exact duplicate of a base doc, so the
+    expected outcome is fully determined: survivors == shingle-less
+    docs only, and every drop's ``dup_of`` is a base doc. Reports
+    walls, store footprint, and the store rows actually read by the
+    probe (the partition-pruning evidence)."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    import ray.data
+
+    from bloomfilter_multithread_ray.pipelines.dedup import (
+        build_minhash_store,
+        load_minhash_store_manifest,
+        minhash_increment,
+    )
+
+    path = ensure_docs_corpus(mult)
+    n_base_reps = max(1, int(mult * base_frac))
+    split_id = n_base_reps * 10_000_000
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    base = docs.filter(expr=f"doc_id < {split_id}")
+    inc = docs.filter(expr=f"doc_id >= {split_id}")
+    store = "/tmp/graft_lsh_rehearsal_store"
+    shutil.rmtree(store, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    manifest = build_minhash_store(base, store)
+    build_s = time.perf_counter() - t0
+    store_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(store) for f in fs
+    )
+    t1 = time.perf_counter()
+    res = minhash_increment(inc, store)
+    inc_s = time.perf_counter() - t1
+
+    n_inc = len(res)
+    kept = res[res["keep"]]
+    drops = res[~res["keep"]]
+    # correctness of the rehearsal itself: every dup_of is a base doc,
+    # and survivors are exactly the shingle-less (< 3-token) docs
+    assert (drops["dup_of"] < split_id).all(), "dup_of must be a base doc"
+    t = pq_.read_table(
+        os.path.join(path, "part_000.parquet"), columns=["doc_id", "text"]
+    )
+    short = {
+        int(d) for d, x in zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist())
+        if len([w for w in x.split(" ") if w]) < 3
+    }
+    assert set(kept["doc_id"] % 10_000_000) == short, (
+        "survivors must be exactly the shingle-less docs"
+    )
+    return {
+        "metric": "incremental_dedup_rehearsal",
+        "mult": mult,
+        "n_base_docs": int(base.count()),
+        "n_increment_docs": n_inc,
+        "store_build_s": round(build_s, 3),
+        "store_bytes": int(store_bytes),
+        "store_band_rows": manifest["n_band_rows"],
+        "increment_s": round(inc_s, 3),
+        "n_kept": int(len(kept)),
+        "n_dropped": int(len(drops)),
+        "docs_per_sec_increment": round(n_inc / inc_s, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -720,6 +794,10 @@ def main() -> None:
                          "over a --rehearsal-mult x replication of sf0.1 "
                          "and report per-operator shuffle volumes")
     ap.add_argument("--rehearsal-mult", type=int, default=20)
+    ap.add_argument("--inc-rehearsal", action="store_true",
+                    help="incremental-dedup-store rehearsal: build the "
+                         "LSH index over 80%% of a --rehearsal-mult x "
+                         "replicated sf0.1 corpus, probe the rest")
     ap.add_argument("--cpu-ceiling", action="store_true",
                     help="measure the host's hardware scaling ceiling "
                          "(pure-CPU, Ray-free) between --low and --high procs")
@@ -747,6 +825,19 @@ def main() -> None:
                      include_dashboard=False)
         try:
             print(json.dumps(run_rehearsal(args.rehearsal_mult)))
+        finally:
+            ray.shutdown()
+        return
+
+    if args.inc_rehearsal:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local",
+                     num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                     include_dashboard=False)
+        try:
+            print(json.dumps(run_inc_rehearsal(args.rehearsal_mult)))
         finally:
             ray.shutdown()
         return

@@ -891,19 +891,24 @@ def minhash_increment(
         add_bp_enc, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # partition pruning: read ONLY the store partitions the increment's
-    # bucket keys land in (the whole point at corpus scale)
+    # partition pruning: each bp group's task reads ONLY its store
+    # partition's files, in place (the corpus band rows are ALREADY
+    # hash-partitioned on disk — routing them through a groupby would
+    # re-shuffle ~bands x sig bytes of CORPUS data per increment; the
+    # only shuffle left is of the increment's own rows). One store
+    # partition must fit in a task heap: size num_partitions at build
+    # time so corpus_band_rows / num_partitions stays heap-sized.
     uniq_bp = (
         new_rows.select_columns(["bp"]).unique("bp")
         if new_rows.count() else []
     )
-    need_bp = sorted(uniq_bp or [])
-    base_paths = []
+    need_bp = sorted(int(b) for b in (uniq_bp or []))
     skip_file = f"part-{ingest_id}.parquet" if ingest_id is not None else None
+    paths_by_bp: dict[int, list[str]] = {}
     for bp in need_bp:
         d = os.path.join(store_path, "bands", f"bp={bp}")
         if os.path.isdir(d):
-            base_paths.extend(
+            paths_by_bp[bp] = [
                 os.path.join(d, f) for f in sorted(os.listdir(d))
                 # a replay of THIS ingest id must probe the pre-ingest
                 # store state: its own (possibly torn) part files are
@@ -911,29 +916,82 @@ def minhash_increment(
                 # a crashed previous attempt stopped, and the rewrite
                 # below is a safe overwrite
                 if f.endswith(".parquet") and f != skip_file
-            )
-    parts: list = [new_rows]
-    if base_paths:
-        def tag_base(batch: pa.Table) -> pa.Table:
-            bk = batch.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
-            return pa.table(
-                {"bkey": batch.column("bkey"),
-                 "enc": batch.column("doc_id"),
-                 "sig": batch.column("sig"),
-                 "bp": pa.array((bk % np.uint64(P)).astype(np.int32))}
-            )
+            ]
 
-        parts.append(
-            ray.data.read_parquet(base_paths).map_batches(
-                tag_base, batch_format="pyarrow", zero_copy_batch=True
+    kernel = _probe_pairs_fn(threshold, num_perm, max_bucket)
+
+    def probe_partition(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        bp = int(g.column("bp")[0].as_py())
+        tbls = [g.select(["bkey", "enc", "sig"])]
+        for p in paths_by_bp.get(bp, []):
+            base = pq.read_table(p, columns=["bkey", "doc_id", "sig"])
+            tbls.append(
+                pa.table({"bkey": base.column("bkey"),
+                          "enc": base.column("doc_id"),
+                          "sig": base.column("sig")})
             )
+        out = kernel(pa.concat_tables(tbls))
+        if out.num_rows <= 1:
+            return out
+        # in-partition pair dedup (a pair re-verifies once per
+        # colliding band; CC needs it once) — keep the max estimate
+        ea = out.column("enc_a").to_numpy(zero_copy_only=False)
+        eb = out.column("enc_b").to_numpy(zero_copy_only=False)
+        est = out.column("est_jaccard").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-est, eb, ea))
+        ea, eb, est = ea[order], eb[order], est[order]
+        first = np.ones(len(ea), dtype=bool)
+        first[1:] = (ea[1:] != ea[:-1]) | (eb[1:] != eb[:-1])
+        return pa.table(
+            {"enc_a": pa.array(ea[first]), "enc_b": pa.array(eb[first]),
+             "est_jaccard": pa.array(est[first])}
         )
-    mixed = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-    pairs = (
-        mixed.groupby("bp")
-        .map_groups(_probe_pairs_fn(threshold, num_perm, max_bucket),
-                    batch_format="pyarrow")
+
+    raw_pairs = (
+        new_rows.groupby("bp")
+        .map_groups(probe_partition, batch_format="pyarrow")
     ).materialize()
+
+    # global pair dedup before CC: the same pair is re-found by every
+    # band that collides (up to `bands` times, scattered across
+    # partitions) — deduping keeps the CC edge list at the true pair
+    # count instead of ~bands x it. Fixed-P pair-hash shuffle + a
+    # vectorized unique kernel (Ray's multi-key aggregate machinery is
+    # ~10x slower on this skinny-row shape, measured at 20x sf0.1).
+    from ..functions.hashing import splitmix64
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        ea = batch.column("enc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = batch.column("enc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ea.view(np.uint64)) ^ splitmix64(~eb.view(np.uint64))
+        return batch.append_column(
+            "pp", pa.array((h % np.uint64(P)).astype(np.int32))
+        )
+
+    def unique_pairs(g: pa.Table) -> pa.Table:
+        ea = g.column("enc_a").to_numpy(zero_copy_only=False)
+        eb = g.column("enc_b").to_numpy(zero_copy_only=False)
+        est = g.column("est_jaccard").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-est, eb, ea))
+        ea, eb, est = ea[order], eb[order], est[order]
+        first = np.ones(len(ea), dtype=bool)
+        first[1:] = (ea[1:] != ea[:-1]) | (eb[1:] != eb[:-1])
+        return pa.table(
+            {"enc_a": pa.array(ea[first]), "enc_b": pa.array(eb[first]),
+             "est_jaccard": pa.array(est[first])}
+        )
+
+    pairs = (
+        raw_pairs.map_batches(add_pp, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("pp")
+        .map_groups(unique_pairs, batch_format="pyarrow")
+        .materialize()
+        if raw_pairs.count()
+        else raw_pairs
+    )
 
     comp = connected_components(pairs, cols=("enc_a", "enc_b"))
 

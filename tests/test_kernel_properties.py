@@ -128,3 +128,83 @@ def test_key_hash_string_nulls(vals):
         if not ok:
             continue
         assert seen.setdefault(v, hh) == hh
+
+
+# ------------------------------------------- incremental probe kernel
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 7),                    # bucket key
+            st.integers(0, 30),                   # doc id
+            st.booleans(),                        # is increment row
+            st.integers(0, 3),                    # signature "family"
+        ),
+        min_size=0, max_size=60,
+    ),
+    st.integers(2, 4),                            # max_bucket cap
+)
+@settings(max_examples=150, deadline=None)
+def test_probe_pairs_kernel_matches_bruteforce(rows, max_bucket):
+    """_probe_pairs_fn == brute force over (bucket, class-capped rows):
+    every base x new and new x new pair with signature agreement >=
+    threshold, on encoded ids, and NEVER a base x base pair."""
+    import pyarrow as pa
+
+    from bloomfilter_multithread_ray.pipelines.dedup import (
+        _INC_OFFSET,
+        _probe_pairs_fn,
+    )
+
+    NUM_PERM = 8
+    THRESH = 0.5
+    # signature family f -> deterministic vector; families 0/1 agree in
+    # exactly half the positions (est 0.5, boundary case), 2/3 disjoint
+    def sig_of(f):
+        base = np.arange(NUM_PERM, dtype=np.uint64)
+        if f == 0:
+            return base
+        if f == 1:
+            s = base.copy(); s[NUM_PERM // 2:] += 100; return s
+        if f == 2:
+            return base + 1000
+        return base + 2000
+
+    # dedupe (bkey, enc): the kernel's contract (a doc appears once per
+    # bucket after its dedup pass) — keep the FIRST family drawn
+    seen = {}
+    for bk, did, isnew, fam in rows:
+        enc = did + int(_INC_OFFSET) if isnew else did
+        seen.setdefault((bk, enc), fam)
+    items = [(bk, enc, fam) for (bk, enc), fam in seen.items()]
+    if not items:
+        return
+    tbl = pa.table({
+        "bkey": pa.array(np.array([i[0] for i in items], dtype=np.uint64)),
+        "enc": pa.array(np.array([i[1] for i in items], dtype=np.int64)),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate([sig_of(i[2]) for i in items])), NUM_PERM),
+    })
+    got = _probe_pairs_fn(THRESH, NUM_PERM, max_bucket)(tbl)
+    got_pairs = set(zip(got.column("enc_a").to_pylist(),
+                        got.column("enc_b").to_pylist()))
+
+    # brute force with the same per-class deterministic cap
+    want = set()
+    by_bucket = {}
+    for bk, enc, fam in items:
+        by_bucket.setdefault(bk, []).append((enc, fam))
+    for bk, members in by_bucket.items():
+        base = sorted([m for m in members if m[0] < int(_INC_OFFSET)])[:max_bucket]
+        new = sorted([m for m in members if m[0] >= int(_INC_OFFSET)])[:max_bucket]
+        for be, bf in base:
+            for ne, nf in new:
+                if (sig_of(bf) == sig_of(nf)).mean() >= THRESH:
+                    want.add((be, ne))
+        for i in range(len(new)):
+            for j in range(i + 1, len(new)):
+                if (sig_of(new[i][1]) == sig_of(new[j][1])).mean() >= THRESH:
+                    want.add((new[i][0], new[j][0]))
+    assert got_pairs == want
+    # base x base never emitted
+    assert not any(a < int(_INC_OFFSET) and b < int(_INC_OFFSET)
+                   for a, b in got_pairs)
