@@ -1983,6 +1983,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return full_curation_report(sf_dir)
 
+    def pack_sequences_global(sf_dir):
+        # GPT-style concat-and-chunk packing plan: docs laid on one
+        # global token tape in splitmix64(doc_id) order, cut every 512
+        # tokens. Distributed ordered prefix sum (range partition on
+        # the hash's top bits -> per-range sums -> O(P) driver offsets
+        # -> per-range local cumsum); text never shuffles. Distinct
+        # from `pack_sequences` (the per-doc fixed-length chunk plan):
+        # this one packs ACROSS documents on a single global tape.
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            pack_sequences as _pack,
+        )
+
+        return _pack(_docs(sf_dir, ["doc_id", "text"]), seq_len=512, seed=0)
+
     def full_pretrain_curation(sf_dir):
         # the repetition/boilerplate/NEAR-dup curation chain composed
         # end-to-end: Gopher gate -> corpus line dedup (95%-DF
@@ -2821,6 +2835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": events_value_mad,
         "full_curation": full_curation,
         "full_pretrain_curation": full_pretrain_curation,
+        "pack_sequences_global": pack_sequences_global,
         "split_leakage": split_leakage,
         "doc_novelty": doc_novelty,
         "assign_splits": assign_splits,
@@ -4285,6 +4300,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp) "
             "ORDER BY doc_id"
+        ),
+        # concat-and-chunk packing plan: the same bit-exact splitmix64
+        # mulmod chain as corpus_sample orders the tape, a window
+        # cumsum places each doc, integer div/mod cut the sequences
+        # (SUM OVER returns HUGEINT in DuckDB — cast back to BIGINT)
+        "pack_sequences_global": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok "
+            "FROM documents), "
+            "s0 AS (SELECT doc_id, n_tok, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM t), "
+            "x1 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, n_tok, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, n_tok, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, n_tok, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h "
+            "FROM s2), "
+            "pos AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER "
+            "(ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS tok_start FROM s3) "
+            "SELECT doc_id, n_tok, tok_start, tok_start // 512 AS seq_id, "
+            "tok_start % 512 AS off_in_seq, "
+            "CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (tok_start + n_tok - 1) // 512 - tok_start // 512 + 1 END AS n_seqs "
+            "FROM pos ORDER BY doc_id"
         ),
         # incremental dedup vs a persisted LSH store: same exact-Jaccard
         # pair CTE, restricted to pairs touching the increment (the

@@ -1088,3 +1088,128 @@ def phrase_match(
     return docs.map_batches(
         Matcher, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
+
+
+# ----------------------------------------------------- sequence packing
+def pack_sequences(
+    docs: "Dataset",
+    *,
+    seq_len: int = 512,
+    seed: int = 0,
+    num_partitions: int = P_SHUF,
+) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing: lay every document out on one
+    global token tape in deterministic ``splitmix64(doc_id XOR seed)``
+    order (the hash order doubles as the training-time document
+    shuffle) and cut the tape every ``seq_len`` tokens, letting a
+    document straddle a cut. Per document: its global token offset
+    ``tok_start``, the training sequence its first token lands in
+    (``seq_id``), the offset within that sequence (``off_in_seq``) and
+    how many sequences it spans (``n_seqs``; 0 for empty documents).
+    This is the standard GPT-style packing plan — the thing a
+    fixed-context trainer consumes to build batches with zero padding
+    except the final tail.
+
+    Scale shape — a distributed ordered PREFIX SUM over the hash
+    order, no global sort operator:
+
+      1. map pass: {doc_id, n_tok, okey, rpart} — token counts
+         vectorized per batch; ``rpart = okey >> (64 - log2(P))`` is a
+         RANGE partition (top bits), so ranges are contiguous spans of
+         the global order and splitmix64's uniformity balances them.
+         Text never leaves the read — only 24-byte rows shuffle. The
+         skinny table materializes once and feeds both passes.
+      2. per-range token sums via per-batch combine (each batch
+         forwards ≤ P partial rows) → P rows on the driver → exclusive
+         prefix offsets, O(P) driver state.
+      3. one ``groupby(rpart)`` pass: sort the range by okey
+         (splitmix64 is bijective on uint64 — a total order, no
+         tiebreak), local exclusive cumsum + the range's offset, then
+         the seq_id/off arithmetic vectorized.
+
+    Partition-count invariance: ``rpart`` uses the okey's TOP bits, so
+    any power-of-two P yields the same global order and byte-identical
+    output (pytest-pinned at P=8 vs P=64). One range's skinny rows
+    must fit a task heap — size P so n_docs×24B / P stays heap-sized.
+
+    Reference analog: the deterministic content-hash routing of
+    `src/SkmerExtractor.cpp:164` applied to corpus layout instead of
+    filter sharding.
+    """
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+    P = int(num_partitions)
+    if P < 2 or (P & (P - 1)):
+        raise ValueError("num_partitions must be a power of two >= 2")
+    shift = np.uint64(64 - int(P).bit_length() + 1)  # 64 - log2(P)
+    sd = np.uint64(seed)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        _, counts = _flat_nonempty_with_counts(batch, "text")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        okey = splitmix64(ids ^ sd)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_tok": pa.array(counts.astype(np.int64)),
+             "okey": pa.array(okey),
+             "rpart": pa.array((okey >> shift).astype(np.int32))}
+        )
+
+    def range_sums(batch: pa.Table) -> pa.Table:
+        rp = batch.column("rpart").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        s = np.zeros(P, dtype=np.int64)
+        np.add.at(s, rp, nt)
+        nz = np.flatnonzero(s)
+        return pa.table(
+            {"rpart": pa.array(nz.astype(np.int32)), "s": pa.array(s[nz])}
+        )
+
+    skinny = docs.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    sums = (
+        skinny.map_batches(range_sums, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("rpart").sum("s")
+        .take_all()
+    )
+    per_range = np.zeros(P, dtype=np.int64)
+    for r in sums:
+        per_range[int(r["rpart"])] = int(r["sum(s)"])
+    offsets = np.concatenate(([0], np.cumsum(per_range)[:-1]))
+
+    def pack_range(g: pa.Table) -> pa.Table:
+        rp = int(g.column("rpart")[0].as_py())
+        ok = g.column("okey").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")  # bijective hash: no ties
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        nt = g.column("n_tok").to_numpy(zero_copy_only=False)[order]
+        start = int(offsets[rp]) + np.concatenate(
+            ([0], np.cumsum(nt[:-1]))
+        ).astype(np.int64)
+        seq_id = start // L
+        n_seqs = np.where(
+            nt == 0, 0, (start + np.maximum(nt, 1) - 1) // L - seq_id + 1
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "n_tok": pa.array(nt),
+             "tok_start": pa.array(start),
+             "seq_id": pa.array(seq_id),
+             "off_in_seq": pa.array(start % L),
+             "n_seqs": pa.array(n_seqs)}
+        )
+
+    out = skinny.groupby("rpart").map_groups(
+        pack_range, batch_format="pyarrow"
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64)
+             for c in ["doc_id", "n_tok", "tok_start", "seq_id",
+                       "off_in_seq", "n_seqs"]}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)

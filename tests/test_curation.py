@@ -350,3 +350,90 @@ def test_pretrain_curation_shard_path_matches_streaming_report(
         os.path.join(sd, "staging"), columns=["split", "n_tok"]
     ).to_pandas()
     assert len(staged) == int(direct.n_docs.sum())
+
+
+# ------------------------------------------------------ sequence packing
+def _pack_reference(ids, texts, L, seed=0):
+    """single-process reference: splitmix64 order, exclusive cumsum."""
+    from bloomfilter_multithread_ray.functions.hashing import splitmix64
+
+    ids = np.asarray(ids, dtype=np.int64)
+    ntok = np.array(
+        [len([w for w in (x or "").split(" ") if w]) for x in texts],
+        dtype=np.int64,
+    )
+    o = np.argsort(splitmix64(ids.astype(np.uint64) ^ np.uint64(seed)),
+                   kind="stable")
+    ids_o, nt_o = ids[o], ntok[o]
+    start = np.concatenate(([0], np.cumsum(nt_o[:-1])))
+    seq = start // L
+    ns = np.where(nt_o == 0, 0,
+                  (start + np.maximum(nt_o, 1) - 1) // L - seq + 1)
+    return (
+        pd.DataFrame(
+            {"doc_id": ids_o, "n_tok": nt_o, "tok_start": start,
+             "seq_id": seq, "off_in_seq": start % L, "n_seqs": ns}
+        ).sort_values("doc_id").reset_index(drop=True).astype(np.int64)
+    )
+
+
+def test_pack_sequences_matches_reference(ray_session):
+    rng = np.random.default_rng(7)
+    rows = [
+        {"doc_id": int(i),
+         "text": " ".join(f"w{j}" for j in range(int(rng.integers(0, 40))))}
+        for i in range(211)
+    ]
+    ds = _docs_ds(ray_session, rows, parallelism=5)
+    got = C.pack_sequences(ds, seq_len=17, seed=3).astype(np.int64)
+    want = _pack_reference([r["doc_id"] for r in rows],
+                           [r["text"] for r in rows], 17, seed=3)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_sequences_partition_count_invariance(ray_session):
+    rows = [
+        {"doc_id": int(i), "text": " ".join(["x"] * (i % 9))}
+        for i in range(100)
+    ]
+    a = C.pack_sequences(_docs_ds(ray_session, rows, 2),
+                         seq_len=8, num_partitions=4)
+    b = C.pack_sequences(_docs_ds(ray_session, rows, 7),
+                         seq_len=8, num_partitions=64)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_tape_is_gapless(ray_session):
+    # sorted by tok_start, each doc begins exactly where the previous
+    # ended, the tape starts at 0, and spans/offsets are consistent
+    rows = [
+        {"doc_id": int(i), "text": " ".join(["t"] * (3 + i % 23))}
+        for i in range(150)
+    ]
+    out = C.pack_sequences(_docs_ds(ray_session, rows, 4), seq_len=16)
+    tape = out.sort_values("tok_start").reset_index(drop=True)
+    assert tape.loc[0, "tok_start"] == 0
+    ends = tape["tok_start"] + tape["n_tok"]
+    assert (tape["tok_start"].to_numpy()[1:] == ends.to_numpy()[:-1]).all()
+    assert (tape["seq_id"] == tape["tok_start"] // 16).all()
+    assert (tape["off_in_seq"] == tape["tok_start"] % 16).all()
+    spans = (tape["off_in_seq"] + tape["n_tok"] + 15) // 16
+    assert (tape["n_seqs"] == np.where(tape["n_tok"] == 0, 0, spans)).all()
+
+
+def test_pack_sequences_empty_docs_span_zero(ray_session):
+    rows = [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "a b c"},
+            {"doc_id": 3, "text": "   "}]
+    out = C.pack_sequences(_docs_ds(ray_session, rows, 1), seq_len=2)
+    by = out.set_index("doc_id")
+    assert by.loc[1, "n_seqs"] == 0 and by.loc[3, "n_seqs"] == 0
+    assert by.loc[2, "n_tok"] == 3 and by.loc[2, "n_seqs"] == 2
+
+
+def test_pack_sequences_validation(ray_session):
+    rows = [{"doc_id": 1, "text": "a"}]
+    ds = _docs_ds(ray_session, rows, 1)
+    with pytest.raises(ValueError):
+        C.pack_sequences(ds, seq_len=0)
+    with pytest.raises(ValueError):
+        C.pack_sequences(ds, num_partitions=48)
