@@ -2046,6 +2046,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = LM(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def lm_trigram_ppl(sf_dir):
+        # word-trigram LM scored via the MODEL-AS-TABLE plan: occurrence
+        # rows hash-JOIN the count tables co-partitioned on the trigram
+        # key (the model never broadcasts — the 100-TB shape where the
+        # trigram table exceeds any worker heap)
+        from bloomfilter_multithread_ray.pipelines.lm import trigram_lm_scores
+
+        out = trigram_lm_scores(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     # ---- semi-structured (JSON props / regex scrub) ----
     def json_field_stats(sf_dir):
         from bloomfilter_multithread_ray.pipelines import structured as S
@@ -2820,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events_hopping,
         "epoch_shuffle": epoch_shuffle,
         "lm_perplexity": lm_perplexity,
+        "lm_trigram_ppl": lm_trigram_ppl,
         "label_centroids": label_centroids,
         "top_pmi_bigrams": top_pmi_bigrams,
         "bloom_new_docs": bloom_new_docs,
@@ -4170,6 +4181,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN c1 ON substr(g.b, 1, 1) = c1.c1ch CROSS JOIN v GROUP BY g.doc_id) "
             "SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams, exp(nll) AS ppl "
             "FROM sc ORDER BY doc_id"
+        ),
+        # word-trigram LM, add-one smoothing: C2 = context occurrences
+        # AS TRIGRAM PREFIX (not raw bigram count), V = distinct words
+        "lm_trigram_ppl": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS w FROM documents), "
+            "occ AS (SELECT doc_id, "
+            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri, "
+            "w[i] || ' ' || w[i+1] AS ctx "
+            "FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i "
+            "FROM w WHERE len(w) >= 3)), "
+            "c3 AS (SELECT tri, count(*) AS c3 FROM occ GROUP BY tri), "
+            "c2 AS (SELECT ctx, count(*) AS c2 FROM occ GROUP BY ctx), "
+            "v AS (SELECT count(DISTINCT tok) AS V FROM "
+            "(SELECT unnest(w) AS tok FROM w)), "
+            "sc AS (SELECT o.doc_id, count(*) AS m, "
+            "-avg(ln((c3.c3 + 1.0) / (c2.c2 + v.V))) AS nll "
+            "FROM occ o JOIN c3 USING (tri) JOIN c2 USING (ctx) "
+            "CROSS JOIN v GROUP BY o.doc_id) "
+            "SELECT doc_id, CAST(m AS BIGINT) AS n_trigrams, "
+            "round(exp(nll), 6) AS ppl FROM sc ORDER BY doc_id"
         ),
         # deterministic train/val/test assignment: bucket =
         # splitmix64(doc_id) % 1000; [0,50) test, [50,100) val

@@ -148,3 +148,234 @@ def lm_perplexity(docs: "Dataset", model: dict | None = None) -> "Dataset":
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- trigram LM (join-scored)
+def _trigram_occ_fn(col: str = "text"):
+    """batch → per-batch-combined trigram occurrences {doc_id, tri, k}.
+
+    ``tri`` is the space-joined word triple; ``k`` its count within the
+    document-slice this batch saw (per-batch combine — a trigram that
+    repeats inside a doc ships once per batch, not once per position)."""
+    from ..stages.text import flat_nonempty_with_offsets
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offs = flat_nonempty_with_offsets(batch, col)
+        tcnt = np.maximum(np.diff(offs) - 2, 0)
+        total = int(tcnt.sum())
+        ids = batch.column("doc_id").combine_chunks()
+        if total == 0:
+            return pa.table(
+                {"doc_id": ids.slice(0, 0),
+                 "tri": pa.array([], pa.string()),
+                 "k": pa.array([], pa.int64())}
+            )
+        base = np.repeat(offs[:-1], tcnt)
+        ex = np.concatenate(([0], np.cumsum(tcnt)[:-1]))
+        starts = base + (np.arange(total, dtype=np.int64) - np.repeat(ex, tcnt))
+        import pyarrow.compute as pc
+
+        tri = pc.binary_join_element_wise(
+            flat.take(starts), flat.take(starts + 1), flat.take(starts + 2), " "
+        )
+        doc = ids.take(np.repeat(np.arange(len(tcnt), dtype=np.int64), tcnt))
+        occ = pa.table({"doc_id": doc, "tri": tri})
+        g = occ.group_by(["doc_id", "tri"]).aggregate([([], "count_all")])
+        return g.select(["doc_id", "tri", "count_all"]).rename_columns(
+            ["doc_id", "tri", "k"]
+        )
+
+    return fn
+
+
+def trigram_lm_scores(
+    docs: "Dataset",
+    *,
+    num_partitions: int = 64,
+    round_dp: int = 6,
+) -> "Dataset":
+    """Word-trigram LM with add-one smoothing, trained on the corpus and
+    scored back over it → {doc_id, n_trigrams, ppl}. ``p(w3|w1 w2) =
+    (C3 + 1) / (C2 + V)`` with C2 the context's occurrence count as a
+    trigram prefix and V the corpus's distinct-word count; ppl =
+    exp(mean NLL). Documents under 3 words are excluded (no trigram).
+
+    Scale shape — the MODEL-AS-TABLE plan, the complement of
+    ``lm_perplexity``'s broadcast plan: a trigram table over a
+    web-scale corpus is far larger than a worker heap, so scoring is a
+    hash JOIN of occurrence rows against the count tables,
+    co-partitioned on the trigram key (`hash_join` shuffle plan; the
+    tiny context table rides `broadcast="auto"`), never a broadcast of
+    the model. Occurrences materialize once and feed both the count
+    build and the scoring join. String keys here are the SQL-exact
+    anchor; a token-id corpus packs the triple into one int64
+    (`trigram_lm_scores_tokens`), cutting key bytes ~5x.
+
+    Reference analog: build-then-probe over the same corpus
+    (`src/main.cpp` phase 1/2) with the probe as a join instead of a
+    broadcast lookup.
+    """
+    from ..stages.text import make_unique_tokens_fn
+    from .agg import grouped_agg
+    from .analytics import distinct_count_exact
+    from .join import hash_join
+
+    V = int(
+        distinct_count_exact(docs, make_unique_tokens_fn(), "v")["v"].iloc[0]
+    )
+
+    occ = docs.map_batches(
+        _trigram_occ_fn(), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def add_ctx(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        words = pc.split_pattern(t.column("tri").combine_chunks(), " ")
+        ctx = pc.binary_join(pc.list_slice(words, 0, 2), " ")
+        return t.append_column("ctx", ctx)
+
+    return _trigram_score_core(
+        occ, add_ctx, V, int(num_partitions), round_dp
+    )
+
+
+def _trigram_score_core(
+    occ: "Dataset", add_ctx, V: int, P: int, round_dp: int
+) -> "Dataset":
+    """Shared count-build + join-score core of the trigram LM: occ is
+    the materialized per-batch-combined {doc_id, tri, k} occurrence
+    table (string or packed-int keys); ``add_ctx`` derives the context
+    key from the trigram key on the (small) distinct-trigram table."""
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    c3 = grouped_agg(occ, "tri", {"c3": ("sum", "k")}, num_partitions=P)
+    c3 = c3.map_batches(
+        add_ctx, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    c2 = grouped_agg(c3, "ctx", {"c2": ("sum", "c3")}, num_partitions=P)
+
+    j = hash_join(occ, c3, on="tri", num_partitions=P)
+    j = hash_join(j, c2, on="ctx", broadcast="auto", num_partitions=P)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
+        c3v = t.column("c3").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2v = t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        logp = np.log((c3v + 1.0) / (c2v + float(V)))
+        part = pa.table(
+            {"doc_id": t.column("doc_id"),
+             "m": pa.array(t.column("k").to_numpy(zero_copy_only=False)),
+             "s": pa.array(k * logp)}
+        )
+        g = part.group_by("doc_id").aggregate([("m", "sum"), ("s", "sum")])
+        return g.select(["doc_id", "m_sum", "s_sum"]).rename_columns(
+            ["doc_id", "m", "s"]
+        )
+
+    per_doc = grouped_agg(
+        j.map_batches(score_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id",
+        {"n_trigrams": ("sum", "m"), "s": ("sum", "s")},
+        num_partitions=P,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = t.column("n_trigrams").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ppl = np.round(np.exp(-s / m), round_dp)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_trigrams": t.column("n_trigrams"),
+             "ppl": pa.array(ppl)}
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tokens_list(col) -> tuple[np.ndarray, np.ndarray]:
+    """list<int32> column → (flat int64 values, int64 row offsets),
+    offset/slice-correct zero-copy views."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offs
+
+
+def trigram_lm_scores_tokens(
+    seqs: "Dataset",
+    *,
+    num_partitions: int = 64,
+    round_dp: int = 6,
+) -> "Dataset":
+    """`trigram_lm_scores` over the canonical pre-tokenized corpus
+    ``(doc_id, tokens: list<int32>, ...)`` — same model, same join
+    plan, but the trigram key is the EXACT int64 packing ``(t1*B +
+    t2)*B + t3`` with B = 2^21 (valid for token ids < 2,097,152; the
+    50k-vocab corpus is far inside), and the context key ``t1*B + t2``.
+    8-byte keys instead of ~3-word strings cut shuffle bytes ~5x, and
+    the packing is injective, so results are bit-equal to the string
+    plan — no hash-collision caveat. V = distinct token ids observed.
+    """
+    B = np.int64(1 << 21)
+    P = int(num_partitions)
+
+    def occ_fn(batch: pa.Table) -> pa.Table:
+        flat, offs = _tokens_list(batch.column("tokens"))
+        if flat.size and int(flat.max()) >= int(B):
+            raise ValueError("token id exceeds 2^21 — packed key overflows")
+        tcnt = np.maximum(np.diff(offs) - 2, 0)
+        total = int(tcnt.sum())
+        ids = batch.column("doc_id").combine_chunks()
+        if total == 0:
+            return pa.table(
+                {"doc_id": ids.slice(0, 0),
+                 "tri": pa.array([], pa.int64()),
+                 "k": pa.array([], pa.int64())}
+            )
+        base = np.repeat(offs[:-1], tcnt)
+        ex = np.concatenate(([0], np.cumsum(tcnt)[:-1]))
+        st = base + (np.arange(total, dtype=np.int64) - np.repeat(ex, tcnt))
+        tri = (flat[st] * B + flat[st + 1]) * B + flat[st + 2]
+        doc = ids.take(np.repeat(np.arange(len(tcnt), dtype=np.int64), tcnt))
+        occ = pa.table({"doc_id": doc, "tri": pa.array(tri)})
+        g = occ.group_by(["doc_id", "tri"]).aggregate([([], "count_all")])
+        return g.select(["doc_id", "tri", "count_all"]).rename_columns(
+            ["doc_id", "tri", "k"]
+        )
+
+    def uniq_fn(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokens_list(batch.column("tokens"))
+        return pa.table({"t": pa.array(np.unique(flat))})
+
+    # exact distinct token ids: per-batch unique → fixed-partition unique
+    uniq = seqs.map_batches(uniq_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_tp(t: pa.Table) -> pa.Table:
+        v = t.column("t").to_numpy(zero_copy_only=False)
+        return t.append_column("tp", pa.array((v % P).astype(np.int32)))
+
+    def cnt_part(g: pa.Table) -> pa.Table:
+        v = g.column("t").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(np.unique(v))], pa.int64())})
+
+    vparts = (
+        uniq.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp")
+        .map_groups(cnt_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    V = int(vparts["n"].sum())
+
+    occ = seqs.map_batches(
+        occ_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def add_ctx(t: pa.Table) -> pa.Table:
+        tri = t.column("tri").to_numpy(zero_copy_only=False)
+        return t.append_column("ctx", pa.array(tri // B))
+
+    return _trigram_score_core(occ, add_ctx, V, P, round_dp)

@@ -71,3 +71,116 @@ def test_partitioning_independent(ray_session):
     a = lm.lm_perplexity(_ds(ray_session, rows, 2)).to_pandas().sort_values("doc_id")
     b = lm.lm_perplexity(_ds(ray_session, rows, 7)).to_pandas().sort_values("doc_id")
     np.testing.assert_array_equal(a.ppl.values, b.ppl.values)
+
+
+# ------------------------------------------------- trigram LM (join-scored)
+def _trigram_reference(docs_tokens, round_dp=6):
+    """{doc_id: [token,...]} → reference scores via naive counting."""
+    import math
+    from collections import Counter
+
+    c3, c2 = Counter(), Counter()
+    V = len({t for toks in docs_tokens.values() for t in toks})
+    for toks in docs_tokens.values():
+        for i in range(len(toks) - 2):
+            c3[tuple(toks[i:i + 3])] += 1
+            c2[tuple(toks[i:i + 2])] += 1
+    out = {}
+    for d, toks in docs_tokens.items():
+        tris = [tuple(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        if not tris:
+            continue
+        s = sum(math.log((c3[x] + 1) / (c2[x[:2]] + V)) for x in tris)
+        out[d] = (len(tris), round(math.exp(-s / len(tris)), round_dp))
+    return out
+
+
+def _check_trigram(out_df, ref):
+    got = {
+        int(r.doc_id): (int(r.n_trigrams), float(r.ppl))
+        for r in out_df.itertuples()
+    }
+    assert set(got) == set(ref)
+    for d in ref:
+        assert got[d][0] == ref[d][0], d
+        assert abs(got[d][1] - ref[d][1]) < 1e-9, d
+
+
+def test_trigram_lm_matches_reference_and_skips_short(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=int(rng.integers(0, 10))))}
+        for i in range(80)
+    ]
+    ds = _ds(ray_session, rows, parallelism=4)
+    out = lm.trigram_lm_scores(ds).to_pandas()
+    ref = _trigram_reference(
+        {r["doc_id"]: [w for w in r["text"].split(" ") if w] for r in rows}
+    )
+    _check_trigram(out, ref)
+    # short docs (under 3 words) are excluded
+    short = {r["doc_id"] for r in rows
+             if len([w for w in r["text"].split() if w]) < 3}
+    assert short.isdisjoint(set(out.doc_id))
+
+
+def test_trigram_lm_partitioning_independent(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=int(rng.integers(3, 15))))}
+        for i in range(50)
+    ]
+    a = (lm.trigram_lm_scores(_ds(ray_session, rows, 2), num_partitions=8)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (lm.trigram_lm_scores(_ds(ray_session, rows, 9), num_partitions=64)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_trigram_lm_tokens_bit_equal_to_string_plan(ray_session):
+    # the packed-int64 tokens plan is injective, so on a corpus where
+    # token id i <-> word f"w{i}" both plans must produce EQUAL scores
+    rng = np.random.default_rng(29)
+    tok_rows, txt_rows = [], []
+    for i in range(70):
+        toks = rng.integers(0, 40, size=int(rng.integers(0, 12))).tolist()
+        tok_rows.append(
+            {"doc_id": i,
+             "tokens": np.asarray(toks, dtype=np.int32),
+             "n_tok": len(toks), "source": "s"}
+        )
+        txt_rows.append({"doc_id": i, "text": " ".join(f"w{t}" for t in toks)})
+    t_tok = pa.Table.from_pylist(tok_rows).set_column(
+        1, "tokens", pa.array([r["tokens"] for r in tok_rows],
+                              pa.list_(pa.int32()))
+    )
+    import pandas as pd
+    import ray.data as rd
+
+    a = (lm.trigram_lm_scores_tokens(rd.from_arrow(t_tok).repartition(5))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (lm.trigram_lm_scores(_ds(ray_session, txt_rows, 3))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    ref = _trigram_reference(
+        {r["doc_id"]: list(map(int, r["tokens"])) for r in tok_rows}
+    )
+    _check_trigram(a, ref)
+
+
+def test_trigram_lm_tokens_rejects_oversized_ids(ray_session):
+    import pytest
+    import ray.data as rd
+
+    t = pa.table(
+        {"doc_id": pa.array([1]),
+         "tokens": pa.array([[1, 2, 1 << 21]], pa.list_(pa.int32()))}
+    )
+    with pytest.raises(Exception):
+        lm.trigram_lm_scores_tokens(rd.from_arrow(t)).to_pandas()
