@@ -1997,6 +1997,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _pack(_docs(sf_dir, ["doc_id", "text"]), seq_len=512, seed=0)
 
+    def pack_sequences_text(sf_dir):
+        # the MATERIALIZED packed sequences (trainer-ready {seq_id,
+        # n_tok, text}), not just the plan: text shuffles ONCE via the
+        # okey range partition — each range assembles its fully-owned
+        # sequences locally and only the <=2 boundary partials per
+        # range take a tiny fix-up pass
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            materialize_packed_sequences,
+        )
+
+        out = materialize_packed_sequences(
+            _docs(sf_dir, ["doc_id", "text"]), seq_len=64, seed=0
+        ).to_pandas()
+        return out.sort_values("seq_id").reset_index(drop=True)
+
     def full_pretrain_curation(sf_dir):
         # the repetition/boilerplate/NEAR-dup curation chain composed
         # end-to-end: Gopher gate -> corpus line dedup (95%-DF
@@ -2847,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_curation": full_curation,
         "full_pretrain_curation": full_pretrain_curation,
         "pack_sequences_global": pack_sequences_global,
+        "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
         "doc_novelty": doc_novelty,
         "assign_splits": assign_splits,
@@ -4363,6 +4379,36 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT) "
             "ELSE (tok_start + n_tok - 1) // 512 - tok_start // 512 + 1 END AS n_seqs "
             "FROM pos ORDER BY doc_id"
+        ),
+        # materialized packed sequences: same splitmix64 tape order
+        # (chain carries the word list), window-cumsum token offsets,
+        # then every token's global position grouped by pos // 64 with
+        # an ordered string_agg
+        "pack_sequences_text": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS w FROM documents), "
+            "s0 AS (SELECT doc_id, w, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM t), "
+            "x1 AS (SELECT doc_id, w, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) "
+            "AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT doc_id, w, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT doc_id, w, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) "
+            "AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT doc_id, w, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT doc_id, w, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h "
+            "FROM s2), "
+            "pos AS (SELECT doc_id, w, CAST(COALESCE(SUM(len(w)) OVER "
+            "(ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS tok_start FROM s3), "
+            "tok AS (SELECT tok_start + unnest(range(1, len(w) + 1)) - 1 AS p, "
+            "unnest(w) AS tok FROM pos) "
+            "SELECT p // 64 AS seq_id, CAST(count(*) AS BIGINT) AS n_tok, "
+            "string_agg(tok, ' ' ORDER BY p) AS text FROM tok "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # incremental dedup vs a persisted LSH store: same exact-Jaccard
         # pair CTE, restricted to pairs touching the increment (the

@@ -1213,3 +1213,169 @@ def pack_sequences(
                        "off_in_seq", "n_seqs"]}
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def materialize_packed_sequences(
+    docs: "Dataset",
+    *,
+    seq_len: int = 512,
+    seed: int = 0,
+    num_partitions: int = P_SHUF,
+) -> "Dataset":
+    """Materialize the packed training sequences themselves →
+    ``{seq_id, n_tok, text}`` — the trainer-ready complement of
+    ``pack_sequences`` (which emits only the per-document PLAN). Same
+    tape: documents in ``splitmix64(doc_id XOR seed)`` order, cut every
+    ``seq_len`` tokens; every sequence is exactly ``seq_len`` tokens
+    except the global tail.
+
+    Scale shape — the corpus text shuffles ONCE, plus an O(P·seq_len)
+    fix-up:
+
+      1. skinny pass: per-range token sums (per-batch combine, ≤ P
+         rows/batch) → O(P) driver exclusive offsets, exactly as in
+         ``pack_sequences``. Range = ``okey >> (64 - log2(P))`` — top
+         bits, so ranges are contiguous spans of the global tape.
+      2. ONE ``groupby(rpart)`` over the documents: each range sorts
+         its docs by okey (bijective hash — total order), lays its
+         contiguous token span [a, b) locally, and cuts it at the
+         global seq_len boundaries. Every sequence whose L tokens lie
+         entirely inside the range is emitted COMPLETE here; only the
+         head/tail boundary sequences (≤ 2 per range, < 2·seq_len
+         tokens) leave as partial segments ``{seq_id, off, text}``.
+      3. fix-up: the ≤ 2P partial segments group by seq_id and
+         concatenate in off order — tiny by construction.
+
+    Partition-count invariance: any power-of-two P yields the same
+    tape, so output is identical (pytest-pinned). The assembled stream
+    materializes once (it IS the product — at the 100-TB scale point
+    the full rows would stream straight to a partitioned sink instead;
+    the boundary fix-up stays O(P·seq_len) regardless).
+
+    Reference analog: positional reassembly of probe answers
+    (`src/main.cpp` ordered merge) applied to corpus layout.
+    """
+    import ray.data
+
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+    P = int(num_partitions)
+    if P < 2 or (P & (P - 1)):
+        raise ValueError("num_partitions must be a power of two >= 2")
+    shift = np.uint64(64 - int(P).bit_length() + 1)
+    sd = np.uint64(seed)
+
+    def range_sums(batch: pa.Table) -> pa.Table:
+        _, counts = _flat_nonempty_with_counts(batch, "text")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        rp = (splitmix64(ids ^ sd) >> shift).astype(np.int64)
+        s = np.zeros(P, dtype=np.int64)
+        np.add.at(s, rp, counts.astype(np.int64))
+        nz = np.flatnonzero(s)
+        return pa.table(
+            {"rpart": pa.array(nz.astype(np.int32)), "s": pa.array(s[nz])}
+        )
+
+    sums = (
+        docs.map_batches(range_sums, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rpart").sum("s")
+        .take_all()
+    )
+    per_range = np.zeros(P, dtype=np.int64)
+    for r in sums:
+        per_range[int(r["rpart"])] = int(r["sum(s)"])
+    offsets = np.concatenate(([0], np.cumsum(per_range)[:-1]))
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        okey = splitmix64(ids ^ sd)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "text": batch.column("text"),
+             "okey": pa.array(okey),
+             "rpart": pa.array((okey >> shift).astype(np.int32))}
+        )
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {"seq_id": pa.array([], pa.int64()),
+             "n_tok": pa.array([], pa.int64()),
+             "off": pa.array([], pa.int64()),
+             "text": pa.array([], pa.string()),
+             "full": pa.array([], pa.bool_())}
+        )
+
+    from ..stages.text import flat_nonempty_with_offsets
+
+    def assemble(g: pa.Table) -> pa.Table:
+        rp = int(g.column("rpart")[0].as_py())
+        ok = g.column("okey").to_numpy(zero_copy_only=False)
+        g = g.take(pa.array(np.argsort(ok, kind="stable")))
+        flat, _ = flat_nonempty_with_offsets(g, "text")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n == 0:
+            return _empty()
+        a = int(offsets[rp])
+        b = a + n
+        first_seq, last_seq = a // L, (b - 1) // L
+        cuts = np.arange(first_seq + 1, last_seq + 1, dtype=np.int64) * L - a
+        segs = np.concatenate(([0], cuts, [n]))
+        lens = np.diff(segs)
+        seq_ids = np.arange(first_seq, last_seq + 1, dtype=np.int64)
+        txt = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(segs), flat), " "
+        )
+        return pa.table(
+            {"seq_id": pa.array(seq_ids),
+             "n_tok": pa.array(lens),
+             "off": pa.array((a + segs[:-1]) % L),
+             "text": pc.cast(txt, pa.string()),
+             "full": pa.array(lens == L)}
+        )
+
+    assembled = (
+        docs.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rpart")
+        .map_groups(assemble, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def keep_full(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("full"))
+        return t.select(["seq_id", "n_tok", "text"])
+
+    def keep_parts(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("full")))
+
+    full = assembled.map_batches(
+        keep_full, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fix(g: pa.Table) -> pa.Table:
+        off = g.column("off").to_numpy(zero_copy_only=False)
+        order = np.argsort(off, kind="stable")
+        g = g.take(pa.array(order))
+        off = off[order]
+        nt = g.column("n_tok").to_numpy(zero_copy_only=False)
+        if off[0] != 0 or not np.array_equal(
+            off[1:], (off[:-1] + nt[:-1])
+        ):
+            raise ValueError("boundary segments do not tile the sequence")
+        txt = " ".join(g.column("text").to_pylist())
+        return pa.table(
+            {"seq_id": g.column("seq_id").slice(0, 1),
+             "n_tok": pa.array([int(nt.sum())], pa.int64()),
+             "text": pa.array([txt], pa.string())}
+        )
+
+    fixed = (
+        assembled.map_batches(
+            keep_parts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("seq_id")
+        .map_groups(fix, batch_format="pyarrow")
+    )
+    return full.union(fixed)

@@ -437,3 +437,83 @@ def test_pack_sequences_validation(ray_session):
         C.pack_sequences(ds, seq_len=0)
     with pytest.raises(ValueError):
         C.pack_sequences(ds, num_partitions=48)
+
+
+# ------------------------------------------- materialized packed sequences
+def _packed_reference(rows, L, seed):
+    from bloomfilter_multithread_ray.functions.hashing import splitmix64
+
+    order = sorted(
+        rows, key=lambda r: int(splitmix64(np.uint64(r["doc_id"]) ^ np.uint64(seed)))
+    )
+    tape = [w for r in order for w in r["text"].split(" ") if w]
+    return {
+        s: (len(tape[s * L:(s + 1) * L]), " ".join(tape[s * L:(s + 1) * L]))
+        for s in range((len(tape) + L - 1) // L)
+    }
+
+
+def test_materialize_packed_matches_reference(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=int(rng.integers(0, 20))))}
+        for i in range(120)
+    ]
+    ref = _packed_reference(rows, 16, 3)
+    out = C.materialize_packed_sequences(
+        _docs_ds(ray_session, rows, 3), seq_len=16, seed=3, num_partitions=8
+    ).to_pandas()
+    got = {int(r.seq_id): (int(r.n_tok), r.text) for r in out.itertuples()}
+    assert got == ref
+    # every sequence is exactly L tokens except the global tail
+    tail = max(got)
+    assert all(got[s][0] == 16 for s in got if s != tail)
+
+
+def test_materialize_packed_partition_count_invariance(ray_session):
+    rows = [
+        {"doc_id": int(i), "text": " ".join([f"x{i}"] * (1 + i % 19))}
+        for i in range(140)
+    ]
+    a = (C.materialize_packed_sequences(
+            _docs_ds(ray_session, rows, 2), seq_len=8, num_partitions=4)
+         .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    b = (C.materialize_packed_sequences(
+            _docs_ds(ray_session, rows, 9), seq_len=8, num_partitions=64)
+         .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_materialize_packed_agrees_with_plan(ray_session):
+    # the plan (pack_sequences) and the materialized tape must agree:
+    # doc d's words occupy tape[tok_start : tok_start + n_tok]
+    rng = np.random.default_rng(5)
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(f"d{i}w{j}" for j in range(int(rng.integers(0, 9))))}
+        for i in range(60)
+    ]
+    L = 16
+    ds = _docs_ds(ray_session, rows, 4)
+    plan = C.pack_sequences(ds, seq_len=L, num_partitions=8)
+    seqs = (C.materialize_packed_sequences(
+                _docs_ds(ray_session, rows, 4), seq_len=L, num_partitions=8)
+            .to_pandas().sort_values("seq_id"))
+    tape = [w for t in seqs.text for w in t.split(" ") if w]
+    for r in plan.itertuples():
+        words = [w for w in rows[int(r.doc_id)]["text"].split(" ") if w]
+        assert tape[int(r.tok_start):int(r.tok_start) + int(r.n_tok)] == words
+
+
+def test_materialize_packed_empty_and_validation(ray_session):
+    rows = [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "  "}]
+    out = C.materialize_packed_sequences(
+        _docs_ds(ray_session, rows, 1), seq_len=4
+    ).to_pandas()
+    assert len(out) == 0
+    with pytest.raises(ValueError):
+        C.materialize_packed_sequences(
+            _docs_ds(ray_session, rows, 1), seq_len=0
+        )
