@@ -2012,6 +2012,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values("seq_id").reset_index(drop=True)
 
+    def embedding_jl_project(sf_dir):
+        # JL ±1 sign projection in exact int64 (inputs quantized 1e-6,
+        # signs derived from splitmix64 in actor __init__ — map-only,
+        # nothing ships per batch); long format {vec_id, j, val}
+        from bloomfilter_multithread_ray.pipelines.similarity import jl_project
+
+        import ray.data
+
+        out = jl_project(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+        ).to_pandas()
+        return out.sort_values(["vec_id", "j"]).reset_index(drop=True)
+
     def full_pretrain_curation(sf_dir):
         # the repetition/boilerplate/NEAR-dup curation chain composed
         # end-to-end: Gopher gate -> corpus line dedup (95%-DF
@@ -2861,6 +2876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": events_value_mad,
         "full_curation": full_curation,
         "full_pretrain_curation": full_pretrain_curation,
+        "embedding_jl_project": embedding_jl_project,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4218,6 +4234,34 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN v GROUP BY o.doc_id) "
             "SELECT doc_id, CAST(m AS BIGINT) AS n_trigrams, "
             "round(exp(nll), 6) AS ppl FROM sc ORDER BY doc_id"
+        ),
+        # JL sign projection: signs from the splitmix chain over key =
+        # seed·2^32 + i·16 + j (zipped unnests align j with the key),
+        # inputs quantized 1e-6 half-away — all-int64, bit-exact
+        "embedding_jl_project": (
+            "WITH e AS (SELECT vec_id, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS i FROM embeddings), "
+            "q AS (SELECT vec_id, i, CAST(TRUNC(CAST(v AS DOUBLE) * 1000000 "
+            "+ 0.5 * SIGN(v)) AS BIGINT) AS qv FROM e), "
+            "k AS (SELECT vec_id, qv, CAST(21474836480 + i * 16 "
+            "+ unnest(range(0, 16)) AS HUGEINT) AS x, "
+            "unnest(range(0, 16)) AS j FROM q), "
+            "s0 AS (SELECT vec_id, qv, j, (x + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM k), "
+            "x1 AS (SELECT vec_id, qv, j, CAST(xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT vec_id, qv, j, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT vec_id, qv, j, CAST(xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT vec_id, qv, j, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT vec_id, qv, j, xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 31) AS h FROM s2) "
+            "SELECT vec_id, j, CAST(SUM(CASE WHEN h % 2 = 1 THEN qv ELSE -qv END) "
+            "AS BIGINT) AS val FROM s3 GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # deterministic train/val/test assignment: bucket =
         # splitmix64(doc_id) % 1000; [0,50) test, [50,100) val

@@ -1127,3 +1127,69 @@ def semantic_dedup(
         .to_pandas()
     )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def jl_project(
+    emb: "Dataset",
+    *,
+    out_dim: int = 16,
+    seed: int = 5,
+    col: str = "embedding",
+) -> "Dataset":
+    """Johnson–Lindenstrauss random SIGN projection of the embedding
+    column → long-format ``{vec_id, j, val}`` (out_dim rows per
+    vector) — the dimensionality-reduction front end for ANN / dedup
+    at web scale (Achlioptas 2003 database-friendly ±1 projections).
+
+    Exact-integer contract: inputs quantize to int64 at 1e-6
+    (half-away-from-zero — SQL ROUND semantics) BEFORE projection, and
+    the ±1 sign matrix derives from ``splitmix64(seed·2^32 + i·out_dim
+    + j) & 1`` — all arithmetic is int64, so the result is bit-equal
+    on any partitioning AND re-derivable in DuckDB (no float sum-order
+    caveat; the driver oracle re-builds the same signs via the SQL
+    splitmix chain).
+
+    Scale shape: map-only actor-pool stage — the (dim × out_dim) sign
+    matrix is DERIVED in ``__init__`` (once per actor, from the seed
+    alone; nothing ships per batch, no broadcast object), each batch
+    is one int64 matmul. Reference analog: the probe's per-partition
+    filter derivation (`src/main.cpp:120`) — state from a seed, not
+    from a shuffle.
+    """
+    D = int(out_dim)
+    base = np.uint64(int(seed) << 32)
+
+    class Project:
+        def __init__(self):
+            self._S: np.ndarray | None = None  # built on first batch (dim known then)
+
+        def _signs(self, dim: int) -> np.ndarray:
+            if self._S is None or self._S.shape[0] != dim:
+                from ..functions.hashing import splitmix64
+
+                keys = base + np.arange(dim * D, dtype=np.uint64)
+                bits = (splitmix64(keys) & np.uint64(1)).astype(np.int64)
+                self._S = (2 * bits - 1).reshape(dim, D)
+            return self._S
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "j": pa.array([], pa.int64()),
+                     "val": pa.array([], pa.int64())}
+                )
+            V = _emb_matrix(batch, col).astype(np.float64)
+            q = np.trunc(V * 1e6 + np.copysign(0.5, V)).astype(np.int64)
+            P = q @ self._signs(q.shape[1])  # int64 exact
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(ids)
+            return pa.table(
+                {"vec_id": pa.array(np.repeat(ids, D)),
+                 "j": pa.array(np.tile(np.arange(D, dtype=np.int64), n)),
+                 "val": pa.array(P.reshape(-1))}
+            )
+
+    return emb.map_batches(
+        Project, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )

@@ -464,3 +464,68 @@ def test_lsh_pairs_partition_invariant(tmp_path):
             import pandas as pd
 
             pd.testing.assert_frame_equal(got, ref)
+
+
+# ---------------------------------------------------------- JL projection
+def _jl_reference(ids, V32, out_dim=16, seed=5):
+    from bloomfilter_multithread_ray.functions.hashing import splitmix64
+
+    dim = V32.shape[1]
+    keys = np.uint64(seed << 32) + np.arange(dim * out_dim, dtype=np.uint64)
+    S = (2 * (splitmix64(keys) & np.uint64(1)).astype(np.int64) - 1).reshape(
+        dim, out_dim
+    )
+    V = V32.astype(np.float64)
+    q = np.trunc(V * 1e6 + np.copysign(0.5, V)).astype(np.int64)
+    P = q @ S
+    return {
+        (int(i), int(j)): int(P[r, j])
+        for r, i in enumerate(ids)
+        for j in range(out_dim)
+    }
+
+
+def test_jl_project_matches_reference_and_partitioning(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    rng = np.random.default_rng(17)
+    ids = np.arange(40, dtype=np.int64)
+    V = rng.normal(0, 0.2, size=(40, 8)).astype(np.float32)
+    t = pa.table(
+        {"vec_id": pa.array(ids),
+         "embedding": pa.array(list(V), pa.list_(pa.float32()))}
+    )
+    ref = _jl_reference(ids, V)
+    for par in (1, 7):
+        out = (S.jl_project(rd.from_arrow(t).repartition(par))
+               .to_pandas())
+        got = {(int(r.vec_id), int(r.j)): int(r.val) for r in out.itertuples()}
+        assert got == ref
+
+
+def test_jl_project_preserves_norms_in_expectation(ray_session):
+    # E[(q·s)^2] over random signs = ||q||^2: the per-vector mean of
+    # val^2 across out_dim columns tracks the quantized squared norm
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    rng = np.random.default_rng(23)
+    V = rng.normal(0, 0.2, size=(60, 64)).astype(np.float32)
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(60, dtype=np.int64)),
+         "embedding": pa.array(list(V), pa.list_(pa.float32()))}
+    )
+    out = S.jl_project(rd.from_arrow(t), out_dim=16).to_pandas()
+    q = np.trunc(V.astype(np.float64) * 1e6 + np.copysign(0.5, V)).astype(
+        np.int64
+    )
+    norms = (q.astype(np.float64) ** 2).sum(axis=1)
+    est = out.groupby("vec_id")["val"].apply(
+        lambda s: (s.astype(np.float64) ** 2).mean()
+    )
+    ratio = est.to_numpy() / norms
+    # mean over 60 vectors concentrates; individual vectors are noisy
+    assert 0.7 < ratio.mean() < 1.3
