@@ -2027,6 +2027,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values(["vec_id", "j"]).reset_index(drop=True)
 
+    def knn_graph_exact(sf_dir):
+        # exact cosine kNN graph (top-5 per vector): block-nested self
+        # join emitting per-vector PARTIAL top-k per block pair (<= k
+        # rows/vec, never the n x n matrix), one vec-keyed fold
+        from bloomfilter_multithread_ray.pipelines.similarity import knn_graph
+
+        import ray.data
+
+        out = knn_graph(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            k=5,
+        ).to_pandas()
+        return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
     def full_pretrain_curation(sf_dir):
         # the repetition/boilerplate/NEAR-dup curation chain composed
         # end-to-end: Gopher gate -> corpus line dedup (95%-DF
@@ -2877,6 +2893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_curation": full_curation,
         "full_pretrain_curation": full_pretrain_curation,
         "embedding_jl_project": embedding_jl_project,
+        "knn_graph_exact": knn_graph_exact,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4234,6 +4251,19 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN v GROUP BY o.doc_id) "
             "SELECT doc_id, CAST(m AS BIGINT) AS n_trigrams, "
             "round(exp(nll), 6) AS ppl FROM sc ORDER BY doc_id"
+        ),
+        # exact kNN graph: pairwise double-cast cosine, rank by
+        # (cosine desc, nbr_id asc), top-5 per vector
+        "knn_graph_exact": (
+            "WITH v AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+            "c AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, "
+            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            "FROM v a JOIN v b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY cosine DESC, nbr_id) AS rk FROM c) "
+            "SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id, cosine "
+            "FROM r WHERE rk <= 5 ORDER BY vec_id, rank"
         ),
         # JL sign projection: signs from the splitmix chain over key =
         # seed·2^32 + i·16 + j (zipped unnests align j with the key),

@@ -1193,3 +1193,153 @@ def jl_project(
     return emb.map_batches(
         Project, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
+
+
+def knn_graph(
+    ds: "Dataset",
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    max_blocks: int = 32,
+) -> "Dataset":
+    """EXACT cosine k-nearest-neighbor graph → ``{vec_id, rank,
+    nbr_id, cosine}`` (rank 1..k per vector, self excluded) — the
+    all-vs-all complement of :func:`ann_topk_exact` (which serves a
+    few broadcast queries). Powers SemDeDup-style curation, curriculum
+    ordering and retrieval eval.
+
+    Scale shape — block-nested like
+    :func:`embedding_dup_pairs_blocked`: the corpus materializes once
+    as normalized float64 Arrow blocks; one task per unordered block
+    pair fetches exactly two blocks and emits PER-VECTOR PARTIAL
+    TOP-K rows in both directions (≤ k rows per vector per block
+    pair, never the n×n matrix), then one vec-keyed groupby folds the
+    ≤ nb·k candidates per vector to the final top-k. Ordering is the
+    total order (cosine rounded 6dp DESC, nbr_id ASC) encoded in ONE
+    int64 composite key (``c_int·2^40 − nbr_id``; requires ids <
+    2^40), so partial top-k is a vectorized argpartition with no
+    tie ambiguity and the per-block merge is exact.
+
+    Compute is O(n²/P) — the exact-graph cost at any wiring; the
+    sub-quadratic path is LSH/IVF candidate generation + exact
+    verify (`embedding_dup_pairs_lsh`, `ann_ivf`).
+    """
+    import ray
+    import ray.data
+
+    K = int(k)
+
+    def prenorm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, col])
+        V = _normalize(_emb_matrix(t, col))
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(V.reshape(-1), pa.float64()), V.shape[1]
+        )
+        return pa.table({id_col: t.column(id_col), col: emb})
+
+    mat = (
+        ds.select_columns([id_col, col])
+        .map_batches(prenorm, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    if mat.num_blocks() > max_blocks:
+        mat = mat.repartition(max_blocks).materialize()
+    refs = list(mat.to_arrow_refs())
+    nb = len(refs)
+    refs_ref = ray.put(refs)
+    ij = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "nbr_id": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+    _ID_CAP = np.int64(1) << np.int64(40)
+
+    def _partial_topk(ids_q, ids_c, C):
+        """per-row top-K of C (rows = queries, cols = candidates) under
+        (cosine desc, nbr_id asc); returns (vec_id, nbr_id, cosine)."""
+        ci = np.round(C * 1e6).astype(np.int64)
+        score = ci * _ID_CAP - ids_c[None, :]
+        kk = min(K, score.shape[1])
+        if kk == 0:
+            return None
+        sel = np.argpartition(-score, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(ids_q, kk)
+        cols = ids_c[sel.reshape(-1)]
+        cos = np.round(
+            np.take_along_axis(C, sel, axis=1).reshape(-1), 6
+        )
+        return rows, cols, cos
+
+    class BlockPairTopK:
+        def __init__(self):
+            self.refs = ray.get(refs_ref)
+            self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _block(self, i: int):
+            if i not in self._cache:
+                if len(self._cache) > 2:
+                    self._cache.clear()
+                t: pa.Table = ray.get(self.refs[i])
+                ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(ids) and ids.max() >= int(_ID_CAP):
+                    raise ValueError("vec ids must be < 2^40 for the composite key")
+                arr = t.column(col)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                V = np.asarray(arr.flatten(), dtype=np.float64).reshape(
+                    len(ids), arr.type.list_size
+                )
+                self._cache[i] = (ids, V)
+            return self._cache[i]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            outs = []
+            for i, j in zip(batch.column("i").to_pylist(),
+                            batch.column("j").to_pylist()):
+                ai, Vi = self._block(int(i))
+                aj, Vj = self._block(int(j))
+                if len(ai) == 0 or len(aj) == 0:
+                    continue
+                C = np.round(Vi @ Vj.T, 6)
+                if i == j:
+                    # self-pairs excluded via a -inf diagonal
+                    np.fill_diagonal(C, -2.0)
+                    sides = ((ai, aj, C),)
+                else:
+                    sides = ((ai, aj, C), (aj, ai, C.T))
+                for ids_q, ids_c, M in sides:
+                    got = _partial_topk(ids_q, ids_c, M)
+                    if got is None:
+                        continue
+                    r, c, s = got
+                    keep = s > -1.5  # drop the masked diagonal
+                    outs.append(pa.table(
+                        {"vec_id": pa.array(r[keep]),
+                         "nbr_id": pa.array(c[keep]),
+                         "cosine": pa.array(s[keep])}
+                    ))
+            return pa.concat_tables(outs) if outs else empty
+
+    cand = ray.data.from_items(ij).map_batches(
+        BlockPairTopK, batch_format="pyarrow", batch_size=1, concurrency=4
+    )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        ids = g.column("nbr_id").to_numpy(zero_copy_only=False)
+        cos = g.column("cosine").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[:K]
+        n = len(order)
+        return pa.table(
+            {"vec_id": g.column("vec_id").slice(0, 1).to_numpy(
+                zero_copy_only=False).repeat(n),
+             "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+             "nbr_id": pa.array(ids[order]),
+             "cosine": pa.array(cos[order])}
+        )
+
+    return cand.groupby("vec_id").map_groups(final_topk, batch_format="pyarrow")

@@ -529,3 +529,73 @@ def test_jl_project_preserves_norms_in_expectation(ray_session):
     ratio = est.to_numpy() / norms
     # mean over 60 vectors concentrates; individual vectors are noisy
     assert 0.7 < ratio.mean() < 1.3
+
+
+# ------------------------------------------------------------- kNN graph
+def _knn_reference(ids, V32, k=5):
+    Vn = V32.astype(np.float64)
+    n = np.linalg.norm(Vn, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    Vn = Vn / n
+    C = np.round(Vn @ Vn.T, 6)
+    np.fill_diagonal(C, -2.0)
+    ref = {}
+    for r in range(len(ids)):
+        order = np.lexsort((ids, -C[r]))[:k]
+        ref[int(ids[r])] = [(int(ids[o]), float(C[r, o])) for o in order]
+    return ref
+
+
+def _knn_got(df):
+    got = {}
+    for r in df.sort_values(["vec_id", "rank"]).itertuples():
+        got.setdefault(int(r.vec_id), []).append((int(r.nbr_id), float(r.cosine)))
+    return got
+
+
+def test_knn_graph_matches_bruteforce_across_blockings(ray_session):
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    rng = np.random.default_rng(4)
+    n = 80
+    V = rng.normal(size=(n, 16)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {"vec_id": pa.array(ids),
+         "embedding": pa.array(list(V), pa.list_(pa.float32()))}
+    )
+    ref = _knn_reference(ids, V, k=5)
+    # the partial-top-k merge must be exact for ANY block structure
+    for par, mb in ((1, 1), (6, 4), (10, 8)):
+        out = S.knn_graph(
+            ray.data.from_arrow(t).repartition(par), k=5, max_blocks=mb
+        ).to_pandas()
+        assert _knn_got(out) == ref, (par, mb)
+
+
+def test_knn_graph_ties_break_by_id(ray_session):
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    # identical vectors -> all cosines tie at 1.0; ranks must follow id
+    V = np.ones((6, 4), dtype=np.float32)
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(6, dtype=np.int64)),
+         "embedding": pa.array(list(V), pa.list_(pa.float32()))}
+    )
+    out = S.knn_graph(ray.data.from_arrow(t).repartition(3), k=3,
+                      max_blocks=3).to_pandas()
+    got = _knn_got(out)
+    for v, nbrs in got.items():
+        expect = [i for i in range(6) if i != v][:3]
+        assert [n for n, _ in nbrs] == expect
+
+
+def test_knn_graph_id_cap_rejected(ray_session):
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    t = pa.table(
+        {"vec_id": pa.array([1, 1 << 40]),
+         "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32()))}
+    )
+    with pytest.raises(Exception):
+        S.knn_graph(ray.data.from_arrow(t), k=1).to_pandas()
