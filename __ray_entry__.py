@@ -2043,6 +2043,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
+    def dedup_weighted_tf(sf_dir):
+        # EXACT tf-weighted (generalized) Jaccard pairs: join-free
+        # packed-posting kernel with min(tf) contributions, pair-keyed
+        # fold, skinny size joins — text never shuffles
+        from bloomfilter_multithread_ray.pipelines.dedup import (
+            weighted_jaccard_pairs,
+        )
+
+        out = weighted_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), tau=0.55
+        ).to_pandas()
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
     def full_pretrain_curation(sf_dir):
         # the repetition/boilerplate/NEAR-dup curation chain composed
         # end-to-end: Gopher gate -> corpus line dedup (95%-DF
@@ -2894,6 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_pretrain_curation": full_pretrain_curation,
         "embedding_jl_project": embedding_jl_project,
         "knn_graph_exact": knn_graph_exact,
+        "dedup_weighted_tf": dedup_weighted_tf,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4251,6 +4265,23 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN v GROUP BY o.doc_id) "
             "SELECT doc_id, CAST(m AS BIGINT) AS n_trigrams, "
             "round(exp(nll), 6) AS ppl FROM sc ORDER BY doc_id"
+        ),
+        # exact tf-weighted Jaccard: sum-min intersections over the
+        # token join, denominator wa + wb - i from per-doc total tf
+        "dedup_weighted_tf": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, sum(c) AS w FROM tf GROUP BY 1), "
+            "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "SUM(LEAST(a.c, b.c)) AS i FROM tf a JOIN tf b USING (tok) "
+            "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, "
+            "ROUND(CAST(i AS DOUBLE) / (sa.w + sb.w - i), 6) AS wjaccard "
+            "FROM i JOIN sz sa ON sa.doc_id = doc_a "
+            "JOIN sz sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.w + sb.w - i) >= 0.55 "
+            "ORDER BY doc_a, doc_b"
         ),
         # exact kNN graph: pairwise double-cast cosine, rank by
         # (cosine desc, nbr_id asc), top-5 per vector

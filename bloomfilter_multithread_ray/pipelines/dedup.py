@@ -1077,3 +1077,159 @@ def _ingest_survivors(store_path, manifest, new_rows, result, ingest_id) -> None
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _minhash_manifest_path(store_path))
+
+
+def weighted_jaccard_pairs(
+    docs: "Dataset",
+    *,
+    tau: float = 0.3,
+    max_token_df: int = 4096,
+    num_partitions: int = 64,
+    round_dp: int = 6,
+) -> "Dataset":
+    """EXACT tf-weighted (generalized) Jaccard near-dup pairs →
+    ``{doc_a, doc_b, wjaccard}`` with ``doc_a < doc_b`` and
+    ``wJ = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b) >= tau``.
+
+    Weighted Jaccard is the right measure when documents repeat
+    boilerplate tokens — set Jaccard saturates, tf-weighting does not
+    (for integer tf it equals plain Jaccard over occurrence-expanded
+    multisets; ICWS [Ioffe 2010] is the real-valued generalization).
+
+    Scale shape — the same join-free packed-posting plan as the exact
+    n-gram kernel, with counts: per-batch (doc, token, tf) partials →
+    token-hash fixed-P partitions collapse cross-batch partials and
+    expand per-token posting pairs with contribution ``min(tf_a,
+    tf_b)`` (posting lists doc-sorted and capped at ``max_token_df``
+    — the deterministic high-DF guard; stopword-dominated pairs are
+    the quadratic term at corpus scale); a pair-keyed fixed-P fold
+    sums intersections; two skinny hash-joins attach the per-doc
+    total-tf sizes (the denominator is ``wa + wb - inter``). Text
+    never shuffles — only (hash, id, count) rows.
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    P = int(num_partitions)
+    TAU = float(tau)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from ..stages.text import flat_nonempty_with_offsets
+
+        flat, offs = flat_nonempty_with_offsets(batch, "text")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        if len(flat) == 0:
+            return pa.table(
+                {"th": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        th = hash_strings(flat).view(np.int64)
+        doc = np.repeat(ids, counts)
+        key = np.stack([doc, th], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        if uniq[:, 0].size and not (
+            0 <= uniq[:, 0].min() and uniq[:, 0].max() < (1 << 31)
+        ):
+            raise ValueError("doc_id out of [0, 2^31) — pair packing would corrupt")
+        return pa.table(
+            {"th": pa.array(uniq[:, 1]), "doc_id": pa.array(uniq[:, 0]),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    tf = docs.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    sizes = grouped_agg(tf, "doc_id", {"wsz": ("sum", "cnt")}, num_partitions=P)
+
+    def add_tp(batch: pa.Table) -> pa.Table:
+        th = batch.column("th").to_numpy(zero_copy_only=False)
+        return batch.append_column("tp", pa.array(np.abs(th) % P))
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "i": pa.array([], pa.int64())}
+        )
+        th = group.column("th").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        # collapse cross-batch partials: sum cnt per (token, doc)
+        order = np.lexsort((doc, th))
+        th, doc, cnt = th[order], doc[order], cnt[order]
+        new = np.empty(len(th), dtype=bool)
+        if len(th) == 0:
+            return empty
+        new[0] = True
+        new[1:] = (th[1:] != th[:-1]) | (doc[1:] != doc[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.add.reduceat(cnt, starts)
+        th, doc = th[starts], doc[starts]
+        # per-token posting segments (doc-sorted), capped
+        seg_starts = np.flatnonzero(np.diff(th, prepend=th[0] - 1))
+        lens = np.diff(np.concatenate([seg_starts, [len(th)]]))
+        pos = np.arange(len(th)) - np.repeat(seg_starts, lens)
+        keep = pos < max_token_df
+        doc, cnt = doc[keep], cnt[keep]
+        lens = np.minimum(lens, max_token_df)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        seg_of_pair, a, b = _triu_expand(lens)
+        if len(seg_of_pair) == 0:
+            return empty
+        base = offs[seg_of_pair]
+        da, db = doc[base + a], doc[base + b]
+        contrib = np.minimum(cnt[base + a], cnt[base + b])
+        pair = (da << 31) | db  # postings doc-sorted => da < db
+        upair, inv = np.unique(pair, return_inverse=True)
+        isum = np.zeros(len(upair), dtype=np.int64)
+        np.add.at(isum, inv, contrib)
+        return pa.table({"pair": pa.array(upair), "i": pa.array(isum)})
+
+    partials = (
+        tf.map_batches(add_tp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tp")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+    )
+
+    inter = grouped_agg(partials, "pair", {"inter": ("sum", "i")},
+                        num_partitions=P)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pair = t.column("pair").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_a": pa.array(pair >> 31),
+             "doc_b": pa.array(pair & ((1 << 31) - 1)),
+             "inter": t.column("inter")}
+        )
+
+    pairs = inter.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ren(c_old: str, c_new: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [c_new if c == c_old else c for c in t.column_names]
+            )
+        return fn
+
+    sa = sizes.map_batches(ren("doc_id", "doc_a"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    sb = sizes.map_batches(ren("doc_id", "doc_b"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    sb = sb.map_batches(ren("wsz", "wsz_b"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    j = hash_join(pairs, sa, on="doc_a", broadcast="auto", num_partitions=P)
+    j = hash_join(j, sb, on="doc_b", broadcast="auto", num_partitions=P)
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        wa = t.column("wsz").to_numpy(zero_copy_only=False).astype(np.float64)
+        wb = t.column("wsz_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        wj = i / (wa + wb - i)
+        keep = wj >= TAU
+        return pa.table(
+            {"doc_a": t.column("doc_a").filter(pa.array(keep)),
+             "doc_b": t.column("doc_b").filter(pa.array(keep)),
+             "wjaccard": pa.array(np.round(wj[keep], round_dp))}
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -317,3 +317,77 @@ def test_build_minhash_store_layout_and_manifest(lsh_store):
             assert f.endswith(".parquet")
             n += pq.read_metadata(os.path.join(path, "bands", d, f)).num_rows
     assert n == manifest["n_band_rows"]
+
+
+# ---------------------------------------------------- weighted tf Jaccard
+def _wj_reference(rows, tau):
+    from collections import Counter
+
+    tfs = {r["doc_id"]: Counter(w for w in r["text"].split() if w)
+           for r in rows}
+    ids = sorted(tfs)
+    ref = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = tfs[ids[x]], tfs[ids[y]]
+            i = sum(min(a[t], b[t]) for t in a if t in b)
+            u = sum(a.values()) + sum(b.values()) - i
+            if u and i / u >= tau:
+                ref[(ids[x], ids[y])] = round(i / u, 6)
+    return ref
+
+
+def test_weighted_jaccard_matches_reference_and_partitioning(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines import dedup as D
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))}
+        for i in range(60)
+    ]
+    ref = _wj_reference(rows, 0.3)
+    for par in (2, 7):
+        out = D.weighted_jaccard_pairs(
+            rd.from_items(rows).repartition(par), tau=0.3
+        ).to_pandas()
+        got = {(int(r.doc_a), int(r.doc_b)): float(r.wjaccard)
+               for r in out.itertuples()}
+        assert got == ref, par
+
+
+def test_weighted_jaccard_tf_differs_from_set_jaccard(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines import dedup as D
+
+    # same token SET, very different tf profile: set Jaccard = 1.0 but
+    # weighted is 3/10 (min-sum 2+1 over union 10+3-3)
+    rows = [{"doc_id": 0, "text": "a b a b a b a b a b"},
+            {"doc_id": 1, "text": "a a b"}]
+    out = D.weighted_jaccard_pairs(
+        rd.from_items(rows), tau=0.1
+    ).to_pandas()
+    assert len(out) == 1
+    assert abs(float(out.wjaccard[0]) - 0.3) < 1e-12
+
+
+def test_weighted_jaccard_df_cap_is_deterministic(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines import dedup as D
+
+    # a stopword shared by every doc: with max_token_df=2 only the two
+    # lowest doc ids pair on it — identical at any partitioning
+    rows = [{"doc_id": i, "text": "the the unique%d" % i} for i in range(8)]
+    outs = []
+    for par in (1, 5):
+        out = D.weighted_jaccard_pairs(
+            rd.from_items(rows).repartition(par), tau=0.1, max_token_df=2
+        ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert set(zip(outs[0].doc_a, outs[0].doc_b)) == {(0, 1)}
