@@ -2056,6 +2056,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
+    def mix_temperature_plan(sf_dir):
+        # temperature mixing: t_s = round(budget * n_s^0.5 / sum n^0.5)
+        # per source, integer epoch math (base = t_s // n_s; one extra
+        # epoch for the greedy splitmix-ordered prefix under t_s % n_s)
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            mix_temperature,
+        )
+
+        return mix_temperature(
+            _docs(sf_dir, ["doc_id", "source", "text"]),
+            alpha=0.5, budget_tokens=100_000, seed=0,
+        )
+
     def full_pretrain_curation(sf_dir):
         # the repetition/boilerplate/NEAR-dup curation chain composed
         # end-to-end: Gopher gate -> corpus line dedup (95%-DF
@@ -2908,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_jl_project": embedding_jl_project,
         "knn_graph_exact": knn_graph_exact,
         "dedup_weighted_tf": dedup_weighted_tf,
+        "mix_temperature_plan": mix_temperature_plan,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4265,6 +4279,37 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN v GROUP BY o.doc_id) "
             "SELECT doc_id, CAST(m AS BIGINT) AS n_trigrams, "
             "round(exp(nll), 6) AS ppl FROM sc ORDER BY doc_id"
+        ),
+        # temperature mixing: splitmix chain orders docs per source;
+        # integer epoch math from the rounded alpha-power targets
+        "mix_temperature_plan": (
+            "WITH t AS (SELECT doc_id, source, CAST(len(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok "
+            "FROM documents), "
+            "s0 AS (SELECT *, (CAST(doc_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM t), "
+            "x1 AS (SELECT * EXCLUDE (z), CAST(xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT * EXCLUDE (a), ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT * EXCLUDE (z), CAST(xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT * EXCLUDE (a), ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "s3 AS (SELECT * EXCLUDE (z), xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 31) AS h FROM s2), "
+            "ns AS (SELECT source, SUM(n_tok) AS n FROM t GROUP BY 1), "
+            "tt AS (SELECT source, n, CAST(ROUND(100000 * POWER(CAST(n AS DOUBLE), 0.5) "
+            "/ (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.5)) FROM ns)) AS BIGINT) AS ts FROM ns), "
+            "r AS (SELECT doc_id, s3.source, n_tok, ts // n AS base, ts % n AS rem, "
+            "COALESCE(SUM(n_tok) OVER (PARTITION BY s3.source ORDER BY h "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef "
+            "FROM s3 JOIN tt ON tt.source = s3.source) "
+            "SELECT doc_id, source, n_tok, "
+            "CAST(base + CASE WHEN bef < rem THEN 1 ELSE 0 END AS BIGINT) AS n_repeats "
+            "FROM r ORDER BY doc_id"
         ),
         # exact tf-weighted Jaccard: sum-min intersections over the
         # token join, denominator wa + wb - i from per-doc total tf

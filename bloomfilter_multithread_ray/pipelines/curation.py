@@ -1379,3 +1379,93 @@ def materialize_packed_sequences(
         .map_groups(fix, batch_format="pyarrow")
     )
     return full.union(fixed)
+
+
+def mix_temperature(
+    docs: "Dataset",
+    *,
+    alpha: float = 0.5,
+    budget_tokens: int = 100_000,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Temperature-based source mixing (Pile/DoReMi-style): source s
+    with ``n_s`` total tokens gets a token target ``t_s = round(budget
+    · n_s^α / Σ n^α)`` — α < 1 up-weights small sources — and every
+    document receives an integer repeat count ``n_repeats``: a base of
+    ``t_s // n_s`` epochs for the whole source plus ONE extra epoch
+    for the greedy splitmix64-ordered prefix of docs whose
+    running-token-sum-before is still under the remainder ``t_s %
+    n_s`` (the same SQL-checkable prefix rule as
+    :func:`mix_to_budget`). Output: {doc_id, source, n_tok,
+    n_repeats}, the repeat plan a training-shard writer consumes.
+
+    All epoch math is INTEGER (floor-div / mod of the int targets), so
+    the result is bit-exact under any partitioning; the single float
+    step (the α-power weights) collapses into the rounded int targets.
+
+    Scale shape: one skinny per-source token-sum agg (bounded source
+    catalog → driver holds O(sources) targets), then one
+    source-keyed groupby whose per-group kernel is a sort + cumsum —
+    text never shuffles, only {source, doc_id, n_tok, h} rows.
+    """
+    from .agg import grouped_agg
+
+    a = float(alpha)
+    B = int(budget_tokens)
+    sd = np.uint64(seed)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        _, counts = _flat_nonempty_with_counts(batch, "text")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "source": batch.column("source"),
+             "n_tok": pa.array(counts.astype(np.int64)),
+             "h": pa.array(splitmix64(ids ^ sd))}
+        )
+
+    skinny = docs.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    totals = grouped_agg(
+        skinny, "source", {"n": ("sum", "n_tok")}
+    ).to_pandas()
+    n = totals["n"].to_numpy().astype(np.float64)
+    pw = np.power(n, a)
+    ts = np.round(B * pw / pw.sum()).astype(np.int64)
+    plan = {
+        s: (int(t // tot), int(t % tot))
+        for s, t, tot in zip(totals["source"], ts, totals["n"])
+        if tot > 0
+    }
+
+    def assign(g: pa.Table) -> pa.Table:
+        src = g.column("source")[0].as_py()
+        base, rem = plan.get(src, (0, 0))
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")  # bijective hash: no ties
+        g = g.take(pa.array(order))
+        nt = g.column("n_tok").to_numpy(zero_copy_only=False)
+        before = np.concatenate(([0], np.cumsum(nt[:-1])))
+        reps = base + (before < rem).astype(np.int64)
+        return pa.table(
+            {"doc_id": g.column("doc_id"),
+             "source": g.column("source"),
+             "n_tok": g.column("n_tok"),
+             "n_repeats": pa.array(reps)}
+        )
+
+    out = (
+        skinny.groupby("source")
+        .map_groups(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "source": pd.Series(dtype=object),
+             "n_tok": pd.Series(dtype=np.int64),
+             "n_repeats": pd.Series(dtype=np.int64)}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)

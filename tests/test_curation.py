@@ -517,3 +517,63 @@ def test_materialize_packed_empty_and_validation(ray_session):
         C.materialize_packed_sequences(
             _docs_ds(ray_session, rows, 1), seq_len=0
         )
+
+
+# ------------------------------------------------------ temperature mixing
+def test_mix_temperature_integer_epoch_math(ray_session):
+    rng = np.random.default_rng(13)
+    rows = [
+        {"doc_id": i, "source": f"s{i % 3}",
+         "text": " ".join(["w"] * int(rng.integers(1, 20)))}
+        for i in range(90)
+    ]
+    out = C.mix_temperature(
+        _docs_ds(ray_session, rows, 4), alpha=0.5, budget_tokens=5000, seed=1
+    )
+    from bloomfilter_multithread_ray.functions.hashing import splitmix64
+
+    # independent per-source re-derivation
+    import collections
+    ntok = {r["doc_id"]: len(r["text"].split()) for r in rows}
+    per_src = collections.defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append(r["doc_id"])
+    n = {s: sum(ntok[d] for d in ds_) for s, ds_ in per_src.items()}
+    import math
+    tot = sum(math.sqrt(v) for v in n.values())
+    ts = {s: int(round(5000 * math.sqrt(v) / tot)) for s, v in n.items()}
+    expect = {}
+    for s, ds_ in per_src.items():
+        base, rem = ts[s] // n[s], ts[s] % n[s]
+        order = sorted(ds_, key=lambda d: int(splitmix64(np.uint64(d) ^ np.uint64(1))))
+        bef = 0
+        for d in order:
+            expect[d] = base + (1 if bef < rem else 0)
+            bef += ntok[d]
+    got = dict(zip(out.doc_id.astype(int), out.n_repeats.astype(int)))
+    assert got == expect
+    # achieved tokens land within one max-doc of every source's target
+    ach = collections.defaultdict(int)
+    for r in out.itertuples():
+        ach[r.source] += int(r.n_tok) * int(r.n_repeats)
+    for s in n:
+        assert abs(ach[s] - ts[s]) <= max(ntok[d] for d in per_src[s])
+
+
+def test_mix_temperature_partition_invariant_and_alpha1(ray_session):
+    rows = [
+        {"doc_id": i, "source": f"s{i % 4}", "text": " ".join(["t"] * (1 + i % 7))}
+        for i in range(80)
+    ]
+    a = C.mix_temperature(_docs_ds(ray_session, rows, 2), budget_tokens=3000)
+    b = C.mix_temperature(_docs_ds(ray_session, rows, 9), budget_tokens=3000)
+    pd.testing.assert_frame_equal(a, b)
+    # alpha=1: targets proportional to size -> every source gets the
+    # same epoch multiple of its own tokens (uniform temperature)
+    u = C.mix_temperature(_docs_ds(ray_session, rows, 3), alpha=1.0,
+                          budget_tokens=100_000)
+    per = u.groupby("source").apply(
+        lambda g: (g.n_tok * g.n_repeats).sum() / g.n_tok.sum(),
+        include_groups=False,
+    )
+    assert per.max() - per.min() < 0.1
