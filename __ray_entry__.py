@@ -2128,6 +2128,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = trigram_lm_scores(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def lm_kn_ppl(sf_dir):
+        # interpolated Kneser-Ney trigram LM (d=0.75): five skinny
+        # count tables from the distinct-trigram type table, scored by
+        # a chain of co-partitioned hash joins (model never broadcasts)
+        from bloomfilter_multithread_ray.pipelines.lm import (
+            kn_trigram_lm_scores,
+        )
+
+        out = kn_trigram_lm_scores(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     # ---- semi-structured (JSON props / regex scrub) ----
     def json_field_stats(sf_dir):
         from bloomfilter_multithread_ray.pipelines import structured as S
@@ -2903,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": epoch_shuffle,
         "lm_perplexity": lm_perplexity,
         "lm_trigram_ppl": lm_trigram_ppl,
+        "lm_kn_ppl": lm_kn_ppl,
         "label_centroids": label_centroids,
         "top_pmi_bigrams": top_pmi_bigrams,
         "bloom_new_docs": bloom_new_docs,
@@ -4368,6 +4380,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(z AS UBIGINT) >> 31) AS h FROM s2) "
             "SELECT vec_id, j, CAST(SUM(CASE WHEN h % 2 = 1 THEN qv ELSE -qv END) "
             "AS BIGINT) AS val FROM s3 GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # interpolated Kneser-Ney trigram (d=0.75): all counts are
+        # integer group-bys (continuation counts from the DISTINCT
+        # trigram type table); one float expression scores
+        "lm_kn_ppl": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS w FROM documents), "
+            "occ AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 "
+            "FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i "
+            "FROM w WHERE len(w) >= 3)), "
+            "c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM occ GROUP BY 1, 2, 3), "
+            "c2 AS (SELECT w1, w2, sum(c3) AS c2, count(*) AS n1ctx "
+            "FROM c3 GROUP BY 1, 2), "
+            "nmid AS (SELECT w2, w3, count(*) AS nmid FROM c3 GROUP BY 1, 2), "
+            "nden AS (SELECT w2, count(*) AS nden, count(DISTINCT w3) AS nfollow "
+            "FROM c3 GROUP BY 1), "
+            "big AS (SELECT DISTINCT w2, w3 FROM c3), "
+            "nprec AS (SELECT w3, count(*) AS nprec FROM big GROUP BY 1), "
+            "nbig AS (SELECT count(*) AS nbig FROM big), "
+            "sc AS (SELECT o.doc_id, count(*) AS m, "
+            "-avg(ln((GREATEST(c.c3 - 0.75, 0) / b.c2) "
+            "+ (0.75 * b.n1ctx / b.c2) * "
+            "((GREATEST(nm.nmid - 0.75, 0) / nd.nden) "
+            "+ (0.75 * nd.nfollow / nd.nden) * (np.nprec / (SELECT nbig FROM nbig))))) AS nll "
+            "FROM occ o "
+            "JOIN c3 c USING (w1, w2, w3) "
+            "JOIN c2 b USING (w1, w2) "
+            "JOIN nmid nm ON nm.w2 = o.w2 AND nm.w3 = o.w3 "
+            "JOIN nden nd ON nd.w2 = o.w2 "
+            "JOIN nprec np ON np.w3 = o.w3 "
+            "GROUP BY o.doc_id) "
+            "SELECT doc_id, CAST(m AS BIGINT) AS n_trigrams, "
+            "round(exp(nll), 6) AS ppl FROM sc ORDER BY doc_id"
         ),
         # deterministic train/val/test assignment: bucket =
         # splitmix64(doc_id) % 1000; [0,50) test, [50,100) val

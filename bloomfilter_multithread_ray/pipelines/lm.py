@@ -379,3 +379,126 @@ def trigram_lm_scores_tokens(
         return t.append_column("ctx", pa.array(tri // B))
 
     return _trigram_score_core(occ, add_ctx, V, P, round_dp)
+# staged code for lm.py — applied after the suite finishes
+
+
+# --------------------------------------- Kneser-Ney trigram (join-scored)
+def kn_trigram_lm_scores(
+    docs: "Dataset",
+    *,
+    discount: float = 0.75,
+    num_partitions: int = 64,
+    round_dp: int = 6,
+) -> "Dataset":
+    """Interpolated Kneser-Ney trigram LM (fixed discount d), trained
+    on the corpus and scored back over it → {doc_id, n_trigrams, ppl}.
+
+    ``p(w3|w1 w2) = max(c3−d,0)/c2 + d·N1+(w1w2·)/c2 · [
+    max(N1+(·w2w3)−d,0)/N1+(·w2·) + d·N1+(w2·)/N1+(·w2·) ·
+    N1+(·w3)/N1+(··) ]`` — the production smoothing for count LMs.
+    Lower-level continuation counts derive from the DISTINCT-trigram
+    type table (the standard modified-counts construction), so every
+    quantity is an exact integer group-by; probability arithmetic is
+    one float expression evaluated identically by the SQL oracle.
+    Docs under 3 words are excluded. Scoring the training corpus means
+    every denominator is positive (no OOV path).
+
+    Scale shape — the MODEL-AS-TABLE plan taken to its full depth:
+    five skinny count tables (c3/c2+N1ctx on the context, N1+mid on
+    (w2,w3), N1+den+N1+follow on w2, N1+prec on w3; N1+(··) is one
+    scalar) each built by a fixed-P grouped agg over the
+    once-materialized occurrence table, then scored by a chain of five
+    co-partitioned hash joins (`broadcast="auto"` lets fixture-size
+    tables ride the broadcast path; at web scale they shuffle
+    co-partitioned). The count-table keys (ctx/mid/w2/w3) are derived
+    ONCE on the distinct-trigram table — the occurrence rows join only
+    on `tri` and inherit every downstream key from the model side.
+
+    Reference analog: build-then-probe over the same corpus
+    (`src/main.cpp` phase 1/2), probe as a join chain.
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    D = float(discount)
+    P = int(num_partitions)
+
+    occ = docs.map_batches(
+        _trigram_occ_fn(), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        words = pc.split_pattern(t.column("tri").combine_chunks(), " ")
+        ctx = pc.binary_join(pc.list_slice(words, 0, 2), " ")
+        mid = pc.binary_join(pc.list_slice(words, 1, 3), " ")
+        w2 = pc.list_element(words, 1)
+        w3 = pc.list_element(words, 2)
+        return (t.append_column("ctx", ctx).append_column("mid", mid)
+                .append_column("w2", w2).append_column("w3", w3))
+
+    c3 = grouped_agg(occ, "tri", {"c3": ("sum", "k")}, num_partitions=P)
+    c3 = c3.map_batches(
+        add_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    c2 = grouped_agg(
+        c3, "ctx", {"c2": ("sum", "c3"), "n1ctx": ("count", None)},
+        num_partitions=P,
+    )
+    nmid = grouped_agg(c3, "mid", {"nmid": ("count", None)}, num_partitions=P)
+    # per w2: distinct (w1,w3) pairs (= c3 rows) and distinct w3 (= mid rows)
+    nden = grouped_agg(c3, "w2", {"nden": ("count", None)}, num_partitions=P)
+    bigt = grouped_agg(
+        c3, ["w2", "w3"], {"_one": ("count", None)}, num_partitions=P
+    ).materialize()
+    nfollow = grouped_agg(bigt, "w2", {"nfollow": ("count", None)},
+                          num_partitions=P)
+    nprec = grouped_agg(bigt, "w3", {"nprec": ("count", None)},
+                        num_partitions=P)
+    nbig = int(bigt.count())
+
+    j = hash_join(occ, c3, on="tri", num_partitions=P)
+    j = hash_join(j, c2, on="ctx", broadcast="auto", num_partitions=P)
+    j = hash_join(j, nmid, on="mid", broadcast="auto", num_partitions=P)
+    j = hash_join(j, nden, on="w2", broadcast="auto", num_partitions=P)
+    j = hash_join(j, nfollow, on="w2", broadcast="auto", num_partitions=P)
+    j = hash_join(j, nprec, on="w3", broadcast="auto", num_partitions=P)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        f = lambda c: t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        k = f("k")
+        c3v, c2v, n1 = f("c3"), f("c2"), f("n1ctx")
+        nm, nd, nf, npr = f("nmid"), f("nden"), f("nfollow"), f("nprec")
+        p2 = np.maximum(nm - D, 0.0) / nd + (D * nf / nd) * (npr / float(nbig))
+        p = np.maximum(c3v - D, 0.0) / c2v + (D * n1 / c2v) * p2
+        part = pa.table(
+            {"doc_id": t.column("doc_id"),
+             "m": pa.array(t.column("k").to_numpy(zero_copy_only=False)),
+             "s": pa.array(k * np.log(p))}
+        )
+        g = part.group_by("doc_id").aggregate([("m", "sum"), ("s", "sum")])
+        return g.select(["doc_id", "m_sum", "s_sum"]).rename_columns(
+            ["doc_id", "m", "s"]
+        )
+
+    per_doc = grouped_agg(
+        j.map_batches(score_partial, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        "doc_id",
+        {"n_trigrams": ("sum", "m"), "s": ("sum", "s")},
+        num_partitions=P,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = t.column("n_trigrams").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_trigrams": t.column("n_trigrams"),
+             "ppl": pa.array(np.round(np.exp(-s / m), round_dp))}
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -184,3 +184,82 @@ def test_trigram_lm_tokens_rejects_oversized_ids(ray_session):
     )
     with pytest.raises(Exception):
         lm.trigram_lm_scores_tokens(rd.from_arrow(t)).to_pandas()
+
+
+# ------------------------------------------------- Kneser-Ney trigram
+def _kn_reference(docs_tokens, d=0.75, round_dp=6):
+    import math
+    from collections import Counter, defaultdict
+
+    c3 = Counter()
+    for toks in docs_tokens.values():
+        for i in range(len(toks) - 2):
+            c3[tuple(toks[i:i + 3])] += 1
+    c2, n1ctx = Counter(), Counter()
+    nmid, nden, nfollow = Counter(), Counter(), defaultdict(set)
+    for (a, b, c) in c3:
+        c2[(a, b)] += c3[(a, b, c)]
+        n1ctx[(a, b)] += 1
+        nmid[(b, c)] += 1
+        nden[b] += 1
+        nfollow[b].add(c)
+    big = {(b, c) for (a, b, c) in c3}
+    nprec = Counter()
+    for (b, c) in big:
+        nprec[c] += 1
+    nbig = len(big)
+    out = {}
+    for did, toks in docs_tokens.items():
+        tris = [tuple(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        if not tris:
+            continue
+        s = 0.0
+        for t in tris:
+            p2 = (max(nmid[t[1:]] - d, 0) / nden[t[1]]
+                  + d * len(nfollow[t[1]]) / nden[t[1]] * nprec[t[2]] / nbig)
+            p = (max(c3[t] - d, 0) / c2[t[:2]]
+                 + d * n1ctx[t[:2]] / c2[t[:2]] * p2)
+            s += math.log(p)
+        out[did] = (len(tris), round(math.exp(-s / len(tris)), round_dp))
+    return out
+
+
+def test_kn_trigram_matches_reference_and_partitioning(ray_session):
+    rng = np.random.default_rng(31)
+    vocab = [f"k{i}" for i in range(18)]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=int(rng.integers(0, 14))))}
+        for i in range(70)
+    ]
+    ref = _kn_reference(
+        {r["doc_id"]: [w for w in r["text"].split(" ") if w] for r in rows}
+    )
+    import pandas as pd
+
+    outs = []
+    for par, P in ((3, 16), (8, 64)):
+        out = (lm.kn_trigram_lm_scores(_ds(ray_session, rows, par),
+                                       num_partitions=P)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        got = {int(r.doc_id): (int(r.n_trigrams), float(r.ppl))
+               for r in out.itertuples()}
+        assert set(got) == set(ref)
+        for k in ref:
+            assert got[k][0] == ref[k][0]
+            assert abs(got[k][1] - ref[k][1]) < 1e-9, k
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_kn_smoothing_beats_addone_on_seen_text(ray_session):
+    # KN discounts seen mass far less than add-one on a small corpus:
+    # its training-set perplexity must be lower for every document
+    rows = [{"doc_id": i,
+             "text": " ".join(f"t{(i + j) % 9}" for j in range(12))}
+            for i in range(30)]
+    kn = (lm.kn_trigram_lm_scores(_ds(ray_session, rows, 3))
+          .to_pandas().set_index("doc_id"))
+    a1 = (lm.trigram_lm_scores(_ds(ray_session, rows, 3))
+          .to_pandas().set_index("doc_id"))
+    assert (kn.ppl < a1.ppl).all()
