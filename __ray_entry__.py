@@ -2056,6 +2056,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
+    def split_leakage_embedding(sf_dir):
+        # SEMANTIC leakage: exact-cosine near-dup pairs that straddle
+        # train/val/test (blocked pair join + pure per-batch split
+        # tagging via the splitmix bucket rule — no join, no matrix)
+        from bloomfilter_multithread_ray.pipelines.similarity import (
+            embedding_split_leakage,
+        )
+
+        import ray.data
+
+        out = embedding_split_leakage(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            tau=0.4,
+        ).to_pandas()
+        return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
     def mix_temperature_plan(sf_dir):
         # temperature mixing: t_s = round(budget * n_s^0.5 / sum n^0.5)
         # per source, integer epoch math (base = t_s // n_s; one extra
@@ -2934,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_exact": knn_graph_exact,
         "dedup_weighted_tf": dedup_weighted_tf,
         "mix_temperature_plan": mix_temperature_plan,
+        "split_leakage_embedding": split_leakage_embedding,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4291,6 +4310,37 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN v GROUP BY o.doc_id) "
             "SELECT doc_id, CAST(m AS BIGINT) AS n_trigrams, "
             "round(exp(nll), 6) AS ppl FROM sc ORDER BY doc_id"
+        ),
+        # semantic split leakage: splitmix bucket splits on vec_id +
+        # pairwise double-cast cosine, cross-split pairs only
+        "split_leakage_embedding": (
+            "WITH ids AS (SELECT DISTINCT vec_id FROM embeddings), "
+            "s0 AS (SELECT vec_id, (CAST(vec_id AS HUGEINT) + 11400714819323198485) "
+            "% 18446744073709551616 AS z FROM ids), "
+            "x1 AS (SELECT vec_id, CAST(xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS a FROM s0), "
+            "s1 AS (SELECT vec_id, ((a % 4294967296) * 13787848793156543929 "
+            "+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x1), "
+            "x2 AS (SELECT vec_id, CAST(xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS a FROM s1), "
+            "s2 AS (SELECT vec_id, ((a % 4294967296) * 10723151780598845931 "
+            "+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS z FROM x2), "
+            "sp AS (SELECT vec_id, CASE WHEN h % 1000 < 50 THEN 'test' "
+            "WHEN h % 1000 < 100 THEN 'val' ELSE 'train' END AS split "
+            "FROM (SELECT vec_id, xor(CAST(z AS UBIGINT), "
+            "CAST(z AS UBIGINT) >> 31) AS h FROM s2)), "
+            "v AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+            "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4) "
+            "SELECT vec_a, vec_b, sa.split AS split_a, sb.split AS split_b, cosine "
+            "FROM p JOIN sp sa ON sa.vec_id = vec_a "
+            "JOIN sp sb ON sb.vec_id = vec_b "
+            "WHERE sa.split <> sb.split ORDER BY vec_a, vec_b"
         ),
         # temperature mixing: splitmix chain orders docs per source;
         # integer epoch math from the rounded alpha-power targets

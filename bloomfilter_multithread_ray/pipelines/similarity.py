@@ -1343,3 +1343,56 @@ def knn_graph(
         )
 
     return cand.groupby("vec_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def embedding_split_leakage(
+    emb: "Dataset",
+    *,
+    tau: float = 0.4,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> "Dataset":
+    """SEMANTIC split-leakage check: exact-cosine near-dup pairs whose
+    endpoints land in DIFFERENT train/val/test splits → ``{vec_a,
+    vec_b, split_a, split_b, cosine}`` — the embedding-space
+    complement of the text-shingle `split_leakage` (an eval doc that
+    paraphrases a training doc never shares shingles but does share a
+    neighborhood).
+
+    Splits use the corpus-stable content-keyed rule of
+    ``curation.assign_splits`` (bucket = splitmix64(id XOR seed) %
+    1000), applied as a PURE per-batch function on the pair stream —
+    no join, no split table. Pairs come from the block-nested exact
+    generator (`embedding_dup_pairs_blocked`): no driver-side matrix,
+    no whole-corpus broadcast; swap in `embedding_dup_pairs_lsh` for
+    the sub-quadratic 100-TB path.
+    """
+    from ..functions.hashing import hash64_ints
+
+    tp, vp = int(test_permille), int(val_permille)
+    pairs = embedding_dup_pairs_blocked(emb, float(tau), id_col=id_col, col=col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        names = ["test", "val", "train"]
+
+        def split_of(ids: np.ndarray) -> np.ndarray:
+            b = (hash64_ints(ids, seed=seed) % np.uint64(1000)).astype(np.int64)
+            return np.where(b < tp, names[0],
+                            np.where(b < tp + vp, names[1], names[2]))
+
+        a = t.column("vec_a").to_numpy(zero_copy_only=False)
+        b = t.column("vec_b").to_numpy(zero_copy_only=False)
+        sa, sb = split_of(a), split_of(b)
+        keep = pa.array(sa != sb)
+        return pa.table(
+            {"vec_a": t.column("vec_a").filter(keep),
+             "vec_b": t.column("vec_b").filter(keep),
+             "split_a": pa.array(sa[np.asarray(keep)]),
+             "split_b": pa.array(sb[np.asarray(keep)]),
+             "cosine": t.column("cosine").filter(keep)}
+        )
+
+    return pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

@@ -599,3 +599,55 @@ def test_knn_graph_id_cap_rejected(ray_session):
     )
     with pytest.raises(Exception):
         S.knn_graph(ray.data.from_arrow(t), k=1).to_pandas()
+
+
+# ---------------------------------------------------- semantic split leakage
+def test_embedding_split_leakage_planted_pair(ray_session):
+    from bloomfilter_multithread_ray.functions.hashing import hash64_ints
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    # find two ids in different splits, plant a near-identical pair
+    ids = np.arange(200, dtype=np.int64)
+    b = (hash64_ints(ids) % np.uint64(1000)).astype(int)
+    test_id = int(ids[b < 50][0])
+    train_id = int(ids[b >= 100][0])
+    other = [int(i) for i in ids if i not in (test_id, train_id)][:20]
+    rng = np.random.default_rng(2)
+    rows, vecs = [], {}
+    base = rng.normal(size=8)
+    vecs[test_id] = base
+    vecs[train_id] = base + rng.normal(scale=1e-3, size=8)  # near-dup
+    for i, o in enumerate(other):
+        vecs[o] = rng.normal(size=8) * (1 + i)  # scattered
+    all_ids = sorted(vecs)
+    t = pa.table(
+        {"vec_id": pa.array(np.array(all_ids, dtype=np.int64)),
+         "embedding": pa.array(
+             [vecs[i].astype(np.float32) for i in all_ids],
+             pa.list_(pa.float32()))}
+    )
+    out = S.embedding_split_leakage(
+        ray.data.from_arrow(t).repartition(4), tau=0.95
+    ).to_pandas()
+    got = set(zip(out.vec_a.astype(int), out.vec_b.astype(int)))
+    lo, hi = min(test_id, train_id), max(test_id, train_id)
+    assert (lo, hi) in got
+    # every reported pair straddles splits
+    assert (out.split_a != out.split_b).all()
+    # same-split near-dups are NOT reported: plant one inside train
+    tr = [int(i) for i in ids if b[i] >= 100][:2]
+    vecs2 = dict(vecs)
+    vecs2[tr[0]] = base * 2
+    vecs2[tr[1]] = base * 2 + 1e-4
+    all2 = sorted(vecs2)
+    t2 = pa.table(
+        {"vec_id": pa.array(np.array(all2, dtype=np.int64)),
+         "embedding": pa.array(
+             [vecs2[i].astype(np.float32) for i in all2],
+             pa.list_(pa.float32()))}
+    )
+    out2 = S.embedding_split_leakage(
+        ray.data.from_arrow(t2), tau=0.95
+    ).to_pandas()
+    got2 = set(zip(out2.vec_a.astype(int), out2.vec_b.astype(int)))
+    assert (min(tr), max(tr)) not in got2
