@@ -2056,6 +2056,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
+    def strip_boilerplate(sf_dir):
+        # template-prefix removal demonstrated on a derived corpus:
+        # docs with even doc_id carry a 3-token source header; the
+        # operator must discover it (modal-prefix fold) and strip it
+        import pyarrow as pa_
+
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            strip_template_prefix,
+        )
+
+        def add_header(t: "pa.Table") -> "pa.Table":
+            import pyarrow.compute as pc_
+
+            even = pc_.equal(pc_.bit_wise_and(t.column("doc_id"), 1), 0)
+            hdr = pc_.binary_join_element_wise(
+                pa_.array(["hdr"] * t.num_rows),
+                pc_.cast(t.column("source").combine_chunks(), pa_.string()),
+                pa_.array(["sep"] * t.num_rows),
+                pc_.cast(t.column("text").combine_chunks(), pa_.string()),
+                " ",
+            )
+            return t.set_column(
+                t.schema.get_field_index("text"), "text",
+                pc_.if_else(even, hdr, t.column("text").combine_chunks()),
+            )
+
+        base = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+            add_header, batch_format="pyarrow", zero_copy_batch=True
+        )
+        _tpl, rewritten = strip_template_prefix(base, min_frac=0.3)
+        out = rewritten.to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def split_leakage_embedding(sf_dir):
         # SEMANTIC leakage: exact-cosine near-dup pairs that straddle
         # train/val/test (blocked pair join + pure per-batch split
@@ -2953,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_weighted_tf": dedup_weighted_tf,
         "mix_temperature_plan": mix_temperature_plan,
         "split_leakage_embedding": split_leakage_embedding,
+        "strip_boilerplate": strip_boilerplate,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4310,6 +4344,35 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN v GROUP BY o.doc_id) "
             "SELECT doc_id, CAST(m AS BIGINT) AS n_trigrams, "
             "round(exp(nll), 6) AS ppl FROM sc ORDER BY doc_id"
+        ),
+        # template-prefix stripping over the derived headered corpus:
+        # modal (source, L, prefix) counts, longest qualifying L with
+        # (n DESC, pfx ASC) tie-break, token-boundary strip
+        "strip_boilerplate": (
+            "WITH base AS (SELECT doc_id, source, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'hdr ' || source || ' sep ' || text "
+            "ELSE text END AS text FROM documents), "
+            "w AS (SELECT doc_id, source, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS w FROM base), "
+            "nd AS (SELECT source, count(*) AS nd FROM base GROUP BY 1), "
+            "pfx AS (SELECT source, L, array_to_string(w[1:L], ' ') AS pfx "
+            "FROM (SELECT source, w, unnest(range(1, LEAST(len(w), 16) + 1)) AS L "
+            "FROM w)), "
+            "cand AS (SELECT source, L, pfx, count(*) AS n FROM pfx GROUP BY 1, 2, 3), "
+            "qual AS (SELECT c.source, L, pfx, n FROM cand c JOIN nd USING (source) "
+            "WHERE n >= CEIL(0.3 * nd)), "
+            "best AS (SELECT source, L, pfx, ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY L DESC, n DESC, pfx) AS rk FROM qual), "
+            "tpl AS (SELECT source, L AS tpl_len, pfx AS template FROM best WHERE rk = 1) "
+            "SELECT ww.doc_id, ww.source, "
+            "(t.template IS NOT NULL AND len(ww.w) >= t.tpl_len "
+            "AND array_to_string(ww.w[1:t.tpl_len], ' ') = t.template) AS stripped, "
+            "CASE WHEN t.template IS NOT NULL AND len(ww.w) >= t.tpl_len "
+            "AND array_to_string(ww.w[1:t.tpl_len], ' ') = t.template "
+            "THEN array_to_string(ww.w[t.tpl_len + 1:], ' ') "
+            "ELSE array_to_string(ww.w, ' ') END AS text "
+            "FROM w ww LEFT JOIN tpl t ON t.source = ww.source "
+            "ORDER BY ww.doc_id"
         ),
         # semantic split leakage: splitmix bucket splits on vec_id +
         # pairwise double-cast cosine, cross-split pairs only

@@ -1469,3 +1469,167 @@ def mix_temperature(
              "n_repeats": pd.Series(dtype=np.int64)}
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def strip_template_prefix(
+    docs: "Dataset",
+    *,
+    min_frac: float = 0.3,
+    max_len: int = 16,
+    num_partitions: int = P_SHUF,
+) -> tuple[pd.DataFrame, "Dataset"]:
+    """Per-source boilerplate HEADER removal: discover, for every
+    source, the longest token prefix shared by at least ``min_frac``
+    of its documents (the modal L-prefix; ties break to the
+    lexicographically smallest prefix) and strip it from the documents
+    that carry it. Returns ``(templates, rewritten)``: a per-source
+    template table {source, tpl_len, template, n_match} (tpl_len 0 =
+    no template found) and the rewritten corpus {doc_id, source,
+    stripped, text} — the crawl-pipeline op for scraped page headers.
+
+    Deterministic end-to-end: modal counts are exact grouped
+    aggregates; the only driver state is O(sources) templates.
+
+    Scale shape: one skinny pass emits (source, L, prefix) rows for
+    L ≤ max_len with per-batch combine (≤ max_len rows per doc, text
+    never shuffles); a fixed-P grouped agg counts candidates; a
+    source-keyed fold picks the longest qualifying modal prefix; one
+    broadcast-free map pass rewrites (templates ride the task closure
+    — O(sources) bytes). At web scale the prefix strings would be
+    hashed with a verify pass; strings here keep the SQL oracle exact.
+    """
+    from .agg import grouped_agg
+
+    f = float(min_frac)
+    ML = int(max_len)
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        # incremental vectorized prefixes: pfx_L = pfx_{L-1} + " " + tok_L
+        # (one Arrow binary_join_element_wise per length — no row loop)
+        from ..stages.text import flat_nonempty_with_offsets
+
+        flat, offs = flat_nonempty_with_offsets(batch, "text")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        outs_s, outs_l, outs_p = [], [], []
+        active = np.flatnonzero(counts >= 1)
+        if len(active):
+            pfx = flat.take(pa.array(offs[:-1][active]))
+            for L in range(1, ML + 1):
+                outs_s.append(src[active])
+                outs_l.append(np.full(len(active), L, dtype=np.int64))
+                outs_p.append(np.asarray(pfx))
+                nxt = counts[active] >= L + 1
+                if L == ML or not nxt.any():
+                    break
+                active = active[nxt]
+                tok = flat.take(pa.array(offs[:-1][active] + L))
+                pfx = pc.binary_join_element_wise(
+                    pfx.take(pa.array(np.flatnonzero(nxt))), tok, " "
+                )
+        if not outs_s:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "L": pa.array([], pa.int64()),
+                 "pfx": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        import pandas as pd_
+
+        df = pd_.DataFrame(
+            {"source": np.concatenate(outs_s),
+             "L": np.concatenate(outs_l),
+             "pfx": np.concatenate(outs_p)}
+        )
+        g = df.groupby(["source", "L", "pfx"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cand = grouped_agg(
+        docs.map_batches(prefix_rows, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["source", "L", "pfx"], {"n": ("sum", "c")},
+        num_partitions=int(num_partitions),
+    )
+
+    ndocs = grouped_agg(docs, "source", {"nd": ("count", None)}).to_pandas()
+    need = {r.source: int(np.ceil(f * r.nd)) for r in ndocs.itertuples()}
+
+    def pick(g: pa.Table) -> pa.Table:
+        src = g.column("source")[0].as_py()
+        thr = max(need.get(src, 1), 1)
+        df = g.to_pandas()
+        df = df[df["n"] >= thr]
+        if not len(df):
+            return pa.table(
+                {"source": pa.array([src]), "tpl_len": pa.array([0], pa.int64()),
+                 "template": pa.array([""]), "n_match": pa.array([0], pa.int64())}
+            )
+        Lmax = int(df["L"].max())
+        best = df[df["L"] == Lmax].sort_values(["n", "pfx"],
+                                               ascending=[False, True]).iloc[0]
+        return pa.table(
+            {"source": pa.array([src]), "tpl_len": pa.array([Lmax], pa.int64()),
+             "template": pa.array([str(best["pfx"])]),
+             "n_match": pa.array([int(best["n"])], pa.int64())}
+        )
+
+    templates = (
+        cand.groupby("source").map_groups(pick, batch_format="pyarrow")
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    tpl = {r.source: (int(r.tpl_len), r.template)
+           for r in templates.itertuples() if int(r.tpl_len) > 0}
+
+    def strip(batch: pa.Table) -> pa.Table:
+        # vectorized match + rewrite: per SOURCE (bounded catalog) a
+        # token-column equality check; the rewrite drops matched heads
+        # by masking the flat token array and re-cutting offsets
+        from ..stages.text import flat_nonempty_with_offsets
+
+        flat, offs = flat_nonempty_with_offsets(batch, "text")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        words = np.asarray(flat)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        n = batch.num_rows
+        drop = np.zeros(n, dtype=np.int64)
+        for s, (L, template) in tpl.items():
+            rows = np.flatnonzero((src == s) & (counts >= L))
+            if not len(rows):
+                continue
+            toks = template.split(" ")
+            idx = offs[:-1][rows][:, None] + np.arange(L)[None, :]
+            w = words[idx]
+            match = np.logical_and.reduce(
+                [w[:, j] == toks[j] for j in range(L)]
+            )
+            drop[rows[match]] = L
+        keep = np.ones(len(words), dtype=bool)
+        hit = np.flatnonzero(drop > 0)
+        if len(hit):
+            lens = drop[hit]
+            head = np.repeat(offs[:-1][hit], lens) + (
+                np.arange(int(lens.sum()))
+                - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+            )
+            keep[head] = False
+        new_offs = np.concatenate(([0], np.cumsum(counts - drop)))
+        txt = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(new_offs), flat.filter(pa.array(keep))
+            ),
+            " ",
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "source": batch.column("source"),
+             "stripped": pa.array(drop > 0),
+             "text": pc.cast(txt, pa.string())}
+        )
+
+    rewritten = docs.map_batches(strip, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return templates, rewritten

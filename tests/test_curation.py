@@ -577,3 +577,43 @@ def test_mix_temperature_partition_invariant_and_alpha1(ray_session):
         include_groups=False,
     )
     assert per.max() - per.min() < 0.1
+
+
+# ------------------------------------------------- template prefix strip
+def test_strip_template_prefix_planted_headers(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        s = f"s{i % 3}"
+        body = " ".join(rng.choice(vocab, size=int(rng.integers(1, 12))))
+        if s != "s2" and i % 5 < 3:  # 60% of s0/s1 carry a 3-token header
+            body = f"hdr_{s} colon {s}_end " + body
+        rows.append({"doc_id": i, "source": s, "text": body})
+    tpl, rw = C.strip_template_prefix(
+        _docs_ds(ray_session, rows, 5), min_frac=0.4
+    )
+    t = tpl.set_index("source")
+    assert t.loc["s0", "tpl_len"] == 3 and t.loc["s0", "template"] == "hdr_s0 colon s0_end"
+    assert t.loc["s2", "tpl_len"] == 0
+    out = rw.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for r in out.itertuples():
+        orig = rows[int(r.doc_id)]["text"]
+        planted = orig.startswith("hdr_")
+        assert bool(r.stripped) == planted
+        assert r.text == (orig.split(" ", 3)[3] if planted else orig)
+
+
+def test_strip_template_prefix_partition_invariant_and_no_template(ray_session):
+    rows = [{"doc_id": i, "source": "s", "text": f"u{i} v{i} w{i}"}
+            for i in range(40)]
+    tpl_a, rw_a = C.strip_template_prefix(_docs_ds(ray_session, rows, 2))
+    tpl_b, rw_b = C.strip_template_prefix(_docs_ds(ray_session, rows, 9))
+    pd.testing.assert_frame_equal(tpl_a, tpl_b)
+    a = rw_a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = rw_b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # no shared prefix -> nothing stripped, text unchanged
+    assert int(tpl_a.tpl_len.iloc[0]) == 0
+    assert not a.stripped.any()
+    assert list(a.text) == [r["text"] for r in rows]
