@@ -1079,6 +1079,167 @@ def _ingest_survivors(store_path, manifest, new_rows, result, ingest_id) -> None
     os.replace(tmp, _minhash_manifest_path(store_path))
 
 
+def _wjac_plan(
+    tf: "Dataset", *, dense_vocab_max: int, max_token_df: int,
+    num_partitions: int,
+):
+    """Choose the exact weighted-Jaccard plan from token statistics.
+
+    Returns ``("dense", vocab)`` — ``vocab`` a sorted int64 numpy
+    array of every distinct token hash — when the vocabulary is small
+    (≤ ``dense_vocab_max``) and no token's row count can exceed
+    ``max_token_df`` (row count ≥ true df, so the check is
+    conservative: the posting cap provably never bites and the two
+    plans are bit-identical). Otherwise ``("posting", None)``.
+    The dense-path vocab is O(dense_vocab_max) driver state — the
+    grouped token table only materializes after the count gate.
+    """
+    from .agg import grouped_agg
+
+    g = grouped_agg(
+        tf, "th", {"df": ("count", "doc_id")}, num_partitions=num_partitions
+    ).materialize()
+    if g.count() > int(dense_vocab_max):
+        return "posting", None
+    import ray
+
+    tabs = [t for t in ray.get(list(g.to_arrow_refs())) if t.num_rows]
+    if not tabs:
+        return "dense", np.empty(0, dtype=np.int64)
+    t = pa.concat_tables(tabs)
+    if pc.max(t.column("df")).as_py() > int(max_token_df):
+        return "posting", None
+    vocab = np.sort(t.column("th").to_numpy(zero_copy_only=False).astype(np.int64))
+    return "dense", vocab
+
+
+def _wjac_dense(
+    tf: "Dataset", vocab: np.ndarray, *, tau: float, round_dp: int,
+    max_blocks: int,
+):
+    """Dense tf-matrix block-nested exact weighted-Jaccard pairs.
+
+    Docs become dense int64 tf vectors over the sorted ``vocab``
+    (one doc-keyed shuffle of the skinny tf rows, which also
+    collapses cross-batch partials); the corpus materializes once as
+    ≤ ``max_blocks`` Arrow blocks; one task per unordered block pair
+    computes Σmin / (sa + sb − Σmin) for every cross pair via chunked
+    ``np.minimum`` broadcasting and emits only τ-qualifying rows.
+    Bit-identical to the posting plan (same float64 division, same
+    pre-round threshold) — pinned by tests.
+    """
+    import ray
+    import ray.data
+
+    V = int(len(vocab))
+    NBP = 64
+
+    def add_bp(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("bp", pa.array(doc % NBP))
+
+    def densify(group: pa.Table) -> pa.Table:
+        th = group.column("th").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(doc) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "v": pa.array([], pa.list_(pa.int64(), V)),
+            })
+        col = np.searchsorted(vocab, th)
+        if not np.array_equal(vocab[col], th):  # loud: token outside vocab
+            raise AssertionError("dense wjaccard: token hash not in vocab")
+        udoc, row = np.unique(doc, return_inverse=True)
+        M = np.zeros((len(udoc), V), dtype=np.int64)
+        np.add.at(M, (row, col), cnt)  # sums cross-batch partials
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(M.reshape(-1), pa.int64()), V
+        )
+        return pa.table({"doc_id": pa.array(udoc), "v": vec})
+
+    mat = (
+        tf.map_batches(add_bp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bp")
+        .map_groups(densify, batch_format="pyarrow")
+        .materialize()
+    )
+    if mat.num_blocks() > max_blocks:
+        mat = mat.repartition(max_blocks).materialize()
+    refs = list(mat.to_arrow_refs())
+    nb = len(refs)
+    refs_ref = ray.put(refs)
+    ij = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "wjaccard": pa.array([], pa.float64())}
+    )
+
+    class BlockPair:
+        def __init__(self):
+            self.refs = ray.get(refs_ref)
+            self._cache: dict = {}
+
+        def _block(self, i: int):
+            if i not in self._cache:
+                if len(self._cache) > 2:
+                    self._cache.clear()
+                t: pa.Table = ray.get(self.refs[i])
+                if t.num_rows == 0 or "doc_id" not in t.column_names:
+                    # schemaless empty groupby output block
+                    z = np.empty(0, dtype=np.int64)
+                    self._cache[i] = (z, np.empty((0, 1), dtype=np.int64), z)
+                    return self._cache[i]
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                arr = t.column("v")
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                M = np.asarray(arr.flatten(), dtype=np.int64).reshape(
+                    len(ids), arr.type.list_size
+                )
+                self._cache[i] = (ids, M, M.sum(axis=1))
+            return self._cache[i]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            outs = []
+            for i, j in zip(
+                batch.column("i").to_pylist(), batch.column("j").to_pylist()
+            ):
+                ai, Mi, si = self._block(int(i))
+                aj, Mj, sj = self._block(int(j))
+                if len(ai) == 0 or len(aj) == 0:
+                    continue
+                Vd = Mi.shape[1]
+                chunk = max(1, (1 << 22) // max(1, len(aj) * max(1, Vd)))
+                for s in range(0, len(ai), chunk):
+                    e = min(s + chunk, len(ai))
+                    inter = np.minimum(Mi[s:e, None, :], Mj[None, :, :]).sum(axis=2)
+                    wj = inter / (si[s:e, None] + sj[None, :] - inter)
+                    mask = wj >= tau
+                    rr, cc = np.nonzero(mask)
+                    if int(i) == int(j):
+                        # each unordered within-block pair once; ids
+                        # in a block are unique so position order works
+                        keep = (s + rr) < cc
+                        rr, cc = rr[keep], cc[keep]
+                    if len(rr) == 0:
+                        continue
+                    a, b = ai[s + rr], aj[cc]
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    outs.append(pa.table({
+                        "doc_a": pa.array(lo), "doc_b": pa.array(hi),
+                        "wjaccard": pa.array(np.round(wj[rr, cc], round_dp)),
+                    }))
+            if not outs:
+                return empty
+            return pa.concat_tables(outs)
+
+    return ray.data.from_items(ij).map_batches(
+        BlockPair, batch_format="pyarrow", batch_size=1, concurrency=8
+    )
+
+
 def weighted_jaccard_pairs(
     docs: "Dataset",
     *,
@@ -1086,6 +1247,8 @@ def weighted_jaccard_pairs(
     max_token_df: int = 4096,
     num_partitions: int = 64,
     round_dp: int = 6,
+    dense_vocab_max: int = 4096,
+    max_blocks: int = 32,
 ) -> "Dataset":
     """EXACT tf-weighted (generalized) Jaccard near-dup pairs →
     ``{doc_a, doc_b, wjaccard}`` with ``doc_a < doc_b`` and
@@ -1096,19 +1259,38 @@ def weighted_jaccard_pairs(
     (for integer tf it equals plain Jaccard over occurrence-expanded
     multisets; ICWS [Ioffe 2010] is the real-valued generalization).
 
-    Scale shape — the same join-free packed-posting plan as the exact
-    n-gram kernel, with counts: per-batch (doc, token, tf) partials →
-    token-hash fixed-P partitions collapse cross-batch partials and
-    expand per-token posting pairs with contribution ``min(tf_a,
-    tf_b)`` (posting lists doc-sorted and capped at ``max_token_df``
-    — the deterministic high-DF guard; stopword-dominated pairs are
-    the quadratic term at corpus scale); a pair-keyed fixed-P fold
-    sums intersections; two skinny hash-joins attach the per-doc
-    total-tf sizes (the denominator is ``wa + wb - inter``). Text
-    never shuffles — only (hash, id, count) rows.
+    Two exact plans, chosen by the corpus's token statistics:
+
+    * **Packed-posting** (default; the web-scale shape) — the same
+      join-free plan as the exact n-gram kernel, with counts:
+      per-batch (doc, token, tf) partials → token-hash fixed-P
+      partitions collapse cross-batch partials and expand per-token
+      posting pairs with contribution ``min(tf_a, tf_b)`` (posting
+      lists doc-sorted and capped at ``max_token_df`` — the
+      deterministic high-DF guard; stopword-dominated pairs are the
+      quadratic term at corpus scale); a pair-keyed fixed-P fold sums
+      intersections; two skinny hash-joins attach the per-doc
+      total-tf sizes (denominator ``wa + wb - inter``). Text never
+      shuffles — only (hash, id, count) rows. Cost is Σ_t df_t², so
+      a DEGENERATE small vocabulary (every token near-universal)
+      explodes it: V tokens × df≈n docs ⇒ V·n²/2 posting pairs.
+
+    * **Dense tf-matrix block-nested self-join** — taken
+      automatically when the distinct-token count ≤
+      ``dense_vocab_max`` AND no token's df exceeds ``max_token_df``
+      (so the cap provably never bites and both plans are
+      bit-identical). Docs become dense int64 tf vectors over the
+      sorted vocab; the corpus materializes once as ≤ ``max_blocks``
+      Arrow blocks; one task per unordered block pair computes
+      Σmin / (sa + sb − Σmin) for all cross pairs with chunked
+      ``np.minimum`` broadcasting and emits only the τ-qualifying
+      rows — no pair-partial shuffle at all (the 193M-row exchange
+      the posting plan pays on a 31-token corpus disappears).
+
+    Both plans produce identical rows (order differs; consumers
+    sort). ``_wjac_plan`` exposes the choice for tests.
     """
     from .agg import grouped_agg
-    from .join import hash_join
 
     P = int(num_partitions)
     TAU = float(tau)
@@ -1140,6 +1322,17 @@ def weighted_jaccard_pairs(
     tf = docs.map_batches(
         tf_rows, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    plan, vocab = _wjac_plan(
+        tf, dense_vocab_max=dense_vocab_max, max_token_df=max_token_df,
+        num_partitions=P,
+    )
+    if plan == "dense":
+        return _wjac_dense(
+            tf, vocab, tau=TAU, round_dp=round_dp, max_blocks=max_blocks
+        )
+
+    from .join import hash_join
 
     sizes = grouped_agg(tf, "doc_id", {"wsz": ("sum", "cnt")}, num_partitions=P)
 
@@ -1180,9 +1373,13 @@ def weighted_jaccard_pairs(
         da, db = doc[base + a], doc[base + b]
         contrib = np.minimum(cnt[base + a], cnt[base + b])
         pair = (da << 31) | db  # postings doc-sorted => da < db
-        upair, inv = np.unique(pair, return_inverse=True)
-        isum = np.zeros(len(upair), dtype=np.int64)
-        np.add.at(isum, inv, contrib)
+        # partial per-pair fold: one sort + reduceat (int64-exact and
+        # far faster than unique(return_inverse) + np.add.at)
+        order2 = np.argsort(pair, kind="stable")
+        ps, cs = pair[order2], contrib[order2]
+        starts2 = np.flatnonzero(np.diff(ps, prepend=ps[0] - 1))
+        upair = ps[starts2]
+        isum = np.add.reduceat(cs, starts2)
         return pa.table({"pair": pa.array(upair), "i": pa.array(isum)})
 
     partials = (

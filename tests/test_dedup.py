@@ -391,3 +391,52 @@ def test_weighted_jaccard_df_cap_is_deterministic(ray_session):
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert set(zip(outs[0].doc_a, outs[0].doc_b)) == {(0, 1)}
+
+
+def test_weighted_jaccard_dense_and_posting_plans_agree(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines import dedup as D
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))}
+        for i in range(80)
+    ]
+    ds = rd.from_items(rows).repartition(6)
+    dense = D.weighted_jaccard_pairs(ds, tau=0.25).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    # dense_vocab_max=0 forces the packed-posting plan on the same input
+    post = D.weighted_jaccard_pairs(
+        ds, tau=0.25, dense_vocab_max=0
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(dense) > 0
+    pd.testing.assert_frame_equal(dense, post)
+
+
+def test_wjac_plan_choice(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.dedup import _wjac_plan
+
+    # 3 tokens x 4 docs, df=4 each
+    tf = rd.from_arrow(pa.table({
+        "th": pa.array([t for t in (11, 22, 33) for _ in range(4)], pa.int64()),
+        "doc_id": pa.array([d for _ in range(3) for d in range(4)], pa.int64()),
+        "cnt": pa.array([1] * 12, pa.int64()),
+    }))
+    plan, vocab = _wjac_plan(tf, dense_vocab_max=16, max_token_df=8,
+                             num_partitions=4)
+    assert plan == "dense" and list(vocab) == [11, 22, 33]
+    # vocabulary too large for the dense path
+    plan, _ = _wjac_plan(tf, dense_vocab_max=2, max_token_df=8,
+                         num_partitions=4)
+    assert plan == "posting"
+    # a token's df exceeds the posting cap: cap semantics would differ,
+    # so the dense path must refuse
+    plan, _ = _wjac_plan(tf, dense_vocab_max=16, max_token_df=3,
+                         num_partitions=4)
+    assert plan == "posting"
