@@ -2089,6 +2089,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = rewritten.to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def pii_redaction(sf_dir):
+        # C4/FineWeb-style regex PII scrub demonstrated on a derived
+        # corpus (emails/phones/IPv4 planted by doc_id residue); the
+        # operator is map-only Arrow RE2 — counts reflect replacements
+        # actually performed, patterns applied in declared order
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+
+        from bloomfilter_multithread_ray.pipelines.curation import redact_pii
+
+        def plant(t: "pa.Table") -> "pa.Table":
+            did = t.column("doc_id")
+            txt = pc_.cast(t.column("text").combine_chunks(), pa_.string())
+            cs = pc_.cast
+
+            def mod(x, k):  # pyarrow has no modulo kernel
+                return pc_.subtract(x, pc_.multiply(pc_.divide(x, k), k))
+            email = pc_.binary_join_element_wise(
+                pa_.array([" contact user"] * t.num_rows),
+                cs(did, pa_.string()),
+                pa_.array(["@example.com"] * t.num_rows), "",
+            )
+            phone = pc_.binary_join_element_wise(
+                pa_.array([" call 555-010-"] * t.num_rows),
+                cs(pc_.add(mod(did, 9000), 1000), pa_.string()), "",
+            )
+            ip = pc_.binary_join_element_wise(
+                pa_.array([" node 10."] * t.num_rows),
+                cs(mod(did, 200), pa_.string()),
+                pa_.array([".0."] * t.num_rows),
+                cs(mod(did, 250), pa_.string()), "",
+            )
+            for cond, suf in (
+                (pc_.equal(mod(did, 3), 0), email),
+                (pc_.equal(mod(did, 5), 0), phone),
+                (pc_.equal(mod(did, 7), 0), ip),
+            ):
+                txt = pc_.binary_join_element_wise(
+                    txt, pc_.if_else(cond, suf, pa_.scalar("")), ""
+                )
+            return pa_.table({"doc_id": did, "text": txt})
+
+        out = redact_pii(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                plant, batch_format="pyarrow", zero_copy_batch=True
+            )
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def dsir_scores_q(sf_dir):
+        # DSIR importance weights (hashed word-bigram features, B=1024
+        # md5 buckets, add-one smoothing): target = source 'src1',
+        # raw = whole corpus; two streaming passes, O(B) driver state
+        from bloomfilter_multithread_ray.pipelines.classifier import (
+            dsir_scores,
+        )
+
+        out = dsir_scores(
+            _docs(sf_dir, ["doc_id", "source", "text"]),
+            target_source="src1", n_buckets=1024,
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def split_leakage_embedding(sf_dir):
         # SEMANTIC leakage: exact-cosine near-dup pairs that straddle
         # train/val/test (blocked pair join + pure per-batch split
@@ -2987,6 +3050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_temperature_plan": mix_temperature_plan,
         "split_leakage_embedding": split_leakage_embedding,
         "strip_boilerplate": strip_boilerplate,
+        "pii_redaction": pii_redaction,
+        "dsir_scores": dsir_scores_q,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4373,6 +4438,54 @@ def oracle_sql() -> dict[str, str]:
             "ELSE array_to_string(ww.w, ' ') END AS text "
             "FROM w ww LEFT JOIN tpl t ON t.source = ww.source "
             "ORDER BY ww.doc_id"
+        ),
+        # PII scrub: same planted derivation, sequential RE2
+        # replace (DuckDB regex is RE2 too) with counts taken on the
+        # intermediate each pattern actually sees
+        "pii_redaction": (
+            "WITH planted AS (SELECT doc_id, text "
+            "|| CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id "
+            "|| '@example.com' ELSE '' END "
+            "|| CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' "
+            "|| (doc_id % 9000 + 1000) ELSE '' END "
+            "|| CASE WHEN doc_id % 7 = 0 THEN ' node 10.' || (doc_id % 200) "
+            "|| '.0.' || (doc_id % 250) ELSE '' END AS t0 FROM documents), "
+            "s1 AS (SELECT doc_id, "
+            "len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 "
+            "FROM planted), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "len(regexp_extract_all(t1, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone, "
+            "regexp_replace(t1, '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS t2 "
+            "FROM s1), "
+            "s3 AS (SELECT doc_id, n_email, n_phone, "
+            "len(regexp_extract_all(t2, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4, "
+            "regexp_replace(t2, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g') AS t3 "
+            "FROM s2) "
+            "SELECT doc_id, t3 AS text, n_email, n_phone, n_ipv4 "
+            "FROM s3 ORDER BY doc_id"
+        ),
+        # DSIR: full re-derivation — word bigrams, md5_number_lower %
+        # 1024 buckets (== the engine's little-endian lower-8-byte md5),
+        # add-one smoothed target/raw log-ratio, per-doc weighted sum
+        "dsir_scores": (
+            "WITH w AS (SELECT doc_id, source, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g "
+            "FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM w)), "
+            "b AS (SELECT doc_id, source, "
+            "CAST(md5_number_lower(g) % 1024 AS BIGINT) AS b FROM g), "
+            "hist AS (SELECT b, count(*) AS c_raw, "
+            "count(*) FILTER (WHERE source = 'src1') AS c_tgt FROM b GROUP BY 1), "
+            "tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM hist), "
+            "lam AS (SELECT b, ln((c_tgt + 1.0) / (t_tgt + 1024)) "
+            "- ln((c_raw + 1.0) / (t_raw + 1024)) AS lam FROM hist, tot), "
+            "docb AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2), "
+            "sc AS (SELECT doc_id, SUM(c * lam) AS s FROM docb "
+            "JOIN lam USING (b) GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(sc.s, 0.0) AS dsir_score "
+            "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"
         ),
         # semantic split leakage: splitmix bucket splits on vec_id +
         # pairwise double-cast cosine, cross-split pairs only

@@ -156,3 +156,133 @@ def reference_train(
         gi = np.rint(g * _Q).astype(np.int64).sum(axis=0)
         w = w - lr * (gi.astype(np.float64) / _Q) / max(n, 1)
     return w
+
+
+# ------------------------------------------------------------------ DSIR
+def _md5_bucket(grams, B: int) -> np.ndarray:
+    """SQL-reproducible feature bucket: lower 8 md5 digest bytes
+    (little-endian, == DuckDB ``md5_number_lower``) mod ``B``.
+
+    Python md5 runs only over the DISTINCT grams of a batch (the
+    callers dedupe first), so the per-batch cost is O(distinct
+    features), not O(tokens); at web scale swap a vectorized hash in
+    via the ``bucket_fn`` parameter of :func:`dsir_scores` (the md5
+    choice here buys an exact DuckDB oracle).
+    """
+    import hashlib
+
+    out = np.empty(len(grams), dtype=np.int64)
+    for k, g in enumerate(grams):
+        out[k] = int.from_bytes(
+            hashlib.md5(g.encode()).digest()[8:16], "little"
+        ) % B
+    return out
+
+
+def dsir_scores(
+    docs: "Dataset",
+    *,
+    target_source: str,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    bucket_fn=None,
+    round_dp: int = 6,
+) -> "Dataset":
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") over hashed word-BIGRAM
+    features: score(d) = Σ_g c_g(d)·[ln p̂_target(b(g)) − ln p̂_raw(b(g))],
+    with add-one smoothing over ``n_buckets`` hashed buckets. The
+    target distribution is estimated from the docs whose
+    ``source_col`` equals ``target_source``; the raw distribution from
+    the whole corpus. High scores = most target-like raw docs — the
+    standard "select pretraining data that looks like my domain" op.
+
+    Scale shape: pass 1 streams (bucket, cnt_raw, cnt_tgt) partials
+    per batch (grams deduped per batch before hashing) into a fixed-B
+    grouped fold — the model is B rows of integers, O(n_buckets)
+    driver state riding the task closure (never a corpus-sized
+    broadcast). Pass 2 is map-only: per-doc gram counts × the λ
+    lookup vector, one np.dot per batch. Text never shuffles; both
+    passes are single sweeps. Output ``{id_col, dsir_score}``.
+    """
+    from ..stages.text import flat_nonempty_with_offsets
+    from .agg import grouped_agg
+
+    B = int(n_buckets)
+    bucket = bucket_fn or _md5_bucket
+
+    def _doc_gram_buckets(batch: pa.Table):
+        """per-batch: (doc ordinal row ids, bucket ids, counts)."""
+        flat, offs = flat_nonempty_with_offsets(batch, text_col)
+        counts = np.diff(offs)
+        if len(flat) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        toks = flat.to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        # bigrams: adjacent token pairs within a row
+        keep = np.ones(len(toks), dtype=bool)
+        last = offs[1:] - 1  # last token of each row starts no bigram
+        keep[last[last >= 0]] = False  # (empty leading rows would hit -1)
+        lhs = np.flatnonzero(keep)
+        if len(lhs) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        grams = np.char.add(
+            np.char.add(toks[lhs].astype("U"), " "), toks[lhs + 1].astype("U")
+        )
+        grow = row[lhs]
+        ug, inv = np.unique(grams, return_inverse=True)
+        ub = bucket(ug, B)
+        # fold to (row, bucket) counts
+        key = grow * B + ub[inv]
+        uk, cnt = np.unique(key, return_counts=True)
+        return uk // B, uk % B, cnt.astype(np.int64)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        rows, bks, cnt = _doc_gram_buckets(batch)
+        if len(bks) == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "c_raw": pa.array([], pa.int64()),
+                             "c_tgt": pa.array([], pa.int64())})
+        src = batch.column(source_col).to_numpy(zero_copy_only=False)
+        is_t = (src[rows] == target_source)
+        ub, inv = np.unique(bks, return_inverse=True)
+        c_raw = np.zeros(len(ub), dtype=np.int64)
+        c_tgt = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(c_raw, inv, cnt)
+        np.add.at(c_tgt, inv, np.where(is_t, cnt, 0))
+        return pa.table({"b": pa.array(ub), "c_raw": pa.array(c_raw),
+                         "c_tgt": pa.array(c_tgt)})
+
+    hist = grouped_agg(
+        docs.map_batches(hist_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "b", {"c_raw": ("sum", "c_raw"), "c_tgt": ("sum", "c_tgt")},
+        num_partitions=8,
+    ).to_pandas()
+
+    lam = np.zeros(B, dtype=np.float64)
+    c_raw = np.zeros(B, dtype=np.int64)
+    c_tgt = np.zeros(B, dtype=np.int64)
+    if len(hist):
+        c_raw[hist["b"].to_numpy()] = hist["c_raw"].to_numpy()
+        c_tgt[hist["b"].to_numpy()] = hist["c_tgt"].to_numpy()
+    T_raw, T_tgt = int(c_raw.sum()), int(c_tgt.sum())
+    lam = (
+        np.log((c_tgt + 1.0) / (T_tgt + B))
+        - np.log((c_raw + 1.0) / (T_raw + B))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows, bks, cnt = _doc_gram_buckets(batch)
+        s = np.zeros(len(ids), dtype=np.float64)
+        if len(bks):
+            np.add.at(s, rows, cnt * lam[bks])
+        return pa.table({id_col: pa.array(ids),
+                         "dsir_score": pa.array(np.round(s, round_dp))})
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

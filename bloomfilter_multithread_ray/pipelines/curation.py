@@ -1633,3 +1633,59 @@ def strip_template_prefix(
     rewritten = docs.map_batches(strip, batch_format="pyarrow",
                                  zero_copy_batch=True)
     return templates, rewritten
+
+
+# --------------------------------------------------------------- PII scrub
+# (name, RE2 pattern, replacement). Applied IN ORDER: each pattern's
+# count and replacement run on the output of the previous one, so
+# n_<name> is the number of replacements actually performed (an email
+# whose local part looks like a phone number counts once, as email).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IPV4>"),
+)
+
+
+def redact_pii(
+    docs: "Dataset",
+    *,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> "Dataset":
+    """Regex PII redaction (emails, phone numbers, IPv4 addresses) —
+    the C4/FineWeb-style scrub every public-crawl pipeline runs.
+
+    Map-only and fully vectorized: each pattern is one Arrow RE2
+    kernel pass (``count_substring_regex`` then
+    ``replace_substring_regex``) over the batch's string column — no
+    per-row Python, no state, no shuffle, so the stage streams at
+    reader speed at any corpus size. Patterns apply in declared
+    order; counts reflect replacements actually performed (see
+    ``PII_PATTERNS``). DuckDB's regex engine is also RE2, so the
+    semantics are SQL-oracle-exact (``regexp_replace(..., 'g')`` /
+    ``len(regexp_extract_all(...))``).
+
+    Returns the input columns with ``text_col`` rewritten plus one
+    int64 ``n_<name>`` count column per pattern.
+    """
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        counts = {}
+        for name, pat, rep in patterns:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(txt, pattern=pat), pa.int64()
+            )
+            txt = pc.replace_substring_regex(txt, pattern=pat, replacement=rep)
+        out = batch.set_column(
+            batch.schema.get_field_index(text_col), text_col,
+            pc.cast(txt, pa.string()),
+        )
+        for name, arr in counts.items():
+            out = out.append_column(f"n_{name}", arr)
+        return out
+
+    return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)

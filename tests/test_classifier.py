@@ -82,3 +82,65 @@ def test_learns_separable_planted_data(ray_session):
     ).iloc[0]
     assert out["accuracy"] == 1.0
     assert out["tp"] == 40 and out["tn"] == 40
+
+
+def test_dsir_scores_match_reference_and_partitioning(ray_session):
+    import hashlib
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.classifier import dsir_scores
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(90):
+        src = "tgt" if i % 5 == 0 else f"r{i % 2}"
+        k = int(rng.integers(0, 30))  # includes empty docs
+        pool = vocab[:8] if src == "tgt" else vocab
+        rows.append({"doc_id": i, "source": src,
+                     "text": " ".join(rng.choice(pool, size=k))})
+
+    B = 128
+
+    def bucket(g):
+        return int.from_bytes(
+            hashlib.md5(g.encode()).digest()[8:16], "little") % B
+
+    def grams(t):
+        w = [x for x in t.split() if x]
+        return [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]
+
+    craw, ctgt = Counter(), Counter()
+    for r in rows:
+        for g in grams(r["text"]):
+            b = bucket(g)
+            craw[b] += 1
+            if r["source"] == "tgt":
+                ctgt[b] += 1
+    Tr, Tt = sum(craw.values()), sum(ctgt.values())
+    lam = {b: math.log((ctgt.get(b, 0) + 1) / (Tt + B))
+           - math.log((craw.get(b, 0) + 1) / (Tr + B)) for b in range(B)}
+    ref = {}
+    for r in rows:
+        cc = Counter(bucket(g) for g in grams(r["text"]))
+        # engine adds per doc in ascending-bucket order
+        ref[r["doc_id"]] = round(sum(cc[b] * lam[b] for b in sorted(cc)), 6)
+
+    for par in (2, 8):
+        out = dsir_scores(rd.from_items(rows).repartition(par),
+                          target_source="tgt", n_buckets=B).to_pandas()
+        got = dict(zip(out.doc_id.astype(int), out.dsir_score.astype(float)))
+        assert len(got) == len(rows)
+        for k, v in ref.items():
+            assert abs(got[k] - v) < 1e-9, (par, k)
+
+    # the point of the op: target-like docs rank higher
+    tmean = np.mean([ref[r["doc_id"]] for r in rows if r["source"] == "tgt"])
+    rmean = np.mean([ref[r["doc_id"]] for r in rows if r["source"] != "tgt"])
+    assert tmean > rmean
+    # empty / single-token docs score exactly 0
+    empties = [r["doc_id"] for r in rows if len(r["text"].split()) < 2]
+    assert empties and all(ref[d] == 0.0 for d in empties)

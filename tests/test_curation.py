@@ -617,3 +617,41 @@ def test_strip_template_prefix_partition_invariant_and_no_template(ray_session):
     assert int(tpl_a.tpl_len.iloc[0]) == 0
     assert not a.stripped.any()
     assert list(a.text) == [r["text"] for r in rows]
+
+
+def test_redact_pii_matches_re_reference_and_order(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.curation import (
+        PII_PATTERNS, redact_pii,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "mail bob@example.com and 10.0.0.1 twice bob@example.com"},
+        {"doc_id": 1, "text": "call 555-010-1234 visit 1.2.3.4 and 555-010-9999"},
+        {"doc_id": 2, "text": "clean text only"},
+        # phone-looking digits inside an email local part: the email
+        # pattern runs first, so this counts once as email, zero phones
+        {"doc_id": 3, "text": "odd 555-010-1234@example.com case"},
+        {"doc_id": 4, "text": ""},
+    ]
+
+    def ref(t):
+        counts = {}
+        for name, pat, rep in PII_PATTERNS:
+            counts[f"n_{name}"] = len(re.findall(pat, t))
+            t = re.sub(pat, rep, t)
+        return t, counts
+
+    for par in (1, 3):
+        out = redact_pii(
+            rd.from_items(rows).repartition(par)
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for i, r in enumerate(rows):
+            txt, cnts = ref(r["text"])
+            assert out.text[i] == txt, (par, i)
+            for k, v in cnts.items():
+                assert int(out[k][i]) == v, (par, i, k)
+    assert int(out.n_email[3]) == 1 and int(out.n_phone[3]) == 0
