@@ -2027,6 +2027,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.sort_values(["vec_id", "j"]).reset_index(drop=True)
 
+    def hard_negatives_q(sf_dir):
+        # contrastive hard-negative mining: per vector the top-3 most
+        # cosine-similar vectors of a DIFFERENT label (same blocked
+        # partial-top-k plan, same-class candidates masked in-kernel)
+        from bloomfilter_multithread_ray.pipelines.similarity import (
+            hard_negatives,
+        )
+
+        import ray.data
+
+        out = hard_negatives(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"],
+            ),
+            k=3,
+        ).to_pandas()
+        return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
     def knn_graph_exact(sf_dir):
         # exact cosine kNN graph (top-5 per vector): block-nested self
         # join emitting per-vector PARTIAL top-k per block pair (<= k
@@ -3046,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_pretrain_curation": full_pretrain_curation,
         "embedding_jl_project": embedding_jl_project,
         "knn_graph_exact": knn_graph_exact,
+        "hard_negatives": hard_negatives_q,
         "dedup_weighted_tf": dedup_weighted_tf,
         "mix_temperature_plan": mix_temperature_plan,
         "split_leakage_embedding": split_leakage_embedding,
@@ -4578,6 +4598,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine DESC, nbr_id) AS rk FROM c) "
             "SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id, cosine "
             "FROM r WHERE rk <= 5 ORDER BY vec_id, rank"
+        ),
+        # hard negatives: the same exact-kNN ranking restricted to
+        # cross-label pairs (label join + <> filter)
+        "hard_negatives": (
+            "WITH v AS (SELECT vec_id, label, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+            "c AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, "
+            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            "FROM v a JOIN v b ON a.vec_id <> b.vec_id "
+            "AND a.label <> b.label), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY cosine DESC, nbr_id) AS rk FROM c) "
+            "SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id, cosine "
+            "FROM r WHERE rk <= 3 ORDER BY vec_id, rank"
         ),
         # JL sign projection: signs from the splitmix chain over key =
         # seed·2^32 + i·16 + j (zipped unnests align j with the key),

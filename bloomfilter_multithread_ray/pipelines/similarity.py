@@ -1202,12 +1202,18 @@ def knn_graph(
     id_col: str = "vec_id",
     col: str = "embedding",
     max_blocks: int = 32,
+    exclude_label_col: str | None = None,
 ) -> "Dataset":
     """EXACT cosine k-nearest-neighbor graph → ``{vec_id, rank,
     nbr_id, cosine}`` (rank 1..k per vector, self excluded) — the
     all-vs-all complement of :func:`ann_topk_exact` (which serves a
     few broadcast queries). Powers SemDeDup-style curation, curriculum
     ordering and retrieval eval.
+
+    With ``exclude_label_col`` set, candidates sharing the query's
+    label are masked out in-kernel before the partial top-k — the
+    HARD-NEGATIVE MINING mode (see :func:`hard_negatives`): each
+    vector's k most similar vectors of a DIFFERENT class.
 
     Scale shape — block-nested like
     :func:`embedding_dup_pairs_blocked`: the corpus materializes once
@@ -1229,18 +1235,23 @@ def knn_graph(
     import ray.data
 
     K = int(k)
+    LBL = exclude_label_col
+    keep_cols = [id_col, col] + ([LBL] if LBL else [])
 
     def prenorm(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.select([id_col, col])
+            return t.select(keep_cols)
         V = _normalize(_emb_matrix(t, col))
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(V.reshape(-1), pa.float64()), V.shape[1]
         )
-        return pa.table({id_col: t.column(id_col), col: emb})
+        out = {id_col: t.column(id_col), col: emb}
+        if LBL:
+            out[LBL] = t.column(LBL).combine_chunks().cast(pa.int64())
+        return pa.table(out)
 
     mat = (
-        ds.select_columns([id_col, col])
+        ds.select_columns(keep_cols)
         .map_batches(prenorm, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
@@ -1294,18 +1305,25 @@ def knn_graph(
                 V = np.asarray(arr.flatten(), dtype=np.float64).reshape(
                     len(ids), arr.type.list_size
                 )
-                self._cache[i] = (ids, V)
+                lbl = (
+                    t.column(LBL).to_numpy(zero_copy_only=False).astype(np.int64)
+                    if LBL else None
+                )
+                self._cache[i] = (ids, V, lbl)
             return self._cache[i]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             outs = []
             for i, j in zip(batch.column("i").to_pylist(),
                             batch.column("j").to_pylist()):
-                ai, Vi = self._block(int(i))
-                aj, Vj = self._block(int(j))
+                ai, Vi, li = self._block(int(i))
+                aj, Vj, lj = self._block(int(j))
                 if len(ai) == 0 or len(aj) == 0:
                     continue
                 C = np.round(Vi @ Vj.T, 6)
+                if LBL:
+                    # hard-negative mode: same-class candidates masked
+                    C[li[:, None] == lj[None, :]] = -2.0
                 if i == j:
                     # self-pairs excluded via a -inf diagonal
                     np.fill_diagonal(C, -2.0)
@@ -1343,6 +1361,35 @@ def knn_graph(
         )
 
     return cand.groupby("vec_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def hard_negatives(
+    ds: "Dataset",
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    label_col: str = "label",
+    max_blocks: int = 32,
+) -> "Dataset":
+    """HARD-NEGATIVE MINING for contrastive training → per vector the
+    ``k`` most cosine-similar vectors with a DIFFERENT label
+    (``{vec_id, rank, nbr_id, cosine}``) — the standard "closest
+    wrong-class examples" batch-construction op for embedding /
+    retrieval model training.
+
+    Same exact block-nested partial-top-k plan as :func:`knn_graph`
+    (blocks carry the int64 label column; same-class candidates are
+    masked in-kernel BEFORE the partial top-k, so the ≤ k-rows-per-
+    vector-per-block-pair bound still holds). Vectors whose class is
+    the entire corpus have no negatives and are absent from the
+    output. The sub-quadratic 100-TB path is IVF/LSH candidate
+    generation + the same label-masked exact verify.
+    """
+    return knn_graph(
+        ds, k=k, id_col=id_col, col=col, max_blocks=max_blocks,
+        exclude_label_col=label_col,
+    )
 
 
 def embedding_split_leakage(

@@ -651,3 +651,50 @@ def test_embedding_split_leakage_planted_pair(ray_session):
     ).to_pandas()
     got2 = set(zip(out2.vec_a.astype(int), out2.vec_b.astype(int)))
     assert (min(tr), max(tr)) not in got2
+
+
+def test_hard_negatives_match_bruteforce_and_mask(ray_session):
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    rng = np.random.default_rng(13)
+    n = 70
+    V = rng.normal(size=(n, 12)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    labels = (ids % 4).astype(np.int64)
+    t = pa.table(
+        {"vec_id": pa.array(ids),
+         "embedding": pa.array(list(V), pa.list_(pa.float32())),
+         "label": pa.array(labels)}
+    )
+    Vn = V.astype(np.float64)
+    Vn /= np.linalg.norm(Vn, axis=1, keepdims=True)
+    C = np.round(Vn @ Vn.T, 6)
+    np.fill_diagonal(C, -2.0)
+    C[labels[:, None] == labels[None, :]] = -2.0
+    ref = {}
+    for r in range(n):
+        order = np.lexsort((ids, -C[r]))[:3]
+        order = [o for o in order if C[r, o] > -1.5]
+        ref[int(ids[r])] = [(int(ids[o]), float(C[r, o])) for o in order]
+    for par, mb in ((1, 1), (7, 5)):
+        out = S.hard_negatives(
+            ray.data.from_arrow(t).repartition(par), k=3, max_blocks=mb
+        ).to_pandas()
+        assert _knn_got(out) == ref, (par, mb)
+    # every reported negative really is cross-class
+    nb_lbl = labels[out.nbr_id.to_numpy()]
+    q_lbl = labels[out.vec_id.to_numpy()]
+    assert (nb_lbl != q_lbl).all()
+
+
+def test_hard_negatives_single_class_is_empty(ray_session):
+    from bloomfilter_multithread_ray.pipelines import similarity as S
+
+    V = np.eye(5, dtype=np.float32)
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(5, dtype=np.int64)),
+         "embedding": pa.array(list(V), pa.list_(pa.float32())),
+         "label": pa.array(np.zeros(5, dtype=np.int64))}
+    )
+    out = S.hard_negatives(ray.data.from_arrow(t), k=2).to_pandas()
+    assert len(out) == 0
