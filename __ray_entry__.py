@@ -2108,6 +2108,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = rewritten.to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def zipf_by_source(sf_dir):
+        # per-source Zipf rank-frequency OLS fit (alpha, r2): exact
+        # grouped token counts -> deterministic (freq DESC, token ASC)
+        # ranking -> closed-form per-group regression
+        from bloomfilter_multithread_ray.pipelines.text_stats import zipf_fit
+
+        out = zipf_fit(
+            _docs(sf_dir, ["doc_id", "source", "text"])
+        ).to_pandas()
+        return out.sort_values("group").reset_index(drop=True)
+
     def pii_redaction(sf_dir):
         # C4/FineWeb-style regex PII scrub demonstrated on a derived
         # corpus (emails/phones/IPv4 planted by doc_id residue); the
@@ -3072,6 +3083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate": strip_boilerplate,
         "pii_redaction": pii_redaction,
         "dsir_scores": dsir_scores_q,
+        "zipf_by_source": zipf_by_source,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4484,6 +4496,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT doc_id, t3 AS text, n_email, n_phone, n_ipv4 "
             "FROM s3 ORDER BY doc_id"
+        ),
+        # Zipf fit: exact counts -> ROW_NUMBER ranks -> the same
+        # closed-form OLS sums (ln rank vs ln freq)
+        "zipf_by_source": (
+            "WITH tok AS (SELECT source, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+            "cnt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "rk AS (SELECT source, c, ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY c DESC, tok) AS r FROM cnt), "
+            "s AS (SELECT source, count(*) AS n, SUM(c) AS n_tokens, "
+            "SUM(ln(r)) AS sx, SUM(ln(c)) AS sy, SUM(ln(r) * ln(r)) AS sxx, "
+            "SUM(ln(c) * ln(c)) AS syy, SUM(ln(r) * ln(c)) AS sxy "
+            "FROM rk GROUP BY 1) "
+            "SELECT source AS \"group\", CAST(n AS BIGINT) AS n_types, "
+            "CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CASE WHEN n >= 2 THEN -((n * sxy - sx * sy) / (n * sxx - sx * sx)) "
+            "END AS zipf_alpha, "
+            "CASE WHEN n < 2 THEN NULL WHEN (n * syy - sy * sy) > 0 THEN "
+            "POWER(n * sxy - sx * sy, 2) "
+            "/ ((n * sxx - sx * sx) * (n * syy - sy * sy)) ELSE 1.0 END AS zipf_r2 "
+            "FROM s ORDER BY 1"
         ),
         # DSIR: full re-derivation — word bigrams, md5_number_lower %
         # 1024 buckets (== the engine's little-endian lower-8-byte md5),

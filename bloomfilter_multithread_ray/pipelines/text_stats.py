@@ -908,3 +908,78 @@ def doc_token_entropy(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def zipf_fit(
+    docs: "Dataset",
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_dp: int = 6,
+) -> "Dataset":
+    """Per-group Zipf rank-frequency power-law fit → ``{group,
+    n_types, n_tokens, zipf_alpha, zipf_r2}`` — the corpus-statistics
+    op behind "does this source look like natural language?" checks
+    (natural text fits ln f = c − α·ln r with α ≈ 1 and high r²;
+    boilerplate/spam/generated junk deviate hard).
+
+    OLS of ln(freq) on ln(rank) in closed form (rank = 1.. by freq
+    DESC, token ASC — a total order, so the per-group float sums run
+    in one deterministic order and the result is partition-
+    invariant). Scale shape: per-batch (group, token, cnt) partials
+    (map-side combine: a repeated token ships once per batch) → one
+    fixed-P token-keyed grouped fold → a group-keyed fold over the
+    DISTINCT-type rows (O(vocabulary) per group, never per
+    occurrence; the final stage holds one group's type table, which
+    is vocabulary-sized — millions, not corpus-sized).
+    """
+    from .agg import grouped_agg
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_nonempty_with_counts(batch, text_col)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "g": np.repeat(grp, counts), "tok": np.asarray(flat),
+        })
+        agg = df.groupby(["g", "tok"], sort=False).size().reset_index(name="c")
+        return pa.table({
+            "g": pa.array(agg["g"], pa.string()),
+            "tok": pa.array(agg["tok"], pa.string()),
+            "c": pa.array(agg["c"].to_numpy(np.int64)),
+        })
+
+    counts = grouped_agg(
+        docs.map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["g", "tok"], {"cnt": ("sum", "c")}, num_partitions=64,
+    )
+
+    def fit(g: pa.Table) -> pa.Table:
+        grp = g.column("g").to_numpy(zero_copy_only=False)
+        tok = g.column("tok").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tok, -cnt))  # freq DESC, token ASC
+        f = cnt[order].astype(np.float64)
+        n = len(f)
+        out = {
+            "group": pa.array([str(grp[0])]),
+            "n_types": pa.array([np.int64(n)]),
+            "n_tokens": pa.array([np.int64(cnt.sum())]),
+        }
+        if n < 2:
+            out["zipf_alpha"] = pa.array([None], pa.float64())
+            out["zipf_r2"] = pa.array([None], pa.float64())
+            return pa.table(out)
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(f)
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        slope = (n * sxy - sx * sy) / dx
+        r2 = ((n * sxy - sx * sy) ** 2 / (dx * dy)) if dy > 0 else 1.0
+        out["zipf_alpha"] = pa.array([round(-slope, round_dp)])
+        out["zipf_r2"] = pa.array([round(float(r2), round_dp)])
+        return pa.table(out)
+
+    return counts.groupby("g").map_groups(fit, batch_format="pyarrow")

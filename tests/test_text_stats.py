@@ -361,3 +361,66 @@ def test_chunk_documents_validation(ray_session):
         TS.chunk_documents(ds, chunk_tokens=0)
     with pytest.raises(ValueError, match="min_tokens"):
         TS.chunk_documents(ds, chunk_tokens=4, min_tokens=5)
+
+
+def test_zipf_fit_matches_reference_and_partitioning(ray_session):
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import zipf_fit
+
+    rng = np.random.default_rng(23)
+    # a roughly-Zipfian synthetic corpus: token w_i drawn ~ 1/(i+1)
+    vocab = [f"w{i}" for i in range(40)]
+    p = 1.0 / np.arange(1, 41)
+    p /= p.sum()
+    rows = []
+    for i in range(100):
+        src = f"s{i % 3}"
+        k = int(rng.integers(5, 60))
+        rows.append({"doc_id": i, "source": src,
+                     "text": " ".join(rng.choice(vocab, size=k, p=p))})
+    rows.append({"doc_id": 100, "source": "tiny", "text": "only only only"})
+
+    def ref(rws):
+        out = {}
+        by = {}
+        for r in rws:
+            by.setdefault(r["source"], Counter()).update(
+                w for w in r["text"].split() if w)
+        for src, cnt in by.items():
+            items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            n = len(items)
+            row = {"n_types": n, "n_tokens": sum(cnt.values())}
+            if n < 2:
+                row["zipf_alpha"] = None
+                row["zipf_r2"] = None
+            else:
+                x = np.log(np.arange(1, n + 1, dtype=np.float64))
+                y = np.log(np.array([c for _, c in items], dtype=np.float64))
+                sx, sy = x.sum(), y.sum()
+                sxx, syy, sxy = (x*x).sum(), (y*y).sum(), (x*y).sum()
+                dx, dy = n*sxx - sx*sx, n*syy - sy*sy
+                row["zipf_alpha"] = round(-(n*sxy - sx*sy)/dx, 6)
+                row["zipf_r2"] = round((n*sxy - sx*sy)**2/(dx*dy), 6) if dy > 0 else 1.0
+            out[src] = row
+        return out
+
+    expect = ref(rows)
+    for par in (1, 7):
+        df = zipf_fit(rd.from_items(rows).repartition(par)).to_pandas()
+        assert len(df) == len(expect)
+        for r in df.itertuples():
+            e = expect[r.group]
+            assert int(r.n_types) == e["n_types"] and int(r.n_tokens) == e["n_tokens"]
+            if e["zipf_alpha"] is None:
+                assert pd.isna(r.zipf_alpha) and pd.isna(r.zipf_r2)
+            else:
+                assert abs(float(r.zipf_alpha) - e["zipf_alpha"]) < 1e-9, r.group
+                assert abs(float(r.zipf_r2) - e["zipf_r2"]) < 1e-9, r.group
+    # the Zipf-shaped sources actually fit: alpha near 1, r2 high
+    main = df[df.group != "tiny"]
+    assert (main.zipf_alpha > 0.5).all() and (main.zipf_r2 > 0.7).all()
