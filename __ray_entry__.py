@@ -2108,6 +2108,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = rewritten.to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def ccnet_ppl_buckets(sf_dir):
+        # CCNet-style head/middle/tail by per-language byte-bigram
+        # perplexity terciles (exact radix-narrowed quantiles; the
+        # threshold dict is O(languages) driver state)
+        from bloomfilter_multithread_ray.pipelines.lm import ppl_buckets
+
+        out = ppl_buckets(
+            _docs(sf_dir, ["doc_id", "lang", "text"])
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def zipf_by_source(sf_dir):
         # per-source Zipf rank-frequency OLS fit (alpha, r2): exact
         # grouped token counts -> deterministic (freq DESC, token ASC)
@@ -3084,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": pii_redaction,
         "dsir_scores": dsir_scores_q,
         "zipf_by_source": zipf_by_source,
+        "ccnet_ppl_buckets": ccnet_ppl_buckets,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4496,6 +4508,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT doc_id, t3 AS text, n_email, n_phone, n_ipv4 "
             "FROM s3 ORDER BY doc_id"
+        ),
+        # CCNet buckets: the lm_perplexity chain + per-lang
+        # quantile_disc terciles + the same <= bucket rule
+        "ccnet_ppl_buckets": (
+            "WITH big AS (SELECT doc_id, unnest(list_transform(range(1, len(text)), "
+            "i -> substr(text, CAST(i AS INT), 2))) AS b FROM documents WHERE len(text) >= 2), "
+            "c2 AS (SELECT b, count(*) AS c FROM big GROUP BY b), "
+            "c1 AS (SELECT substr(b, 1, 1) AS c1ch, SUM(c) AS n FROM c2 GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT u) AS V FROM "
+            "(SELECT unnest(string_split(text, '')) AS u FROM documents)), "
+            "sc AS (SELECT g.doc_id, -avg(ln((c2.c + 1.0) / (c1.n + v.V))) AS nll "
+            "FROM big g JOIN c2 ON g.b = c2.b "
+            "JOIN c1 ON substr(g.b, 1, 1) = c1.c1ch CROSS JOIN v GROUP BY g.doc_id), "
+            "pl AS (SELECT sc.doc_id, d.lang, "
+            "CAST(TRUNC(exp(nll) * 1000000 + 0.5) AS BIGINT) AS q "
+            "FROM sc JOIN documents d USING (doc_id)), "
+            "th AS (SELECT lang, quantile_disc(q, 1.0/3) AS t1, "
+            "quantile_disc(q, 2.0/3) AS t2 FROM pl GROUP BY 1) "
+            "SELECT pl.doc_id, pl.lang, pl.q / 1000000.0 AS ppl, "
+            "CASE WHEN q <= t1 THEN 'head' WHEN q <= t2 THEN 'middle' "
+            "ELSE 'tail' END AS bucket "
+            "FROM pl JOIN th USING (lang) ORDER BY pl.doc_id"
         ),
         # Zipf fit: exact counts -> ROW_NUMBER ranks -> the same
         # closed-form OLS sums (ln rank vs ln freq)

@@ -502,3 +502,76 @@ def kn_trigram_lm_scores(
 
     return per_doc.map_batches(finish, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def ppl_buckets(
+    docs: "Dataset",
+    *,
+    lang_col: str = "lang",
+    q_head: float = 1.0 / 3,
+    q_mid: float = 2.0 / 3,
+    model: dict | None = None,
+) -> "Dataset":
+    """CCNet-style perplexity bucketing → ``{doc_id, lang, ppl,
+    bucket}`` with bucket ∈ head/middle/tail by per-language LM-ppl
+    terciles (Wenzek et al. 2020: low-ppl "head" is the cleanest
+    slice of a crawl; the standard quality-partition op before
+    sampling).
+
+    Composition of proven parts, all scale-safe: per-doc byte-bigram
+    perplexity (:func:`lm_perplexity`, map-only under the broadcast
+    model), one skinny doc_id-keyed join to attach the language
+    column, per-language EXACT tercile thresholds via the radix-
+    narrowing :func:`~..analytics.grouped_quantile_disc` (no
+    per-group sort, no group materialization), and a map-only bucket
+    tag with the O(languages) threshold dict riding the task closure.
+    Docs without a bigram (len < 2) are excluded, as in
+    :func:`lm_perplexity`.
+
+    Ranking and bucketing use ppl QUANTIZED to int64 at 1e-6
+    half-away-from-zero (the repo's exactness convention): raw
+    doubles from two evaluation orders differ at ~1e-12, and a dense
+    ppl distribution puts near-ties at the tercile boundary — the
+    quantized grid makes the thresholds and the ≤ rule reproducible
+    bit-for-bit (in DuckDB: ``TRUNC(ppl*1e6 + 0.5)``). The emitted
+    ``ppl`` is the quantized value / 1e6.
+    """
+    from .analytics import grouped_quantile_disc
+    from .join import hash_join
+
+    scores = lm_perplexity(docs, model=model)
+    langs = docs.select_columns(["doc_id", lang_col])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        p = t.column("ppl").to_numpy(zero_copy_only=False)
+        q = np.floor(p * 1e6 + 0.5).astype(np.int64)  # ppl > 0 always
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "ppl_q": pa.array(q)}
+        )
+
+    j = hash_join(
+        scores.map_batches(quantize, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        langs, on="doc_id", broadcast="auto",
+    ).materialize()
+    t1 = grouped_quantile_disc(j, lang_col, "ppl_q", q_head)
+    t2 = grouped_quantile_disc(j, lang_col, "ppl_q", q_mid)
+    th1 = dict(zip(t1[lang_col], t1["value"]))
+    th2 = dict(zip(t2[lang_col], t2["value"]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lg = pd.Series(t.column(lang_col).to_numpy(zero_copy_only=False))
+        q = t.column("ppl_q").to_numpy(zero_copy_only=False)
+        a = lg.map(th1).to_numpy(dtype=np.float64)
+        b = lg.map(th2).to_numpy(dtype=np.float64)
+        bk = np.where(q <= a, "head", np.where(q <= b, "middle", "tail"))
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             lang_col: t.column(lang_col),
+             "ppl": pa.array(q.astype(np.float64) / 1e6),
+             "bucket": pa.array(bk.astype(object), pa.string())}
+        )
+
+    return j.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)

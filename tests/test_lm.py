@@ -263,3 +263,63 @@ def test_kn_smoothing_beats_addone_on_seen_text(ray_session):
     a1 = (lm.trigram_lm_scores(_ds(ray_session, rows, 3))
           .to_pandas().set_index("doc_id"))
     assert (kn.ppl < a1.ppl).all()
+
+
+def test_ppl_buckets_reference_and_partitioning(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.lm import ppl_buckets
+
+    rng = np.random.default_rng(41)
+    alphabet = list("abcdefg ")
+    rows = []
+    for i in range(120):
+        k = int(rng.integers(2, 60))
+        rows.append({"doc_id": i, "lang": "L%d" % (i % 2),
+                     "text": "".join(rng.choice(alphabet, size=k))})
+
+    # independent reference: add-one byte-bigram LM trained on the corpus
+    big = Counter()
+    uni = Counter()
+    chars = set()
+    for r in rows:
+        t = r["text"]
+        chars.update(t)
+        for a, b in zip(t, t[1:]):
+            big[a + b] += 1
+            uni[a] += 1
+    V = len(chars)
+    qs = {}
+    for r in rows:
+        t = r["text"]
+        if len(t) < 2:
+            continue
+        nll = -sum(math.log((big[a + b] + 1) / (uni[a] + V))
+                   for a, b in zip(t, t[1:])) / (len(t) - 1)
+        qs[r["doc_id"]] = int(math.floor(math.exp(nll) * 1e6 + 0.5))
+    ref = {}
+    for lang in ("L0", "L1"):
+        vals = sorted(q for d, q in qs.items() if rows[d]["lang"] == lang)
+        n = len(vals)
+        t1 = vals[math.ceil(n / 3) - 1]
+        t2 = vals[math.ceil(2 * n / 3) - 1]
+        for d, q in qs.items():
+            if rows[d]["lang"] != lang:
+                continue
+            ref[d] = "head" if q <= t1 else ("middle" if q <= t2 else "tail")
+
+    for par in (1, 6):
+        out = ppl_buckets(rd.from_items(rows).repartition(par)).to_pandas()
+        got = dict(zip(out.doc_id.astype(int), out.bucket))
+        assert got == ref, par
+        qgot = dict(zip(out.doc_id.astype(int),
+                        (out.ppl * 1e6).round().astype(int)))
+        assert qgot == qs
+    # terciles: each bucket holds roughly a third per language
+    for lang in ("L0", "L1"):
+        sub = out[out.lang == lang]
+        counts = sub.bucket.value_counts()
+        assert counts.min() >= len(sub) // 3 - 2
