@@ -2108,6 +2108,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = rewritten.to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def snake_shard_plan(sf_dir):
+        # token-balanced shard assignment: rank by (n_tok DESC,
+        # doc_id) via the histogram-offset distributed rank, snake
+        # fold rank -> shard (deterministic LPT alternative)
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            snake_shards,
+        )
+
+        out = snake_shards(
+            _docs(sf_dir, ["doc_id", "text"]), num_shards=8
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def ccnet_ppl_buckets(sf_dir):
         # CCNet-style head/middle/tail by per-language byte-bigram
         # perplexity terciles (exact radix-narrowed quantiles; the
@@ -3096,6 +3109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": dsir_scores_q,
         "zipf_by_source": zipf_by_source,
         "ccnet_ppl_buckets": ccnet_ppl_buckets,
+        "snake_shard_plan": snake_shard_plan,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4508,6 +4522,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT doc_id, t3 AS text, n_email, n_phone, n_ipv4 "
             "FROM s3 ORDER BY doc_id"
+        ),
+        # snake shards: ROW_NUMBER rank + the boustrophedon fold
+        "snake_shard_plan": (
+            "WITH n AS (SELECT doc_id, len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS n_tok FROM documents), "
+            "r AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, "
+            "ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rank FROM n) "
+            "SELECT doc_id, n_tok, rank, "
+            "CASE WHEN rank % 16 < 8 THEN rank % 16 "
+            "ELSE 15 - (rank % 16) END AS shard "
+            "FROM r ORDER BY doc_id"
         ),
         # CCNet buckets: the lm_perplexity chain + per-lang
         # quantile_disc terciles + the same <= bucket rule

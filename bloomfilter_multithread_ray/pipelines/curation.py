@@ -1689,3 +1689,74 @@ def redact_pii(
         return out
 
     return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def snake_shards(
+    docs: "Dataset",
+    *,
+    num_shards: int = 8,
+    text_col: str = "text",
+) -> "Dataset":
+    """Token-balanced shard assignment → ``{doc_id, n_tok, rank,
+    shard}``: docs ranked by (n_tok DESC, doc_id ASC) and dealt in
+    SNAKE (boustrophedon) order — rank r → s = r mod 2S, shard = s if
+    s < S else 2S−1−s — the deterministic balanced alternative to
+    greedy LPT packing (which is inherently sequential): consecutive
+    largest docs spread across all shards, then reverse, so shard
+    token sums stay within one doc of each other for monotone sizes.
+
+    Distributed rank without a global sort operator (the
+    ``pack_sequences`` shape): one grouped count per DISTINCT length
+    (O(distinct lengths) driver state — lengths are bounded; for a
+    corpus with a heavy modal length, salt the groupby), driver
+    prefix offsets over lengths sorted DESC, then one length-keyed
+    groupby ranks each group locally by doc_id. Only 16-byte skinny
+    rows shuffle; text never moves. Partition-invariant by
+    construction; the SQL mirror is ROW_NUMBER() OVER (ORDER BY
+    n_tok DESC, doc_id) − 1 plus the same fold.
+    """
+    from ..stages.text import _flat_nonempty_with_counts
+    from .agg import grouped_agg
+
+    S = int(num_shards)
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        _, counts = _flat_nonempty_with_counts(batch, text_col)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_tok": pa.array(counts.astype(np.int64))}
+        )
+
+    skinny = docs.map_batches(
+        ntok, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    hist = grouped_agg(
+        skinny, "n_tok", {"n": ("count", "doc_id")}, num_partitions=16
+    ).to_pandas()
+    lens = hist["n_tok"].to_numpy()
+    ns = hist["n"].to_numpy()
+    order = np.argsort(-lens)
+    lens, ns = lens[order], ns[order]
+    offsets = dict(zip(
+        lens.tolist(),
+        np.concatenate([[0], np.cumsum(ns)[:-1]]).tolist(),
+    ))
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = int(g.column("n_tok")[0].as_py())
+        o = np.argsort(ids, kind="stable")
+        rank = offsets[nt] + np.arange(len(ids), dtype=np.int64)
+        s = rank % (2 * S)
+        shard = np.where(s < S, s, 2 * S - 1 - s)
+        return pa.table(
+            {"doc_id": pa.array(ids[o]),
+             "n_tok": pa.array(np.full(len(ids), nt, dtype=np.int64)),
+             "rank": pa.array(rank),
+             "shard": pa.array(shard.astype(np.int64))}
+        )
+
+    return skinny.groupby("n_tok").map_groups(
+        rank_group, batch_format="pyarrow"
+    )

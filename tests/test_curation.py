@@ -655,3 +655,35 @@ def test_redact_pii_matches_re_reference_and_order(ray_session):
             for k, v in cnts.items():
                 assert int(out[k][i]) == v, (par, i, k)
     assert int(out.n_email[3]) == 1 and int(out.n_phone[3]) == 0
+
+
+def test_snake_shards_rank_and_balance(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.curation import snake_shards
+
+    rng = np.random.default_rng(7)
+    rows = [{"doc_id": i, "text": " ".join(["w"] * int(rng.integers(1, 200)))}
+            for i in range(300)]
+    # reference: rank by (n_tok desc, doc_id), snake fold
+    S = 8
+    ref_order = sorted(rows, key=lambda r: (-len(r["text"].split()), r["doc_id"]))
+    ref = {}
+    for rank, r in enumerate(ref_order):
+        s = rank % (2 * S)
+        ref[r["doc_id"]] = (rank, s if s < S else 2 * S - 1 - s)
+
+    for par in (1, 5):
+        out = snake_shards(
+            rd.from_items(rows).repartition(par), num_shards=S
+        ).to_pandas()
+        got = {int(r.doc_id): (int(r.rank), int(r.shard))
+               for r in out.itertuples()}
+        assert got == ref, par
+
+    # balance: shard token sums within ~one max-doc of each other
+    tok = {r["doc_id"]: len(r["text"].split()) for r in rows}
+    sums = np.zeros(S, dtype=np.int64)
+    for d, (_, sh) in ref.items():
+        sums[sh] += tok[d]
+    assert sums.max() - sums.min() <= max(tok.values())
