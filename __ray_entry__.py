@@ -2108,6 +2108,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = rewritten.to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def dedup_provenance(sf_dir):
+        # near-dup provenance matrix: which sources copy from which —
+        # exact 3-gram Jaccard pairs + two skinny source joins + one
+        # normalized source-pair fold (O(sources^2) output)
+        from bloomfilter_multithread_ray.pipelines.dedup import (
+            pair_provenance,
+        )
+
+        out = pair_provenance(
+            _docs(sf_dir, ["doc_id", "source", "text"]),
+            k=3, threshold=0.5,
+        ).to_pandas()
+        return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
     def snake_shard_plan(sf_dir):
         # token-balanced shard assignment: rank by (n_tok DESC,
         # doc_id) via the histogram-offset distributed rank, snake
@@ -3110,6 +3124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_by_source": zipf_by_source,
         "ccnet_ppl_buckets": ccnet_ppl_buckets,
         "snake_shard_plan": snake_shard_plan,
+        "dedup_provenance": dedup_provenance,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4522,6 +4537,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2) "
             "SELECT doc_id, t3 AS text, n_email, n_phone, n_ipv4 "
             "FROM s3 ORDER BY doc_id"
+        ),
+        # provenance matrix: the ngram_jaccard pair CTE + source
+        # joins + quantized-int mean per normalized source pair
+        "dedup_provenance": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "pairs AS (SELECT doc_a, doc_b, "
+            "CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5), "
+            "tagged AS (SELECT LEAST(da.source, db.source) AS source_a, "
+            "GREATEST(da.source, db.source) AS source_b, "
+            "CAST(TRUNC(jaccard * 1000000 + 0.5) AS BIGINT) AS jq "
+            "FROM pairs JOIN documents da ON da.doc_id = doc_a "
+            "JOIN documents db ON db.doc_id = doc_b) "
+            "SELECT source_a, source_b, count(*) AS n_pairs, "
+            "SUM(jq) / count(*) / 1000000.0 AS mean_jaccard "
+            "FROM tagged GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # snake shards: ROW_NUMBER rank + the boustrophedon fold
         "snake_shard_plan": (

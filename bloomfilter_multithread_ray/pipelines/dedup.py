@@ -1430,3 +1430,85 @@ def weighted_jaccard_pairs(
         )
 
     return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pair_provenance(
+    docs: "Dataset",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    source_col: str = "source",
+    round_dp: int = 6,
+) -> "Dataset":
+    """Near-dup PROVENANCE matrix → ``{source_a, source_b, n_pairs,
+    mean_jaccard}`` (source_a <= source_b lexicographically): which
+    sources copy from which — the "is crawl X mirroring crawl Y?"
+    audit every multi-source corpus assembly needs before mixing
+    weights are chosen.
+
+    Composition of proven parts: exact word-k-gram Jaccard pairs
+    (:func:`ngram_jaccard_pairs`, join-free posting kernel), two
+    skinny doc-keyed hash joins attach the endpoints' sources
+    (broadcast="auto" at fixture size, co-partitioned at scale), one
+    normalized (source_a, source_b)-keyed fold. Pairs stream —
+    nothing corpus-sized materializes; output is O(sources²) rows.
+    ``mean_jaccard`` averages pair scores QUANTIZED to int64 at 1e-6
+    half-away-from-zero (the repo's exactness convention: the int sum
+    is partition-invariant and the SQL mirror — ``TRUNC(j*1e6+0.5)``
+    — reproduces it bit-for-bit).
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold)
+    src = docs.select_columns(["doc_id", source_col])
+
+    def ren(old: str, new: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [new if c == old else c for c in t.column_names]
+            )
+        return fn
+
+    sa = src.map_batches(ren("doc_id", "doc_a"), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    sa = sa.map_batches(ren(source_col, "sa"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    sb = src.map_batches(ren("doc_id", "doc_b"), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    sb = sb.map_batches(ren(source_col, "sb"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    j = hash_join(pairs, sa, on="doc_a", broadcast="auto")
+    j = hash_join(j, sb, on="doc_b", broadcast="auto")
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column("sa").to_numpy(zero_copy_only=False)
+        b = t.column("sb").to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        jac = t.column("jaccard").to_numpy(zero_copy_only=False)
+        jq = np.floor(jac * 1e6 + 0.5).astype(np.int64)  # jaccard > 0
+        return pa.table({
+            "source_a": pa.array(lo, pa.string()),
+            "source_b": pa.array(hi, pa.string()),
+            "j": pa.array(jq),
+        })
+
+    g = grouped_agg(
+        j.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
+        ["source_a", "source_b"],
+        {"n_pairs": ("count", "j"), "jsum": ("sum", "j")},
+        num_partitions=16,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_pairs").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("jsum").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source_a": t.column("source_a"),
+            "source_b": t.column("source_b"),
+            "n_pairs": t.column("n_pairs"),
+            "mean_jaccard": pa.array(s / n / 1e6),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

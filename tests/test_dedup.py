@@ -440,3 +440,56 @@ def test_wjac_plan_choice(ray_session):
     plan, _ = _wjac_plan(tf, dense_vocab_max=16, max_token_df=3,
                          num_partitions=4)
     assert plan == "posting"
+
+
+def test_pair_provenance_matches_reference(ray_session):
+    import math
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines import dedup as D
+
+    # two sources that plagiarize each other + one clean source
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(10):
+        rows.append({"doc_id": i, "source": "sA", "text": base + f" tail{i}"})
+        rows.append({"doc_id": 100 + i, "source": "sB",
+                     "text": base + f" tail{i}"})
+        rows.append({"doc_id": 200 + i, "source": "sC",
+                     "text": " ".join(f"u{i}w{j}" for j in range(12))})
+
+    def grams(t, k=3):
+        w = [x for x in t.split() if x]
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    ref = {}
+    by_id = {r["doc_id"]: r for r in rows}
+    for a, b in combinations(sorted(by_id), 2):
+        ga, gb = grams(by_id[a]["text"]), grams(by_id[b]["text"])
+        if not ga or not gb:
+            continue
+        i = len(ga & gb)
+        if i == 0:
+            continue
+        j = i / (len(ga) + len(gb) - i)
+        if j < 0.5:
+            continue
+        key = tuple(sorted((by_id[a]["source"], by_id[b]["source"])))
+        n, s = ref.get(key, (0, 0))
+        ref[key] = (n + 1, s + int(math.floor(j * 1e6 + 0.5)))
+
+    expect = {k: (n, s / n / 1e6) for k, (n, s) in ref.items()}
+    for par in (1, 4):
+        out = D.pair_provenance(
+            rd.from_items(rows).repartition(par), k=3, threshold=0.5
+        ).to_pandas()
+        got = {(r.source_a, r.source_b): (int(r.n_pairs), float(r.mean_jaccard))
+               for r in out.itertuples()}
+        assert got.keys() == expect.keys(), par
+        for kk in expect:
+            assert got[kk][0] == expect[kk][0]
+            assert abs(got[kk][1] - expect[kk][1]) < 1e-12
+    # the cross-source plagiarism shows up; the clean source doesn't
+    assert ("sA", "sB") in got and not any("sC" in kk for kk in got)
