@@ -34,6 +34,7 @@ def cookbook_fixtures(ray_session):
     for i in range(120):
         body = " ".join(rng.choice(words, 25))
         rows.append({"doc_id": i, "text": body,
+                     "lang": "en" if i % 2 == 0 else "fr",
                      "source": "new" if i % 4 == 0 else f"src{i % 3}"})
     # plant exact dup of an old doc inside "new"
     rows[4]["text"] = rows[1]["text"]
@@ -49,7 +50,7 @@ def _blocks():
 
 def test_cookbook_blocks_execute(cookbook_fixtures, ray_session):
     blocks = _blocks()
-    assert len(blocks) == 15
+    assert len(blocks) == 17
     env: dict = {}
     for i, code in enumerate(blocks):
         # the first block's ray.init is owned by the session fixture
