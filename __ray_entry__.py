@@ -2108,6 +2108,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = rewritten.to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def dedup_weighted_lsh(sf_dir):
+        # sub-quadratic weighted near-dup: ICWS weighted-MinHash
+        # banding (component collision prob == weighted Jaccard,
+        # Ioffe 2010) -> candidate buckets -> EXACT tf-join verify;
+        # aggressive fixture banding (64 bands x 2 rows, est margin
+        # 0.25) reaches recall 1.0 here, so the oracle is the exact
+        # weighted-Jaccard SQL — a genuine losslessness check
+        from bloomfilter_multithread_ray.pipelines.dedup import (
+            weighted_dup_pairs_lsh,
+        )
+
+        out = weighted_dup_pairs_lsh(
+            _docs(sf_dir, ["doc_id", "text"]),
+            tau=0.55, num_hashes=128, bands=64, est_margin=0.25,
+        ).to_pandas()
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
     def dedup_provenance(sf_dir):
         # near-dup provenance matrix: which sources copy from which —
         # exact 3-gram Jaccard pairs + two skinny source joins + one
@@ -3125,6 +3142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_ppl_buckets": ccnet_ppl_buckets,
         "snake_shard_plan": snake_shard_plan,
         "dedup_provenance": dedup_provenance,
+        "dedup_weighted_lsh": dedup_weighted_lsh,
         "pack_sequences_global": pack_sequences_global,
         "pack_sequences_text": pack_sequences_text,
         "split_leakage": split_leakage,
@@ -4706,6 +4724,23 @@ def oracle_sql() -> dict[str, str]:
         # exact tf-weighted Jaccard: sum-min intersections over the
         # token join, denominator wa + wb - i from per-doc total tf
         "dedup_weighted_tf": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, sum(c) AS w FROM tf GROUP BY 1), "
+            "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "SUM(LEAST(a.c, b.c)) AS i FROM tf a JOIN tf b USING (tok) "
+            "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, "
+            "ROUND(CAST(i AS DOUBLE) / (sa.w + sb.w - i), 6) AS wjaccard "
+            "FROM i JOIN sz sa ON sa.doc_id = doc_a "
+            "JOIN sz sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.w + sb.w - i) >= 0.55 "
+            "ORDER BY doc_a, doc_b"
+        ),
+        # LSH variant: same EXACT semantics oracle (recall 1.0
+        # at fixture banding is part of the check)
+        "dedup_weighted_lsh": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("
             "string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
             "tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), "

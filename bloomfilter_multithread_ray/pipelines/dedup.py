@@ -1512,3 +1512,261 @@ def pair_provenance(
         })
 
     return g.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _wjac_tf_rows_fn(text_col: str = "text"):
+    """batch → per-batch (doc_id, token-hash, tf) partials {doc_id,
+    th, c} — the skinny weighted-feature rows both weighted-Jaccard
+    plans and the LSH verifier consume (a doc spanning batches ships
+    split partials; consumers SUM per (doc_id, th) before use)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..stages.text import flat_nonempty_with_offsets
+
+        flat, offs = flat_nonempty_with_offsets(batch, text_col)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        if len(flat) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "th": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        th = hash_strings(flat).view(np.int64)
+        doc = np.repeat(ids, counts)
+        key = np.stack([doc, th], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(uniq[:, 0]), "th": pa.array(uniq[:, 1]),
+             "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    return fn
+
+
+# ---------------------------------------------------- ICWS weighted MinHash
+def make_icws_fn(
+    num_hashes: int = 128, seed: int = 0,
+    text_col: str = "text", id_col: str = "doc_id",
+):
+    """batch → {doc_id, sig: fixed_size_list<uint64>[num_hashes]} of
+    ICWS weighted-MinHash components (Ioffe 2010, "Improved Consistent
+    Sampling, Weighted Minhash and L1 Sketching"): two documents'
+    components collide with probability EXACTLY their tf-weighted
+    Jaccard, the way plain MinHash components collide with set
+    Jaccard — the sub-quadratic candidate generator for
+    :func:`weighted_jaccard_pairs`' measure.
+
+    Per hash k, feature g with weight w ≥ 1: r, c ~ Gamma(2,1) and
+    β ~ U(0,1] derive purely from splitmix64(g ⊕ seed_k,i) (nothing
+    ships, any partitioning reproduces them); t = ⌊ln w / r + β⌋,
+    ln a = ln c − r(t − β) − r; the doc's component is the argmin-a
+    feature packed with its t (ties break to the lowest feature hash
+    — a total order, so the argmin is deterministic even on float
+    ties). All draws/argmins are vectorized per batch with two
+    ``minimum.reduceat`` passes per hash; docs with no tokens are
+    dropped (they cannot near-duplicate anything).
+    """
+    S = int(num_hashes)
+    base = splitmix64(
+        np.arange(S * 6, dtype=UINT64) * UINT64(0x9E3779B97F4A7C15)
+        ^ UINT64(seed * 0x10001 + 1)
+    )
+    TWO53 = float(1 << 53)
+
+    def _u(th: np.ndarray, b: np.uint64) -> np.ndarray:
+        return ((splitmix64(th ^ b) >> UINT64(11)).astype(np.float64) + 1.0) / TWO53
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..stages.text import flat_nonempty_with_offsets
+
+        sig_t = pa.list_(pa.uint64(), S)
+        ids_col = batch.column(id_col)
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        flat, offs = flat_nonempty_with_offsets(batch, text_col)
+        counts = np.diff(offs)
+        if len(flat) == 0:
+            return pa.table({id_col: ids_col.slice(0, 0),
+                             "sig": pa.array([], sig_t)})
+        th_all = hash_strings(flat)  # uint64
+        row_all = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        # distinct (row, token) with tf counts, (row, th)-sorted
+        order = np.lexsort((th_all, row_all))
+        rows_s, th_s = row_all[order], th_all[order]
+        new = np.empty(len(rows_s), dtype=bool)
+        new[0] = True
+        new[1:] = (rows_s[1:] != rows_s[:-1]) | (th_s[1:] != th_s[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate([starts, [len(rows_s)]]))
+        rows_d, th_d = rows_s[starts], th_s[starts]
+        seg_starts = np.flatnonzero(np.diff(rows_d, prepend=-1))
+        docs_present = rows_d[seg_starts]
+        nseg = len(seg_starts)
+        seg_lens = np.diff(np.concatenate([seg_starts, [len(rows_d)]]))
+        seg_of = np.repeat(np.arange(nseg, dtype=np.int64), seg_lens)
+        rowpos = np.arange(len(rows_d), dtype=np.int64)
+        lnw = np.log(cnt.astype(np.float64))
+        sig = np.empty((nseg, S), dtype=UINT64)
+        for k in range(S):
+            u0 = _u(th_d, base[6 * k + 0])
+            u1 = _u(th_d, base[6 * k + 1])
+            r = np.maximum(-np.log(u0 * u1), 1e-12)  # Gamma(2,1), clipped
+            u2 = _u(th_d, base[6 * k + 2])
+            u3 = _u(th_d, base[6 * k + 3])
+            c = np.maximum(-np.log(u2 * u3), 1e-300)
+            beta = _u(th_d, base[6 * k + 4])
+            t = np.floor(lnw / r + beta)
+            lna = np.log(c) - r * (t - beta) - r
+            m = np.minimum.reduceat(lna, seg_starts)
+            first = np.minimum.reduceat(
+                np.where(lna == m[seg_of], rowpos, np.iinfo(np.int64).max),
+                seg_starts,
+            )
+            t_sel = t[first].astype(np.int64).astype(UINT64)
+            sig[:, k] = splitmix64(
+                th_d[first] ^ splitmix64(t_sel ^ base[6 * k + 5])
+            )
+        return pa.table({
+            id_col: ids_col.take(pa.array(docs_present, pa.int64())),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1)), S
+            ),
+        })
+
+    return fn
+
+
+def icws_signatures(
+    ds: "Dataset", *, num_hashes: int = 128, seed: int = 0,
+    text_col: str = "text",
+) -> "Dataset":
+    return ds.map_batches(
+        make_icws_fn(num_hashes, seed, text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def weighted_dup_pairs_lsh(
+    docs: "Dataset",
+    *,
+    tau: float = 0.3,
+    num_hashes: int = 128,
+    bands: int | None = None,
+    seed: int = 0,
+    est_margin: float = 0.15,
+    max_bucket: int = 4096,
+    num_partitions: int = 64,
+    round_dp: int = 6,
+) -> "Dataset":
+    """Sub-quadratic tf-weighted Jaccard near-dup pairs → ``{doc_a,
+    doc_b, wjaccard}`` (EXACT scores on LSH candidates) — the
+    100-TB path for :func:`weighted_jaccard_pairs`' measure, which is
+    inherently Σdf² / O(n²) in exact form.
+
+    Three stages, each bounded: (1) ICWS signatures (collision prob
+    per component = weighted Jaccard exactly — Ioffe 2010), banded
+    into buckets by the SAME machinery as MinHash-LSH (band rows
+    carry signatures; bucket-pair expansion capped at ``max_bucket``
+    doc-sorted); candidates keep an in-bucket signature-agreement
+    estimate ≥ ``tau − est_margin`` (est sd = √(J(1−J)/S) ≈ 0.044 at
+    S=128, so the margin costs ~0 recall and prunes far-below-τ
+    noise). (2) EXACT verification of the deduped candidate list:
+    two candidate-bounded hash joins against the per-doc tf table
+    (composite (doc, token) key on the right side) sum
+    min(tf_a, tf_b) per pair; (3) two skinny size joins finish
+    wJ = i/(wa+wb−i) ≥ τ — precision is exact by construction,
+    recall is the banding s-curve (tunable via ``bands``). Text never
+    shuffles; nothing corpus-quadratic materializes.
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    S = int(num_hashes)
+    B = bands if bands is not None else pick_lsh_bands(S, float(tau))
+    rpb = S // B
+    P = int(num_partitions)
+
+    sigs = icws_signatures(docs, num_hashes=S, seed=seed)
+    band_rows = sigs.map_batches(
+        _band_rows_fn(B, rpb), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def add_bp(t: pa.Table) -> pa.Table:
+        bk = t.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("bp", pa.array((bk % np.uint64(P)).astype(np.int64)))
+
+    cand = (
+        band_rows.map_batches(add_bp, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("bp")
+        .map_groups(
+            _partition_bucket_pairs_fn(
+                max(0.0, float(tau) - float(est_margin)), S, max_bucket
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # dedupe candidates across buckets/bands
+    cand = grouped_agg(
+        cand, ["doc_a", "doc_b"], {"nb": ("count", "est_jaccard")},
+        num_partitions=P,
+    ).select_columns(["doc_a", "doc_b"])
+
+    # exact verification against the per-doc tf table
+    tf = grouped_agg(
+        docs.map_batches(_wjac_tf_rows_fn("text"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["doc_id", "th"], {"cnt": ("sum", "c")}, num_partitions=P,
+    ).materialize()
+    sizes = grouped_agg(tf, "doc_id", {"wsz": ("sum", "cnt")},
+                        num_partitions=P)
+
+    def ren(pairs_):
+        def fn(t: pa.Table) -> pa.Table:
+            names = [dict(pairs_).get(c, c) for c in t.column_names]
+            return t.rename_columns(names)
+        return fn
+
+    ta = tf.map_batches(ren([("doc_id", "doc_a"), ("cnt", "ca")]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    tb = tf.map_batches(ren([("doc_id", "doc_b"), ("cnt", "cb")]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(cand, ta, on="doc_a", broadcast="auto", num_partitions=P)
+    j2 = hash_join(j1, tb, on=["doc_b", "th"], broadcast="auto",
+                   num_partitions=P)
+
+    def add_min(t: pa.Table) -> pa.Table:
+        ca = t.column("ca").to_numpy(zero_copy_only=False)
+        cb = t.column("cb").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
+            "m": pa.array(np.minimum(ca, cb).astype(np.int64)),
+        })
+
+    inter = grouped_agg(
+        j2.map_batches(add_min, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_a", "doc_b"], {"inter": ("sum", "m")}, num_partitions=P,
+    )
+    sa = sizes.map_batches(ren([("doc_id", "doc_a"), ("wsz", "wa")]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    sb = sizes.map_batches(ren([("doc_id", "doc_b"), ("wsz", "wb")]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    out = hash_join(inter, sa, on="doc_a", broadcast="auto", num_partitions=P)
+    out = hash_join(out, sb, on="doc_b", broadcast="auto", num_partitions=P)
+
+    TAU = float(tau)
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        wa = t.column("wa").to_numpy(zero_copy_only=False).astype(np.float64)
+        wb = t.column("wb").to_numpy(zero_copy_only=False).astype(np.float64)
+        wj = i / (wa + wb - i)
+        keep = wj >= TAU
+        return pa.table({
+            "doc_a": t.column("doc_a").filter(pa.array(keep)),
+            "doc_b": t.column("doc_b").filter(pa.array(keep)),
+            "wjaccard": pa.array(np.round(wj[keep], round_dp)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -493,3 +493,54 @@ def test_pair_provenance_matches_reference(ray_session):
             assert abs(got[kk][1] - expect[kk][1]) < 1e-12
     # the cross-source plagiarism shows up; the clean source doesn't
     assert ("sA", "sB") in got and not any("sC" in kk for kk in got)
+
+
+def test_icws_collision_prob_equals_weighted_jaccard(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.dedup import icws_signatures
+
+    ta = "a a a b b c d e f g"
+    tb = "a a b b b c d x y z"
+    ca, cb = Counter(ta.split()), Counter(tb.split())
+    inter = sum(min(ca[t], cb[t]) for t in ca if t in cb)
+    wj = inter / (sum(ca.values()) + sum(cb.values()) - inter)
+    S = 2048
+    sigs = icws_signatures(
+        rd.from_items([{"doc_id": 0, "text": ta}, {"doc_id": 1, "text": tb}]),
+        num_hashes=S,
+    ).to_pandas()
+    m = {r.doc_id: np.array(r.sig) for r in sigs.itertuples()}
+    rate = (m[0] == m[1]).mean()
+    sd = (wj * (1 - wj) / S) ** 0.5
+    assert abs(rate - wj) < 4 * sd, (rate, wj)
+
+
+def test_weighted_lsh_exact_verify_and_partitioning(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines import dedup as D
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=int(rng.integers(3, 40))))}
+        for i in range(150)
+    ]
+    ds = rd.from_items(rows)
+    exact = D.weighted_jaccard_pairs(ds, tau=0.5).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    outs = []
+    for par in (1, 6):
+        lsh = D.weighted_dup_pairs_lsh(
+            ds.repartition(par), tau=0.5, num_hashes=128, bands=64,
+            est_margin=0.25,
+        ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        outs.append(lsh)
+        # precision exact by construction; aggressive banding reaches
+        # full recall on this corpus -> bit-equal to the exact op
+        pd.testing.assert_frame_equal(lsh, exact)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
