@@ -308,6 +308,23 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "users_top_event_type",
         "users_type_entropy",
         "stratified_sample_weighted",
+        # round-4 wave: packing/LM/weighted-dedup/embedding graph ops
+        "dedup_weighted_tf",
+        "strip_boilerplate",
+        "mix_temperature_plan",
+        "pack_sequences_text",
+        "knn_graph_exact",
+        "split_leakage_embedding",
+        "lm_trigram_ppl",
+        "embedding_jl_project",
+        # round-4 wave 2: curation signals + sharding + provenance
+        "pii_redaction",
+        "dsir_scores",
+        "zipf_by_source",
+        "ccnet_ppl_buckets",
+        "snake_shard_plan",
+        "dedup_provenance",
+        "hard_negatives",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -554,6 +554,17 @@ def ppl_buckets(
                            zero_copy_batch=True),
         langs, on="doc_id", broadcast="auto",
     ).materialize()
+    if j.count() == 0:
+        # every doc was too short to score: typed empty (Ray drops
+        # the schema of all-empty datasets through to_pandas)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            lang_col: pa.array([], pa.string()),
+            "ppl": pa.array([], pa.float64()),
+            "bucket": pa.array([], pa.string()),
+        }))
     t1 = grouped_quantile_disc(j, lang_col, "ppl_q", q_head)
     t2 = grouped_quantile_disc(j, lang_col, "ppl_q", q_mid)
     th1 = dict(zip(t1[lang_col], t1["value"]))
