@@ -3006,6 +3006,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["roll_max_micros"] = df["roll_max_micros"].astype("int64")
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def events_decayed_activity(sf_dir):
+        return A.decayed_activity(
+            lambda: R.read(sf_dir, "events", ["ts", "user_id", "value"]),
+            half_life_days=1, topk=100,
+        )
+
+    def k_anonymity_audit(sf_dir):
+        return A.k_anonymity_audit(
+            R.read(sf_dir, "events", ["ts", "event_type", "value"]), k=5,
+        )
+
+    def events_value_psi(sf_dir):
+        return A.value_psi(
+            lambda: R.read(sf_dir, "events", ["ts", "value"]), bin_width=10.0,
+        )
+
+    def rendezvous_shards_q(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.curation import (
+            rendezvous_shards,
+        )
+
+        return rendezvous_shards(
+            _docs(sf_dir, ["doc_id"]), n_shards=8, n_shards_after=9,
+        )
+
     return {
         "distinct_tokens": distinct_tokens,
         "heavy_hitters": heavy_hitters,
@@ -3127,6 +3152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
+        "events_decayed_activity": events_decayed_activity,
+        "k_anonymity_audit": k_anonymity_audit,
+        "events_value_psi": events_value_psi,
+        "rendezvous_shards": rendezvous_shards_q,
         "full_curation": full_curation,
         "full_pretrain_curation": full_pretrain_curation,
         "embedding_jl_project": embedding_jl_project,
@@ -3207,6 +3236,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # --------------------------------------------------------------------------
+def _splitmix_chain(carry: str, z0: str, src: str) -> str:
+    """WITH-body CTE chain computing h = splitmix64(``z0``) as UBIGINT.
+
+    ``z0`` must be a non-negative HUGEINT expression over ``src``;
+    ``carry`` columns are threaded through every step. The chain is
+    the same mulmod decomposition (avoiding int128 overflow) used
+    verbatim by the corpus_sample / assign_splits oracles — hoisted
+    into a builder so new oracles stop hand-copying 14 lines of SQL.
+    Caller appends further CTEs / the final SELECT reading ``s3``.
+    """
+    c = f"{carry}, " if carry else ""
+    return (
+        f"s0 AS (SELECT {c}({z0} + 11400714819323198485) "
+        f"% 18446744073709551616 AS z FROM {src}), "
+        f"x1 AS (SELECT {c}CAST(xor(CAST(z AS UBIGINT), "
+        f"CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS a FROM s0), "
+        f"s1 AS (SELECT {c}((a % 4294967296) * 13787848793156543929 "
+        f"+ (((a // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS z FROM x1), "
+        f"x2 AS (SELECT {c}CAST(xor(CAST(z AS UBIGINT), "
+        f"CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS a FROM s1), "
+        f"s2 AS (SELECT {c}((a % 4294967296) * 10723151780598845931 "
+        f"+ (((a // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS z FROM x2), "
+        f"s3 AS (SELECT {c}xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h FROM s2)"
+    )
+
+
 def _sssp_oracle() -> str:
     """Chained-CTE Bellman-Ford: one MIN-fold per hop — O(E) per step,
     no recursive path explosion (a UNION-ALL walk would enumerate
@@ -4341,6 +4398,67 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'train' END AS split, COUNT(*) AS n_docs, "
             "CAST(SUM(n_tok) AS BIGINT) AS total_tok "
             "FROM s3 GROUP BY 1 ORDER BY split"
+        ),
+        # time-decayed per-user activity: 0.5^age_days is an exact power
+        # of two (value*2^-d shifts the exponent only), so the single
+        # rounding is the 1e-6 quantization -> exact int sums both sides
+        "events_decayed_activity": (
+            "WITH mx AS (SELECT MAX(epoch_us(ts)) AS tm FROM events), "
+            "d AS (SELECT user_id, value, "
+            "(mx.tm - epoch_us(ts)) // 86400000000 AS age "
+            "FROM events, mx WHERE value IS NOT NULL), "
+            "q AS (SELECT user_id, CAST(ROUND(value * pow(0.5, age) "
+            "* 1000000.0) AS BIGINT) AS qv FROM d) "
+            "SELECT user_id, CAST(SUM(qv) AS BIGINT) AS score_q, "
+            "COUNT(*) AS n_events FROM q GROUP BY user_id "
+            "ORDER BY score_q DESC, user_id LIMIT 100"
+        ),
+        # k-anonymity audit: quasi-identifier tuples with < 5 members;
+        # hour from integer epoch-us division, bucket floor() exact
+        "k_anonymity_audit": (
+            "SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour, "
+            "CAST(FLOOR(value / 10.0) AS BIGINT) AS vbin, COUNT(*) AS n "
+            "FROM events WHERE value IS NOT NULL "
+            "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 "
+            "ORDER BY event_type, hour, vbin"
+        ),
+        # PSI drift: integer-us midpoint split, Laplace-smoothed rates,
+        # contribution quantized at 1e-9 (same fixed-shape float chain +
+        # libm ln both sides)
+        "events_value_psi": (
+            "WITH mm AS (SELECT MIN(epoch_us(ts)) AS lo, "
+            "MAX(epoch_us(ts)) AS hi FROM events), "
+            "d AS (SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS vbin, "
+            "CASE WHEN epoch_us(ts) < mm.lo + (mm.hi - mm.lo) // 2 "
+            "THEN 1 ELSE 2 END AS half FROM events, mm "
+            "WHERE value IS NOT NULL), "
+            "c AS (SELECT vbin, SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1, "
+            "SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2 FROM d GROUP BY 1), "
+            "tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2, COUNT(*) AS b FROM c) "
+            "SELECT vbin, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+            "CAST(ROUND(((n2 + 1.0) / (t2 + b) - (n1 + 1.0) / (t1 + b)) "
+            "* ln(((n2 + 1.0) / (t2 + b)) / ((n1 + 1.0) / (t1 + b))) "
+            "* 1000000000.0) AS BIGINT) AS contrib_q "
+            "FROM c, tot ORDER BY vbin"
+        ),
+        # rendezvous sharding: h = splitmix64(doc_id*16+shard) via the
+        # shared mulmod chain; winner = max h, tie to lowest shard
+        "rendezvous_shards": (
+            "WITH sh AS (SELECT CAST(range AS BIGINT) AS shard FROM range(9)), "
+            "p AS (SELECT d.doc_id, sh.shard FROM documents d CROSS JOIN sh), "
+            + _splitmix_chain(
+                "doc_id, shard", "CAST(doc_id * 16 + shard AS HUGEINT)", "p"
+            )
+            + ", b AS (SELECT doc_id, shard AS sb FROM (SELECT doc_id, shard, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, shard) AS rn "
+            "FROM s3 WHERE shard < 8) WHERE rn = 1), "
+            "af AS (SELECT doc_id, shard AS sa FROM (SELECT doc_id, shard, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, shard) AS rn "
+            "FROM s3) WHERE rn = 1) "
+            "SELECT b.sb AS shard, COUNT(*) AS n_docs, "
+            "CAST(SUM(CASE WHEN af.sa <> b.sb THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_moved FROM b JOIN af USING (doc_id) "
+            "GROUP BY 1 ORDER BY shard"
         ),
         # exact per-group median absolute deviation (two quantile_disc
         # passes; element picks -> bit-identical doubles)

@@ -2615,3 +2615,208 @@ def weighted_sample_by_group(
         .drop(columns=["akey"])
     )
     return out.sort_values([group_col, id_col]).reset_index(drop=True)
+
+
+# ------------------------------------------------- time-decayed activity
+def decayed_activity(
+    read_events,
+    *,
+    half_life_days: int = 1,
+    topk: int = 100,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Per-user time-decayed activity score (recency-weighted engagement):
+    score = Σ value · 0.5^(age_days // half_life_days), age measured
+    back from the corpus max timestamp → top-``topk`` users by score.
+
+    The freshness-weighting primitive behind "active user" / "recent
+    contribution" rankings. Exactness contract: the decay weight
+    0.5^d is an exact power of two (value·2^-d only shifts the
+    exponent — NO float rounding), so the single rounding step is the
+    1e-6 quantization to int64, half-away-from-zero — bit-equal under
+    any partitioning and re-derivable in SQL (``ROUND(value *
+    pow(0.5, d) * 1e6)``). Scale shape: the reference timestamp is a
+    skinny per-batch max fold (O(blocks) rows to the driver), the
+    score is a map-side-combined fixed-P grouped int sum; values
+    never ship un-aggregated. ``read_events`` is a zero-arg factory
+    returning a fresh pruned Dataset (two passes over a column-pruned
+    read, both streaming).
+
+    Reference analog: per-partition fill counters aggregated to the
+    driver (src/main.cpp:120 probe-side stats), generalized to a
+    keyed decay fold.
+    """
+    us_per = np.int64(86_400_000_000) * np.int64(half_life_days)
+
+    def batch_max(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        if len(ts) == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([int(ts.astype(np.int64).max())])})
+
+    parts = read_events().map_batches(
+        batch_max, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "score_q": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64)})
+    t_max = np.int64(parts["m"].max())
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(v)
+        age = (t_max - ts[valid]) // us_per
+        # exact: v * 2^-age shifts the exponent only; one rounding at 1e-6
+        u = v[valid] * np.power(0.5, age.astype(np.float64)) * 1_000_000.0
+        q = np.trunc(u + np.copysign(0.5, u)).astype(np.int64)
+        return pa.table({"user_id": pa.array(uid[valid]), "qv": pa.array(q)})
+
+    from .agg import grouped_agg
+
+    out = grouped_agg(
+        read_events().map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"score_q": ("sum", "qv"), "n_events": ("count", None)},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    out["score_q"] = out["score_q"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out = out.sort_values(
+        ["score_q", "user_id"], ascending=[False, True]
+    ).head(topk)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------- k-anonymity audit
+def k_anonymity_audit(
+    ds: "Dataset",
+    *,
+    k: int = 5,
+    bin_width: float = 10.0,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Privacy audit: quasi-identifier tuples (event_type, hour-of-day,
+    value bucket) whose group size is < ``k`` — the rows a k-anonymity
+    release would have to suppress or generalize.
+
+    Map-only derive (hour from epoch-µs integer division, bucket =
+    floor(value/width) — both exact on doubles) + one fixed-P grouped
+    count over O(tuples) skinny partials; the < k filter runs on the
+    already-aggregated group table. NULL values are dropped (COUNT(col)
+    semantics). Output: {event_type, hour, vbin, n} for flagged tuples.
+    """
+    from .agg import grouped_agg
+
+    w = float(bin_width)
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(v)
+        hour = (ts[valid] // 3_600_000_000) % 24
+        vbin = np.floor(v[valid] / w).astype(np.int64)
+        return pa.table(
+            {"event_type": t.column("event_type").filter(pa.array(valid)),
+             "hour": pa.array(hour), "vbin": pa.array(vbin)}
+        )
+
+    out = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour", "vbin"],
+        {"n": ("count", None)},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out = out[out["n"] < int(k)]
+    return out.sort_values(["event_type", "hour", "vbin"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- PSI distribution drift
+def value_psi(
+    read_events,
+    *,
+    bin_width: float = 10.0,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Population Stability Index between the first and second time
+    half of the stream: per value-bucket Laplace-smoothed rates and
+    the PSI contribution (p2 − p1)·ln(p2/p1), quantized to 1e-9 int64
+    — the standard data-drift monitor for a continuously ingested
+    corpus (Σ contrib ⇒ PSI; > 0.2 conventionally flags drift).
+
+    Two skinny passes over a column-pruned read: an O(blocks) min/max
+    timestamp fold picks the midpoint split (integer µs, no float),
+    then one fixed-P grouped count of (bucket, half) partials —
+    O(buckets) rows shuffle, values never do. The driver fold is
+    O(buckets). Smoothing p = (c+1)/(n+B) with B = observed bucket
+    count keeps every contribution finite and makes the float chain a
+    fixed-shape expression both engines evaluate identically (one
+    rounding per op, same libm ln). Output: {vbin, n1, n2, contrib_q}.
+    """
+    from .agg import grouped_agg
+
+    w = float(bin_width)
+
+    def batch_minmax(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        if len(ts) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(ts.min())]),
+                         "hi": pa.array([int(ts.max())])})
+
+    mm = read_events().map_batches(
+        batch_minmax, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(mm) == 0:
+        return pd.DataFrame({"vbin": pd.Series([], dtype=np.int64),
+                             "n1": pd.Series([], dtype=np.int64),
+                             "n2": pd.Series([], dtype=np.int64),
+                             "contrib_q": pd.Series([], dtype=np.int64)})
+    lo, hi = np.int64(mm["lo"].min()), np.int64(mm["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(v)
+        vbin = np.floor(v[valid] / w).astype(np.int64)
+        half = np.where(ts[valid] < mid, np.int64(1), np.int64(2))
+        return pa.table({"vbin": pa.array(vbin), "half": pa.array(half)})
+
+    counts = grouped_agg(
+        read_events().map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["vbin", "half"],
+        {"n": ("count", None)},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    piv = counts.pivot_table(index="vbin", columns="half", values="n",
+                             aggfunc="sum", fill_value=0)
+    for h in (1, 2):
+        if h not in piv.columns:
+            piv[h] = 0
+    c1 = piv[1].to_numpy(dtype=np.int64)
+    c2 = piv[2].to_numpy(dtype=np.int64)
+    n1, n2, B = int(c1.sum()), int(c2.sum()), len(piv)
+    p1 = (c1 + 1.0) / (n1 + B)
+    p2 = (c2 + 1.0) / (n2 + B)
+    u = (p2 - p1) * np.log(p2 / p1) * 1_000_000_000.0
+    q = np.trunc(u + np.copysign(0.5, u)).astype(np.int64)
+    out = pd.DataFrame({"vbin": piv.index.to_numpy(dtype=np.int64),
+                        "n1": c1, "n2": c2, "contrib_q": q})
+    return out.sort_values("vbin").reset_index(drop=True)

@@ -1760,3 +1760,66 @@ def snake_shards(
     return skinny.groupby("n_tok").map_groups(
         rank_group, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------- rendezvous (HRW) sharding
+def rendezvous_shards(
+    ds: "Dataset",
+    *,
+    n_shards: int = 8,
+    n_shards_after: int = 9,
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Highest-random-weight (rendezvous) shard assignment plus its
+    defining stability property, measured: assign every doc under
+    ``n_shards`` and under ``n_shards_after`` shards and count, per
+    original shard, how many docs move — HRW guarantees a doc's shard
+    changes ONLY if the new shard wins its argmax, so growing the
+    ring from N to N+1 relocates ≈ 1/(N+1) of keys and every mover
+    lands on the new shard (pytest-pinned). This is the
+    consistent-placement primitive for incremental 100-TB stores: a
+    node join/leave invalidates one shard's fraction, not a full
+    rehash (mod-N sharding moves (N-1)/N of all keys).
+
+    Deterministic derived randomness: score(doc, shard) =
+    splitmix64(doc_id·16 + shard) (injective for shard < 16; loud
+    failure otherwise), winner = max score, ties (2⁻⁶⁴-improbable,
+    still defined) to the lowest shard. Map-only vectorized argmax per
+    batch — the (docs × shards) score matrix never materializes
+    globally — then one fixed-P grouped count of O(shards) partials.
+    Output: {shard, n_docs, n_moved}.
+
+    Reference analog: the hash-derived partition routing
+    (src/SkmerExtractor.cpp:164), upgraded from mod-P to the
+    placement scheme that survives membership change.
+    """
+    if not (0 < n_shards < n_shards_after <= 16):
+        raise ValueError("need 0 < n_shards < n_shards_after <= 16")
+    from .agg import grouped_agg
+
+    nb, na = int(n_shards), int(n_shards_after)
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids < 0).any():
+            raise ValueError("rendezvous_shards: negative ids unsupported")
+        z0 = ids.astype(np.uint64)[:, None] * np.uint64(16) + np.arange(
+            na, dtype=np.uint64
+        )[None, :]
+        h = splitmix64(z0.ravel()).reshape(len(ids), na)
+        # np.argmax returns the FIRST max → lowest shard on a tie
+        before = np.argmax(h[:, :nb], axis=1).astype(np.int64)
+        after = np.argmax(h, axis=1).astype(np.int64)
+        moved = (after != before).astype(np.int64)
+        return pa.table({"shard": pa.array(before), "mv": pa.array(moved)})
+
+    out = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["shard"],
+        {"n_docs": ("count", None), "n_moved": ("sum", "mv")},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_moved"] = out["n_moved"].astype(np.int64)
+    return out.sort_values("shard").reset_index(drop=True)

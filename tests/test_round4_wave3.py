@@ -1,0 +1,183 @@
+"""Round-4 wave-3 operators: time-decayed activity, k-anonymity audit,
+PSI drift, rendezvous (HRW) sharding — independent re-derivations +
+partition invariance + the operators' defining properties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(cols, blocks=None):
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=cols)
+    if blocks:
+        ds = ds.repartition(blocks)
+    return ds
+
+
+# --------------------------------------------------- decayed activity
+def test_decayed_activity_reference_parity_and_partitioning(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    got = A.decayed_activity(
+        lambda: _events(["ts", "user_id", "value"]), half_life_days=1, topk=100
+    )
+    got2 = A.decayed_activity(
+        lambda: _events(["ts", "user_id", "value"], blocks=7),
+        half_life_days=1, topk=100, num_partitions=5,
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+    # independent single-process re-derivation
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id", "value"])
+    df = df[df["value"].notna()].copy()
+    ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    t_max = ts.max()
+    age = (t_max - ts) // 86_400_000_000
+    u = df["value"].to_numpy() * np.power(0.5, age.astype(float)) * 1e6
+    q = np.trunc(u + np.copysign(0.5, u)).astype(np.int64)
+    ref = (
+        pd.DataFrame({"user_id": df["user_id"].to_numpy(), "qv": q})
+        .groupby("user_id")
+        .agg(score_q=("qv", "sum"), n_events=("qv", "size"))
+        .reset_index()
+        .sort_values(["score_q", "user_id"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    ref["n_events"] = ref["n_events"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_decayed_activity_decay_property(ray_session):
+    """A newer event of equal value must contribute strictly more than
+    an event ≥ one half-life older (monotone freshness weighting)."""
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    t0 = np.datetime64("2024-01-10T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "ts": [t0, t0 - np.timedelta64(3, "D"), t0 - np.timedelta64(9, "D")],
+            "user_id": [1, 2, 3],
+            "value": [100.0, 100.0, 100.0],
+        }
+    )
+    out = A.decayed_activity(
+        lambda: ray.data.from_pandas(df), half_life_days=1, topk=10
+    )
+    s = dict(zip(out["user_id"], out["score_q"]))
+    assert s[1] == 100_000_000  # age 0 -> full weight at 1e-6 quanta
+    assert s[1] > s[2] > s[3] > 0
+    assert s[2] == 12_500_000  # 100 * 2^-3 * 1e6
+
+
+# --------------------------------------------------- k-anonymity audit
+def test_k_anonymity_flags_exactly_the_small_groups(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    t0 = np.datetime64("2024-01-01T05:30:00", "us")
+    rows = []
+    # planted: 7 identical tuples (safe at k=5), 2 identical (flagged),
+    # 1 singleton (flagged)
+    for _ in range(7):
+        rows.append((t0, "click", 12.0))
+    for _ in range(2):
+        rows.append((t0 + np.timedelta64(1, "h"), "click", 12.0))
+    rows.append((t0, "buy", 95.0))
+    rows.append((t0, "click", None))  # NULL value dropped
+    df = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    out = A.k_anonymity_audit(ray.data.from_pandas(df), k=5)
+    assert len(out) == 2
+    assert set(zip(out["event_type"], out["hour"], out["vbin"], out["n"])) == {
+        ("click", 6, 1, 2),
+        ("buy", 5, 9, 1),
+    }
+    out2 = A.k_anonymity_audit(ray.data.from_pandas(df).repartition(5), k=5)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+# -------------------------------------------------------------- PSI
+def test_psi_zero_on_identical_halves_positive_on_drift(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    # half 1 (days 0..9) and half 2 (days 10..19) draw the SAME bucket
+    # histogram -> every smoothed contribution is exactly 0
+    vals = [5.0] * 30 + [25.0] * 10
+    rows = [(t0 + i % 10 * day, v) for i, v in enumerate(vals)]
+    rows += [(t0 + (10 + i % 10) * day, v) for i, v in enumerate(vals)]
+    df = pd.DataFrame(rows, columns=["ts", "value"])
+    out = A.value_psi(lambda: ray.data.from_pandas(df), bin_width=10.0)
+    assert (out["contrib_q"] == 0).all()
+    assert out["n1"].tolist() == out["n2"].tolist() == [30, 10]
+
+    # drifted second half: mass moves from bucket 0 to bucket 2
+    rows2 = [(t0 + i % 10 * day, v) for i, v in enumerate(vals)]
+    rows2 += [
+        (t0 + (10 + i % 10) * day, v)
+        for i, v in enumerate([5.0] * 10 + [25.0] * 30)
+    ]
+    df2 = pd.DataFrame(rows2, columns=["ts", "value"])
+    out2 = A.value_psi(lambda: ray.data.from_pandas(df2), bin_width=10.0)
+    assert out2["contrib_q"].sum() > 0
+    assert (out2["contrib_q"] > 0).all()  # both buckets shifted
+
+    out3 = A.value_psi(
+        lambda: ray.data.from_pandas(df2).repartition(6), bin_width=10.0
+    )
+    pd.testing.assert_frame_equal(out2, out3)
+
+
+# ------------------------------------------------- rendezvous sharding
+def test_rendezvous_movers_all_land_on_the_new_shard(ray_session):
+    from bloomfilter_multithread_ray.functions.hashing import splitmix64
+    from bloomfilter_multithread_ray.pipelines.curation import rendezvous_shards
+
+    ids = np.arange(2000, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    out = rendezvous_shards(
+        ray.data.from_pandas(df), n_shards=8, n_shards_after=9
+    )
+    out2 = rendezvous_shards(
+        ray.data.from_pandas(df).repartition(7), n_shards=8, n_shards_after=9,
+        num_partitions=3,
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+    # direct re-derivation: every mover's new argmax is shard 8, and the
+    # per-shard moved counts match
+    h = splitmix64(
+        ids.astype(np.uint64)[:, None] * np.uint64(16)
+        + np.arange(9, dtype=np.uint64)[None, :]
+    )
+    before = np.argmax(h[:, :8], axis=1)
+    after = np.argmax(h, axis=1)
+    moved = after != before
+    assert (after[moved] == 8).all()
+    ref = (
+        pd.DataFrame({"shard": before, "mv": moved.astype(np.int64)})
+        .groupby("shard")
+        .agg(n_docs=("mv", "size"), n_moved=("mv", "sum"))
+        .reset_index()
+    )
+    ref["shard"] = ref["shard"].astype(np.int64)
+    ref["n_docs"] = ref["n_docs"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+
+    # HRW stability: moved fraction tracks 1/(N+1)
+    frac = out["n_moved"].sum() / out["n_docs"].sum()
+    assert 0.06 <= frac <= 0.17, frac
+
+
+def test_rendezvous_rejects_bad_ring_sizes(ray_session):
+    from bloomfilter_multithread_ray.pipelines.curation import rendezvous_shards
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3]})
+    with pytest.raises(ValueError):
+        rendezvous_shards(ray.data.from_pandas(df), n_shards=8, n_shards_after=20)
+    with pytest.raises(ValueError):
+        rendezvous_shards(ray.data.from_pandas(df), n_shards=9, n_shards_after=9)
