@@ -3006,6 +3006,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["roll_max_micros"] = df["roll_max_micros"].astype("int64")
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def inverted_index_search(sf_dir):
+        # persisted term-partitioned postings store; ad-hoc lookup reads
+        # ONLY the partitions the 6 query terms hash to (partition-pruned
+        # probe, reference src/main.cpp:120 applied to search)
+        import shutil
+        import tempfile
+
+        from bloomfilter_multithread_ray.pipelines.inverted_index import (
+            build_inverted_index,
+            inverted_lookup,
+        )
+
+        d = tempfile.mkdtemp(prefix="graft_invidx_", dir="/tmp")
+        try:
+            build_inverted_index(_docs(sf_dir, ["doc_id", "text"]), d,
+                                 num_partitions=32)
+            return inverted_lookup(
+                d, ["stream batch vector", "customer order line"], topk=10,
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     def events_decayed_activity(sf_dir):
         return A.decayed_activity(
             lambda: R.read(sf_dir, "events", ["ts", "user_id", "value"]),
@@ -3152,6 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
+        "inverted_index_search": inverted_index_search,
         "events_decayed_activity": events_decayed_activity,
         "k_anonymity_audit": k_anonymity_audit,
         "events_value_psi": events_value_psi,
@@ -3236,6 +3259,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # --------------------------------------------------------------------------
+def _bm25_oracle(queries: list[str], topk: int = 10) -> str:
+    """BM25 oracle template (same scoring SQL the bm25_search oracle
+    inlines), parameterized by the query list — checks any pipeline
+    that scores with the repo's quantized Okapi expression, including
+    the partition-pruned inverted-index lookup (which is pytest-pinned
+    bit-identical to the full-scan scorer)."""
+    vals = ", ".join(
+        f"('{q}','{t}')" for q in queries for t in q.split()
+    )
+    return (
+        f"WITH qt(query, term) AS (VALUES {vals}), "
+        "nn AS (SELECT count(*) AS n FROM documents), "
+        "toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), "
+        "tks AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tks GROUP BY doc_id), "
+        "st AS (SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / (SELECT n FROM nn) AS avgdl), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tks GROUP BY doc_id, tok), "
+        "dfp AS (SELECT term, count(doc_id) AS df FROM (SELECT DISTINCT term FROM qt) q "
+        "LEFT JOIN tf ON tok = term GROUP BY term), "
+        "scored AS (SELECT qt.query, tf.doc_id, "
+        "SUM(CAST(ROUND(1e9 * ln(1 + ((SELECT n FROM nn) - df + 0.5)/(df + 0.5)) "
+        "* (tf * (1.2 + 1.0)) / (tf + 1.2 * (1 - 0.75 + (0.75 * dl) / avgdl))) AS BIGINT)) AS s_u9 "
+        "FROM qt JOIN dfp USING(term) JOIN tf ON tf.tok = qt.term "
+        "JOIN dl USING(doc_id), st GROUP BY qt.query, tf.doc_id "
+        "HAVING SUM(CAST(ROUND(1e9 * ln(1 + ((SELECT n FROM nn) - df + 0.5)/(df + 0.5)) "
+        "* (tf * (1.2 + 1.0)) / (tf + 1.2 * (1 - 0.75 + (0.75 * dl) / avgdl))) AS BIGINT)) > 0) "
+        "SELECT query, doc_id, CAST(s_u9 AS DOUBLE)/1e9 AS score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query ORDER BY s_u9 DESC, doc_id) AS rn "
+        f"FROM scored) WHERE rn <= {int(topk)} ORDER BY query, s_u9 DESC, doc_id"
+    )
+
+
 def _splitmix_chain(carry: str, z0: str, src: str) -> str:
     """WITH-body CTE chain computing h = splitmix64(``z0``) as UBIGINT.
 
@@ -4398,6 +4453,12 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'train' END AS split, COUNT(*) AS n_docs, "
             "CAST(SUM(n_tok) AS BIGINT) AS total_tok "
             "FROM s3 GROUP BY 1 ORDER BY split"
+        ),
+        # partition-pruned inverted-index BM25 lookup: same quantized
+        # Okapi scoring as bm25_search (pytest-pinned bit-identical), so
+        # the same SQL template is the oracle
+        "inverted_index_search": _bm25_oracle(
+            ["stream batch vector", "customer order line"], topk=10
         ),
         # time-decayed per-user activity: 0.5^age_days is an exact power
         # of two (value*2^-d shifts the exponent only), so the single
