@@ -3006,6 +3006,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["roll_max_micros"] = df["roll_max_micros"].astype("int64")
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def doc_graph_lpa(sf_dir):
+        # deterministic synchronous label propagation (mode of neighbor
+        # labels, ties to smallest, 4 fixed rounds) over the exact
+        # 3-gram-Jaccard >= 0.3 duplicate graph — community granularity
+        # vs CC's merge-every-bridge; replayed exactly by a chained-CTE
+        # oracle
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.graph import label_propagation
+
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.3
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({"s": t.column("doc_a"), "d": t.column("doc_b")})
+
+        out = label_propagation(
+            pairs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True),
+            iters=4, num_partitions=16,
+        ).to_pandas()
+        return out.sort_values("node").reset_index(drop=True)
+
     def inverted_index_search(sf_dir):
         # persisted term-partitioned postings store; ad-hoc lookup reads
         # ONLY the partitions the 6 query terms hash to (partition-pruned
@@ -3174,6 +3197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
+        "doc_graph_lpa": doc_graph_lpa,
         "inverted_index_search": inverted_index_search,
         "events_decayed_activity": events_decayed_activity,
         "k_anonymity_audit": k_anonymity_audit,
@@ -3259,6 +3283,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # --------------------------------------------------------------------------
+def _lpa_oracle(iters: int = 4) -> str:
+    """Synchronous LPA replayed as ``iters`` chained MATERIALIZED CTEs
+    (the d0..dN chaining trick that oracled SSSP and k-core): each step
+    is the exact per-node mode of neighbor labels with the (count DESC,
+    label ASC) tie rule — a pure function of the previous labels, so a
+    fixed iteration count replays the engine bit-for-bit (no
+    convergence assumption needed; synchronous LPA may 2-cycle, both
+    sides just run the same rounds)."""
+    head = (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, "
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+        "AS gram FROM toks WHERE len(w) >= 3)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM inter "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3), "
+        "e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM e), "
+    )
+    steps = "".join(
+        f"m{i} AS MATERIALIZED (SELECT e.v AS node, l{i}.lab, count(*) AS c "
+        f"FROM e JOIN l{i} ON l{i}.node = e.u GROUP BY 1, 2), "
+        f"l{i + 1} AS MATERIALIZED (SELECT node, lab FROM (SELECT node, lab, "
+        f"row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn "
+        f"FROM m{i}) WHERE rn = 1), "
+        for i in range(iters)
+    )
+    return (
+        head + steps.rstrip(", ")
+        + f" SELECT node, lab AS community FROM l{iters} ORDER BY node"
+    )
+
+
 def _bm25_oracle(queries: list[str], topk: int = 10) -> str:
     """BM25 oracle template (same scoring SQL the bm25_search oracle
     inlines), parameterized by the query list — checks any pipeline
@@ -3464,6 +3525,7 @@ def oracle_sql() -> dict[str, str]:
     sqls = {
         "doc_graph_sssp": _sssp_oracle(),
         "doc_graph_kcore": _kcore_oracle(k=2, steps=16),
+        "doc_graph_lpa": _lpa_oracle(iters=4),
         "bpe_merges": _bpe_merges_oracle(8),
         "bpe_encode_stats": _bpe_encode_stats_oracle(8),
         "distinct_tokens": (

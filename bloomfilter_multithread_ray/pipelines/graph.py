@@ -1024,3 +1024,116 @@ def sssp_hops(
         dist = keep_old.union(new).materialize()
         frontier = new
     return dist
+
+
+# ------------------------------------------------------ label propagation
+def label_propagation(
+    edges: "Dataset",
+    *,
+    iters: int = 4,
+    src_col: str = "s",
+    dst_col: str = "d",
+    num_partitions: int = 32,
+) -> "Dataset":
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    made deterministic): every node starts as its own label; each round
+    every node adopts the MODE of its neighbors' labels, ties to the
+    smallest label; fixed ``iters`` synchronous rounds → Dataset of
+    {node, community}.
+
+    Unlike connected components (which merges every bridge), LPA keeps
+    densely-linked groups apart when they touch through sparse links —
+    the community granularity for near-dup cluster analysis. The
+    classic algorithm is order-dependent; this one is reproducible by
+    construction: synchronous updates + the (count DESC, label ASC)
+    tie rule make each round a pure function of the previous labels,
+    so results are partitioning- and concurrency-independent and a
+    chained-CTE SQL oracle can replay them. Fixed iteration count (no
+    convergence detection): synchronous LPA can 2-cycle on bipartite
+    structures, so a fixpoint test would not terminate; both engines
+    run the same ``iters`` rounds.
+
+    Scale shape per round (the iterative-algorithm exception to
+    single-materialization): one co-partitioned hash join attaches the
+    O(N) label table to the O(E) symmetrized edge list (broadcast at
+    fixture size via the auto planner, hash-partitioned at web scale),
+    one fixed-P grouped count of (node, label) messages, and one
+    fixed-P argmax kernel — the edge list materializes ONCE up front
+    and never re-shuffles its text/payload (it has none: 16-byte
+    rows). Driver state: O(1).
+
+    Reference analog: iterated partition-local state exchange
+    (src/main.cpp:86,120 per-thread shard ownership), applied to
+    per-node labels.
+    """
+    import ray.data
+
+    from ..functions.hashing import hash64_ints
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    P = int(num_partitions)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {"u": pa.array(np.concatenate([a, b])),
+             "v": pa.array(np.concatenate([b, a]))}
+        )
+
+    e = edges.map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def node_partials(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("u").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u)})
+
+    labels = grouped_agg(
+        e.map_batches(node_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], {"_c": ("count", None)}, num_partitions=P,
+    ).map_batches(
+        lambda t: pa.table({"node": t.column("node"), "lab": t.column("node")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def add_p(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "p", pa.array((hash64_ints(v) % np.uint64(P)).astype(np.int32))
+        )
+
+    def argmax_per_node(g: pa.Table) -> pa.Table:
+        v = g.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = g.column("lab").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lab, -n, v))
+        v, lab = v[order], lab[order]
+        first = np.ones(len(v), dtype=bool)
+        first[1:] = v[1:] != v[:-1]
+        return pa.table({"node": pa.array(v[first]), "lab": pa.array(lab[first])})
+
+    for _ in range(int(iters)):
+        msgs = hash_join(
+            e, labels, on="u", right_on="node",
+            broadcast="auto", num_partitions=P,
+        )
+        counts = grouped_agg(
+            msgs, ["v", "lab"], {"n": ("count", None)}, num_partitions=P,
+        )
+        labels = (
+            counts.map_batches(add_p, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("p")
+            .map_groups(argmax_per_node, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t.column("node"), "community": t.column("lab")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

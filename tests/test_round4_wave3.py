@@ -181,3 +181,51 @@ def test_rendezvous_rejects_bad_ring_sizes(ray_session):
         rendezvous_shards(ray.data.from_pandas(df), n_shards=8, n_shards_after=20)
     with pytest.raises(ValueError):
         rendezvous_shards(ray.data.from_pandas(df), n_shards=9, n_shards_after=9)
+
+
+# --------------------------------------------------- label propagation
+def test_lpa_separates_dense_communities_cc_merges_them(ray_session):
+    """Two 4-cliques joined by one bridge: CC returns one component,
+    LPA keeps two communities — the operator's reason to exist."""
+    from bloomfilter_multithread_ray.pipelines.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    cliq1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cliq2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    df = pd.DataFrame(cliq1 + cliq2 + bridge, columns=["s", "d"])
+    ds = ray.data.from_pandas(df)
+
+    lpa = label_propagation(ds, iters=4).to_pandas()
+    comm = dict(zip(lpa["node"], lpa["community"]))
+    assert len({comm[n] for n in range(4)}) == 1
+    assert len({comm[n] for n in range(10, 14)}) == 1
+    assert comm[0] != comm[10]
+
+    cc = connected_components(ds, cols=("s", "d")).to_pandas()
+    assert cc["comp"].nunique() == 1
+
+
+def test_lpa_partition_invariance_and_determinism(ray_session):
+    from bloomfilter_multithread_ray.pipelines.graph import label_propagation
+
+    rng = np.random.default_rng(7)
+    e = rng.integers(0, 60, size=(300, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    df = pd.DataFrame(e, columns=["s", "d"])
+    a = (
+        label_propagation(ray.data.from_pandas(df), iters=4, num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        label_propagation(
+            ray.data.from_pandas(df).repartition(9), iters=4, num_partitions=13
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # every label is a node id present in the graph
+    nodes = set(a["node"])
+    assert set(a["community"]).issubset(nodes)
