@@ -3006,6 +3006,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["roll_max_micros"] = df["roll_max_micros"].astype("int64")
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def ann_pq(sf_dir):
+        # product-quantization ADC search: m=4 sub-codebooks of 16
+        # codewords, exact-integer Lloyd folds (partition-invariant by
+        # construction), codes are 4 bytes/vector — the memory-scale
+        # path past IVF; pinned-snapshot oracle from a from-spec
+        # single-process reimplementation
+        from bloomfilter_multithread_ray.pipelines.similarity import pq_ann
+
+        return pq_ann(
+            R.read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            m=4, ks=16, iters=4, nq=3, topk=5,
+        )
+
     def doc_graph_lpa(sf_dir):
         # deterministic synchronous label propagation (mode of neighbor
         # labels, ties to smallest, 4 fixed rounds) over the exact
@@ -3197,6 +3210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
+        "ann_pq": ann_pq,
         "doc_graph_lpa": doc_graph_lpa,
         "inverted_index_search": inverted_index_search,
         "events_decayed_activity": events_decayed_activity,
@@ -6173,6 +6187,7 @@ def oracle_sql() -> dict[str, str]:
          "zero_false_negatives, n_probed_pos, empirical_fpr, "
          "theoretical_bound, fpr_within_bound",
          "'2e3eefca196f910e440b4c845d209b7e'"),
+        ("ann_pq", "qid, vec_id, dist_q, rank", _EMB_KEY),
         ("sketch_lineage", "epoch, part, n_fragments, n_added, fill_ratio",
          "'fff67b7b5c143dc616ecae96a8fa3583'"),
         ("multimodal_features",

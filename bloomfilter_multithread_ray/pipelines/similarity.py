@@ -1443,3 +1443,176 @@ def embedding_split_leakage(
         )
 
     return pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------- product quantization ANN
+def pq_ann(
+    emb: "Dataset",
+    *,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 4,
+    nq: int = 3,
+    topk: int = 5,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): split each vector
+    into ``m`` subvectors, Lloyd-train a ``ks``-codeword codebook per
+    subspace, encode the corpus to ``m`` small codes, answer the first
+    ``nq`` vec_ids' queries by asymmetric distance (ADC: per-query
+    (m × ks) distance table, dist = Σ_j dtab[j, code_j]) →
+    {qid, vec_id, dist_q, rank} top-``topk`` (query row excluded).
+
+    This is the memory-scale path past IVF: codes are m bytes/vector
+    (vs 4·dim for floats) — a 100-TB float corpus quantizes to a
+    sub-TB code table a single scan can rank. Determinism contract:
+    vectors quantize to int64 at 1e-6 half-away FIRST; codebook seeds
+    are the ``ks`` smallest (splitmix64(vec_id), vec_id) rows; Lloyd
+    partials fold as EXACT integer (n, Σsubvec) sums (order-free ⇒
+    partition-invariant), centroid = s/n one float division; all
+    distance expressions have a fixed shape ((x−c)² summed over the
+    subspace axis, codes tie to the lowest index), so results are
+    bit-equal under any partitioning and replayable by a from-spec
+    single-process reimplementation (pinned-snapshot oracle).
+
+    Scale shape: iterate-broadcast like :func:`kmeans_lloyd` — data
+    never moves; each round broadcasts the (m·ks·d/m) codebook, every
+    batch emits O(m·ks) integer partials, the driver folds
+    O(m·ks·blocks) skinny rows. The search pass is map-only with
+    per-block partial top-k (≤ nq·topk rows per block to the driver).
+    Reference analog: per-thread shard state + driver-side tree merge
+    (src/main.cpp:86,120), applied to codebook training.
+    """
+    import ray
+
+    from ..functions.hashing import splitmix64
+
+    M, KS, NQ, TK = int(m), int(ks), int(nq), int(topk)
+    emb = emb.materialize()
+
+    def q6(x: np.ndarray) -> np.ndarray:
+        return np.trunc(x * 1e6 + np.copysign(0.5, x)).astype(np.int64)
+
+    # ---- pass 1: seed candidates (per-batch bottom-ks) + query rows
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = q6(_emb_matrix(t, col).astype(np.float64))
+        h = splitmix64(ids.view(np.uint64))
+        take = np.lexsort((ids, h))[:KS]
+        isq = np.flatnonzero(ids < NQ)
+        rows = np.concatenate([take, isq])
+        kind = np.concatenate(
+            [np.zeros(len(take), np.int8), np.ones(len(isq), np.int8)]
+        )
+        return pa.table(
+            {"kind": pa.array(kind),
+             "h": pa.array(h[rows]),
+             "vid": pa.array(ids[rows]),
+             "v": pa.array(list(Q[rows]), pa.list_(pa.int64()))}
+        )
+
+    cand = emb.map_batches(
+        seed_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    seeds = cand[cand["kind"] == 0]
+    order = np.lexsort((seeds["vid"].to_numpy(), seeds["h"].to_numpy()))[:KS]
+    S = np.stack(seeds["v"].to_numpy()[order]).astype(np.float64)
+    if len(S) < KS:
+        raise ValueError(f"fewer rows ({len(S)}) than codewords ({KS})")
+    D = S.shape[1]
+    if D % M:
+        raise ValueError(f"dim {D} not divisible by m={M}")
+    dsub = D // M
+    C = S.reshape(KS, M, dsub).transpose(1, 0, 2).copy()  # (M, KS, dsub)
+
+    qrows = cand[cand["kind"] == 1].sort_values("vid")
+    qids = qrows["vid"].to_numpy().astype(np.int64)
+    QX = (
+        np.stack(qrows["v"].to_numpy()).astype(np.float64).reshape(-1, M, dsub)
+        if len(qrows) else np.zeros((0, M, dsub))
+    )
+
+    def assign(X: np.ndarray, Cb: np.ndarray) -> np.ndarray:
+        # (n, M, dsub) vs (M, KS, dsub) -> codes (n, M); first-min tie
+        d2 = ((X[:, :, None, :] - Cb[None, :, :, :]) ** 2).sum(axis=3)
+        return np.argmin(d2, axis=2)
+
+    # ---- Lloyd rounds: integer partials, broadcast codebook
+    for _ in range(int(iters)):
+        c_ref = ray.put(C)
+
+        def lloyd_partial(t: pa.Table) -> pa.Table:
+            Cb = ray.get(c_ref)
+            X = q6(_emb_matrix(t, col).astype(np.float64)).astype(np.float64)
+            X = X.reshape(len(X), M, dsub)
+            codes = assign(X, Cb)
+            Xi = X.astype(np.int64)
+            n = np.zeros((M, KS), np.int64)
+            s = np.zeros((M, KS, dsub), np.int64)
+            for j in range(M):
+                np.add.at(n[j], codes[:, j], 1)
+                np.add.at(s[j], codes[:, j], Xi[:, j, :])
+            jj, cc = np.meshgrid(np.arange(M), np.arange(KS), indexing="ij")
+            return pa.table(
+                {"j": pa.array(jj.ravel().astype(np.int64)),
+                 "code": pa.array(cc.ravel().astype(np.int64)),
+                 "n": pa.array(n.ravel()),
+                 "s": pa.array(list(s.reshape(M * KS, dsub)), pa.list_(pa.int64()))}
+            )
+
+        pdf = emb.map_batches(
+            lloyd_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        n_tot = np.zeros((M, KS), np.int64)
+        s_tot = np.zeros((M, KS, dsub), np.int64)
+        jv = pdf["j"].to_numpy().astype(np.int64)
+        cv = pdf["code"].to_numpy().astype(np.int64)
+        np.add.at(n_tot, (jv, cv), pdf["n"].to_numpy().astype(np.int64))
+        np.add.at(s_tot, (jv, cv), np.stack(pdf["s"].to_numpy()).astype(np.int64))
+        nz = n_tot > 0
+        C = C.copy()
+        C[nz] = s_tot[nz] / n_tot[nz, None]
+
+    # ---- encode + ADC search (map-only, per-block partial top-k)
+    dtabs = ((QX[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)  # (nq, M, KS)
+    c_ref = ray.put(C)
+    t_ref = ray.put(dtabs)
+    q_ids = qids.copy()
+
+    def search_partial(t: pa.Table) -> pa.Table:
+        Cb, dt = ray.get(c_ref), ray.get(t_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = q6(_emb_matrix(t, col).astype(np.float64)).astype(np.float64)
+        X = X.reshape(len(X), M, dsub)
+        codes = assign(X, Cb)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            d = np.zeros(len(ids), np.float64)
+            for j in range(M):  # fixed j order: deterministic float sum
+                d = d + dt[qi, j][codes[:, j]]
+            dq = np.trunc(d + 0.5).astype(np.int64)  # d >= 0
+            keep = ids != q_ids[qi]
+            vid, dqk = ids[keep], dq[keep]
+            o = np.lexsort((vid, dqk))[:TK]
+            out_q.append(np.full(len(o), q_ids[qi], np.int64))
+            out_v.append(vid[o])
+            out_d.append(dqk[o])
+        return pa.table(
+            {"qid": pa.array(np.concatenate(out_q) if out_q else np.array([], np.int64)),
+             "vec_id": pa.array(np.concatenate(out_v) if out_v else np.array([], np.int64)),
+             "dist_q": pa.array(np.concatenate(out_d) if out_d else np.array([], np.int64))}
+        )
+
+    parts = emb.map_batches(
+        search_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"qid": pd.Series(dtype=np.int64), "vec_id": pd.Series(dtype=np.int64),
+             "dist_q": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)}
+        )
+    parts = parts.sort_values(["qid", "dist_q", "vec_id"])
+    parts = parts.groupby("qid", sort=True).head(TK).reset_index(drop=True)
+    parts["rank"] = parts.groupby("qid").cumcount().astype(np.int64) + 1
+    return parts

@@ -632,6 +632,57 @@ def indep_embedding_fd_pca(V32: np.ndarray, ell: int = 64, topk: int = 8) -> pd.
     )
 
 
+def indep_ann_pq(vids: np.ndarray, V32: np.ndarray, m: int = 4, ks: int = 16,
+                 iters: int = 4, nq: int = 3, topk: int = 5) -> pd.DataFrame:
+    """From-spec PQ/ADC (Jégou 2011): 1e-6-quantized vectors, seeds =
+    ks smallest (splitmix64(vec_id), vec_id), per-subspace Lloyd with
+    exact-integer (n, Σsubvec) folds, centroid = s/n; codes tie to the
+    lowest index; ADC dist = Σ_j dtab[j, code_j] in fixed j order,
+    truncated +0.5 to int64; top-k per query by (dist, vec_id), query
+    row excluded."""
+    vids = np.asarray(vids, dtype=np.int64)
+    Q = quant_1e6(V32)
+    n, D = Q.shape
+    dsub = D // m
+    h = splitmix64(vids.view(U))
+    order = np.lexsort((vids, h))[:ks]
+    C = Q[order].astype(np.float64).reshape(ks, m, dsub).transpose(1, 0, 2).copy()
+    X = Q.astype(np.float64).reshape(n, m, dsub)
+    Xi = X.astype(np.int64)
+
+    def assign(Xm, Cb):
+        d2 = ((Xm[:, :, None, :] - Cb[None, :, :, :]) ** 2).sum(axis=3)
+        return np.argmin(d2, axis=2)
+
+    for _ in range(iters):
+        codes = assign(X, C)
+        cnt = np.zeros((m, ks), np.int64)
+        s = np.zeros((m, ks, dsub), np.int64)
+        for j in range(m):
+            np.add.at(cnt[j], codes[:, j], 1)
+            np.add.at(s[j], codes[:, j], Xi[:, j, :])
+        nz = cnt > 0
+        C = C.copy()
+        C[nz] = s[nz] / cnt[nz, None]
+
+    codes = assign(X, C)
+    qsel = np.flatnonzero(vids < nq)
+    qsel = qsel[np.argsort(vids[qsel])]
+    rows = []
+    for qi in qsel:
+        dt = ((X[qi][:, None, :] - C) ** 2).sum(axis=2)  # (m, ks)
+        d = np.zeros(n, np.float64)
+        for j in range(m):
+            d = d + dt[j][codes[:, j]]
+        dq = np.trunc(d + 0.5).astype(np.int64)
+        keep = vids != vids[qi]
+        vid, dqk = vids[keep], dq[keep]
+        o = np.lexsort((vid, dqk))[:topk]
+        for r, i in enumerate(o):
+            rows.append((int(vids[qi]), int(vid[i]), int(dqk[i]), r + 1))
+    return pd.DataFrame(rows, columns=["qid", "vec_id", "dist_q", "rank"])
+
+
 # ------------------------------------------ generator-input pipelines
 def gen_sequences(n_rows: int, seed: int, start_id: int = 0,
                   vocab: int = 50_000, zipf_s: float = 1.1):
@@ -894,6 +945,7 @@ def generate_pipeline_snapshots(
         add("semantic_dedup", emk, indep_semantic_dedup(vids, V))
         add("embedding_pca", emk, indep_embedding_pca(V))
         add("embedding_fd_pca", emk, indep_embedding_fd_pca(V))
+        add("ann_pq", emk, indep_ann_pq(vids, V))
 
     # generator-input queries: one snapshot row set, keyed on the
     # regenerated input content

@@ -179,6 +179,7 @@ def test_pipeline_queries_match_independent_impls(ray_session):
         "semantic_dedup": P.indep_semantic_dedup(vids, V),
         "embedding_pca": P.indep_embedding_pca(V),
         "embedding_fd_pca": P.indep_embedding_fd_pca(V),
+        "ann_pq": P.indep_ann_pq(vids, V),
         "bloom_fpr_check": P.indep_bloom_fpr_check(),
         "sketch_lineage": P.indep_sketch_lineage(),
         "multimodal_features": P.indep_multimodal_features(),

@@ -229,3 +229,37 @@ def test_lpa_partition_invariance_and_determinism(ray_session):
     # every label is a node id present in the graph
     nodes = set(a["node"])
     assert set(a["community"]).issubset(nodes)
+
+
+# --------------------------------------------------------------- PQ ANN
+def test_pq_ann_partition_invariance_and_duplicate_property(ray_session):
+    from bloomfilter_multithread_ray.pipelines.similarity import pq_ann
+
+    emb = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    a = pq_ann(emb, m=4, ks=16, iters=4, nq=3, topk=5)
+    b = pq_ann(emb.repartition(9), m=4, ks=16, iters=4, nq=3, topk=5)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["qid"]) == {0, 1, 2}
+    assert (a.groupby("qid")["rank"].max() == 5).all()
+    assert (a["qid"] != a["vec_id"]).all()  # query row excluded
+
+    # exact-duplicate vectors share codes, hence identical ADC distance:
+    # plant a duplicate of vec 0 and check both appear at equal dist_q
+    # for a third query
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    V = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                   dtype=np.float32).reshape(len(ids), -1)
+    ids2 = np.concatenate([ids, [9999]])
+    V2 = np.vstack([V, V[5][None, :]])
+    t2 = pa.table({"vec_id": pa.array(ids2),
+                   "embedding": pa.array(list(V2), pa.list_(pa.float32()))})
+    out = pq_ann(ray.data.from_arrow(t2), m=4, ks=16, iters=4, nq=1, topk=500)
+    d5 = out[out["vec_id"] == 5]["dist_q"].to_numpy()
+    d9999 = out[out["vec_id"] == 9999]["dist_q"].to_numpy()
+    assert len(d5) == 1 and len(d9999) == 1 and d5[0] == d9999[0]
