@@ -3006,6 +3006,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["roll_max_micros"] = df["roll_max_micros"].astype("int64")
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def readability_by_source(sf_dir):
+        from bloomfilter_multithread_ray.pipelines.text_stats import (
+            readability_by_source as rb,
+        )
+
+        return rb(_docs(sf_dir, ["source", "text"]))
+
     def ann_pq(sf_dir):
         # product-quantization ADC search: m=4 sub-codebooks of 16
         # codewords, exact-integer Lloyd folds (partition-invariant by
@@ -3211,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
         "ann_pq": ann_pq,
+        "readability_by_source": readability_by_source,
         "doc_graph_lpa": doc_graph_lpa,
         "inverted_index_search": inverted_index_search,
         "events_decayed_activity": events_decayed_activity,
@@ -4529,6 +4537,27 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'train' END AS split, COUNT(*) AS n_docs, "
             "CAST(SUM(n_tok) AS BIGINT) AS total_tok "
             "FROM s3 GROUP BY 1 ORDER BY split"
+        ),
+        # Flesch-Kincaid per source: fixed-shape float expression (one
+        # IEEE op per operand both sides), per-doc 1e-6 quantization,
+        # exact integer sums; syllables = [aeiouy]+ runs (min 1),
+        # sentences = [.!?]+ runs (min 1)
+        "readability_by_source": (
+            "WITH t AS (SELECT source, text, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+            "f AS (SELECT source, CAST(len(w) AS BIGINT) AS W, "
+            "GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS S, "
+            "list_sum(list_transform(w, x -> "
+            "GREATEST(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1))) AS SY "
+            "FROM t WHERE len(w) > 0), "
+            "q AS (SELECT source, 0.39 * (CAST(W AS DOUBLE) / S) "
+            "+ 11.8 * (CAST(SY AS DOUBLE) / W) - 15.59 AS g FROM f), "
+            "z AS (SELECT source, CAST(TRUNC(g * 1000000 + 0.5 * SIGN(g)) "
+            "AS BIGINT) AS fk_q FROM q) "
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(fk_q) AS BIGINT) AS fk_q_sum, "
+            "CAST(SUM(fk_q) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_fk "
+            "FROM z GROUP BY source ORDER BY source"
         ),
         # partition-pruned inverted-index BM25 lookup: same quantized
         # Okapi scoring as bm25_search (pytest-pinned bit-identical), so

@@ -983,3 +983,65 @@ def zipf_fit(
         return pa.table(out)
 
     return counts.groupby("g").map_groups(fit, batch_format="pyarrow")
+
+
+# ------------------------------------------------- readability scoring
+def readability_by_source(ds: "pa.Table | object", *, num_partitions: int = 16) -> pd.DataFrame:
+    """Per-source Flesch–Kincaid grade-level aggregate → {source,
+    n_docs, fk_q_sum, avg_fk} — the curation gate that ranks sources
+    by linguistic complexity (a pretraining-mix signal alongside
+    quality_classifier's shallow features).
+
+    Spec (deterministic, SQL-replayable): words = non-empty whitespace
+    tokens (W, docs with W = 0 are excluded); sentences = max(1,
+    non-overlapping matches of /[.!?]+/); syllables per word = max(1,
+    non-overlapping /[aeiouy]+/ runs of the lowercased word), summed
+    per doc (SY); grade = 0.39·(W/S) + 11.8·(SY/W) − 15.59 evaluated
+    in exactly that literal shape (each operand a single IEEE op on
+    both engines), quantized per doc to 1e-6 int64 half-away, then
+    EXACT integer sums per source; avg_fk = fk_q_sum/n_docs/1e6 (one
+    division). Map-only derive + one fixed-P grouped sum — O(sources)
+    rows shuffle, text never does. Vectorized end to end: the regex
+    counts run as Arrow kernels over the flat token array (no per-row
+    Python), per-doc sums by reduceat on the row offsets.
+    """
+    from .agg import grouped_agg
+
+    def derive(t: pa.Table) -> pa.Table:
+        from ..stages.text import flat_nonempty_with_offsets
+
+        flat, offs = flat_nonempty_with_offsets(t)
+        W = np.diff(offs).astype(np.int64)
+        syl = pc.count_substring_regex(
+            pc.utf8_lower(flat), "[aeiouy]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        syl = np.maximum(syl, 1)
+        SY = np.add.reduceat(
+            np.concatenate([syl, [0]]), np.minimum(offs[:-1], len(syl))
+        )
+        SY = np.where(W > 0, SY, 0).astype(np.int64)
+        S = pc.count_substring_regex(
+            t.column("text"), "[.!?]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        S = np.maximum(S, 1)
+        keep = W > 0
+        Wf, Sf, SYf = (W[keep].astype(np.float64), S[keep].astype(np.float64),
+                       SY[keep].astype(np.float64))
+        g = 0.39 * (Wf / Sf) + 11.8 * (SYf / Wf) - 15.59
+        u = g * 1e6
+        fk_q = np.trunc(u + np.copysign(0.5, u)).astype(np.int64)
+        return pa.table(
+            {"source": t.column("source").filter(pa.array(keep)),
+             "fk_q": pa.array(fk_q)}
+        )
+
+    out = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n_docs": ("count", None), "fk_q_sum": ("sum", "fk_q")},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["fk_q_sum"] = out["fk_q_sum"].astype(np.int64)
+    out["avg_fk"] = out["fk_q_sum"] / out["n_docs"] / 1e6
+    return out.sort_values("source").reset_index(drop=True)

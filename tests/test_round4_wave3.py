@@ -263,3 +263,45 @@ def test_pq_ann_partition_invariance_and_duplicate_property(ray_session):
     d5 = out[out["vec_id"] == 5]["dist_q"].to_numpy()
     d9999 = out[out["vec_id"] == 9999]["dist_q"].to_numpy()
     assert len(d5) == 1 and len(d9999) == 1 and d5[0] == d9999[0]
+
+
+# ----------------------------------------------------------- readability
+def test_readability_reference_parity_and_monotonicity(ray_session):
+    import re
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import (
+        readability_by_source,
+    )
+
+    # planted corpus: simple short sentences (low grade) vs one long
+    # polysyllabic run-on (high grade)
+    simple = "the cat sat. the dog ran. it is fun."
+    complex_ = ("extraordinary computational infrastructure necessitates "
+                "sophisticated organizational methodologies regarding "
+                "internationalization")
+    df = pd.DataFrame(
+        {"source": ["s1", "s1", "s2"],
+         "text": [simple, simple, complex_]}
+    )
+    import pyarrow as pa
+
+    out = readability_by_source(ray.data.from_arrow(pa.Table.from_pandas(df)))
+    out2 = readability_by_source(
+        ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    a = dict(zip(out["source"], out["avg_fk"]))
+    assert a["s2"] > a["s1"] + 10  # polysyllabic run-on scores far higher
+
+    # independent per-doc re-derivation
+    def fk(text):
+        w = [x for x in text.split(" ") if x]
+        W = len(w)
+        S = max(len(re.findall(r"[.!?]+", text)), 1)
+        SY = sum(max(len(re.findall(r"[aeiouy]+", x.lower())), 1) for x in w)
+        g = 0.39 * (W / S) + 11.8 * (SY / W) - 15.59
+        u = g * 1e6
+        return int(np.trunc(u + np.copysign(0.5, u)))
+
+    assert out.loc[out.source == "s1", "fk_q_sum"].iloc[0] == 2 * fk(simple)
+    assert out.loc[out.source == "s2", "fk_q_sum"].iloc[0] == fk(complex_)
