@@ -3006,6 +3006,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["roll_max_micros"] = df["roll_max_micros"].astype("int64")
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def media_phash_dups(sf_dir):
+        # visual near-dup pairs via dHash of decoded pixels: 8 planted
+        # "re-encoded" payloads (same first-8 content bytes -> same
+        # fake-decode pixels, different container bytes) pair with
+        # their originals at hamming 0 — the duplicates byte-level
+        # dedup cannot see; pigeonhole-banded, payload bytes never
+        # shuffle
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from bloomfilter_multithread_ray.stages.multimodal import (
+            media_phash_dups as pipeline,
+            synth_media_table,
+        )
+
+        base = synth_media_table(64, seed=5)
+        ords = list(range(64))
+        payloads = base.column("payload").to_pylist()
+        hs = base.column("height").to_pylist()
+        ws = base.column("width").to_pylist()
+        for i in range(8):
+            tail = np.random.default_rng([99, i]).integers(
+                0, 256, len(payloads[i]) - 8, dtype=np.uint8
+            ).tobytes()
+            ords.append(1000 + i)
+            payloads.append(payloads[i][:8] + tail)
+            hs.append(hs[i])
+            ws.append(ws[i])
+        tbl = pa.table(
+            {"media_ord": pa.array(ords, pa.int64()),
+             "payload": pa.array(payloads, pa.binary()),
+             "height": pa.array(hs, pa.int32()),
+             "width": pa.array(ws, pa.int32())}
+        )
+        out = pipeline(
+            ray.data.from_arrow(tbl), max_hamming=3
+        ).to_pandas()
+        out = out.astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
+        )
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
     def readability_by_source(sf_dir):
         from bloomfilter_multithread_ray.pipelines.text_stats import (
             readability_by_source as rb,
@@ -3218,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p95_tdigest": events_value_p95_tdigest,
         "events_value_mad": events_value_mad,
         "ann_pq": ann_pq,
+        "media_phash_dups": media_phash_dups,
         "readability_by_source": readability_by_source,
         "doc_graph_lpa": doc_graph_lpa,
         "inverted_index_search": inverted_index_search,
@@ -6217,6 +6261,8 @@ def oracle_sql() -> dict[str, str]:
          "theoretical_bound, fpr_within_bound",
          "'2e3eefca196f910e440b4c845d209b7e'"),
         ("ann_pq", "qid, vec_id, dist_q, rank", _EMB_KEY),
+        ("media_phash_dups", "doc_a, doc_b, hamming",
+         "'251d7422a8d4986f61479c497cf2da66'"),
         ("sketch_lineage", "epoch, part, n_fragments, n_added, fill_ratio",
          "'fff67b7b5c143dc616ecae96a8fa3583'"),
         ("multimodal_features",

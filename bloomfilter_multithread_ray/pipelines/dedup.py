@@ -388,7 +388,37 @@ def simhash_pairs(docs: "Dataset", *, max_hamming: int = 3, max_bucket: int = 51
     ``max_hamming + 1`` chunks; any pair within the distance agrees on
     at least one full chunk, so groupby(chunk value ⊕ chunk index)
     finds every such pair (exact recall, then exact verification on
-    the carried fingerprints).
+    the carried fingerprints). The banding/verify engine is shared
+    with every other 64-bit fingerprint family (media pHash) via
+    :func:`hamming_fingerprint_pairs`.
+    """
+    sims = docs.map_batches(
+        make_simhash_fn(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hamming_fingerprint_pairs(
+        sims, id_col="doc_id", fp_col="simhash",
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
+def hamming_fingerprint_pairs(
+    fps: "Dataset",
+    *,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int = 512,
+) -> "Dataset":
+    """{id, 64-bit fingerprint} rows → pairs with Hamming distance
+    <= ``max_hamming`` as {doc_a, doc_b, hamming} (ids int64, each
+    unordered pair once, exact distances).
+
+    The generic pigeonhole-banding engine extracted from
+    :func:`simhash_pairs` (same guarantees: exact recall for
+    d <= max_hamming from the max_hamming+1 chunk split, exact
+    verification on carried fingerprints, fixed-P shuffle of skinny
+    band rows, deterministic ``max_bucket`` cap, per-pair Min fold so
+    multi-band hits emit once).
     """
     chunks = max_hamming + 1
     width = 64 // chunks
@@ -396,8 +426,8 @@ def simhash_pairs(docs: "Dataset", *, max_hamming: int = 3, max_bucket: int = 51
 
     def band_fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(UINT64)
-        ids = batch.column("doc_id").combine_chunks()
+        sh = batch.column(fp_col).to_numpy(zero_copy_only=False).astype(UINT64)
+        ids = batch.column(id_col).combine_chunks()
         keys, doc_rep = [], []
         for c in range(chunks):
             chunk = (sh >> UINT64(c * width)) & mask
@@ -453,8 +483,7 @@ def simhash_pairs(docs: "Dataset", *, max_hamming: int = 3, max_bucket: int = 51
              "hamming": pa.array(ham[hit])}
         )
 
-    sims = docs.map_batches(make_simhash_fn(), batch_format="pyarrow", zero_copy_batch=True)
-    banded = sims.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
+    banded = fps.map_batches(band_fn, batch_format="pyarrow", zero_copy_batch=True)
 
     P_SHUF = 64  # fixed partitions; buckets = vectorized segments within
 

@@ -444,3 +444,116 @@ def synth_real_headers_table(n: int, seed: int = 0) -> pa.Table:
          "true_format": pa.array(kinds),
          "payload": pa.array(payloads, pa.binary())}
     )
+
+
+# ----------------------------------------------------- perceptual hash
+class PHash:
+    """Actor-pool perceptual hash: binary payload → 64-bit dHash of the
+    decoded pixels → {id_col, phash: uint64-as-int64}.
+
+    dHash spec (deterministic, from-spec replayable): decode (real
+    codec if importable, else the marked DETERMINISTIC-FAKE-DECODE —
+    same split as :class:`ImageDecode`), integer grayscale
+    g = (299·r + 587·g + 114·b) // 1000, nearest-neighbor resize to
+    8×9 with the same integer index formula as
+    :meth:`ImageDecode._resize_nn`, bit (i,j) = g[i,j+1] > g[i,j]
+    packed row-major into a uint64. Catches visual duplicates that
+    byte-level (container) dedup misses: any two payloads decoding to
+    the same pixels hash identically regardless of their bytes.
+
+    State (the codec handle) lives in ``__init__`` — once per actor;
+    ``__call__`` is per batch. The per-payload decode loop is the
+    inherent per-item codec cost (same shape as ImageDecode); the
+    hash math after decode is vectorized.
+    """
+
+    def __init__(self, id_col: str = "media_ord"):
+        self.id_col = id_col
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None  # → DETERMINISTIC-FAKE-DECODE
+
+    def _decode(self, payload: bytes, h: int, w: int) -> np.ndarray:
+        if self._pil is not None:
+            import io
+
+            try:
+                img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+                return np.asarray(img)
+            except Exception:
+                pass
+        return _fake_decode(payload, h, w)
+
+    @staticmethod
+    def _dhash64(px: np.ndarray) -> int:
+        h, w = px.shape[:2]
+        g = (
+            299 * px[:, :, 0].astype(np.int32)
+            + 587 * px[:, :, 1].astype(np.int32)
+            + 114 * px[:, :, 2].astype(np.int32)
+        ) // 1000
+        yi = (np.arange(8) * h // 8).clip(0, h - 1)
+        xi = (np.arange(9) * w // 9).clip(0, w - 1)
+        s = g[yi][:, xi]
+        bits = (s[:, 1:] > s[:, :-1]).ravel()
+        return int(
+            np.bitwise_or.reduce(
+                bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            )
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [
+            self._dhash64(self._decode(p, h, w))
+            for p, h, w in zip(
+                batch.column("payload").to_pylist(),
+                batch.column("height").to_pylist(),
+                batch.column("width").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "phash": pa.array(
+                    np.array(hashes, dtype=np.uint64).view(np.int64)
+                ),
+            }
+        )
+
+
+def media_phash_dups(
+    ds,
+    *,
+    id_col: str = "media_ord",
+    max_hamming: int = 3,
+    concurrency: int = 2,
+    batch_size: int = 64,
+):
+    """Visual near-duplicate pairs over a media table → Dataset of
+    {doc_a, doc_b, hamming} (int ``id_col`` values, each unordered
+    pair once) — perceptual dedup for the multimodal corpus: two
+    differently-containered payloads that decode to the same (or
+    nearly same) pixels pair up even though exact payload-hash dedup
+    sees distinct blobs.
+
+    Composition of proven parts: the :class:`PHash` actor-pool stage
+    (decode state per actor, per-batch hashing) feeds the generic
+    pigeonhole banding engine
+    (:func:`...pipelines.dedup.hamming_fingerprint_pairs` — exact
+    recall for d <= max_hamming, exact verification, fixed-P skinny
+    shuffle; payload bytes never shuffle).
+    """
+    from ..pipelines.dedup import hamming_fingerprint_pairs
+
+    fps = ds.map_batches(
+        PHash(id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    return hamming_fingerprint_pairs(
+        fps, id_col=id_col, fp_col="phash", max_hamming=max_hamming,
+    )

@@ -883,6 +883,68 @@ def events_value_key(event_ids, event_types, values) -> str:
                 + f"|{qsum}")
 
 
+def _indep_media_phash_rows(n: int = 64, seed: int = 5, n_variants: int = 8):
+    """Regenerate the media_phash_dups input from spec: the
+    synth_media_table(n, seed) draws + n_variants 're-encoded' rows
+    (first 8 payload bytes kept — same content-seeded pixels — tail
+    redrawn from default_rng([99, i]), media_ord = 1000+i)."""
+    rng = np.random.default_rng([seed, n])
+    w = rng.integers(16, 64, n).astype(np.int32)
+    h = rng.integers(16, 64, n).astype(np.int32)
+    _frames = np.ones(n, np.int32)
+    rows = []
+    for i in range(n):
+        payload = rng.integers(0, 256, int(3 * w[i] * h[i]), dtype=np.uint8).tobytes()
+        rows.append((i, payload, int(h[i]), int(w[i])))
+    for i in range(n_variants):
+        _, p, hh, ww = rows[i]
+        tail = np.random.default_rng([99, i]).integers(
+            0, 256, len(p) - 8, dtype=np.uint8
+        ).tobytes()
+        rows.append((1000 + i, p[:8] + tail, hh, ww))
+    return rows
+
+
+def indep_media_phash_dups(max_hamming: int = 3) -> pd.DataFrame:
+    """From-spec dHash near-dup pairs: fake decode (splitmix64 of the
+    first 8 payload bytes seeds default_rng pixels), integer grayscale
+    (299r+587g+114b)//1000, 8×9 integer-NN resize, row-major
+    right-greater bits; brute-force all pairs, keep hamming <= 3."""
+    rows = _indep_media_phash_rows()
+    fps = []
+    for ord_, payload, h, w in rows:
+        pseed = int(splitmix64(np.frombuffer(payload[:8].ljust(8, b"\0"),
+                                             dtype=np.uint64))[0])
+        px = np.random.default_rng(pseed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        g = (299 * px[:, :, 0].astype(np.int32)
+             + 587 * px[:, :, 1].astype(np.int32)
+             + 114 * px[:, :, 2].astype(np.int32)) // 1000
+        yi = (np.arange(8) * h // 8).clip(0, h - 1)
+        xi = (np.arange(9) * w // 9).clip(0, w - 1)
+        s = g[yi][:, xi]
+        bits = (s[:, 1:] > s[:, :-1]).ravel()
+        fp = int(np.bitwise_or.reduce(
+            bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+        fps.append((ord_, fp))
+    out = []
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            a, fa = fps[i]
+            b, fb = fps[j]
+            ham = bin(fa ^ fb).count("1")
+            if ham <= max_hamming:
+                out.append((min(a, b), max(a, b), ham))
+    df = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+    df = df.astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def media_phash_key() -> str:
+    rows = _indep_media_phash_rows()
+    return _md5("phash|" + "|".join(
+        f"{o}:{hashlib.md5(p).hexdigest()}:{h}:{w}" for o, p, h, w in rows))
+
+
 # ------------------------------------------------------------ snapshots
 def generate_pipeline_snapshots(
     sf_dirs=("/root/testdata/sf0.001", "/root/testdata/sf0.01"),
@@ -967,6 +1029,8 @@ def generate_pipeline_snapshots(
     mm_key = _md5("media|5|64|" + "|".join(
         f"{r.media_id}:{r.height}:{r.width}" for r in mm.itertuples()))
     add("multimodal_features", mm_key, mm)
+
+    add("media_phash_dups", media_phash_key(), indep_media_phash_dups())
 
     return {name: pa.Table.from_pandas(pd.concat(dfs, ignore_index=True),
                                        preserve_index=False)

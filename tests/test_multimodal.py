@@ -151,3 +151,49 @@ def test_sniff_media_headers_real_formats(ray_session):
     import pandas as pd
 
     assert pd.isna(out.loc["x", "width"]) and pd.isna(out.loc["t", "width"])
+
+
+def test_phash_catches_reencoded_payload_byte_dedup_misses(ray_session):
+    """A payload with the same first-8 content bytes but a different
+    container tail decodes to identical pixels: perceptual dedup pairs
+    it with the original (hamming 0) while exact byte hashing sees two
+    distinct blobs."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from bloomfilter_multithread_ray.stages.multimodal import (
+        media_phash_dups,
+        synth_media_table,
+    )
+
+    base = synth_media_table(16, seed=11)
+    payloads = base.column("payload").to_pylist()
+    hs, ws = base.column("height").to_pylist(), base.column("width").to_pylist()
+    tail = np.random.default_rng(4).integers(
+        0, 256, len(payloads[3]) - 8, dtype=np.uint8
+    ).tobytes()
+    reenc = payloads[3][:8] + tail
+    assert hashlib.md5(reenc).digest() != hashlib.md5(payloads[3]).digest()
+
+    tbl = pa.table(
+        {"media_ord": pa.array(list(range(16)) + [900], pa.int64()),
+         "payload": pa.array(payloads + [reenc], pa.binary()),
+         "height": pa.array(hs + [hs[3]], pa.int32()),
+         "width": pa.array(ws + [ws[3]], pa.int32())}
+    )
+    pairs = media_phash_dups(ray.data.from_arrow(tbl), max_hamming=3).to_pandas()
+    hit = pairs[(pairs.doc_a == 3) & (pairs.doc_b == 900)]
+    assert len(hit) == 1 and hit["hamming"].iloc[0] == 0
+
+    # partition invariance
+    pairs2 = media_phash_dups(
+        ray.data.from_arrow(tbl).repartition(5), max_hamming=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        pairs2.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+    )

@@ -183,6 +183,7 @@ def test_pipeline_queries_match_independent_impls(ray_session):
         "bloom_fpr_check": P.indep_bloom_fpr_check(),
         "sketch_lineage": P.indep_sketch_lineage(),
         "multimodal_features": P.indep_multimodal_features(),
+        "media_phash_dups": P.indep_media_phash_dups(),
     }
     for name, w in want.items():
         got = qs[name](sf)
