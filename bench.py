@@ -325,6 +325,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "snake_shard_plan",
         "dedup_provenance",
         "hard_negatives",
+        # round-4 wave 3: drift/privacy/placement + search/graph/ANN
+        "events_decayed_activity",
+        "k_anonymity_audit",
+        "events_value_psi",
+        "rendezvous_shards",
+        "inverted_index_search",
+        "doc_graph_lpa",
+        "ann_pq",
+        "readability_by_source",
+        "media_phash_dups",
     ]
     times: dict[str, float] = {}
     for name in names:
