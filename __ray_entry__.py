@@ -1608,6 +1608,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         )
 
+    def dedup_containment(sf_dir):
+        # asymmetric near-superset detector: max containment
+        # i/min(|A|,|B|) over exact 3-gram sets — a short doc quoted
+        # inside a long one scores ~1.0 where Jaccard stays ~|A|/|B|
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.8,
+            measure="containment",
+        )
+        return (
+            pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+
     def doc_graph_kcore(sf_dir):
         # k-core of the exact 3-gram Jaccard duplicate graph: dense
         # near-dup clusters survive the iterative distributed peel
@@ -3171,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_components": dedup_ngram_components,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
+        "dedup_containment": dedup_containment,
         "doc_graph_kcore": doc_graph_kcore,
         "doc_graph_bfs": doc_graph_bfs,
         "docs_sorted_neighbors": docs_sorted_neighbors,
@@ -4157,6 +4170,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY doc_a, doc_b"
+        ),
+        # max containment over the same exact 3-gram sets: LEAST(|A|,|B|)
+        # denominator, one double division both sides
+        "dedup_containment": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+            "FROM toks WHERE len(w) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) AS containment "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8 ORDER BY doc_a, doc_b"
         ),
         # connected components over the exact n-gram-Jaccard pairs:
         # recursive transitive closure (UNION dedup => terminates),

@@ -508,8 +508,16 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_gram_df: int = 64,
+    measure: str = "jaccard",
 ) -> "Dataset":
     """Word-k-gram Jaccard pairs >= threshold (DuckDB-checkable).
+
+    ``measure="containment"`` switches the final score to max
+    containment i / min(|A|, |B|) — the asymmetric near-superset
+    detector (a short doc quoted/embedded inside a long one scores
+    ~1.0 where Jaccard stays near |A|/|B|); output column becomes
+    ``containment``. Same two-shuffle plan either way — only the one
+    float expression in the finalize kernel differs.
 
     Inverted index {gram_hash, doc_id, n_grams} (distinct per doc, each
     row carrying its doc's exact set size) → per-gram pair expansion
@@ -530,6 +538,9 @@ def ngram_jaccard_pairs(
     # filled even if a caller pickles the UDFs eagerly
     _NBITS = 21  # n_grams < 2^21; doc ids < 2^31 (fixture assumption)
     P_SHUF = 64
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure {measure!r}")
+    out_col = "jaccard" if measure == "jaccard" else "containment"
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         # vectorized shingle hashes (shared kernel), distinct per doc
@@ -637,18 +648,21 @@ def ngram_jaccard_pairs(
         if len(starts) == 0:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
+                 out_col: pa.array([], pa.float64())}
             )
         isum = np.add.reduceat(i, starts)
         upair, unanb = pair[starts], nanb[starts]
         na = (unanb >> _NBITS).astype(np.float64)
         nb = (unanb & ((1 << _NBITS) - 1)).astype(np.float64)
-        jac = isum.astype(np.float64) / (na + nb - isum)
+        if measure == "jaccard":
+            jac = isum.astype(np.float64) / (na + nb - isum)
+        else:  # max containment: the smaller set's coverage
+            jac = isum.astype(np.float64) / np.minimum(na, nb)
         hit = jac >= threshold
         return pa.table(
             {"doc_a": pa.array((upair >> 31)[hit]),
              "doc_b": pa.array((upair & ((1 << 31) - 1))[hit]),
-             "jaccard": pa.array(jac[hit])}
+             out_col: pa.array(jac[hit])}
         )
 
     return (

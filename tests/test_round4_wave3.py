@@ -305,3 +305,35 @@ def test_readability_reference_parity_and_monotonicity(ray_session):
 
     assert out.loc[out.source == "s1", "fk_q_sum"].iloc[0] == 2 * fk(simple)
     assert out.loc[out.source == "s2", "fk_q_sum"].iloc[0] == fk(complex_)
+
+
+# ----------------------------------------------------------- containment
+def test_containment_catches_embedded_quote_jaccard_misses(ray_session):
+    from bloomfilter_multithread_ray.pipelines import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = ("intro words here " + short + " and then a very long tail "
+             + " ".join(f"tok{i}" for i in range(40)))
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [short, long_, "unrelated content entirely here"]})
+    ds = ray.data.from_pandas(df)
+    cont = (
+        D.ngram_jaccard_pairs(ds, k=3, threshold=0.8, measure="containment")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert len(cont) == 1
+    assert (cont.loc[0, "doc_a"], cont.loc[0, "doc_b"]) == (1, 2)
+    assert cont.loc[0, "containment"] == 1.0  # every short-gram is in long
+
+    jac = D.ngram_jaccard_pairs(ds, k=3, threshold=0.8).to_pandas()
+    assert len(jac) == 0  # symmetric Jaccard misses the quote
+
+    cont2 = (
+        D.ngram_jaccard_pairs(ds.repartition(3), k=3, threshold=0.8,
+                              measure="containment")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(cont, cont2)
+
+    with pytest.raises(ValueError):
+        D.ngram_jaccard_pairs(ds, measure="dice")
