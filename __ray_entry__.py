@@ -1496,6 +1496,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["text", "source"]), retract_source="src7"
         )
 
+    def cuckoo_retract_reprobe(sf_dir):
+        # cuckoo-filter corpus membership with retraction: 16-bit tags
+        # at ~plain-Bloom bits/item where the counting Bloom pays K
+        # int32 counters/item. Layout is insertion-order-dependent, so
+        # the build is a PARTITIONED store (hash%P route, one filter
+        # per partition from its sorted hashes) instead of an order-free
+        # merge; kept_contained == kept_total is the zero-FN invariant
+        return A.cuckoo_retract(
+            _docs(sf_dir, ["text", "source"]), retract_source="src7"
+        )
+
     def token_f2_countsketch(sf_dir):
         # AMS self-join-size estimate (rows-only; the bound vs the
         # exact F2 is asserted in pytest and token_f2_exact is the
@@ -3169,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_cms": heavy_hitters_cms,
         "token_f2_countsketch": token_f2_countsketch,
         "bloom_retract_reprobe": bloom_retract_reprobe,
+        "cuckoo_retract_reprobe": cuckoo_retract_reprobe,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -6277,6 +6289,10 @@ def oracle_sql() -> dict[str, str]:
         ("bloom_retract_reprobe",
          "n_added, n_deleted, n_live, kept_contained, kept_total, "
          "retracted_contained, retracted_total, fpr_bound", _DOCS_SRC_KEY),
+        ("cuckoo_retract_reprobe",
+         "n_added, n_deleted, n_live, kept_contained, kept_total, "
+         "retracted_contained, retracted_total, load_factor, fpr_bound",
+         _DOCS_SRC_KEY),
         ("events_value_p95_tdigest", "event_type, p50, p95", _EVENTS_VAL_KEY),
         ("ann_lsh", "qid, vec_id, cosine", _EMB_KEY),
         ("ann_ivf", "qid, vec_id, cosine", _EMB_KEY),

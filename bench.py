@@ -335,6 +335,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "ann_pq",
         "readability_by_source",
         "media_phash_dups",
+        "dedup_containment",
+        "cuckoo_retract_reprobe",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -2820,3 +2820,131 @@ def value_psi(
     out = pd.DataFrame({"vbin": piv.index.to_numpy(dtype=np.int64),
                         "n1": c1, "n2": c2, "contrib_q": q})
     return out.sort_values("vbin").reset_index(drop=True)
+
+
+# ------------------------------------------------ cuckoo-filter retract
+def cuckoo_retract(
+    ds: "Dataset",
+    retract_source: str,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_buckets_per_part: int = 1 << 10,
+    bucket_size: int = 4,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Corpus membership with RETRACTION via a partitioned cuckoo-filter
+    store → the same 1-row report shape as
+    :func:`counting_bloom_retract`, plus {load_factor, fpr_bound} — the
+    space-efficient alternative (16-bit tags ≈ plain-Bloom bits/item vs
+    K int32 counters/item) when deletes must be supported.
+
+    Cuckoo layout is insertion-order-dependent (evictions), so unlike
+    the counting Bloom this is NOT an order-free mergeable UDAF: the
+    build uses the PARTITIONED-STORE discipline instead — rows route on
+    ``hash % P`` (one shuffle of 9-byte skinny rows), each partition's
+    kernel builds ONE filter from its SORTED hashes (insert all
+    ascending, then delete the retracted subset ascending) — a
+    deterministic, partitioning-independent layout, mirroring the
+    reference's per-thread shard ownership (src/main.cpp:86). The
+    probe pass broadcasts the O(P · buckets · b · 2B) shard dict once
+    and folds exact int64 partials per block.
+
+    Zero-FN invariant: kept_contained == kept_total (cuckoo inserts
+    cannot lose a live fingerprint; retraction deletes exactly one
+    matching copy per retracted row, and every retracted row was
+    inserted). Retracted keys re-test positive only at the tag-collision
+    FPR ≈ 2b/2^16.
+    """
+    import ray
+
+    from ..functions.hashing import hash_strings
+    from ..state import CuckooFilter
+    from ..state.base import deserialize_sketch as _de
+
+    P = int(num_partitions)
+
+    def _keys(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow.compute as pc
+
+        joined = pc.binary_join_element_wise(
+            pc.cast(t.column(source_col), pa.string()),
+            pc.cast(t.column(text_col), pa.string()),
+            "\x1f",
+        )
+        h = hash_strings(joined.combine_chunks())
+        retract = pc.equal(t.column(source_col), retract_source).to_numpy(
+            zero_copy_only=False
+        )
+        return h, retract
+
+    def route(t: pa.Table) -> pa.Table:
+        h, retract = _keys(t)
+        return pa.table(
+            {"part": pa.array((h % np.uint64(P)).astype(np.int32)),
+             "h": pa.array(h.view(np.int64)),
+             "retract": pa.array(retract)}
+        )
+
+    def build_partition(g: pa.Table) -> pa.Table:
+        part = int(g.column("part")[0].as_py())
+        h = g.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        retract = g.column("retract").to_numpy(zero_copy_only=False)
+        cf = CuckooFilter(num_buckets=num_buckets_per_part, bucket_size=bucket_size)
+        cf.update_hashes(np.sort(h))
+        dh = np.sort(h[retract])
+        ok = cf.delete_hashes(dh)
+        if not ok.all():
+            raise AssertionError("cuckoo retract of an inserted key failed")
+        return pa.table(
+            {"part": pa.array([part], pa.int32()),
+             "blob": pa.array([cf.serialize()], pa.binary()),
+             "n_added": pa.array([len(h)], pa.int64()),
+             "n_deleted": pa.array([len(dh)], pa.int64())}
+        )
+
+    built = (
+        ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(build_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    shards = {int(r.part): _de(r.blob) for r in built.itertuples()}
+    n_added = int(built["n_added"].sum())
+    n_deleted = int(built["n_deleted"].sum())
+    sh_ref = ray.put(shards)
+
+    def probe(t: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        h, retract = _keys(t)
+        part = (h % np.uint64(P)).astype(np.int64)
+        hit = np.zeros(len(h), dtype=bool)
+        for p in np.unique(part):
+            m = part == p
+            if p in sh:
+                hit[m] = sh[p].contains(h[m])
+        return pa.table({
+            "kept_contained": pa.array([int(hit[~retract].sum())], pa.int64()),
+            "kept_total": pa.array([int((~retract).sum())], pa.int64()),
+            "retracted_contained": pa.array([int(hit[retract].sum())], pa.int64()),
+            "retracted_total": pa.array([int(retract.sum())], pa.int64()),
+        })
+
+    folded = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["kept_contained", "kept_total", "retracted_contained", "retracted_total"]
+    )
+    total_slots = sum(s.slots.size for s in shards.values())
+    live_slots = sum(int((s.slots != 0).sum()) for s in shards.values())
+    any_cf = next(iter(shards.values()))
+    return pd.DataFrame({
+        "n_added": pd.array([n_added], dtype="int64"),
+        "n_deleted": pd.array([n_deleted], dtype="int64"),
+        "n_live": pd.array([n_added - n_deleted], dtype="int64"),
+        "kept_contained": pd.array([int(folded["sum(kept_contained)"] or 0)], dtype="int64"),
+        "kept_total": pd.array([int(folded["sum(kept_total)"] or 0)], dtype="int64"),
+        "retracted_contained": pd.array(
+            [int(folded["sum(retracted_contained)"] or 0)], dtype="int64"),
+        "retracted_total": pd.array([int(folded["sum(retracted_total)"] or 0)], dtype="int64"),
+        "load_factor": [round(live_slots / total_slots, 6)],
+        "fpr_bound": [any_cf.fpr_bound()],
+    })

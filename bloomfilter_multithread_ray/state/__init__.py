@@ -11,3 +11,4 @@ from .misra_gries import MisraGries  # noqa: F401
 from .countsketch import CountSketch  # noqa: F401
 from .fd import FrequentDirections  # noqa: F401
 from .counting_bloom import CountingBloom  # noqa: F401
+from .cuckoo import CuckooFilter  # noqa: F401

@@ -977,6 +977,7 @@ def generate_pipeline_snapshots(
         add("ntok_quantiles_kll", dsk,
             indep_ntok_quantiles(texts, sources, "kll"))
         add("bloom_retract_reprobe", dsk, indep_bloom_retract(texts, sources))
+        add("cuckoo_retract_reprobe", dsk, indep_cuckoo_retract(texts, sources))
 
         ev = pq.read_table(f"{sf}/events.parquet",
                            columns=["event_id", "event_type", "value"])
@@ -1035,6 +1036,113 @@ def generate_pipeline_snapshots(
     return {name: pa.Table.from_pandas(pd.concat(dfs, ignore_index=True),
                                        preserve_index=False)
             for name, dfs in frames.items()}
+
+
+
+
+class IndepCuckoo:
+    """From-spec sequential cuckoo filter (Fan et al. 2014): fp =
+    ((h>>48) % 65535) + 1; i1 = h % m; alt(i, fp) = (i ^
+    splitmix64(fp ^ 0xA24BAED4963EE407)) % m; insert tries i1 then i2
+    first-free-slot, then evicts (victim slot = kick % b) from i2;
+    delete removes the first matching copy (i1 row scanned first).
+    The membership REPORT is layout-independent at the fixture's load
+    (a fingerprint always sits in one of its two buckets), so this
+    sequential build checks the engine's wave-vectorized build."""
+
+    _SALT = U(0xA24BAED4963EE407)
+
+    def __init__(self, num_buckets: int, bucket_size: int = 4, max_kicks: int = 500):
+        self.m, self.b, self.mk = num_buckets, bucket_size, max_kicks
+        self.slots = np.zeros((num_buckets, bucket_size), dtype=np.uint16)
+
+    def _fp(self, h):
+        return int((int(h) >> 48) % 65535 + 1)
+
+    def _alt(self, i, fp):
+        return int((U(i) ^ splitmix64(U(fp) ^ self._SALT)) % U(self.m))
+
+    def add(self, hashes):
+        for h in hashes:
+            fp = self._fp(h)
+            i1 = int(U(h) % U(self.m))
+            i2 = self._alt(i1, fp)
+            placed = False
+            for idx in (i1, i2):
+                free = np.flatnonzero(self.slots[idx] == 0)
+                if free.size:
+                    self.slots[idx, free[0]] = fp
+                    placed = True
+                    break
+            if not placed:
+                idx, cur = i2, fp
+                for kick in range(self.mk):
+                    vs = kick % self.b
+                    cur, self.slots[idx, vs] = int(self.slots[idx, vs]), cur
+                    idx = self._alt(idx, cur)
+                    free = np.flatnonzero(self.slots[idx] == 0)
+                    if free.size:
+                        self.slots[idx, free[0]] = cur
+                        placed = True
+                        break
+                if not placed:
+                    raise RuntimeError("indep cuckoo full")
+
+    def delete(self, hashes):
+        for h in hashes:
+            fp = self._fp(h)
+            i1 = int(U(h) % U(self.m))
+            for idx in (i1, self._alt(i1, fp)):
+                hit = np.flatnonzero(self.slots[idx] == fp)
+                if hit.size:
+                    self.slots[idx, hit[0]] = 0
+                    break
+
+    def contains(self, hashes):
+        out = np.zeros(len(hashes), dtype=bool)
+        for k, h in enumerate(hashes):
+            fp = self._fp(h)
+            i1 = int(U(h) % U(self.m))
+            out[k] = (self.slots[i1] == fp).any() or (
+                self.slots[self._alt(i1, fp)] == fp
+            ).any()
+        return out
+
+
+def indep_cuckoo_retract(
+    texts, sources, retract_source: str = "src7",
+    num_buckets_per_part: int = 1 << 10, bucket_size: int = 4,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    keys = [f"{s}\x1f{t}" for s, t in zip(sources, texts)]
+    h = hash_str(keys)
+    retract = np.array([s == retract_source for s in sources])
+    part = (h % U(num_partitions)).astype(np.int64)
+    shards = {}
+    for p in sorted(set(part.tolist())):
+        m = part == p
+        cf = IndepCuckoo(num_buckets_per_part, bucket_size)
+        cf.add(np.sort(h[m]))
+        cf.delete(np.sort(h[m & retract]))
+        shards[p] = cf
+    hit = np.zeros(len(h), dtype=bool)
+    for p, cf in shards.items():
+        m = part == p
+        hit[m] = cf.contains(h[m])
+    n_added, n_deleted = len(h), int(retract.sum())
+    total_slots = sum(c.slots.size for c in shards.values())
+    live_slots = sum(int((c.slots != 0).sum()) for c in shards.values())
+    return pd.DataFrame({
+        "n_added": pd.array([n_added], dtype="int64"),
+        "n_deleted": pd.array([n_deleted], dtype="int64"),
+        "n_live": pd.array([n_added - n_deleted], dtype="int64"),
+        "kept_contained": pd.array([int(hit[~retract].sum())], dtype="int64"),
+        "kept_total": pd.array([int((~retract).sum())], dtype="int64"),
+        "retracted_contained": pd.array([int(hit[retract].sum())], dtype="int64"),
+        "retracted_total": pd.array([int(retract.sum())], dtype="int64"),
+        "load_factor": [round(live_slots / total_slots, 6)],
+        "fpr_bound": [2.0 * bucket_size / 65535.0],
+    })
 
 
 if __name__ == "__main__":

@@ -169,6 +169,7 @@ def test_pipeline_queries_match_independent_impls(ray_session):
             n_blocks=P.engine_num_blocks(f"{sf}/documents.parquet")),
         "ntok_quantiles_kll": P.indep_ntok_quantiles(texts, sources, "kll"),
         "bloom_retract_reprobe": P.indep_bloom_retract(texts, sources),
+        "cuckoo_retract_reprobe": P.indep_cuckoo_retract(texts, sources),
         "events_value_p95_tdigest": P.indep_events_p95(
             ev.column("event_type").to_pylist(),
             ev.column("value").to_numpy(zero_copy_only=False),
