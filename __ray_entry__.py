@@ -1496,6 +1496,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["text", "source"]), retract_source="src7"
         )
 
+    def events_debounce(sf_dir):
+        # stream debounce: drop events within 60 s of the previous
+        # same-(user, type) event — the at-most-once-per-window gate a
+        # clickstream ingest needs. One fixed-P window shuffle (LAG),
+        # map-only filter; gap_us = -1 marks each key's first event
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            partitioned_window,
+        )
+
+        ev = R.read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+        def widen(t: pa.Table) -> pa.Table:
+            tus = (
+                t.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            return t.append_column("tus", pa.array(tus))
+
+        out = partitioned_window(
+            ev.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+            ["user_id", "event_type"],
+            ["tus", "event_id"],
+            {"prev_tus": ("lag", "tus", 1, None)},
+            num_partitions=16,
+        ).to_pandas()
+        gap = out["tus"] - out["prev_tus"]
+        keep = out["prev_tus"].isna() | (gap >= 60_000_000)
+        res = pd.DataFrame(
+            {"event_id": out.loc[keep, "event_id"].astype(np.int64),
+             "gap_us": gap[keep].fillna(-1).astype(np.int64)}
+        )
+        return res.sort_values("event_id").reset_index(drop=True)
+
     def cuckoo_retract_reprobe(sf_dir):
         # cuckoo-filter corpus membership with retraction: 16-bit tags
         # at ~plain-Bloom bits/item where the counting Bloom pays K
@@ -3181,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_f2_countsketch": token_f2_countsketch,
         "bloom_retract_reprobe": bloom_retract_reprobe,
         "cuckoo_retract_reprobe": cuckoo_retract_reprobe,
+        "events_debounce": events_debounce,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -4622,6 +4660,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'train' END AS split, COUNT(*) AS n_docs, "
             "CAST(SUM(n_tok) AS BIGINT) AS total_tok "
             "FROM s3 GROUP BY 1 ORDER BY split"
+        ),
+        # debounce: LAG over (user, type) ordered by (epoch_us, event_id);
+        # keep first-of-key (gap_us = -1) and gaps >= 60 s
+        "events_debounce": (
+            "WITH w AS (SELECT event_id, epoch_us(ts) AS tus, "
+            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY epoch_us(ts), event_id) AS prev FROM events) "
+            "SELECT event_id, COALESCE(tus - prev, -1) AS gap_us FROM w "
+            "WHERE prev IS NULL OR tus - prev >= 60000000 ORDER BY event_id"
         ),
         # Flesch-Kincaid per source: fixed-shape float expression (one
         # IEEE op per operand both sides), per-doc 1e-6 quantization,

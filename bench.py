@@ -337,6 +337,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "media_phash_dups",
         "dedup_containment",
         "cuckoo_retract_reprobe",
+        "events_debounce",
     ]
     times: dict[str, float] = {}
     for name in names:

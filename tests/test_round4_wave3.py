@@ -337,3 +337,30 @@ def test_containment_catches_embedded_quote_jaccard_misses(ray_session):
 
     with pytest.raises(ValueError):
         D.ngram_jaccard_pairs(ds, measure="dice")
+
+
+# ------------------------------------------------------------- debounce
+def test_debounce_keeps_first_and_spaced_events(ray_session):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_e_w3", "/root/repo/__ray_entry__.py")
+    e = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(e)
+    fn = e.queries()["events_debounce"]
+    out = fn(SF)
+    assert (out["gap_us"] == -1).sum() > 0          # first-of-key rows
+    kept = out[out["gap_us"] >= 0]
+    assert (kept["gap_us"] >= 60_000_000).all()     # every gap >= 60 s
+    # independent re-derivation
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    df["tus"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df = df.sort_values(["user_id", "event_type", "tus", "event_id"])
+    df["prev"] = df.groupby(["user_id", "event_type"])["tus"].shift(1)
+    gap = df["tus"] - df["prev"]
+    keep = df["prev"].isna() | (gap >= 60_000_000)
+    ref = pd.DataFrame(
+        {"event_id": df.loc[keep, "event_id"].astype(np.int64),
+         "gap_us": gap[keep].fillna(-1).astype(np.int64)}
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
