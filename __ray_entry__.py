@@ -1496,6 +1496,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["text", "source"]), retract_source="src7"
         )
 
+    def events_welch_t(sf_dir):
+        return A.grouped_welch_t(
+            lambda: R.read(sf_dir, "events", ["ts", "event_type", "value"]),
+        )
+
     def events_debounce(sf_dir):
         # stream debounce: drop events within 60 s of the previous
         # same-(user, type) event — the at-most-once-per-window gate a
@@ -3219,6 +3224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_retract_reprobe": bloom_retract_reprobe,
         "cuckoo_retract_reprobe": cuckoo_retract_reprobe,
         "events_debounce": events_debounce,
+        "events_welch_t": events_welch_t,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -4660,6 +4666,36 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'train' END AS split, COUNT(*) AS n_docs, "
             "CAST(SUM(n_tok) AS BIGINT) AS total_tok "
             "FROM s3 GROUP BY 1 ORDER BY split"
+        ),
+        # Welch t per group between time halves: exact integer moments
+        # from 1e-3-quantized values, one fixed-shape float chain both
+        # sides, t quantized at 1e-6; groups needing variance (n >= 2
+        # per half) only
+        "events_welch_t": (
+            "WITH mm AS (SELECT MIN(epoch_us(ts)) AS lo, "
+            "MAX(epoch_us(ts)) AS hi FROM events), "
+            "d AS (SELECT event_type, "
+            "CAST(TRUNC(value * 1000 + 0.5 * SIGN(value)) AS BIGINT) AS q, "
+            "CASE WHEN epoch_us(ts) < mm.lo + (mm.hi - mm.lo) // 2 "
+            "THEN 1 ELSE 2 END AS half FROM events, mm "
+            "WHERE value IS NOT NULL), "
+            "m AS (SELECT event_type, "
+            "SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1, "
+            "SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2, "
+            "SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS s1, "
+            "SUM(CASE WHEN half = 2 THEN q ELSE 0 END) AS s2, "
+            "SUM(CASE WHEN half = 1 THEN q * q ELSE 0 END) AS ss1, "
+            "SUM(CASE WHEN half = 2 THEN q * q ELSE 0 END) AS ss2 "
+            "FROM d GROUP BY event_type), "
+            "v AS (SELECT event_type, n1, n2, "
+            "(CAST(ss1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * CAST(s1 AS DOUBLE)) / (n1 - 1) AS va, "
+            "(CAST(ss2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * CAST(s2 AS DOUBLE)) / (n2 - 1) AS vb, "
+            "CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md "
+            "FROM m WHERE n1 >= 2 AND n2 >= 2) "
+            "SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+            "CAST(TRUNC(md / sqrt(va / n1 + vb / n2) * 1000000 "
+            "+ 0.5 * SIGN(md / sqrt(va / n1 + vb / n2))) AS BIGINT) AS t_q "
+            "FROM v ORDER BY event_type"
         ),
         # debounce: LAG over (user, type) ordered by (epoch_us, event_id);
         # keep first-of-key (gap_us = -1) and gaps >= 60 s

@@ -338,6 +338,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_containment",
         "cuckoo_retract_reprobe",
         "events_debounce",
+        "events_welch_t",
     ]
     times: dict[str, float] = {}
     for name in names:

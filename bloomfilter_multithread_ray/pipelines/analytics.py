@@ -2948,3 +2948,99 @@ def cuckoo_retract(
         "load_factor": [round(live_slots / total_slots, 6)],
         "fpr_bound": [any_cf.fpr_bound()],
     })
+
+
+# ------------------------------------------------- grouped Welch t-test
+def grouped_welch_t(
+    read_events,
+    *,
+    by: str = "event_type",
+    col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Welch's two-sample t statistic per group between the first and
+    second time half of the stream → {by, n1, n2, t_q} — the
+    significance companion to :func:`value_psi`: PSI says the
+    distribution moved, Welch's t says whether the MEAN moved more
+    than chance for that sample size.
+
+    Exactness contract: values quantize to int64 at 1e-3 half-away
+    FIRST, so every moment (Σq, Σq²) is an exact integer fold
+    (order-free ⇒ partition-invariant; Σq² stays < 2^53 for the
+    fixture range, loud failure otherwise); the t statistic is one
+    fixed-shape float chain from those integers — identical in DuckDB
+    — quantized to 1e-6 int64. Groups with fewer than 2 rows in
+    either half are dropped (variance undefined). Two skinny passes
+    (O(blocks) min/max fold, one fixed-P grouped sum of
+    O(groups × 2) partials); values never shuffle.
+    """
+    from .agg import grouped_agg
+
+    def batch_minmax(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        if len(ts) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(ts.min())]),
+                         "hi": pa.array([int(ts.max())])})
+
+    mm = read_events().map_batches(
+        batch_minmax, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    empty = pd.DataFrame({by: pd.Series([], dtype=object),
+                          "n1": pd.Series([], dtype=np.int64),
+                          "n2": pd.Series([], dtype=np.int64),
+                          "t_q": pd.Series([], dtype=np.int64)})
+    if len(mm) == 0:
+        return empty
+    lo, hi = np.int64(mm["lo"].min()), np.int64(mm["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(v)
+        q = np.trunc(v[valid] * 1e3 + np.copysign(0.5, v[valid])).astype(np.int64)
+        if len(q) and np.abs(q).max() > 3_000_000:
+            raise ValueError("value out of quantization range (|v| > 3000)")
+        half = np.where(ts[valid] < mid, np.int64(1), np.int64(2))
+        return pa.table(
+            {by: t.column(by).filter(pa.array(valid)),
+             "half": pa.array(half), "q": pa.array(q),
+             "qq": pa.array(q * q)}
+        )
+
+    m = grouped_agg(
+        read_events().map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        [by, "half"],
+        {"n": ("count", None), "s": ("sum", "q"), "ss": ("sum", "qq")},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    piv = m.pivot_table(index=by, columns="half",
+                        values=["n", "s", "ss"], aggfunc="sum", fill_value=0)
+    rows = []
+    for g in piv.index:
+        n1 = int(piv.loc[g, ("n", 1)]) if ("n", 1) in piv.columns else 0
+        n2 = int(piv.loc[g, ("n", 2)]) if ("n", 2) in piv.columns else 0
+        if n1 < 2 or n2 < 2:
+            continue
+        s1 = float(piv.loc[g, ("s", 1)]); s2 = float(piv.loc[g, ("s", 2)])
+        ss1 = float(piv.loc[g, ("ss", 1)]); ss2 = float(piv.loc[g, ("ss", 2)])
+        va = (ss1 - (s1 / n1) * s1) / (n1 - 1)
+        vb = (ss2 - (s2 / n2) * s2) / (n2 - 1)
+        t_stat = (s1 / n1 - s2 / n2) / np.sqrt(va / n1 + vb / n2)
+        u = t_stat * 1e6
+        rows.append((g, n1, n2, int(np.trunc(u + np.copysign(0.5, u)))))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=[by, "n1", "n2", "t_q"])
+    out["n1"] = out["n1"].astype(np.int64)
+    out["n2"] = out["n2"].astype(np.int64)
+    out["t_q"] = out["t_q"].astype(np.int64)
+    return out.sort_values(by).reset_index(drop=True)

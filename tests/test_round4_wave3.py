@@ -364,3 +364,39 @@ def test_debounce_keeps_first_and_spaced_events(ray_session):
          "gap_us": gap[keep].fillna(-1).astype(np.int64)}
     ).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, ref)
+
+
+# ------------------------------------------------------------- Welch t
+def test_welch_t_detects_planted_mean_shift(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    rng = np.random.default_rng(3)
+    rows = []
+    # "stable": same mean both halves; "shifted": +20 in half 2
+    for i in range(200):
+        rows.append((t0 + (i % 10) * day, "stable", 50.0 + rng.normal(0, 5)))
+        rows.append((t0 + (10 + i % 10) * day, "stable", 50.0 + rng.normal(0, 5)))
+        rows.append((t0 + (i % 10) * day, "shifted", 50.0 + rng.normal(0, 5)))
+        rows.append((t0 + (10 + i % 10) * day, "shifted", 70.0 + rng.normal(0, 5)))
+    df = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    out = A.grouped_welch_t(lambda: ray.data.from_pandas(df))
+    t = dict(zip(out["event_type"], out["t_q"]))
+    assert abs(t["stable"]) < 3_000_000       # |t| < 3: no signal
+    assert t["shifted"] < -20_000_000         # mean rose in half 2 => t << 0
+
+    out2 = A.grouped_welch_t(lambda: ray.data.from_pandas(df).repartition(7))
+    pd.testing.assert_frame_equal(out, out2)
+
+    # scipy-free independent check on the shifted group
+    g = df[df.event_type == "shifted"].copy()
+    ts = g["ts"].astype("datetime64[us]").astype(np.int64)
+    lo, hi = ts.min(), ts.max()
+    half1 = ts < lo + (hi - lo) // 2
+    q = np.trunc(g["value"].to_numpy() * 1e3
+                 + np.copysign(0.5, g["value"].to_numpy()))
+    a, b = q[half1.to_numpy()], q[~half1.to_numpy()]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    t_ref = (a.mean() - b.mean()) / np.sqrt(va / len(a) + vb / len(b))
+    assert abs(t["shifted"] / 1e6 - t_ref) < 1e-3
