@@ -62,6 +62,7 @@ def build_partitioned_bloom(
     complement=None,
     salt_bits: int = 0,
     tokens_col: str = "tokens",
+    variant: str = "classic",
 ) -> "Dataset":
     """tokens table → Dataset of {part: int32, sketch: binary}.
 
@@ -69,8 +70,22 @@ def build_partitioned_bloom(
     sub-shards (better shuffle balance on skewed token sources), then
     un-salted by a second tiny merge groupby — possible only because
     the sketches are mergeable (SURVEY §4 skew).
+
+    ``variant="blocked"`` builds register-blocked filters
+    (:class:`~..state.bloom_blocked.BlockedBloomFilter`): all K bits of
+    a key in one 64-bit word, so the probe is ONE gather instead of K —
+    measured 3× probe throughput and 5× less broadcast memory at 1.5×
+    bits for BETTER FPR (BASELINE.md blocked-Bloom A/B). Same mergeable
+    plan either way (word-OR merge is order-free like bit-OR).
     """
-    factory = lambda: BloomFilter(bits_per_partition, num_hashes)  # noqa: E731
+    if variant == "classic":
+        factory = lambda: BloomFilter(bits_per_partition, num_hashes)  # noqa: E731
+    elif variant == "blocked":
+        from ..state import BlockedBloomFilter
+
+        factory = lambda: BlockedBloomFilter(bits_per_partition, num_hashes)  # noqa: E731
+    else:
+        raise ValueError(f"variant must be classic|blocked, got {variant!r}")
     combiner = make_partial_combiner(factory)
 
     # fused hash + map-side combine: one UDF goes tokens → sparse
@@ -212,12 +227,22 @@ class BloomProbe:
             return deserialize_sketch(s)
 
         self.M = None  # stacked-matrix fast path (see probe_bloom)
+        self.W = None  # blocked-word matrix fast path (one gather/key)
         if isinstance(shards, tuple) and shards and shards[0] == "bloom_matrix":
             _, num_bits, num_hashes, M = shards
             self.M = M  # (P, num_bits) uint8, zero-copy plasma view
             self.Mflat = M.ravel()
             self.Mbits = int(num_bits)
             self._ref_bf = BloomFilter.from_bits(num_bits, num_hashes, M[0], 0)
+            self.shards = {}
+        elif isinstance(shards, tuple) and shards and shards[0] == "blocked_matrix":
+            from ..state import BlockedBloomFilter
+
+            _, num_bits, num_hashes, W = shards
+            self.W = W  # (P, n_words) uint64, zero-copy plasma view
+            self.Wflat = W.ravel()
+            self.Wwords = int(num_bits) // 64
+            self._ref_bb = BlockedBloomFilter(num_bits, num_hashes)
             self.shards = {}
         else:
             self.shards = {p: revive(s) for p, s in shards.items()}
@@ -267,6 +292,15 @@ class BloomProbe:
             for i in range(self._ref_bf.num_hashes):
                 idx = self._ref_bf._indices(h, i).astype(np.int64)
                 member &= self.Mflat[base + idx] != 0
+        elif len(gh) and self.W is not None:
+            # blocked-matrix path: K bits live in one 64-bit word, so
+            # the whole probe is ONE flat gather + an in-register mask
+            # test — the cache-line discipline of Putze et al. 2009
+            # (BASELINE.md blocked-Bloom A/B: 3× the classic matrix
+            # path's probe throughput at 5× less broadcast memory)
+            widx, mask = self._ref_bb._word_and_mask(gh)
+            flat_idx = part.astype(np.int64) * self.Wwords + widx
+            member = (self.Wflat[flat_idx] & mask) == mask
         elif len(gh):
             # mixed / non-Bloom sketch fallback: per-partition mask loop
             for p in np.unique(part):
@@ -327,12 +361,29 @@ def probe_bloom(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, min(12, cpus // 2))
 
+    from ..state import BlockedBloomFilter
+
     blooms = {p: s for p, s in shards.items() if isinstance(s, BloomFilter)}
     shapes = {(s.num_bits, s.num_hashes) for s in blooms.values()}
+    blocked = {p: s for p, s in shards.items() if isinstance(s, BlockedBloomFilter)}
+    bshapes = {(s.num_bits, s.num_hashes) for s in blocked.values()}
     LAST_PROBE_PATH = (
-        "matrix" if (len(blooms) == len(shards) and len(shapes) == 1) else "mask"
+        "blocked_matrix"
+        if (shards and len(blocked) == len(shards) and len(bshapes) == 1)
+        else "matrix"
+        if (len(blooms) == len(shards) and len(shapes) == 1)
+        else "mask"
     )
-    if len(blooms) == len(shards) and len(shapes) == 1:
+    if LAST_PROBE_PATH == "blocked_matrix":
+        # all-blocked, uniform shape → stack the packed word arrays into
+        # one (P, n_words) uint64 matrix (8× denser than the byte-per-bit
+        # classic matrix); probe = ONE flat gather + mask test per key
+        num_bits, num_hashes = next(iter(bshapes))
+        W = np.zeros((num_partitions, num_bits // 64), dtype=np.uint64)
+        for p, s in blocked.items():
+            W[int(p)] = s.words
+        payload: object = ("blocked_matrix", num_bits, num_hashes, W)
+    elif len(blooms) == len(shards) and len(shapes) == 1:
         # all-Bloom, uniform shape → stack every shard's bitmap into one
         # (P, num_bits) matrix. ONE driver-side copy, then every actor on
         # a node shares the single plasma buffer zero-copy; the probe
@@ -431,6 +482,7 @@ def build_and_store(
     canonical: bool = False,
     complement: str | None = None,
     salt_bits: int = 0,
+    variant: str = "classic",
 ) -> dict:
     """Build phase end-to-end: corpus → sketch store on disk."""
     sk = build_partitioned_bloom(
@@ -442,9 +494,11 @@ def build_and_store(
         canonical=canonical,
         complement=complement,
         salt_bits=salt_bits,
+        variant=variant,
     )
     manifest = {
         "algo": "bloom",
+        "variant": variant,
         "k": k,
         "num_partitions": num_partitions,
         "bits_per_partition": bits_per_partition,

@@ -12,3 +12,4 @@ from .countsketch import CountSketch  # noqa: F401
 from .fd import FrequentDirections  # noqa: F401
 from .counting_bloom import CountingBloom  # noqa: F401
 from .cuckoo import CuckooFilter  # noqa: F401
+from .bloom_blocked import BlockedBloomFilter  # noqa: F401
