@@ -1501,6 +1501,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda: R.read(sf_dir, "events", ["ts", "event_type", "value"]),
         )
 
+    def events_user_trend(sf_dir):
+        # per-user OLS slope of value vs whole-hour time offset: the
+        # engagement-drift detector. All five moments are exact
+        # integer grouped folds (1e-3-quantized values, integer hour
+        # offsets); cross terms in python-int == DuckDB HUGEINT; only
+        # the final ratio is float, quantized at 1e-6
+        return A.grouped_ols_trend(
+            lambda: R.read(sf_dir, "events", ["ts", "user_id", "value"]),
+        )
+
     def events_debounce(sf_dir):
         # stream debounce: drop events within 60 s of the previous
         # same-(user, type) event — the at-most-once-per-window gate a
@@ -3225,6 +3235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuckoo_retract_reprobe": cuckoo_retract_reprobe,
         "events_debounce": events_debounce,
         "events_welch_t": events_welch_t,
+        "events_user_trend": events_user_trend,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -4696,6 +4707,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(TRUNC(md / sqrt(va / n1 + vb / n2) * 1000000 "
             "+ 0.5 * SIGN(md / sqrt(va / n1 + vb / n2))) AS BIGINT) AS t_q "
             "FROM v ORDER BY event_type"
+        ),
+        # per-user OLS trend: integer hour offsets + 1e-3-quantized
+        # values -> five exact HUGEINT moments; one float ratio
+        # quantized at 1e-6; zero-variance / n<2 groups dropped
+        "events_user_trend": (
+            "WITH mm AS (SELECT MIN(epoch_us(ts)) AS lo FROM events), "
+            "d AS (SELECT user_id, "
+            "(epoch_us(ts) - mm.lo) // 3600000000 AS t, "
+            "CAST(TRUNC(value * 1000 + 0.5 * SIGN(value)) AS BIGINT) AS v "
+            "FROM events, mm WHERE value IS NOT NULL), "
+            "m AS (SELECT user_id, COUNT(*) AS n, SUM(t) AS st, "
+            "SUM(v) AS sv, SUM(t * v) AS stv, SUM(t * t) AS stt "
+            "FROM d GROUP BY user_id), "
+            "f AS (SELECT user_id, n, "
+            "CAST(n * stv - st * sv AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE) AS slope "
+            "FROM m WHERE n >= 2 AND n * stt - st * st <> 0) "
+            "SELECT user_id, CAST(n AS BIGINT) AS n, "
+            "CAST(TRUNC(slope * 1000000 + 0.5 * SIGN(slope)) AS BIGINT) AS slope_q "
+            "FROM f ORDER BY user_id"
         ),
         # debounce: LAG over (user, type) ordered by (epoch_us, event_id);
         # keep first-of-key (gap_us = -1) and gaps >= 60 s

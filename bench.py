@@ -339,6 +339,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "cuckoo_retract_reprobe",
         "events_debounce",
         "events_welch_t",
+        "events_user_trend",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -3044,3 +3044,98 @@ def grouped_welch_t(
     out["n2"] = out["n2"].astype(np.int64)
     out["t_q"] = out["t_q"].astype(np.int64)
     return out.sort_values(by).reset_index(drop=True)
+
+
+def grouped_ols_trend(
+    read_events,
+    *,
+    by: str = "user_id",
+    col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-group OLS trend of ``col`` against time → {by, n, slope_q}:
+    is each user's engagement value drifting up or down? The
+    regression companion to :func:`grouped_welch_t` (which only
+    compares two halves) — slope = (nΣtv − ΣtΣv) / (nΣt² − (Σt)²)
+    with t in whole hours since the global stream start.
+
+    Exactness contract: t is an integer hour offset and v quantizes
+    to int64 at 1e-3 half-away FIRST, so all five moments
+    (n, Σt, Σv, Σtv, Σt²) are exact integer folds (order-free ⇒
+    partition-invariant). The cross terms are formed in PYTHON INT
+    arithmetic (exact, unbounded) — matching DuckDB's HUGEINT sums —
+    and only the final ratio is float, quantized to 1e-6. Groups with
+    n < 2 or zero time variance (all events in one hour) are dropped.
+    Two skinny passes: an O(blocks) min-fold for the epoch, then one
+    fixed-P grouped sum of O(groups × 4) partials; values never
+    co-locate. Range guard: |q| ≤ 3e6 and hour offsets ≤ 2^20 keep
+    every per-row product < 2^53 before the exact grouped fold.
+
+    Reference analog: per-partition fill counters
+    (`src/main.cpp:81,87`) — per-key running statistics folded across
+    a partitioned stream.
+    """
+    from .agg import grouped_agg
+
+    def batch_min(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        if len(ts) == 0:
+            return pa.table({"lo": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(ts.min())])})
+
+    mm = read_events().map_batches(
+        batch_min, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    empty = pd.DataFrame({by: pd.Series([], dtype=np.int64),
+                          "n": pd.Series([], dtype=np.int64),
+                          "slope_q": pd.Series([], dtype=np.int64)})
+    if len(mm) == 0:
+        return empty
+    lo = int(mm["lo"].min())
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(v)
+        q = np.trunc(v[valid] * 1e3 + np.copysign(0.5, v[valid])).astype(np.int64)
+        hr = (ts[valid] - lo) // 3_600_000_000
+        if len(q) and (np.abs(q).max() > 3_000_000 or hr.max() >= (1 << 20)):
+            raise ValueError("value/time out of exact-integer range")
+        return pa.table(
+            {by: t.column(by).filter(pa.array(valid)),
+             "t": pa.array(hr), "v": pa.array(q),
+             "tv": pa.array(hr * q), "tt": pa.array(hr * hr)}
+        )
+
+    m = grouped_agg(
+        read_events().map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        [by],
+        {"n": ("count", None), "st": ("sum", "t"), "sv": ("sum", "v"),
+         "stv": ("sum", "tv"), "stt": ("sum", "tt")},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if len(m) == 0:
+        return empty
+    rows = []
+    for g, n, st, sv, stv, stt in m[[by, "n", "st", "sv", "stv", "stt"]].itertuples(
+        index=False
+    ):
+        n, st, sv, stv, stt = int(n), int(st), int(sv), int(stv), int(stt)
+        den = n * stt - st * st   # exact python ints == DuckDB HUGEINT
+        if n < 2 or den == 0:
+            continue
+        slope = float(n * stv - st * sv) / float(den)
+        u = slope * 1e6
+        rows.append((g, n, int(np.trunc(u + np.copysign(0.5, u)))))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=[by, "n", "slope_q"])
+    out["n"] = out["n"].astype(np.int64)
+    out["slope_q"] = out["slope_q"].astype(np.int64)
+    return out.sort_values(by).reset_index(drop=True)
