@@ -1683,6 +1683,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         )
 
+    def cdc_chunk_dedup(sf_dir):
+        # content-defined-chunking dedup audit (Gear CDC, FastCDC's
+        # base hash): per-source chunk counts + bytes a chunk store
+        # would save. Map-only chunker (text never shuffles), one
+        # fixed-P shuffle of ~40-byte chunk rows, per-partition owner
+        # fold. Pinned-snapshot oracle from the from-spec sequential
+        # reimplementation in tests/independent_pipelines.py
+        return D.cdc_chunk_stats(
+            lambda: _docs(sf_dir, ["doc_id", "text", "source"]),
+        )
+
     def doc_graph_kcore(sf_dir):
         # k-core of the exact 3-gram Jaccard duplicate graph: dense
         # near-dup clusters survive the iterative distributed peel
@@ -3251,6 +3262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
         "dedup_containment": dedup_containment,
+        "cdc_chunk_dedup": cdc_chunk_dedup,
         "doc_graph_kcore": doc_graph_kcore,
         "doc_graph_bfs": doc_graph_bfs,
         "docs_sorted_neighbors": docs_sorted_neighbors,
@@ -6405,6 +6417,9 @@ def oracle_sql() -> dict[str, str]:
         ("cuckoo_retract_reprobe",
          "n_added, n_deleted, n_live, kept_contained, kept_total, "
          "retracted_contained, retracted_total, load_factor, fpr_bound",
+         _DOCS_SRC_KEY),
+        ("cdc_chunk_dedup",
+         "source, n_chunks, bytes_total, n_dup_chunks, bytes_dup",
          _DOCS_SRC_KEY),
         ("events_value_p95_tdigest", "event_type, p50, p95", _EVENTS_VAL_KEY),
         ("ann_lsh", "qid, vec_id, cosine", _EMB_KEY),

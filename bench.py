@@ -340,6 +340,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_debounce",
         "events_welch_t",
         "events_user_trend",
+        "cdc_chunk_dedup",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1813,3 +1813,199 @@ def weighted_dup_pairs_lsh(
         })
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- content-defined chunking
+_GEAR = splitmix64(np.arange(1, 257, dtype=UINT64))
+_CDC_B = UINT64(0x9E3779B97F4A7C15)
+_CDC_BINV = UINT64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def _cdc_chunker_fn(min_size: int, avg_bits: int, max_size: int, P: int):
+    """batch → one skinny row per content-defined chunk:
+    {cp, chash, clen, okey, source}.
+
+    Gear CDC (Xia et al. 2016, FastCDC's base rolling hash): the gear
+    hash h_i = (h_{i-1} << 1) + gear[b_i] mod 2^64 iterated from the
+    DOC start (no reset at chunk cuts — h only ever depends on the
+    last 64 bytes, so the iteration and the windowed form coincide);
+    position i is a cut candidate when (h_i & (2^avg_bits − 1)) == 0.
+    Greedy selection: the next cut is the first candidate giving
+    chunk length ≥ min_size, forced at max_size, and the doc tail is
+    always its own final chunk. Only the low avg_bits+1 shifted
+    gear terms can touch the masked bits, so the candidate mask is
+    avg_bits+1 vectorized shifted adds — never a per-byte loop; the
+    greedy cut selection vectorizes ACROSS docs and loops only over
+    the chunk ordinal (≤ doc_len/min_size rounds per batch).
+
+    Chunk identity: splitmix64 of the content polynomial
+    Σ (b_t+1)·B^(len−1−t) mod 2^64, evaluated for all chunks at once
+    from one modular prefix sum (B odd ⇒ invertible; range hash =
+    B^(r−1)·(S_r − S_l)). Identity is (chash, clen); production would
+    byte-verify groups — documented 64-bit-collision trade.
+    """
+    from .lm import _flat_utf8
+
+    mask = UINT64((1 << avg_bits) - 1)
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if texts.null_count:
+            texts = pc.fill_null(texts, "")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t.column("source")
+        data, offs = _flat_utf8(texts)
+        flat = data[offs[0]: offs[-1]].astype(UINT64)
+        offs0 = offs - offs[0]
+        nrows = len(offs0) - 1
+        lens = np.diff(offs0)
+        N = len(flat)
+        empty = pa.table({
+            "cp": pa.array([], pa.int64()), "chash": pa.array([], pa.int64()),
+            "clen": pa.array([], pa.int64()), "okey": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+        })
+        if N == 0:
+            return empty
+        if int(lens.max()) >= (1 << 21) or (len(ids) and ids.max() >= (1 << 42)):
+            raise ValueError("doc too long / id too large for okey encoding")
+        g = _GEAR[flat.astype(np.int64)]
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        pos = np.arange(N, dtype=np.int64) - offs0[:-1][row_of]
+        # low-bit gear accumulator: only shifts <= avg_bits survive & mask
+        acc = np.zeros(N, dtype=UINT64)
+        with np.errstate(over="ignore"):
+            for j in range(min(avg_bits + 1, int(lens.max()))):
+                m = pos[j:] >= j
+                contrib = (g[: N - j] << UINT64(j))
+                tgt = acc[j:]
+                tgt[m] += contrib[m]
+                acc[j:] = tgt
+        cand_pos = np.flatnonzero((acc & mask) == UINT64(0))
+        # greedy cuts, vectorized across docs per chunk ordinal
+        starts = offs0[:-1].astype(np.int64).copy()
+        ends = offs0[1:].astype(np.int64)
+        rows_all, cs_all, ce_all = [], [], []
+        act = np.flatnonzero(starts < ends)
+        while len(act):
+            s, e = starts[act], ends[act]
+            limit = np.minimum(s + max_size - 1, e - 1)
+            lo = np.searchsorted(cand_pos, s + min_size - 1, side="left")
+            c = np.where(lo < len(cand_pos),
+                         cand_pos[np.minimum(lo, len(cand_pos) - 1)],
+                         np.int64(1) << 62)
+            cut = np.where(c <= limit, c, limit)
+            rows_all.append(act)
+            cs_all.append(s)
+            ce_all.append(cut)
+            starts[act] = cut + 1
+            act = act[cut + 1 < e]
+        rows = np.concatenate(rows_all)
+        cs = np.concatenate(cs_all)
+        ce = np.concatenate(ce_all)
+        # polynomial range hashes from one modular prefix scan
+        with np.errstate(over="ignore"):
+            binv_pow = np.concatenate(
+                [[UINT64(1)], np.cumprod(np.full(N - 1, _CDC_BINV, dtype=UINT64))]
+            ) if N > 1 else np.array([1], dtype=UINT64)
+            b_pow = np.concatenate(
+                [[UINT64(1)], np.cumprod(np.full(N - 1, _CDC_B, dtype=UINT64))]
+            ) if N > 1 else np.array([1], dtype=UINT64)
+            S = np.zeros(N + 1, dtype=UINT64)
+            S[1:] = np.cumsum((flat + UINT64(1)) * binv_pow)
+            chash = splitmix64(b_pow[ce] * (S[ce + 1] - S[cs]))
+        clen = ce - cs + 1
+        coff = cs - offs0[:-1][rows]
+        okey = ids[rows] * (np.int64(1) << 21) + coff
+        cp = (splitmix64(chash ^ UINT64(0xA24BAED4963EE407)) % UINT64(P)).astype(np.int64)
+        return pa.table({
+            "cp": pa.array(cp), "chash": pa.array(chash.view(np.int64)),
+            "clen": pa.array(clen), "okey": pa.array(okey),
+            "source": src.take(pa.array(rows, pa.int64())),
+        })
+
+    return fn
+
+
+def _cdc_partition_fold(t: pa.Table) -> pa.Table:
+    """One chash partition → per-source partial stats. All instances
+    of a chunk co-locate here, so the owner (min okey) and the dup
+    flags of every instance are exact within the task."""
+    chash = t.column("chash").to_numpy(zero_copy_only=False)
+    clen = t.column("clen").to_numpy(zero_copy_only=False)
+    okey = t.column("okey").to_numpy(zero_copy_only=False)
+    src = t.column("source").dictionary_encode().combine_chunks()
+    codes = np.asarray(src.indices, dtype=np.int64)
+    labels = src.dictionary.to_pylist()
+    order = np.lexsort((okey, clen, chash))
+    ch, cl, ok, cd = chash[order], clen[order], okey[order], codes[order]
+    new = np.ones(len(ch), dtype=bool)
+    new[1:] = (ch[1:] != ch[:-1]) | (cl[1:] != cl[:-1])
+    # owner instance = first of each (chash, clen) run (min okey)
+    dup = ~new
+    nsrc = len(labels)
+    out = pa.table({
+        "source": pa.array(labels, pa.string()),
+        "n_chunks": pa.array(np.bincount(cd, minlength=nsrc).astype(np.int64)),
+        "bytes_total": pa.array(np.bincount(cd, weights=cl, minlength=nsrc).astype(np.int64)),
+        "n_dup_chunks": pa.array(np.bincount(cd[dup], minlength=nsrc).astype(np.int64)),
+        "bytes_dup": pa.array(np.bincount(cd[dup], weights=cl[dup], minlength=nsrc).astype(np.int64)),
+    })
+    return out
+
+
+def cdc_chunk_stats(
+    read_docs,
+    *,
+    min_size: int = 16,
+    avg_bits: int = 5,
+    max_size: int = 128,
+    num_partitions: int = 64,
+):
+    """Content-defined-chunking dedup audit → per-source
+    {source, n_chunks, bytes_total, n_dup_chunks, bytes_dup}.
+
+    The storage-level dedup the crawl cache / WARC store runs: CDC
+    boundaries survive insertions (a byte edit moves only the chunks
+    it touches, unlike fixed-size blocks), so shared chunks measure
+    byte-level redundancy ACROSS near-identical documents that exact
+    doc-hash dedup cannot see. A chunk instance is a duplicate when an
+    identical chunk (same content hash + length) occurs earlier in
+    (doc_id, offset) order anywhere in the corpus; bytes_dup is the
+    storage a chunk store would save.
+
+    Scale shape: the chunker is map-only (text never shuffles; one
+    skinny ~40-byte row per chunk); dedup is ONE fixed-P shuffle of
+    those rows on an independent splitmix re-mix of the content hash
+    (partition-correlation gotcha) + a per-partition vectorized fold;
+    the driver folds O(P × sources) partials. Reference analog: the
+    same-shard invariant of minimizer routing
+    (``src/SkmerExtractor.cpp:164``) — identical content
+    deterministically co-locates.
+    """
+    import pandas as pd
+
+    ds = read_docs().map_batches(
+        _cdc_chunker_fn(min_size, avg_bits, max_size, num_partitions),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    parts = ds.groupby("cp").map_groups(
+        lambda t: _cdc_partition_fold(t.drop_columns(["cp"])),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_chunks": pd.Series([], dtype=np.int64),
+            "bytes_total": pd.Series([], dtype=np.int64),
+            "n_dup_chunks": pd.Series([], dtype=np.int64),
+            "bytes_dup": pd.Series([], dtype=np.int64),
+        })
+    out = (parts.groupby("source", as_index=False)
+           [["n_chunks", "bytes_total", "n_dup_chunks", "bytes_dup"]].sum()
+           .sort_values("source").reset_index(drop=True))
+    for c in ("n_chunks", "bytes_total", "n_dup_chunks", "bytes_dup"):
+        out[c] = out[c].astype(np.int64)
+    return out

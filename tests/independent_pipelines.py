@@ -859,6 +859,67 @@ def quant_1e6(x: np.ndarray) -> np.ndarray:
     return np.trunc(x * 1e6 + np.copysign(0.5, x)).astype(np.int64)
 
 
+def indep_cdc_chunk_stats(
+    ids, texts, sources,
+    min_size: int = 16, avg_bits: int = 5, max_size: int = 128,
+) -> pd.DataFrame:
+    """From-spec sequential Gear-CDC (Xia et al. 2016 FastCDC's base
+    rolling hash): gear table = splitmix64(byte+1); h iterates
+    (h << 1) + gear[b] mod 2^64 from the DOC start with no reset at
+    cuts; position i is a candidate when (h_i & (2^avg_bits − 1)) == 0;
+    greedy cuts at the first candidate of length ≥ min_size, forced at
+    max_size, doc tail is the final chunk. Chunk identity =
+    (splitmix64(Σ (b_t+1)·B^(len−1−t) mod 2^64), len) with
+    B = 0x9E3779B97F4A7C15. A chunk instance is a duplicate when an
+    identical chunk occurs earlier in (doc_id, offset) order."""
+    import bisect
+
+    GEAR = splitmix64(np.arange(1, 257, dtype=U))
+    B = 0x9E3779B97F4A7C15
+    M = 1 << 64
+    mask = (1 << avg_bits) - 1
+    inst = []
+    for did, text, src in sorted(zip(ids, texts, sources)):
+        bs = (text or "").encode()
+        n = len(bs)
+        h = 0
+        cand = []
+        for i, b in enumerate(bs):
+            h = ((h << 1) + int(GEAR[b])) % M
+            if (h & mask) == 0:
+                cand.append(i)
+        s = 0
+        while s < n:
+            limit = min(s + max_size - 1, n - 1)
+            lo = bisect.bisect_left(cand, s + min_size - 1)
+            c = cand[lo] if lo < len(cand) else None
+            cut = c if (c is not None and c <= limit) else limit
+            hh = 0
+            for t in range(s, cut + 1):
+                hh = (hh * B + bs[t] + 1) % M
+            inst.append((int(splitmix64(np.uint64(hh))), cut - s + 1,
+                         int(did) * (1 << 21) + s, src))
+            s = cut + 1
+    inst.sort()
+    seen = set()
+    stats: dict = {}
+    for ch, cl, ok, src in inst:
+        st = stats.setdefault(src, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += cl
+        if (ch, cl) in seen:
+            st[2] += 1
+            st[3] += cl
+        else:
+            seen.add((ch, cl))
+    rows = [(k, *v) for k, v in sorted(stats.items())]
+    df = pd.DataFrame(rows, columns=["source", "n_chunks", "bytes_total",
+                                     "n_dup_chunks", "bytes_dup"])
+    for c in df.columns[1:]:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def docs_src_key(ids, texts, sources) -> str:
     return _md5("\n".join(f"{i}|{t}|{s}" for i, t, s in
                           sorted(zip(ids, texts, sources))))
@@ -978,6 +1039,7 @@ def generate_pipeline_snapshots(
             indep_ntok_quantiles(texts, sources, "kll"))
         add("bloom_retract_reprobe", dsk, indep_bloom_retract(texts, sources))
         add("cuckoo_retract_reprobe", dsk, indep_cuckoo_retract(texts, sources))
+        add("cdc_chunk_dedup", dsk, indep_cdc_chunk_stats(ids, texts, sources))
 
         ev = pq.read_table(f"{sf}/events.parquet",
                            columns=["event_id", "event_type", "value"])

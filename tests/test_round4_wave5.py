@@ -65,3 +65,96 @@ def test_ols_trend_partition_invariance(ray_session):
         lambda: ray.data.from_pandas(df).repartition(17), num_partitions=5
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------- CDC dedup
+def _seq_cdc_chunks(text, mn=16, bits=5, mx=128):
+    """Sequential from-spec Gear CDC for one doc → [(hash, len, off)]."""
+    import bisect
+
+    from bloomfilter_multithread_ray.functions.hashing import splitmix64
+
+    GEAR = splitmix64(np.arange(1, 257, dtype=np.uint64))
+    B, M = 0x9E3779B97F4A7C15, 1 << 64
+    bs = text.encode()
+    h, cand = 0, []
+    for i, b in enumerate(bs):
+        h = ((h << 1) + int(GEAR[b])) % M
+        if (h & ((1 << bits) - 1)) == 0:
+            cand.append(i)
+    out, s, n = [], 0, len(bs)
+    while s < n:
+        limit = min(s + mx - 1, n - 1)
+        lo = bisect.bisect_left(cand, s + mn - 1)
+        c = cand[lo] if lo < len(cand) else None
+        cut = c if (c is not None and c <= limit) else limit
+        hh = 0
+        for t in range(s, cut + 1):
+            hh = (hh * B + bs[t] + 1) % M
+        out.append((int(splitmix64(np.uint64(hh))), cut - s + 1, s))
+        s = cut + 1
+    return out
+
+
+def _cdc_corpus():
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = [(i, " ".join(rng.choice(words, rng.integers(5, 60))), f"s{i % 3}")
+            for i in range(60)]
+    docs.append((100, docs[0][1], "s0"))                      # full dup
+    docs.append((101, "xxxx yyyy " + docs[1][1] + " zzzz", "s1"))  # shared span
+    return pd.DataFrame(docs, columns=["doc_id", "text", "source"])
+
+
+def test_cdc_matches_sequential_reference_and_finds_planted_dups(ray_session):
+    from bloomfilter_multithread_ray.pipelines.dedup import cdc_chunk_stats
+
+    df = _cdc_corpus()
+    out = cdc_chunk_stats(lambda: ray.data.from_pandas(df).repartition(5))
+
+    # sequential reference over the same spec
+    inst = []
+    for _, row in df.sort_values("doc_id").iterrows():
+        for (ch, cl, off) in _seq_cdc_chunks(row.text):
+            inst.append((ch, cl, int(row.doc_id) * (1 << 21) + off, row.source))
+    inst.sort()
+    seen, stats = set(), {}
+    for ch, cl, ok, src in inst:
+        st = stats.setdefault(src, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += cl
+        if (ch, cl) in seen:
+            st[2] += 1
+            st[3] += cl
+        else:
+            seen.add((ch, cl))
+    ref = pd.DataFrame([(k, *v) for k, v in sorted(stats.items())],
+                       columns=out.columns)
+    for c in ref.columns[1:]:
+        ref[c] = ref[c].astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+
+    # the full-dup doc (s0) and the shared middle span (s1) are seen
+    assert out.set_index("source").loc["s0", "n_dup_chunks"] > 0
+    assert out.set_index("source").loc["s1", "bytes_dup"] > 0
+
+    # chunk invariants on the reference: chunks tile each doc, lengths
+    # within [1, max]; all non-final chunks >= min or forced at max
+    for _, row in df.iterrows():
+        ch = _seq_cdc_chunks(row.text)
+        assert sum(c[1] for c in ch) == len(row.text.encode())
+        offs = [c[2] for c in ch]
+        assert offs == sorted(offs) and offs[0] == 0
+        for h, ln, off in ch[:-1]:
+            assert 16 <= ln <= 128
+        assert ch[-1][1] <= 128
+
+
+def test_cdc_partition_invariance(ray_session):
+    from bloomfilter_multithread_ray.pipelines.dedup import cdc_chunk_stats
+
+    df = _cdc_corpus()
+    a = cdc_chunk_stats(lambda: ray.data.from_pandas(df).repartition(3))
+    b = cdc_chunk_stats(lambda: ray.data.from_pandas(df).repartition(13),
+                        num_partitions=7)
+    pd.testing.assert_frame_equal(a, b)
