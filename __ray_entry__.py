@@ -3155,6 +3155,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             m=4, ks=16, iters=4, nq=3, topk=5,
         )
 
+    def kcenter_coreset(sf_dir):
+        # greedy k-center (farthest-point) coreset selection: 16
+        # maximally-spread exemplars; per-block int64 min-distance
+        # state lives in the object store between rounds, each round
+        # ships one O(dim) center; pinned-snapshot oracle from a
+        # from-spec sequential reimplementation
+        from bloomfilter_multithread_ray.pipelines.similarity import kcenter_select
+
+        return kcenter_select(
+            R.read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=16,
+        )
+
     def doc_graph_lpa(sf_dir):
         # deterministic synchronous label propagation (mode of neighbor
         # labels, ties to smallest, 4 fixed rounds) over the exact
@@ -3263,6 +3275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": ngram_jaccard,
         "dedup_containment": dedup_containment,
         "cdc_chunk_dedup": cdc_chunk_dedup,
+        "kcenter_coreset": kcenter_coreset,
         "doc_graph_kcore": doc_graph_kcore,
         "doc_graph_bfs": doc_graph_bfs,
         "docs_sorted_neighbors": docs_sorted_neighbors,
@@ -6434,6 +6447,7 @@ def oracle_sql() -> dict[str, str]:
          "theoretical_bound, fpr_within_bound",
          "'2e3eefca196f910e440b4c845d209b7e'"),
         ("ann_pq", "qid, vec_id, dist_q, rank", _EMB_KEY),
+        ("kcenter_coreset", "rank, vec_id, dist_q", _EMB_KEY),
         ("media_phash_dups", "doc_a, doc_b, hamming",
          "'251d7422a8d4986f61479c497cf2da66'"),
         ("sketch_lineage", "epoch, part, n_fragments, n_added, fill_ratio",

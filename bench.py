@@ -341,6 +341,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_welch_t",
         "events_user_trend",
         "cdc_chunk_dedup",
+        "kcenter_coreset",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1616,3 +1616,123 @@ def pq_ann(
     parts = parts.groupby("qid", sort=True).head(TK).reset_index(drop=True)
     parts["rank"] = parts.groupby("qid").cumcount().astype(np.int64) + 1
     return parts
+
+
+# ------------------------------------------------------------- k-center
+def kcenter_select(
+    ds: "Dataset",
+    k: int = 16,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    max_blocks: int = 32,
+) -> pd.DataFrame:
+    """Greedy k-center (farthest-point traversal) coreset selection →
+    {rank, vec_id, dist_q}: the classic 2-approximation for the
+    k-center objective, the standard geometric coreset / data-pruning
+    selector (pick the point farthest from everything picked so far —
+    maximal coverage of embedding space with k exemplars).
+
+    Deterministic spec: distance = (1 − cosine rounded to 6 dp) in
+    int64 micro-units (the engine's 6-dp cosine convention makes every
+    distance an exact integer); seed = the globally lowest vec_id
+    (dist_q = −1); each round selects the unchosen point with MAX
+    min-distance-to-centers, ties to the lowest vec_id.
+
+    Scale shape: the corpus materializes ONCE as normalized float64
+    blocks (same prenorm as the block-nested join); per-block int64
+    min-distance state lives in the OBJECT STORE between rounds
+    (num_returns=2 keeps it off the driver) and each of the k rounds
+    ships only the newest center vector (O(dim)) to one task per
+    block, returning an O(1) block summary — the driver holds
+    O(k·dim + nb) at all times, never a matrix. Raw Ray tasks are the
+    documented escape hatch for iterative per-block state the Dataset
+    API cannot express (brief: shared mutable index).
+
+    Reference analog: partitioned exclusive-ownership state updated in
+    rounds, `src/SkmerSplitter.cpp:62-89`.
+    """
+    import ray
+    import ray.data
+
+    def prenorm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, col])
+        V = _normalize(_emb_matrix(t, col))
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(V.reshape(-1), pa.float64()), V.shape[1]
+        )
+        return pa.table({id_col: t.column(id_col), col: emb})
+
+    mat = (
+        ds.select_columns([id_col, col])
+        .map_batches(prenorm, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    if mat.num_blocks() > max_blocks:
+        mat = mat.repartition(max_blocks).materialize()
+    refs = [r for r in mat.to_arrow_refs()]
+
+    def _decode(t: pa.Table):
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        V = np.asarray(arr.flatten(), dtype=np.float64).reshape(
+            len(ids), arr.type.list_size if len(ids) else 0
+        )
+        return ids, V
+
+    @ray.remote
+    def seed_scan(block):
+        ids, V = _decode(block)
+        if len(ids) == 0:
+            return (None, None)
+        i = int(np.argmin(ids))
+        return (int(ids[i]), V[i])
+
+    @ray.remote(num_returns=2)
+    def round_update(block, md, center_vec, chosen_id):
+        """→ (new min-dist state, (block max dist, best id, best vec))."""
+        ids, V = _decode(block)
+        if len(ids) == 0:
+            return np.empty(0, np.int64), (-1, -1, None)
+        cos6 = np.round(V @ center_vec, 6)
+        d = np.round((1.0 - cos6) * 1e6).astype(np.int64)
+        nd = d if md is None else np.minimum(md, d)
+        nd = nd.copy()
+        nd[ids == chosen_id] = -1
+        mx = int(nd.max())
+        if mx < 0:
+            return nd, (-1, -1, None)
+        cand = ids[nd == mx]
+        best = int(cand.min())
+        return nd, (mx, best, V[ids == best][0])
+
+    seeds = [s for s in ray.get([seed_scan.remote(r) for r in refs]) if s[0] is not None]
+    if not seeds:
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "dist_q": pd.Series([], dtype=np.int64)})
+    seeds.sort(key=lambda s: s[0])
+    chosen_id, center_vec = seeds[0]
+    out = [(0, chosen_id, -1)]
+    md_refs: list = [None] * len(refs)
+    for rank in range(1, k):
+        pairs = [
+            round_update.remote(refs[b], md_refs[b], center_vec, chosen_id)
+            for b in range(len(refs))
+        ]
+        md_refs = [p[0] for p in pairs]
+        infos = ray.get([p[1] for p in pairs])
+        mx = max(i[0] for i in infos)
+        if mx < 0:
+            break  # every point already chosen (k >= n)
+        best = min(i[1] for i in infos if i[0] == mx)
+        center_vec = next(i[2] for i in infos if i[0] == mx and i[1] == best)
+        chosen_id = best
+        out.append((rank, best, mx))
+    df = pd.DataFrame(out, columns=["rank", id_col, "dist_q"])
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df

@@ -920,6 +920,36 @@ def indep_cdc_chunk_stats(
     return df
 
 
+def indep_kcenter(vids, V32: np.ndarray, k: int = 16) -> pd.DataFrame:
+    """From-spec greedy k-center (Gonzalez 1985 farthest-point
+    traversal): distance = (1 − cosine rounded to 6 dp) in int64
+    micro-units over float64-normalized vectors; seed = lowest vec_id
+    (dist_q = −1); each round picks the unchosen max-min-distance
+    point, ties to lowest id."""
+    ids = np.asarray(vids, dtype=np.int64)
+    Vn = normalize(np.asarray(V32))
+    order = np.argsort(ids)
+    ids, Vn = ids[order], Vn[order]
+    if len(ids) == 0:
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             "vec_id": pd.Series([], dtype=np.int64),
+                             "dist_q": pd.Series([], dtype=np.int64)})
+    rows = [(0, int(ids[0]), -1)]
+    md = np.round((1 - np.round(Vn @ Vn[0], 6)) * 1e6).astype(np.int64)
+    md[0] = -1
+    for r in range(1, k):
+        mx = int(md.max())
+        if mx < 0:
+            break
+        best = int(ids[md == mx].min())
+        bi = int(np.flatnonzero(ids == best)[0])
+        rows.append((r, best, mx))
+        md = np.minimum(md, np.round((1 - np.round(Vn @ Vn[bi], 6)) * 1e6)
+                        .astype(np.int64))
+        md[bi] = -1
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "dist_q"]).astype(np.int64)
+
+
 def docs_src_key(ids, texts, sources) -> str:
     return _md5("\n".join(f"{i}|{t}|{s}" for i, t, s in
                           sorted(zip(ids, texts, sources))))
@@ -1071,6 +1101,7 @@ def generate_pipeline_snapshots(
         add("embedding_pca", emk, indep_embedding_pca(V))
         add("embedding_fd_pca", emk, indep_embedding_fd_pca(V))
         add("ann_pq", emk, indep_ann_pq(vids, V))
+        add("kcenter_coreset", emk, indep_kcenter(vids, V))
 
     # generator-input queries: one snapshot row set, keyed on the
     # regenerated input content

@@ -158,3 +158,35 @@ def test_cdc_partition_invariance(ray_session):
     b = cdc_chunk_stats(lambda: ray.data.from_pandas(df).repartition(13),
                         num_partitions=7)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------- k-center
+def test_kcenter_covers_planted_clusters_and_stops_at_n(ray_session):
+    from bloomfilter_multithread_ray.pipelines.similarity import kcenter_select
+
+    rng = np.random.default_rng(9)
+    # 4 well-separated orthogonal-ish clusters in 8-d
+    centers = np.eye(4, 8) * 10
+    rows = []
+    for i in range(80):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(0, 0.05, 8)).astype(np.float32)))
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "embedding": [[float(x) for x in r[1]] for r in rows]})
+    out = kcenter_select(ray.data.from_pandas(df), k=4)
+    # the 4 selections land in 4 distinct clusters (farthest-point
+    # property) and selection distances are non-increasing
+    assert sorted(v % 4 for v in out["vec_id"]) == [0, 1, 2, 3]
+    d = out["dist_q"].to_numpy()[1:]
+    assert (np.diff(d) <= 0).all()
+
+    # k > n stops after n selections, every point chosen exactly once
+    small = df.head(5)
+    out2 = kcenter_select(ray.data.from_pandas(small), k=50)
+    assert len(out2) == 5
+    assert sorted(out2["vec_id"]) == sorted(small["vec_id"])
+
+    # block-structure invariance
+    out3 = kcenter_select(ray.data.from_pandas(df).repartition(9), k=4,
+                          max_blocks=3)
+    pd.testing.assert_frame_equal(out, out3)
