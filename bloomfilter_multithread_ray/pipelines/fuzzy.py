@@ -660,3 +660,277 @@ def edit_distance_pairs(
         )
     out = out.astype({"id_a": np.int64, "id_b": np.int64, "dist": np.int64})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------- Jaro-Winkler similarity join
+def _jaro_winkler(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact Jaro-Winkler similarity per pair, vectorized ACROSS the
+    pair axis (loops run over string positions only).
+
+    Pinned semantics (verified against DuckDB's implementation on edge
+    cases — empty strings, window-0 transposition blindness, boost
+    threshold, prefix cap):
+
+    - either side empty -> 0.0 (including both empty);
+    - match window  w = max(0, max(la, lb)//2 - 1); a char of ``a`` at
+      position i matches the LOWEST unmatched equal char of ``b`` in
+      [i-w, i+w] (the classic greedy flagging order);
+    - transpositions t = (# positions where the k-th matched char of a
+      differs from the k-th matched char of b) / 2;
+    - J = (m/la + m/lb + (m - t)/m) / 3, 0 when m == 0;
+    - Winkler boost ONLY when J > 0.7 (strict):
+      JW = J + min(prefix, 4) * 0.1 * (1 - J).
+    """
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    a = a.astype(str)
+    b = b.astype(str)
+    la = np.char.str_len(a)
+    lb = np.char.str_len(b)
+    live = (la > 0) & (lb > 0)
+    if not live.any():
+        return out
+    a, b, la, lb = a[live], b[live], la[live], lb[live]
+    W = int(max(la.max(), lb.max()))
+    A = _codepoint_matrix(a, W)
+    B = _codepoint_matrix(b, W)
+    pos = np.arange(W)[None, :]
+    validB = pos < lb[:, None]
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+
+    matchedB = np.zeros(B.shape, dtype=bool)
+    matchA = np.full(A.shape, -1, dtype=np.int32)  # b-index per a-pos
+    for i in range(W):
+        active = i < la
+        if not active.any():
+            break
+        cand = (
+            (B == A[:, i][:, None])
+            & ~matchedB
+            & validB
+            & (pos >= (i - w)[:, None])
+            & (pos <= (i + w)[:, None])
+            & active[:, None]
+        )
+        has = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        matchA[has, i] = j[has]
+        matchedB[has, j[has]] = True
+
+    mmask = matchA >= 0
+    m = mmask.sum(axis=1)
+    # k-th matched char of a (in a order) vs k-th matched of b (b order)
+    SA = np.zeros(A.shape, dtype=np.uint32)
+    SB = np.zeros(B.shape, dtype=np.uint32)
+    ra = np.cumsum(mmask, axis=1) - 1
+    rows, cols = np.nonzero(mmask)
+    SA[rows, ra[rows, cols]] = A[rows, cols]
+    rb = np.cumsum(matchedB, axis=1) - 1
+    rows, cols = np.nonzero(matchedB)
+    SB[rows, rb[rows, cols]] = B[rows, cols]
+    # DuckDB/rapidfuzz convention pinned empirically: the mismatched
+    # matched-position count FLOORS when halved (odd counts round down)
+    t = ((SA != SB) & (pos < m[:, None])).sum(axis=1) // 2
+
+    ms = np.where(m == 0, 1, m).astype(np.float64)  # guard /0; J forced 0
+    J = (m / la + m / lb + (m - t) / ms) / 3.0
+    J[m == 0] = 0.0
+    # common prefix length, capped at 4 and at min(la, lb)
+    k4 = min(4, W)
+    pref_eq = (A[:, :k4] == B[:, :k4]) & (pos[:, :k4] < np.minimum(la, lb)[:, None])
+    ell = np.cumprod(pref_eq, axis=1).sum(axis=1)
+    JW = np.where(J > 0.7, J + ell * 0.1 * (1.0 - J), J)
+    out[np.flatnonzero(live)] = JW
+    return out
+
+
+def jaro_winkler_pairs(
+    ds,
+    str_col: str,
+    *,
+    tau: float = 0.88,
+    num_partitions: int = 32,
+    min_len: int = 1,
+    max_len: int = 64,
+) -> pd.DataFrame:
+    """Similarity JOIN on Jaro-Winkler: all DISTINCT value pairs
+    (val_a < val_b) with JW(val_a, val_b) >= tau, the exact similarity
+    (6 dp) and the id-pair count each would expand to
+    -> {val_a, val_b, jw, n_pairs}.
+
+    Scale shape — exact sub-quadratic blocking via the AllPairs-style
+    character prefix filter (Bayardo et al., WWW'07), adapted to Jaro
+    through the matching-character bound:
+
+      JW >= tau  =>  J >= j_min = (tau - 0.4) / 0.6   (boost adds at
+                     most 0.4*(1-J), so JW <= 0.6*J + 0.4 always)
+      J >= j_min =>  m >= ceil(alpha * max(la, lb)),
+                     alpha = 3*j_min - 2   (the other two Jaro terms
+                     are each <= 1)
+      m <= |char-multiset intersection|    (Jaro matching is injective
+                     on equal characters)
+
+    so any qualifying pair shares >= ceil(alpha*len) multiset elements
+    (char, occurrence-index). Each distinct value sorts its elements by
+    ascending EXACT global character frequency (rarest first — the
+    AllPairs ordering that keeps buckets small) and emits only its
+    first  len - ceil(alpha*len) + 1  elements as signatures; a
+    qualifying pair always shares a signature (prefix-filter theorem),
+    so candidate generation is one signature-keyed fixed-P shuffle of
+    O(len) rows per DISTINCT value — never an all-pairs product, and
+    the corpus itself never shuffles (only the vocabulary does).
+    Candidates pass a pair length filter (alpha*max <= min) and verify
+    through the pair-vectorized exact kernel; a pair-keyed dedup
+    collapses multi-signature hits. When tau <= 0.8 (alpha <= 0) the
+    prefix degenerates to the whole multiset — still exact, no pruning;
+    this join is built for the high-tau near-match regime.
+
+    Strings outside [min_len, max_len] are dropped (same honesty rule
+    as edit_distance_pairs: signature volume is O(len) per value, and
+    long-text similarity belongs in the shingle joins).
+    """
+    from .agg import grouped_agg
+    from .join import hash_join
+
+    P = int(num_partitions)
+    j_min = (float(tau) - 0.4) / 0.6
+    alpha = max(0.0, 3.0 * j_min - 2.0)
+
+    def val_rows(t: pa.Table) -> pa.Table:
+        s = t.column(str_col)
+        if pa.types.is_null(s.type):
+            return pa.table({"val": pa.array([], pa.string())})
+        keep = pc.and_(
+            pc.invert(pc.is_null(s)),
+            pc.and_(
+                pc.greater_equal(pc.utf8_length(s), min_len),
+                pc.less_equal(pc.utf8_length(s), max_len),
+            ),
+        )
+        keep = pc.fill_null(keep, False)
+        return pa.table({"val": pc.cast(s, pa.string()).filter(keep)})
+
+    vals = ds.map_batches(val_rows, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = grouped_agg(vals, "val", {"n": ("count", None)}, num_partitions=P)
+    distinct = distinct.materialize()  # reused: signatures + n_pairs join
+
+    # exact global char frequencies over the DISTINCT vocabulary (the
+    # AllPairs rarest-first ordering) — alphabet-sized driver fold
+    def char_counts(t: pa.Table) -> pa.Table:
+        v = t.column("val").to_numpy(zero_copy_only=False).astype(str)
+        if len(v) == 0:
+            return pa.table({"cp": pa.array([], pa.uint32()),
+                             "cnt": pa.array([], pa.int64())})
+        W = int(np.char.str_len(v).max())
+        M = _codepoint_matrix(v, max(W, 1))
+        cp, cnt = np.unique(M[M != 0], return_counts=True)
+        return pa.table({"cp": pa.array(cp.astype(np.uint32)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    freq_tbl = grouped_agg(
+        distinct.map_batches(char_counts, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "cp", {"cnt": ("sum", "cnt")}, num_partitions=8,
+    ).to_pandas()
+    freq: dict[int, int] = dict(
+        zip(freq_tbl["cp"].astype(np.uint64), freq_tbl["cnt"].astype(np.int64))
+    )
+
+    def signature_rows(t: pa.Table) -> pa.Table:
+        v = t.column("val").to_numpy(zero_copy_only=False).astype(str)
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          "sig": pa.array([], pa.uint64()),
+                          "val": pa.array([], pa.string())})
+        if len(v) == 0:
+            return empty
+        L = np.char.str_len(v)
+        W = int(L.max())
+        M = _codepoint_matrix(v, W).astype(np.uint64)
+        valid = np.arange(W)[None, :] < L[:, None]
+        # occurrence index of each char within its row (multiset tag):
+        # sort row chars, rank within equal runs, scatter back
+        order = np.argsort(np.where(valid, M, np.uint64(2**32)), axis=1,
+                           kind="stable")
+        srt = np.take_along_axis(M, order, axis=1)
+        newrun = np.ones(srt.shape, dtype=bool)
+        newrun[:, 1:] = srt[:, 1:] != srt[:, :-1]
+        runpos = np.arange(W)[None, :] - np.maximum.accumulate(
+            np.where(newrun, np.arange(W)[None, :], 0), axis=1
+        )
+        occ = np.zeros(M.shape, dtype=np.uint64)
+        np.put_along_axis(occ, order, runpos.astype(np.uint64), axis=1)
+        # composite sort key: (global freq asc, cp, occ); invalid -> max
+        fr = np.vectorize(lambda c: freq.get(int(c), 0), otypes=[np.uint64])(M)
+        key = (fr << np.uint64(27)) | (M << np.uint64(6)) | occ
+        key = np.where(valid, key, np.uint64(0xFFFFFFFFFFFFFFFF))
+        key.sort(axis=1)
+        o_req = np.maximum(np.ceil(alpha * L).astype(np.int64), 1)
+        plen = L - o_req + 1  # prefix-filter length (>= 1)
+        pmask = (np.arange(W)[None, :] < plen[:, None]) & np.sort(
+            valid, axis=1
+        )[:, ::-1]
+        rows, cols = np.nonzero(pmask)
+        sig = key[rows, cols] & np.uint64((1 << 27) - 1)  # (cp, occ) element
+        from ..functions.hashing import splitmix64
+
+        mixed = splitmix64(sig)
+        return pa.table(
+            {"part": pa.array((mixed % np.uint64(P)).astype(np.int32)),
+             "sig": pa.array(mixed),
+             "val": pa.array(v[rows], pa.string())}
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"val_a": pa.array([], pa.string()),
+                          "val_b": pa.array([], pa.string()),
+                          "jw": pa.array([], pa.float64())})
+        df = pd.DataFrame(
+            {"sig": g.column("sig").to_numpy(zero_copy_only=False),
+             "val": g.column("val").to_pandas()}
+        ).drop_duplicates()
+        m = df.merge(df, on="sig")
+        m = m[m["val_x"] < m["val_y"]].drop_duplicates(["val_x", "val_y"])
+        if len(m) == 0:
+            return empty
+        a = m["val_x"].to_numpy(dtype=object)
+        b = m["val_y"].to_numpy(dtype=object)
+        la = np.char.str_len(a.astype(str))
+        lb = np.char.str_len(b.astype(str))
+        ok = alpha * np.maximum(la, lb) <= np.minimum(la, lb)  # m<=min
+        a, b = a[ok], b[ok]
+        if len(a) == 0:
+            return empty
+        jw = _jaro_winkler(a, b)
+        hit = jw >= tau
+        return pa.table({"val_a": pa.array(a[hit], pa.string()),
+                         "val_b": pa.array(b[hit], pa.string()),
+                         "jw": pa.array(jw[hit])})
+
+    vpairs = (
+        distinct.map_batches(signature_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # multi-signature dedup; jw identical per pair (same kernel inputs)
+    vpairs = grouped_agg(
+        vpairs, ["val_a", "val_b"], {"jw": ("min", "jw")}, num_partitions=8
+    )
+    s1 = hash_join(vpairs, distinct, on="val_a", right_on="val",
+                   how="inner", num_partitions=8, broadcast="auto")
+    s2 = hash_join(s1, distinct, on="val_b", right_on="val",
+                   how="inner", num_partitions=8, broadcast="auto")
+    out = s2.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"val_a": pd.Series(dtype=object), "val_b": pd.Series(dtype=object),
+             "jw": pd.Series(dtype=np.float64),
+             "n_pairs": pd.Series(dtype=np.int64)}
+        )
+    out["jw"] = np.round(out["jw"].to_numpy(np.float64), 6)
+    out["n_pairs"] = (out["n"].astype(np.int64) * out["n_r"].astype(np.int64))
+    return out.sort_values(["val_a", "val_b"]).reset_index(drop=True)[
+        ["val_a", "val_b", "jw", "n_pairs"]
+    ]

@@ -295,3 +295,151 @@ def test_edit_distance_pairs_only_empty(ray_session):
     )
     assert stats.empty
     assert list(stats.columns) == ["val_a", "val_b", "dist", "n_pairs"]
+
+
+# ------------------------------------- Jaro-Winkler similarity join
+def _jw_ref(s1: str, s2: str) -> float:
+    """From-spec sequential Jaro-Winkler (pinned DuckDB semantics:
+    empty -> 0, window max//2-1, greedy lowest-index matching, floored
+    transposition halving, boost only when J > 0.7, prefix cap 4)."""
+    la, lb = len(s1), len(s2)
+    if la == 0 or lb == 0:
+        return 0.0
+    w = max(max(la, lb) // 2 - 1, 0)
+    used = [False] * lb
+    ma, mb = [], []
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - w), min(lb, i + w + 1)):
+            if not used[j] and s2[j] == c:
+                used[j] = True
+                ma.append(c)
+                break
+    mb = [s2[j] for j in range(lb) if used[j]]
+    m = len(ma)
+    if m == 0:
+        return 0.0
+    t = sum(x != y for x, y in zip(ma, mb)) // 2
+    J = (m / la + m / lb + (m - t) / m) / 3.0
+    ell = 0
+    for x, y in zip(s1[:4], s2[:4]):
+        if x != y:
+            break
+        ell += 1
+    return J + ell * 0.1 * (1.0 - J) if J > 0.7 else J
+
+
+jw_word = st.text(alphabet="abcz ", min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(jw_word, jw_word)
+def test_jaro_winkler_kernel_vs_reference(x, y):
+    from bloomfilter_multithread_ray.pipelines.fuzzy import _jaro_winkler
+
+    got = _jaro_winkler(
+        np.array([x], dtype=object), np.array([y], dtype=object)
+    )[0]
+    assert got == pytest.approx(_jw_ref(x, y), abs=1e-12)
+
+
+def test_jaro_winkler_kernel_vs_duckdb():
+    import duckdb
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import _jaro_winkler
+
+    rng = np.random.default_rng(7)
+    alph = list("abcdez ")
+    strs = [
+        "".join(rng.choice(alph, size=rng.integers(0, 12)))
+        for _ in range(400)
+    ]
+    a = np.array(strs[:200], dtype=object)
+    b = np.array(strs[200:], dtype=object)
+    mine = _jaro_winkler(a, b)
+    con = duckdb.connect()
+    theirs = np.array([
+        con.execute(
+            "select jaro_winkler_similarity(?, ?)", [str(x), str(y)]
+        ).fetchone()[0]
+        for x, y in zip(a, b)
+    ])
+    assert np.abs(mine - theirs).max() == 0.0  # bitwise parity
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcz", min_size=1, max_size=10),
+                min_size=2, max_size=20, unique=True),
+       st.sampled_from([0.82, 0.88, 0.92]))
+def test_jw_prefix_filter_blocking_has_full_recall(words, tau):
+    """The AllPairs char-prefix filter must never lose a qualifying
+    pair: signatures of any pair with JW >= tau intersect."""
+    from bloomfilter_multithread_ray.pipelines.fuzzy import _jaro_winkler
+
+    j_min = (tau - 0.4) / 0.6
+    alpha = max(0.0, 3.0 * j_min - 2.0)
+
+    def elements(v):
+        # (char, occurrence) multiset, globally freq-ordered prefix
+        from collections import Counter
+
+        seen = Counter()
+        els = []
+        for c in v:
+            els.append((c, seen[c]))
+            seen[c] += 1
+        freq = {}
+        for w_ in words:
+            for c in w_:
+                freq[c] = freq.get(c, 0) + 1
+        els.sort(key=lambda e: (freq[e[0]], e[0], e[1]))
+        o = max(1, int(np.ceil(alpha * len(v))))
+        return set(els[: len(v) - o + 1])
+
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            a, b = words[i], words[j]
+            jw = _jaro_winkler(
+                np.array([a], dtype=object), np.array([b], dtype=object)
+            )[0]
+            if jw >= tau:
+                assert elements(a) & elements(b), (a, b, jw)
+
+
+def test_jaro_winkler_pairs_end_to_end(ray_session):
+    """Engine result == brute-force all-pairs kernel at tau, and is
+    invariant to input partitioning."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import (
+        _jaro_winkler, jaro_winkler_pairs,
+    )
+
+    vals = ["martha", "marhta", "dwayne", "duane", "dixon", "dicksonx",
+            "blue bolt", "blue boltz", "blue colt", "red widget",
+            "red widgets", "red gadget", "xyz", "", "a"]
+    # duplicated values exercise n_pairs
+    col = vals + ["martha", "blue bolt", "blue bolt"]
+    df = pd.DataFrame({"p_name": col})
+    tau = 0.85
+    for blocks in (1, 7):
+        out = jaro_winkler_pairs(
+            rd.from_pandas(df).repartition(blocks), "p_name",
+            tau=tau, num_partitions=5,
+        )
+        distinct = sorted({v for v in col if 1 <= len(v) <= 64})
+        exp_rows = []
+        cnt = {v: col.count(v) for v in distinct}
+        for i in range(len(distinct)):
+            for j in range(i + 1, len(distinct)):
+                a, b = distinct[i], distinct[j]
+                jw = _jaro_winkler(
+                    np.array([a], dtype=object), np.array([b], dtype=object)
+                )[0]
+                if jw >= tau:
+                    exp_rows.append((a, b, round(jw, 6), cnt[a] * cnt[b]))
+        exp = pd.DataFrame(
+            exp_rows, columns=["val_a", "val_b", "jw", "n_pairs"]
+        ).sort_values(["val_a", "val_b"]).reset_index(drop=True)
+        exp["n_pairs"] = exp["n_pairs"].astype(np.int64)
+        assert len(exp) > 0  # the fixture really exercises the join
+        pd.testing.assert_frame_equal(out, exp)
