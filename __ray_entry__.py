@@ -3169,6 +3169,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             m=4, ks=16, iters=4, nq=3, topk=5,
         )
 
+    def doc_graph_hyperball(sf_dir):
+        # HyperBall (Boldi-Rosa-Vigna) neighborhood function over the
+        # exact 3-gram-Jaccard >= 0.3 dup graph: per-radius t the
+        # summed per-node HLL ball-size estimates (128 B/node
+        # counters, two fixed-P exchanges per BSP round, monotone
+        # register-sum convergence) — the effective-diameter readout
+        # exact NF cannot deliver at web-graph N. Pinned-snapshot
+        # oracle from the from-spec sequential reimplementation in
+        # tests/independent_pipelines.py
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.graph import hyperball
+
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.3
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({"s": t.column("doc_a"), "d": t.column("doc_b")})
+
+        return hyperball(
+            pairs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True),
+            p=7,
+        )
+
     def kcenter_coreset(sf_dir):
         # greedy k-center (farthest-point) coreset selection: 16
         # maximally-spread exemplars; per-block int64 min-distance
@@ -3290,6 +3315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": dedup_containment,
         "cdc_chunk_dedup": cdc_chunk_dedup,
         "kcenter_coreset": kcenter_coreset,
+        "doc_graph_hyperball": doc_graph_hyperball,
         "doc_graph_kcore": doc_graph_kcore,
         "doc_graph_bfs": doc_graph_bfs,
         "docs_sorted_neighbors": docs_sorted_neighbors,
@@ -6477,6 +6503,7 @@ def oracle_sql() -> dict[str, str]:
          "'2e3eefca196f910e440b4c845d209b7e'"),
         ("ann_pq", "qid, vec_id, dist_q, rank", _EMB_KEY),
         ("kcenter_coreset", "rank, vec_id, dist_q", _EMB_KEY),
+        ("doc_graph_hyperball", "t, nf, coverage", _DOCS_SRC_KEY),
         ("media_phash_dups", "doc_a, doc_b, hamming",
          "'251d7422a8d4986f61479c497cf2da66'"),
         ("sketch_lineage", "epoch, part, n_fragments, n_added, fill_ratio",

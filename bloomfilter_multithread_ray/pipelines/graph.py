@@ -1137,3 +1137,272 @@ def label_propagation(
         )
 
     return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------- HyperBall
+def _hb_init_registers(nodes: np.ndarray, p: int) -> np.ndarray:
+    """(n, 2^p) uint8 HLL register matrix with each node's own hash
+    inserted — ball radius 0. Placement uses splitmix64(node) (an
+    independent mix, never raw ``h % m`` — the partition-correlation
+    gotcha), idx = top p bits, rank = leading zeros of the low 64-p
+    bits + 1. Exact bitlength via 32-bit halves (each half < 2^53 so
+    float64 log2 is exact), valid for ANY p — unlike state/hll.py's
+    p >= 11 single-shot trick; HyperBall wants small m (128 B/node)."""
+    from ..functions.hashing import splitmix64
+
+    h = splitmix64(nodes.astype(np.uint64))
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    low = h & np.uint64((1 << (64 - p)) - 1)
+    hi = (low >> np.uint64(32)).astype(np.float64)
+    lo = (low & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    bitlen = np.zeros(len(h), dtype=np.int64)
+    nz_hi = hi > 0
+    bitlen[nz_hi] = 33 + np.floor(np.log2(hi[nz_hi])).astype(np.int64)
+    nz_lo = ~nz_hi & (lo > 0)
+    bitlen[nz_lo] = 1 + np.floor(np.log2(lo[nz_lo])).astype(np.int64)
+    rank = ((64 - p) - bitlen + 1).astype(np.uint8)
+    reg = np.zeros((len(h), m), dtype=np.uint8)
+    reg[np.arange(len(h)), idx] = rank
+    return reg
+
+
+def _hb_estimate_micro(reg: np.ndarray) -> np.ndarray:
+    """int64 micro-unit (1e-6) HLL cardinality estimates per row of an
+    (n, m) register matrix — Flajolet HLL with the standard small-range
+    linear-counting correction (E <= 2.5 m and zero registers exist).
+
+    Bitwise determinism contract (shared with the from-spec sequential
+    reimplementation): every term ldexp(1, -reg) is a power of two
+    (exact), and np.sum over the LAST axis of a contiguous float64
+    matrix uses pairwise reduction whose tree depends only on m — so Z
+    is bitwise identical for any row count / partitioning."""
+    n, m = reg.shape
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    Z = np.sum(np.ldexp(1.0, -reg.astype(np.int64)), axis=1)
+    E = alpha * m * m / Z
+    zeros = (reg == 0).sum(axis=1)
+    small = (E <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        E = E.copy()
+        E[small] = m * np.log(m / zeros[small].astype(np.float64))
+    return np.trunc(E * 1e6 + 0.5).astype(np.int64)
+
+
+def hyperball(
+    edges: "Dataset",
+    *,
+    p: int = 7,
+    max_rounds: int = 32,
+    src_col: str = "s",
+    dst_col: str = "d",
+    num_partitions: int = 16,
+) -> "pd.DataFrame":
+    """Neighborhood function via HyperBall (Boldi-Rosa-Vigna, "Four
+    Degrees of Separation" / WebSci'14): per-node HLL counters of the
+    ball B(v, t), grown one hop per synchronous round, until no
+    register changes → one row per radius t:
+    {t, nf, coverage} where nf = Σ_v |B(v, t)|^ (the summed HLL
+    estimates, 6 dp) and coverage = nf(t)/nf(∞) (6 dp). The smallest t
+    with coverage >= 0.9 is the standard effective-diameter readout.
+
+    Scale shape — the register matrix NEVER exists in one place:
+
+    - edges symmetrize + gain self-loops ONCE, co-partitioned with the
+      counter rows on splitmix64(src) % P (the same
+      partition-local-state-ownership as pagerank_distributed; the
+      reference probe reads only its partition's filter,
+      src/main.cpp:120);
+    - each round is one BSP superstep of two fixed-P exchanges: the
+      partition kernel max-folds src counters into PRE-COMBINED
+      per-(partition, dst) register rows (HyperBall's systolic
+      combine — at most one m-byte row per distinct dst per
+      partition), then a dst-keyed fold produces the next counters
+      (the self-loop carries B(v, t) into B(v, t+1));
+    - the driver sees O(1) per round: an exact int64 register-sum
+      (registers are monotone, so an unchanged sum IS convergence)
+      and the exact int64 micro-sum of per-node estimates (order-free
+      integer folds — partition-invariant by construction).
+
+    m = 2^p bytes/node (default 128 B) is the whole per-node state —
+    the reason HyperBall runs billion-node graphs where exact
+    neighborhood functions cannot.
+    """
+    import pandas as pd
+    import ray.data
+
+    from ..functions.hashing import splitmix64
+
+    P = int(num_partitions)
+    m = 1 << int(p)
+
+    def _p_of(nodes: np.ndarray) -> np.ndarray:
+        return (splitmix64(nodes.astype(np.uint64)) % np.uint64(P)).astype(
+            np.int32
+        )
+
+    # symmetrize + self-loops, dedup within partition (same-src rows
+    # share a partition so the dedup is global)
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        nodes = np.unique(np.concatenate([a, b]))
+        s = np.concatenate([a, b, nodes])
+        d = np.concatenate([b, a, nodes])
+        return pa.table({"p": pa.array(_p_of(s)), "s": pa.array(s),
+                         "d": pa.array(d)})
+
+    def _edge_dedup(g: pa.Table) -> pa.Table:
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        key = np.stack([s, d], axis=1)
+        uq = np.unique(key, axis=0)
+        return pa.table({"pp": pa.array(_p_of(uq[:, 0])),
+                         "s": pa.array(uq[:, 0]), "d": pa.array(uq[:, 1])})
+
+    edge_rows = (
+        edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(_edge_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # initial counters: one row per node (nodes = distinct srcs; the
+    # self-loops guarantee every endpoint appears as a src)
+    def _init_counters(g: pa.Table) -> pa.Table:
+        s = np.unique(g.column("s").to_numpy(zero_copy_only=False))
+        reg = _hb_init_registers(s, int(p))
+        return pa.table({"node": pa.array(s),
+                         "reg": pa.array([reg[i].tobytes() for i in range(len(s))],
+                                         pa.binary())})
+
+    counters = (
+        edge_rows.groupby("pp")
+        .map_groups(_init_counters, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"regsum": pa.array([0], pa.int64()),
+                             "nf": pa.array([0], pa.int64()),
+                             "n": pa.array([0], pa.int64())})
+        reg = np.frombuffer(b"".join(t.column("reg").to_pylist()),
+                            dtype=np.uint8).reshape(-1, m)
+        return pa.table(
+            {"regsum": pa.array([int(reg.sum(dtype=np.int64))], pa.int64()),
+             "nf": pa.array([int(_hb_estimate_micro(reg).sum())], pa.int64()),
+             "n": pa.array([int(reg.shape[0])], pa.int64())}
+        )
+
+    def _round_stats(c) -> tuple[int, int, int]:
+        df = c.map_batches(_stats, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+        if df.empty:  # all-empty dataset loses its schema (round-2 note)
+            return (0, 0, 0)
+        return (int(df["regsum"].sum()), int(df["nf"].sum()),
+                int(df["n"].sum()))
+
+    regsum, nf0, n_nodes = _round_stats(counters)
+    if n_nodes == 0:  # empty graph: typed empty result
+        return pd.DataFrame(
+            {"t": pd.Series(dtype=np.int64),
+             "nf": pd.Series(dtype=np.float64),
+             "coverage": pd.Series(dtype=np.float64)}
+        )
+    nf_micro = [nf0]
+
+    # unified superstep row schema (pagerank_distributed's union-side
+    # trick): side 0 = counter row (a=node), side 1 = edge row (a=src,
+    # b=dst); both keyed on hash(a) % P
+    def _counter_rows(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array(_p_of(node)),
+                         "side": pa.array(np.zeros(len(node), np.int8)),
+                         "a": pa.array(node),
+                         "b": pa.array(np.zeros(len(node), np.int64)),
+                         "reg": t.column("reg")})
+
+    def _edge_side(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array(_p_of(s)),
+                         "side": pa.array(np.ones(len(s), np.int8)),
+                         "a": pa.array(s), "b": t.column("d"),
+                         "reg": pa.array([b""] * len(s), pa.binary())})
+
+    edge_side = edge_rows.map_batches(
+        _edge_side, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _superstep(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        own = a[side == 0]
+        t_regs = g.column("reg").to_pylist()
+        own_reg = np.frombuffer(
+            b"".join(r for r, sd in zip(t_regs, side) if sd == 0),
+            dtype=np.uint8,
+        ).reshape(-1, m)
+        es = a[side == 1]
+        ed = g.column("b").to_numpy(zero_copy_only=False)[side == 1]
+        if len(es) == 0:  # counter-only partition (no owned edges)
+            return pa.table({"q": pa.array([], pa.int32()),
+                             "node": pa.array([], pa.int64()),
+                             "reg": pa.array([], pa.binary())})
+        # src counter per edge: all edges of a src share its partition
+        order = np.argsort(own, kind="stable")
+        src_reg = own_reg[order[np.searchsorted(own, es, sorter=order)]]
+        # pre-combine: max-fold per distinct dst within this partition
+        do = np.argsort(ed, kind="stable")
+        ed_s, src_s = ed[do], src_reg[do]
+        cuts = np.flatnonzero(np.r_[True, ed_s[1:] != ed_s[:-1]])
+        folded = np.maximum.reduceat(src_s, cuts, axis=0)
+        uq_d = ed_s[cuts]
+        return pa.table(
+            {"q": pa.array(_p_of(uq_d)), "node": pa.array(uq_d),
+             "reg": pa.array([folded[i].tobytes() for i in range(len(uq_d))],
+                             pa.binary())}
+        )
+
+    def _dst_fold(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        reg = np.frombuffer(b"".join(g.column("reg").to_pylist()),
+                            dtype=np.uint8).reshape(-1, m)
+        o = np.argsort(node, kind="stable")
+        node_s, reg_s = node[o], reg[o]
+        cuts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+        folded = np.maximum.reduceat(reg_s, cuts, axis=0)
+        uq = node_s[cuts]
+        return pa.table(
+            {"node": pa.array(uq),
+             "reg": pa.array([folded[i].tobytes() for i in range(len(uq))],
+                             pa.binary())}
+        )
+
+    for _t in range(int(max_rounds)):
+        step_in = counters.map_batches(
+            _counter_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(edge_side)
+        counters = (
+            step_in.groupby("p")
+            .map_groups(_superstep, batch_format="pyarrow")
+            .groupby("q")
+            .map_groups(_dst_fold, batch_format="pyarrow")
+            .materialize()
+        )
+        new_regsum, nf_t, _ = _round_stats(counters)
+        if new_regsum == regsum:
+            break  # monotone registers: unchanged sum == fixpoint
+        regsum = new_regsum
+        nf_micro.append(nf_t)
+
+    final = nf_micro[-1]
+    return pd.DataFrame(
+        {"t": np.arange(len(nf_micro), dtype=np.int64),
+         "nf": np.array(nf_micro, dtype=np.int64) / 1e6,
+         "coverage": np.trunc(
+             np.array(nf_micro, dtype=np.float64) / float(final) * 1e6 + 0.5
+         ).astype(np.int64) / 1e6}
+    )

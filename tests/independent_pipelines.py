@@ -1036,6 +1036,125 @@ def media_phash_key() -> str:
         f"{o}:{hashlib.md5(p).hexdigest()}:{h}:{w}" for o, p, h, w in rows))
 
 
+# ----------------------------------------------------------- HyperBall
+def _indep_jaccard_pairs(ids, texts, k: int = 3,
+                         threshold: float = 0.3) -> list:
+    """From-spec exact word-k-gram Jaccard pairs (the doc_graph edge
+    spec shared by the kcore/LPA SQL oracles): whitespace tokens with
+    empties dropped, DISTINCT k-grams, i/(|A|+|B|-i) >= threshold,
+    doc_a < doc_b."""
+    grams: dict[int, set] = {}
+    for i, tx in zip(ids, texts):
+        w = [t for t in tx.split(" ") if t]
+        grams[int(i)] = {
+            " ".join(w[j:j + k]) for j in range(len(w) - k + 1)
+        } if len(w) >= k else set()
+    inv: dict[str, list] = {}
+    for i, gs in grams.items():
+        for g in gs:
+            inv.setdefault(g, []).append(i)
+    from collections import Counter
+
+    inter: Counter = Counter()
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                inter[(ds[x], ds[y])] += 1
+    out = []
+    for (a, b), i in inter.items():
+        u = len(grams[a]) + len(grams[b]) - i
+        if u > 0 and i / u >= threshold:
+            out.append((a, b))
+    return sorted(out)
+
+
+def _indep_hb_registers(nodes: np.ndarray, p: int) -> np.ndarray:
+    """(n, 2^p) uint8 HLL registers, each node's splitmix64 hash
+    inserted: idx = top p bits, rank = (64-p) - bitlength(low) + 1
+    (bitlength exact via 32-bit halves)."""
+    h = splitmix64(nodes.astype(np.uint64))
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    low = h & np.uint64((1 << (64 - p)) - 1)
+    hi = (low >> np.uint64(32)).astype(np.float64)
+    lo = (low & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    bitlen = np.zeros(len(h), dtype=np.int64)
+    nz_hi = hi > 0
+    bitlen[nz_hi] = 33 + np.floor(np.log2(hi[nz_hi])).astype(np.int64)
+    nz_lo = ~nz_hi & (lo > 0)
+    bitlen[nz_lo] = 1 + np.floor(np.log2(lo[nz_lo])).astype(np.int64)
+    reg = np.zeros((len(h), m), dtype=np.uint8)
+    reg[np.arange(len(h)), idx] = ((64 - p) - bitlen + 1).astype(np.uint8)
+    return reg
+
+
+def _indep_hb_estimate_micro(reg: np.ndarray) -> np.ndarray:
+    """Per-row Flajolet HLL estimate in int64 micro-units; the
+    determinism contract shared with the engine: ldexp terms are exact
+    powers of two and np.sum over the LAST axis of a float64 matrix
+    has a reduction tree that depends only on the row LENGTH m, so
+    results are bitwise partition-invariant."""
+    n, m = reg.shape
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    Z = np.sum(np.ldexp(1.0, -reg.astype(np.int64)), axis=1)
+    E = alpha * m * m / Z
+    zeros = (reg == 0).sum(axis=1)
+    small = (E <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        E = E.copy()
+        E[small] = m * np.log(m / zeros[small].astype(np.float64))
+    return np.trunc(E * 1e6 + 0.5).astype(np.int64)
+
+
+def indep_hyperball_from_pairs(pairs: list, p: int = 7,
+                               max_rounds: int = 32) -> pd.DataFrame:
+    """From-spec sequential HyperBall (Boldi-Rosa-Vigna): synchronous
+    per-round max-fold of neighbor HLL counters (self included),
+    stopping when the monotone register sum stops changing; one row
+    per radius t: {t, nf (summed per-node estimates, 6 dp), coverage
+    (nf_t / nf_final, 6 dp)}."""
+    cols = {"t": pd.Series(dtype=np.int64),
+            "nf": pd.Series(dtype=np.float64),
+            "coverage": pd.Series(dtype=np.float64)}
+    if not pairs:
+        return pd.DataFrame(cols)
+    nodes = np.unique(np.array(
+        [a for a, _ in pairs] + [b for _, b in pairs], dtype=np.int64))
+    pos = {int(v): i for i, v in enumerate(nodes)}
+    adj: list[set] = [set() for _ in nodes]
+    for a, b in pairs:
+        ia, ib = pos[int(a)], pos[int(b)]
+        adj[ia].add(ib)
+        adj[ib].add(ia)
+    reg = _indep_hb_registers(nodes, p)
+    nf_micro = [int(_indep_hb_estimate_micro(reg).sum())]
+    regsum = int(reg.sum(dtype=np.int64))
+    for _t in range(max_rounds):
+        new = reg.copy()
+        for v in range(len(nodes)):
+            for u in adj[v]:
+                np.maximum(new[v], reg[u], out=new[v])
+        reg = new
+        new_regsum = int(reg.sum(dtype=np.int64))
+        if new_regsum == regsum:
+            break
+        regsum = new_regsum
+        nf_micro.append(int(_indep_hb_estimate_micro(reg).sum()))
+    final = nf_micro[-1]
+    return pd.DataFrame(
+        {"t": np.arange(len(nf_micro), dtype=np.int64),
+         "nf": np.array(nf_micro, dtype=np.int64) / 1e6,
+         "coverage": np.trunc(
+             np.array(nf_micro, dtype=np.float64) / float(final) * 1e6 + 0.5
+         ).astype(np.int64) / 1e6}
+    )
+
+
+def indep_hyperball(ids, texts, p: int = 7) -> pd.DataFrame:
+    return indep_hyperball_from_pairs(_indep_jaccard_pairs(ids, texts), p=p)
+
+
 # ------------------------------------------------------------ snapshots
 def generate_pipeline_snapshots(
     sf_dirs=("/root/testdata/sf0.001", "/root/testdata/sf0.01"),
@@ -1070,6 +1189,7 @@ def generate_pipeline_snapshots(
         add("bloom_retract_reprobe", dsk, indep_bloom_retract(texts, sources))
         add("cuckoo_retract_reprobe", dsk, indep_cuckoo_retract(texts, sources))
         add("cdc_chunk_dedup", dsk, indep_cdc_chunk_stats(ids, texts, sources))
+        add("doc_graph_hyperball", dsk, indep_hyperball(ids, texts))
 
         ev = pq.read_table(f"{sf}/events.parquet",
                            columns=["event_id", "event_type", "value"])

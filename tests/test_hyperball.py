@@ -1,0 +1,125 @@
+"""HyperBall neighborhood function (graph.hyperball).
+
+Three legs: bitwise parity with the from-spec sequential
+reimplementation (incl. partition invariance), HLL estimate accuracy
+against the EXACT neighborhood function, and structural invariants
+(diameter recovery, monotone coverage).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from independent_pipelines import indep_hyperball_from_pairs  # noqa: E402
+
+
+def _exact_nf(pairs: list, n_nodes_hint=None) -> list:
+    """Exact neighborhood function by BFS from every node: NF[t] =
+    sum over v of |{u: dist(v,u) <= t}|, until convergence."""
+    nodes = sorted({x for p in pairs for x in p})
+    pos = {v: i for i, v in enumerate(nodes)}
+    adj = [set() for _ in nodes]
+    for a, b in pairs:
+        adj[pos[a]].add(pos[b])
+        adj[pos[b]].add(pos[a])
+    balls = [{i} for i in range(len(nodes))]
+    nf = [len(nodes)]
+    while True:
+        new = [set(b) for b in balls]
+        for v in range(len(nodes)):
+            for u in adj[v]:
+                new[v] |= balls[u]
+        if new == balls:
+            break
+        balls = new
+        nf.append(sum(len(b) for b in balls))
+    return nf
+
+
+def _chain_triangle():
+    return [(i, i + 1) for i in range(9)] + [(100, 101), (101, 102),
+                                             (100, 102)]
+
+
+def test_hyperball_engine_matches_sequential_and_partitions(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import hyperball
+
+    pairs = _chain_triangle()
+    df = pd.DataFrame({"s": [a for a, _ in pairs],
+                       "d": [b for _, b in pairs]})
+    seq = indep_hyperball_from_pairs(pairs, p=7)
+    for blocks in (1, 7):
+        eng = hyperball(rd.from_pandas(df).repartition(blocks), p=7,
+                        num_partitions=5)
+        pd.testing.assert_frame_equal(eng, seq)
+
+
+def test_hyperball_recovers_diameter_and_monotone_coverage(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import hyperball
+
+    pairs = _chain_triangle()
+    df = pd.DataFrame({"s": [a for a, _ in pairs],
+                       "d": [b for _, b in pairs]})
+    out = hyperball(rd.from_pandas(df), p=7)
+    # chain of 10 has diameter 9 -> radii 0..9 inclusive
+    assert out["t"].tolist() == list(range(10))
+    assert out["coverage"].iloc[-1] == 1.0
+    assert (np.diff(out["coverage"].to_numpy()) >= 0).all()
+    assert (np.diff(out["nf"].to_numpy()) >= 0).all()
+
+
+def test_hyperball_estimates_track_exact_nf():
+    """Summed HLL ball estimates stay within 25% of the exact
+    neighborhood function at every radius (m=128 -> ~9% std error per
+    node, partially cancelling across nodes), on a graph with planted
+    cliques + a long path."""
+    rng = np.random.default_rng(11)
+    pairs = []
+    for c in range(6):  # 6 cliques of 8
+        ids = (1000 * c + np.arange(8)).tolist()
+        pairs += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    path = [7000 + i for i in range(12)]
+    pairs += list(zip(path, path[1:]))
+    est = indep_hyperball_from_pairs(pairs, p=7)
+    exact = _exact_nf(pairs)
+    assert len(est) == len(exact)
+    for nf_hat, nf in zip(est["nf"], exact):
+        assert abs(nf_hat - nf) / nf < 0.25, (nf_hat, nf)
+
+
+def test_hyperball_self_dedup_and_duplicate_edges(ray_session):
+    """Duplicate and reversed input edges and self-loops collapse to
+    the same canonical graph -> bitwise-identical output."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import hyperball
+
+    base = [(1, 2), (2, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 1), (2, 3), (3, 3)]
+    out_base = hyperball(
+        rd.from_pandas(pd.DataFrame(
+            {"s": [a for a, _ in base], "d": [b for _, b in base]})), p=7)
+    out_noisy = hyperball(
+        rd.from_pandas(pd.DataFrame(
+            {"s": [a for a, _ in noisy], "d": [b for _, b in noisy]})), p=7)
+    pd.testing.assert_frame_equal(out_base, out_noisy)
+
+
+def test_hyperball_empty_graph(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import hyperball
+
+    out = hyperball(
+        rd.from_pandas(pd.DataFrame({"s": [5], "d": [5]})), p=7)
+    # a pure self-loop input has no real edges -> empty typed frame
+    assert out.empty
+    assert list(out.columns) == ["t", "nf", "coverage"]

@@ -185,6 +185,8 @@ def test_pipeline_queries_match_independent_impls(ray_session):
         "sketch_lineage": P.indep_sketch_lineage(),
         "multimodal_features": P.indep_multimodal_features(),
         "media_phash_dups": P.indep_media_phash_dups(),
+        "doc_graph_hyperball": P.indep_hyperball(
+            d.column("doc_id").to_pylist(), texts),
     }
     for name, w in want.items():
         got = qs[name](sf)
