@@ -2951,6 +2951,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bm(sf_dir)
 
+    def hybrid_search_rrf(sf_dir):
+        # reciprocal rank fusion (Cormack et al.) of the BM25 and
+        # query-projected TF-IDF-cosine top-20 lists: rrf = sum of
+        # 1/(60+rank) over systems, per-query top-10 on the quantized
+        # fused score. Both rankers are two-streaming-pass map-only
+        # scorers (corpus text never moves); fusion touches only the
+        # O(queries x 20) candidate lists
+        from bloomfilter_multithread_ray.pipelines.retrieval import (
+            rrf_hybrid_search,
+        )
+
+        return rrf_hybrid_search(sf_dir)
+
     def doc_entropy(sf_dir):
         from bloomfilter_multithread_ray.pipelines.text_stats import doc_token_entropy
 
@@ -3466,6 +3479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": tpch_q12,
         "tpch_q20": tpch_q20,
         "bm25_search": bm25_search,
+        "hybrid_search_rrf": hybrid_search_rrf,
         "doc_entropy": doc_entropy,
         "events_value_histogram": events_value_histogram,
         "profile_events": profile_events,
@@ -3561,6 +3575,72 @@ def _bm25_oracle(queries: list[str], topk: int = 10) -> str:
         "SELECT query, doc_id, CAST(s_u9 AS DOUBLE)/1e9 AS score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query ORDER BY s_u9 DESC, doc_id) AS rn "
         f"FROM scored) WHERE rn <= {int(topk)} ORDER BY query, s_u9 DESC, doc_id"
+    )
+
+
+def _rrf_oracle(queries: list[str], k_sys: int = 20, rrf_k: int = 60,
+                topk: int = 10) -> str:
+    """Reciprocal-rank-fusion oracle: BM25 and query-projected
+    TF-IDF-cosine rankings (both with the engine's per-term 1e-9
+    integer quantization before the order-free sum), each cut to
+    ``k_sys``, fused with 1/(rrf_k + rank) summed bm-then-tf (absent
+    list -> exact 0.0), ordered/cut on the QUANTIZED fused score —
+    every float expression mirrors the engine's evaluation order."""
+    vals = ", ".join(f"('{q}','{t}')" for q in queries for t in q.split())
+    n = "(SELECT n FROM nn)"
+    bm_term = (
+        "CAST(ROUND(1e9 * ln(1 + (" + n + " - df + 0.5)/(df + 0.5)) "
+        "* (tf * (1.2 + 1.0)) / (tf + 1.2 * (1 - 0.75 + (0.75 * dl) / avgdl))) "
+        "AS BIGINT)"
+    )
+    return (
+        f"WITH qt(query, term) AS (VALUES {vals}), "
+        "nn AS (SELECT count(*) AS n FROM documents), "
+        "toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), "
+        "tks AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tks GROUP BY doc_id), "
+        f"st AS (SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / {n} AS avgdl), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tks GROUP BY doc_id, tok), "
+        "dfp AS (SELECT term, count(doc_id) AS df FROM (SELECT DISTINCT term FROM qt) q "
+        "LEFT JOIN tf ON tok = term GROUP BY term), "
+        f"scored_bm AS (SELECT qt.query, tf.doc_id, SUM({bm_term}) AS s_u9 "
+        "FROM qt JOIN dfp USING(term) JOIN tf ON tf.tok = qt.term "
+        "JOIN dl USING(doc_id), st GROUP BY qt.query, tf.doc_id "
+        f"HAVING SUM({bm_term}) > 0), "
+        "rb AS (SELECT query, doc_id, rn AS r FROM (SELECT query, doc_id, "
+        "row_number() OVER (PARTITION BY query ORDER BY s_u9 DESC, doc_id) AS rn "
+        f"FROM scored_bm) WHERE rn <= {int(k_sys)}), "
+        "qterm AS (SELECT query, term, CAST(count(*) AS DOUBLE) AS qtf "
+        "FROM qt GROUP BY 1, 2), "
+        f"idfs AS (SELECT term, ln(CAST({n} AS DOUBLE) / df) AS idf "
+        "FROM dfp WHERE df > 0), "
+        "qq AS (SELECT query, SUM(CAST(ROUND(1e9 * (qtf * idf) * (qtf * idf)) "
+        "AS BIGINT)) AS qq_u9 FROM qterm JOIN idfs USING (term) GROUP BY query), "
+        "scored_tf AS (SELECT q.query, tf.doc_id, "
+        "SUM(CAST(ROUND(1e9 * (tf.tf * i.idf) * (q.qtf * i.idf)) AS BIGINT)) AS num_u9, "
+        "SUM(CAST(ROUND(1e9 * (tf.tf * i.idf) * (tf.tf * i.idf)) AS BIGINT)) AS dd_u9 "
+        "FROM qterm q JOIN idfs i USING (term) JOIN tf ON tf.tok = q.term "
+        "GROUP BY 1, 2 HAVING "
+        "SUM(CAST(ROUND(1e9 * (tf.tf * i.idf) * (q.qtf * i.idf)) AS BIGINT)) > 0), "
+        "st_tf AS (SELECT query, doc_id, CAST(ROUND(1e9 * (CAST(num_u9 AS DOUBLE) "
+        "/ (sqrt(CAST(dd_u9 AS DOUBLE)) * sqrt(CAST(qq_u9 AS DOUBLE))))) AS BIGINT) "
+        "AS s_u9 FROM scored_tf JOIN qq USING (query)), "
+        "rt AS (SELECT query, doc_id, rn AS r FROM (SELECT query, doc_id, "
+        "row_number() OVER (PARTITION BY query ORDER BY s_u9 DESC, doc_id) AS rn "
+        f"FROM st_tf) WHERE rn <= {int(k_sys)}), "
+        "fused AS (SELECT COALESCE(rb.query, rt.query) AS query, "
+        "COALESCE(rb.doc_id, rt.doc_id) AS doc_id, "
+        "COALESCE(rb.r, 0) AS rank_bm25, COALESCE(rt.r, 0) AS rank_tfidf, "
+        f"CAST(ROUND((CASE WHEN rb.r IS NULL THEN 0.0 ELSE 1.0/({int(rrf_k)} + rb.r) END "
+        f"+ CASE WHEN rt.r IS NULL THEN 0.0 ELSE 1.0/({int(rrf_k)} + rt.r) END) * 1e9) "
+        "AS BIGINT) AS rrf_u9 "
+        "FROM rb FULL OUTER JOIN rt ON rb.query = rt.query AND rb.doc_id = rt.doc_id) "
+        "SELECT query, doc_id, rrf_u9 / 1e9 AS rrf, "
+        "CAST(rank_bm25 AS BIGINT) AS rank_bm25, "
+        "CAST(rank_tfidf AS BIGINT) AS rank_tfidf FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query "
+        "ORDER BY rrf_u9 DESC, doc_id) AS rn FROM fused) "
+        f"WHERE rn <= {int(topk)} ORDER BY query, rrf_u9 DESC, doc_id"
     )
 
 
@@ -6041,6 +6121,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON n_nationkey = s_nationkey "
             "JOIN region ON r_regionkey = n_regionkey "
             "WHERE 2*sq > tot AND r_name = 'EUROPE' ORDER BY s_name"
+        ),
+        # reciprocal rank fusion of the BM25 and query-projected
+        # TF-IDF-cosine top-20 lists (1/(60+rank) summed bm-then-tf,
+        # ordered and cut on the 1e-9-quantized fused score); both
+        # rankings and the fusion mirror pipelines/retrieval.py
+        # expression-for-expression
+        "hybrid_search_rrf": _rrf_oracle(
+            ["hash join merge", "window sort order", "bloom filter scan"]
         ),
         # BM25 top-10 per fixed query: per-(doc,term) scores quantized
         # to int64 1e-9 units half-away BEFORE the per-query sum, so the

@@ -97,3 +97,118 @@ def test_bm25_all_empty_corpus(ray_session, tmp_path):
     got = bm25_search(sf, queries=("a",), topk=5)
     assert len(got) == 0
     assert list(got.columns) == ["query", "doc_id", "score"]
+
+
+# ------------------------------------ TF-IDF cosine + RRF hybrid search
+def _tfidf_ref(texts, query):
+    """Independent plain-python query-projected TF-IDF cosine with the
+    engine's per-term 1e-9 quantization discipline."""
+    import math
+
+    docs = [t.split() for t in texts]
+    n = len(docs)
+    qtoks = query.split()
+    qcnt = {t: qtoks.count(t) for t in set(qtoks)}
+    live = {}
+    for t in qcnt:
+        df = sum(1 for d in docs if t in d)
+        if df > 0:
+            live[t] = math.log(n / df)
+    qq = sum(int(np.trunc(1e9 * (qcnt[t] * idf) * (qcnt[t] * idf) + 0.5))
+             for t, idf in live.items())
+    out = {}
+    for i, d in enumerate(docs):
+        num = dd = 0
+        for t, idf in live.items():
+            tf = d.count(t)
+            num += int(np.trunc(1e9 * (tf * idf) * (qcnt[t] * idf) + 0.5))
+            dd += int(np.trunc(1e9 * (tf * idf) * (tf * idf) + 0.5))
+        if num > 0:
+            cos = num / (math.sqrt(dd) * math.sqrt(qq))
+            out[i] = int(np.trunc(1e9 * cos + 0.5)) / 1e9
+    return out
+
+
+def test_tfidf_cosine_matches_reference(ray_session, tmp_path):
+    from bloomfilter_multithread_ray.pipelines.retrieval import (
+        tfidf_cosine_search,
+    )
+
+    texts = [
+        "bloom filter scan fast scan",
+        "hash join merge join join",
+        "window sort order by window",
+        "scan scan scan scan scan scan",
+        "filter bloom",
+        "unrelated words entirely here",
+        "",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    q = "bloom filter scan"
+    got = tfidf_cosine_search(sf, [q], topk=10)
+    ref = _tfidf_ref(texts, q)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got["doc_id"].tolist() == [i for i, _ in want]
+    assert got["score"].tolist() == [s for _, s in want]
+    # the all-scan doc is pure-projection cosine 1.0 only if the query
+    # were one term; with three terms it cannot beat the exact-mix doc
+    assert got["doc_id"].iloc[0] == 0
+
+
+def test_tfidf_absent_terms_and_df0(ray_session, tmp_path):
+    from bloomfilter_multithread_ray.pipelines.retrieval import (
+        tfidf_cosine_search,
+    )
+
+    texts = ["alpha beta", "beta gamma", "gamma alpha"]
+    sf = _write_docs(tmp_path, texts)
+    # 'zzz' has df=0 -> excluded from both vectors; query reduces to beta
+    got = tfidf_cosine_search(sf, ["beta zzz"], topk=10)
+    ref = _tfidf_ref(texts, "beta zzz")
+    assert got["doc_id"].tolist() == sorted(ref, key=lambda i: (-ref[i], i))
+    # all-absent query -> no rows
+    none = tfidf_cosine_search(sf, ["zzz qqq"], topk=10)
+    assert none.empty
+
+
+def test_rrf_hybrid_fusion(ray_session, tmp_path):
+    """Fused ranking == plain-python RRF over the two reference
+    rankings; membership in only one list still scores."""
+    from bloomfilter_multithread_ray.pipelines.retrieval import (
+        rrf_hybrid_search,
+    )
+
+    texts = [
+        "bloom filter scan fast scan",
+        "hash join merge join join",
+        "window sort order by window",
+        ("bloom filter scan " * 30).strip(),
+        "filter",
+        "unrelated words entirely here",
+        "bloom bloom bloom bloom bloom bloom bloom bloom",
+    ]
+    # top-3 lists diverge by construction: BM25's length penalty keeps
+    # doc 4 out but admits the term-spam doc 6; projected cosine does
+    # the opposite (verified in the reference scorers below)
+    sf = _write_docs(tmp_path, texts)
+    queries = ["bloom filter scan"]
+    got = rrf_hybrid_search(sf, queries, k_sys=3, rrf_k=60, topk=10)
+
+    bm = _bm25_ref(texts, queries[0])
+    tf = _tfidf_ref(texts, queries[0])
+    rb = {i: r + 1 for r, (i, _) in enumerate(
+        sorted(bm.items(), key=lambda kv: (-kv[1], kv[0]))[:3])}
+    rt = {i: r + 1 for r, (i, _) in enumerate(
+        sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:3])}
+    fused = {}
+    for i in set(rb) | set(rt):
+        v = (1.0 / (60.0 + rb[i]) if i in rb else 0.0) + (
+            1.0 / (60.0 + rt[i]) if i in rt else 0.0)
+        fused[i] = int(np.trunc(v * 1e9 + 0.5))
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got["doc_id"].tolist() == [i for i, _ in want]
+    assert (got["rrf"] * 1e9).round().astype(int).tolist() == [
+        s for _, s in want]
+    # docs in one list only carry rank 0 for the other system
+    only_one = got[(got["rank_bm25"] == 0) | (got["rank_tfidf"] == 0)]
+    assert len(only_one) > 0
