@@ -3207,6 +3207,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             p=7,
         )
 
+    def doc_walk_corpus(sf_dir):
+        # deterministic DeepWalk corpus over the exact 3-gram-Jaccard
+        # dup graph: 2 walks x 8 visits per node, next hop =
+        # splitmix64(walker identity) % degree over ascending
+        # neighbors. Adjacency materializes once co-partitioned;
+        # each round is ONE fixed-P exchange of 4-int64 walker rows
+        # (frontier discipline — edges never re-shuffle). Pinned-
+        # snapshot oracle from the from-spec sequential
+        # reimplementation in tests/independent_pipelines.py
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.graph import random_walks
+
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.3
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({"s": t.column("doc_a"), "d": t.column("doc_b")})
+
+        return random_walks(
+            pairs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True),
+            walks_per_node=2, walk_len=8,
+        )
+
     def kcenter_coreset(sf_dir):
         # greedy k-center (farthest-point) coreset selection: 16
         # maximally-spread exemplars; per-block int64 min-distance
@@ -3329,6 +3354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": cdc_chunk_dedup,
         "kcenter_coreset": kcenter_coreset,
         "doc_graph_hyperball": doc_graph_hyperball,
+        "doc_walk_corpus": doc_walk_corpus,
         "doc_graph_kcore": doc_graph_kcore,
         "doc_graph_bfs": doc_graph_bfs,
         "docs_sorted_neighbors": docs_sorted_neighbors,
@@ -6592,6 +6618,7 @@ def oracle_sql() -> dict[str, str]:
         ("ann_pq", "qid, vec_id, dist_q, rank", _EMB_KEY),
         ("kcenter_coreset", "rank, vec_id, dist_q", _EMB_KEY),
         ("doc_graph_hyperball", "t, nf, coverage", _DOCS_SRC_KEY),
+        ("doc_walk_corpus", "node, walk, step, visit", _DOCS_SRC_KEY),
         ("media_phash_dups", "doc_a, doc_b, hamming",
          "'251d7422a8d4986f61479c497cf2da66'"),
         ("sketch_lineage", "epoch, part, n_fragments, n_added, fill_ratio",

@@ -1406,3 +1406,191 @@ def hyperball(
              np.array(nf_micro, dtype=np.float64) / float(final) * 1e6 + 0.5
          ).astype(np.int64) / 1e6}
     )
+
+
+# ------------------------------------------------------- random walks
+_RW_K1 = np.uint64(0xBF58476D1CE4E5B9)  # walk-id mix constant
+_RW_K2 = np.uint64(0x94D049BB133111EB)  # step mix constant
+_RW_K3 = np.uint64(0xA24BAED4963EE407)  # start-node mix constant
+
+
+def _rw_choice(cur: np.ndarray, node0: np.ndarray, walk: np.ndarray,
+               step: int, deg: np.ndarray) -> np.ndarray:
+    """Deterministic neighbor index per walker: splitmix64 of the
+    walker's full identity (current node, start node, walk id, step)
+    mod degree — a pure function of the walker, so the choice is
+    independent of block structure and reproducible from spec."""
+    from ..functions.hashing import splitmix64
+
+    with np.errstate(over="ignore"):
+        seed = (splitmix64(cur.astype(np.uint64))
+                + splitmix64(node0.astype(np.uint64)) * _RW_K3
+                + walk.astype(np.uint64) * _RW_K1
+                + np.uint64(step) * _RW_K2)
+    return (splitmix64(seed) % deg.astype(np.uint64)).astype(np.int64)
+
+
+def random_walks(
+    edges: "Dataset",
+    *,
+    walks_per_node: int = 2,
+    walk_len: int = 8,
+    src_col: str = "s",
+    dst_col: str = "d",
+    num_partitions: int = 16,
+) -> "pd.DataFrame":
+    """DeepWalk-style walk corpus (Perozzi et al., KDD'14) with a
+    deterministic walker: ``walks_per_node`` walks of ``walk_len``
+    visits from every node of the symmetrized graph → one row per
+    visit {node, walk, step, visit} sorted by (node, walk, step).
+    Step 0 is the start node itself; the next hop is the neighbor at
+    index splitmix64(walker identity) % degree in ascending-neighbor
+    order (_rw_choice) — the uniform-random-walk spec made replayable.
+
+    Scale shape: the adjacency symmetrizes, dedups and materializes
+    ONCE, co-partitioned on splitmix64(node) % P and pre-sorted by
+    (s, d) within each partition; each of the walk_len - 1 rounds is
+    ONE fixed-P exchange of WALKER rows only (4 int64s each — the
+    frontier-sized BFS/SSSP discipline; edges never re-shuffle, text
+    never exists here at all). Visits accumulate as the per-round
+    walker datasets themselves (a walker row IS a visit row), lazily
+    unioned and sorted once at the end — nothing materializes on the
+    driver until the final corpus, which is n * walks * len rows of
+    ids by construction.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import splitmix64
+
+    P = int(num_partitions)
+    W = int(walks_per_node)
+    L = int(walk_len)
+
+    def _p_of(nodes: np.ndarray) -> np.ndarray:
+        return (splitmix64(nodes.astype(np.uint64)) % np.uint64(P)).astype(
+            np.int32
+        )
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        s = np.concatenate([a, b])
+        d = np.concatenate([b, a])
+        return pa.table({"p": pa.array(_p_of(s)), "s": pa.array(s),
+                         "d": pa.array(d)})
+
+    def _dedup_sort(g: pa.Table) -> pa.Table:
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        uq = np.unique(np.stack([s, d], axis=1), axis=0)  # sorted (s, d)
+        return pa.table(
+            {"p": pa.array(_p_of(uq[:, 0])),
+             "side": pa.array(np.ones(len(uq), np.int8)),
+             "s": pa.array(uq[:, 0]), "d": pa.array(uq[:, 1]),
+             "node0": pa.array(np.zeros(len(uq), np.int64)),
+             "walk": pa.array(np.zeros(len(uq), np.int64))}
+        )
+
+    adj = (
+        edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(_dedup_sort, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # initial walkers: W rows per distinct node, step 0 (= a visit)
+    def _init_walkers(g: pa.Table) -> pa.Table:
+        nodes = np.unique(g.column("s").to_numpy(zero_copy_only=False))
+        n = len(nodes)
+        cur = np.repeat(nodes, W)
+        walk = np.tile(np.arange(W, dtype=np.int64), n)
+        return pa.table(
+            {"p": pa.array(_p_of(cur)),
+             "side": pa.array(np.zeros(n * W, np.int8)),
+             "s": pa.array(cur), "d": pa.array(np.zeros(n * W, np.int64)),
+             "node0": pa.array(cur), "walk": pa.array(walk)}
+        )
+
+    walkers = (
+        adj.groupby("p")
+        .map_groups(_init_walkers, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _visit_rows(step: int):
+        def fn(t: pa.Table) -> pa.Table:
+            side = t.column("side").to_numpy(zero_copy_only=False)
+            w = side == 0
+            return pa.table(
+                {"node": pa.array(t.column("node0").to_numpy(
+                    zero_copy_only=False)[w]),
+                 "walk": pa.array(t.column("walk").to_numpy(
+                     zero_copy_only=False)[w]),
+                 "step": pa.array(np.full(int(w.sum()), step, np.int64)),
+                 "visit": pa.array(t.column("s").to_numpy(
+                     zero_copy_only=False)[w])}
+            )
+        return fn
+
+    visits = [walkers.map_batches(_visit_rows(0), batch_format="pyarrow",
+                                  zero_copy_batch=True)]
+
+    def _advance(step: int):
+        def kernel(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            s = g.column("s").to_numpy(zero_copy_only=False)
+            d = g.column("d").to_numpy(zero_copy_only=False)
+            am = side == 1
+            s_a, d_a = s[am], d[am]
+            ao = np.lexsort((d_a, s_a))  # the shuffle may reorder rows
+            s_a, d_a = s_a[ao], d_a[ao]
+            wm = side == 0
+            cur = s[wm]
+            node0 = g.column("node0").to_numpy(zero_copy_only=False)[wm]
+            walk = g.column("walk").to_numpy(zero_copy_only=False)[wm]
+            if len(cur) == 0:
+                return pa.table(
+                    {"p": pa.array([], pa.int32()),
+                     "side": pa.array([], pa.int8()),
+                     "s": pa.array([], pa.int64()),
+                     "d": pa.array([], pa.int64()),
+                     "node0": pa.array([], pa.int64()),
+                     "walk": pa.array([], pa.int64())}
+                )
+            left = np.searchsorted(s_a, cur, side="left")
+            right = np.searchsorted(s_a, cur, side="right")
+            deg = right - left  # >= 1: every node of a sym graph has an edge
+            idx = _rw_choice(cur, node0, walk, step, deg)
+            nxt = d_a[left + idx]
+            return pa.table(
+                {"p": pa.array(_p_of(nxt)),
+                 "side": pa.array(np.zeros(len(nxt), np.int8)),
+                 "s": pa.array(nxt), "d": pa.array(np.zeros(len(nxt), np.int64)),
+                 "node0": pa.array(node0), "walk": pa.array(walk)}
+            )
+        return kernel
+
+    for step in range(1, L):
+        walkers = (
+            walkers.union(adj)
+            .groupby("p")
+            .map_groups(_advance(step), batch_format="pyarrow")
+            .materialize()
+        )
+        visits.append(walkers.map_batches(
+            _visit_rows(step), batch_format="pyarrow", zero_copy_batch=True))
+
+    corpus = visits[0]
+    for v in visits[1:]:
+        corpus = corpus.union(v)
+    out = corpus.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=np.int64),
+             "walk": pd.Series(dtype=np.int64),
+             "step": pd.Series(dtype=np.int64),
+             "visit": pd.Series(dtype=np.int64)}
+        )
+    return out.sort_values(["node", "walk", "step"]).reset_index(drop=True)

@@ -1155,6 +1155,55 @@ def indep_hyperball(ids, texts, p: int = 7) -> pd.DataFrame:
     return indep_hyperball_from_pairs(_indep_jaccard_pairs(ids, texts), p=p)
 
 
+# ---------------------------------------------------------- random walks
+_RW_K1 = np.uint64(0xBF58476D1CE4E5B9)
+_RW_K2 = np.uint64(0x94D049BB133111EB)
+_RW_K3 = np.uint64(0xA24BAED4963EE407)
+
+
+def indep_random_walks_from_pairs(pairs: list, walks_per_node: int = 2,
+                                  walk_len: int = 8) -> pd.DataFrame:
+    """From-spec sequential DeepWalk corpus: symmetrize + dedup, W
+    walks of L visits per node; step 0 = the start node; next hop =
+    ascending-sorted neighbor at index splitmix64(splitmix64(cur) +
+    splitmix64(node0)*K3 + walk*K1 + step*K2) % degree."""
+    cols = {"node": pd.Series(dtype=np.int64),
+            "walk": pd.Series(dtype=np.int64),
+            "step": pd.Series(dtype=np.int64),
+            "visit": pd.Series(dtype=np.int64)}
+    adj: dict[int, list] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    if not adj:
+        return pd.DataFrame(cols)
+    adj = {v: sorted(ns) for v, ns in adj.items()}
+    rows = []
+    for node0 in sorted(adj):
+        for walk in range(walks_per_node):
+            cur = node0
+            rows.append((node0, walk, 0, cur))
+            for step in range(1, walk_len):
+                ns = adj[cur]
+                # python-int arithmetic mod 2^64 == uint64 wraparound
+                seed = (int(splitmix64(np.array([cur], np.uint64))[0])
+                        + int(splitmix64(np.array([node0], np.uint64))[0])
+                        * int(_RW_K3)
+                        + walk * int(_RW_K1) + step * int(_RW_K2)) % 2**64
+                h = int(splitmix64(np.array([seed], np.uint64))[0])
+                cur = ns[h % len(ns)]
+                rows.append((node0, walk, step, cur))
+    df = pd.DataFrame(rows, columns=["node", "walk", "step", "visit"])
+    df = df.astype({c: np.int64 for c in df.columns})
+    return df.sort_values(["node", "walk", "step"]).reset_index(drop=True)
+
+
+def indep_random_walks(ids, texts) -> pd.DataFrame:
+    return indep_random_walks_from_pairs(_indep_jaccard_pairs(ids, texts))
+
+
 # ------------------------------------------------------------ snapshots
 def generate_pipeline_snapshots(
     sf_dirs=("/root/testdata/sf0.001", "/root/testdata/sf0.01"),
@@ -1190,6 +1239,7 @@ def generate_pipeline_snapshots(
         add("cuckoo_retract_reprobe", dsk, indep_cuckoo_retract(texts, sources))
         add("cdc_chunk_dedup", dsk, indep_cdc_chunk_stats(ids, texts, sources))
         add("doc_graph_hyperball", dsk, indep_hyperball(ids, texts))
+        add("doc_walk_corpus", dsk, indep_random_walks(ids, texts))
 
         ev = pq.read_table(f"{sf}/events.parquet",
                            columns=["event_id", "event_type", "value"])

@@ -123,3 +123,84 @@ def test_hyperball_empty_graph(ray_session):
     # a pure self-loop input has no real edges -> empty typed frame
     assert out.empty
     assert list(out.columns) == ["t", "nf", "coverage"]
+
+
+# ---------------------------------------------------------- random walks
+def test_random_walks_parity_and_structure(ray_session):
+    """Engine corpus == from-spec sequential walker bitwise at any
+    partitioning; every consecutive visit pair is a real edge; every
+    walk starts at its node and has exactly walk_len visits."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import random_walks
+    from independent_pipelines import indep_random_walks_from_pairs
+
+    pairs = _chain_triangle() + [(3, 7)]
+    df = pd.DataFrame({"s": [a for a, _ in pairs],
+                       "d": [b for _, b in pairs]})
+    seq = indep_random_walks_from_pairs(pairs, walks_per_node=2, walk_len=8)
+    for blocks in (1, 7):
+        eng = random_walks(rd.from_pandas(df).repartition(blocks),
+                           walks_per_node=2, walk_len=8, num_partitions=5)
+        pd.testing.assert_frame_equal(eng, seq)
+
+    E = set()
+    for a, b in pairs:
+        E.add((a, b))
+        E.add((b, a))
+    n_nodes = len({x for p in pairs for x in p})
+    assert len(seq) == n_nodes * 2 * 8
+    for (n, w), grp in seq.groupby(["node", "walk"]):
+        v = grp.sort_values("step")["visit"].tolist()
+        assert v[0] == n and len(v) == 8
+        for x, y in zip(v, v[1:]):
+            assert (x, y) in E, (n, w, x, y)
+
+
+def test_random_walks_visit_distribution_uniformish():
+    """On a star graph the center's next hop must spread over leaves
+    (deterministic hash choice, but it should not collapse onto one
+    neighbor) and leaves always bounce back to the center."""
+    from independent_pipelines import indep_random_walks_from_pairs
+
+    center = 0
+    leaves = list(range(1, 9))
+    pairs = [(center, l) for l in leaves]
+    out = indep_random_walks_from_pairs(pairs, walks_per_node=4, walk_len=6)
+    # any walker AT the center hops to some leaf; leaves return to center
+    g = out.sort_values(["node", "walk", "step"])
+    picked = set()
+    for (_, _), grp in g.groupby(["node", "walk"]):
+        v = grp["visit"].tolist()
+        for x, y in zip(v, v[1:]):
+            if x == center:
+                picked.add(y)
+            else:
+                assert y == center
+    assert len(picked) >= 4  # spreads over at least half the 8 leaves
+
+
+def test_random_walks_self_loops_and_duplicates_ignored(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import random_walks
+
+    base = [(1, 2), (2, 3)]
+    noisy = base + [(2, 1), (1, 1), (2, 3), (3, 3)]
+    a = random_walks(rd.from_pandas(pd.DataFrame(
+        {"s": [x for x, _ in base], "d": [y for _, y in base]})),
+        walks_per_node=1, walk_len=4)
+    b = random_walks(rd.from_pandas(pd.DataFrame(
+        {"s": [x for x, _ in noisy], "d": [y for _, y in noisy]})),
+        walks_per_node=1, walk_len=4)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_random_walks_empty(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import random_walks
+
+    out = random_walks(rd.from_pandas(pd.DataFrame({"s": [4], "d": [4]})))
+    assert out.empty
+    assert list(out.columns) == ["node", "walk", "step", "visit"]

@@ -187,6 +187,8 @@ def test_pipeline_queries_match_independent_impls(ray_session):
         "media_phash_dups": P.indep_media_phash_dups(),
         "doc_graph_hyperball": P.indep_hyperball(
             d.column("doc_id").to_pylist(), texts),
+        "doc_walk_corpus": P.indep_random_walks(
+            d.column("doc_id").to_pylist(), texts),
     }
     for name, w in want.items():
         got = qs[name](sf)
