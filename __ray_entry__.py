@@ -1515,6 +1515,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda: R.read(sf_dir, "events", ["ts", "event_type", "value"]),
         )
 
+    def events_cusum_alerts(sf_dir):
+        # per-user one-sided CUSUM drift alarm via the exact prefix
+        # identity s_t = C_t - min(0, prefix-min C) with all terms
+        # integer-scaled by N*1e3 (mu = exact global mean); one
+        # group-keyed shuffle, pandas C-grouped cumsum/cummin kernel;
+        # full SQL-window oracle
+        return A.grouped_cusum_alerts(
+            lambda: R.read(sf_dir, "events",
+                           ["event_id", "ts", "user_id", "value"]),
+        )
+
     def events_user_trend(sf_dir):
         # per-user OLS slope of value vs whole-hour time offset: the
         # engagement-drift detector. All five moments are exact
@@ -3336,6 +3347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": events_debounce,
         "events_welch_t": events_welch_t,
         "events_user_trend": events_user_trend,
+        "events_cusum_alerts": events_cusum_alerts,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -4897,6 +4909,31 @@ def oracle_sql() -> dict[str, str]:
         # per-user OLS trend: integer hour offsets + 1e-3-quantized
         # values -> five exact HUGEINT moments; one float ratio
         # quantized at 1e-6; zero-variance / n<2 groups dropped
+        # one-sided CUSUM by the prefix identity (cumsum + running
+        # min are pure window algebra); C_t = N*cx - t*S - t*N*250,
+        # alert when s_t > 2000*N, smax = s_max/(1000*N) at 1e-6 —
+        # integer-exact up to the single mirrored float step
+        "events_cusum_alerts": (
+            "WITH v AS (SELECT user_id, ts, event_id, "
+            "CAST(TRUNC(value*1000 + 0.5*SIGN(value)) AS BIGINT) AS xm "
+            "FROM events WHERE value IS NOT NULL), "
+            "tot AS (SELECT COUNT(*) AS n, SUM(xm) AS s FROM v), "
+            "seq AS (SELECT user_id, row_number() OVER w AS t, "
+            "SUM(xm) OVER w AS cx FROM v "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "c AS (SELECT user_id, t, (SELECT n FROM tot)*cx "
+            "- t*(SELECT s FROM tot) - t*(SELECT n FROM tot)*250 AS ct FROM seq), "
+            "s AS (SELECT user_id, t, ct - LEAST(0, MIN(ct) OVER "
+            "(PARTITION BY user_id ORDER BY t)) AS st FROM c), "
+            "agg AS (SELECT user_id, MAX(t) AS n_events, "
+            "COALESCE(MIN(CASE WHEN st > 2000*(SELECT n FROM tot) THEN t END), 0) "
+            "AS first_alert, MAX(st) AS smax_i FROM s GROUP BY user_id) "
+            "SELECT user_id, CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(first_alert AS BIGINT) AS first_alert, "
+            "CAST(TRUNC((CAST(smax_i AS DOUBLE) / "
+            "(1000.0 * (SELECT n FROM tot))) * 1e6 + 0.5) AS BIGINT)/1e6 AS smax "
+            "FROM agg ORDER BY user_id"
+        ),
         "events_user_trend": (
             "WITH mm AS (SELECT MIN(epoch_us(ts)) AS lo FROM events), "
             "d AS (SELECT user_id, "

@@ -3139,3 +3139,139 @@ def grouped_ols_trend(
     out["n"] = out["n"].astype(np.int64)
     out["slope_q"] = out["slope_q"].astype(np.int64)
     return out.sort_values(by).reset_index(drop=True)
+
+
+def grouped_cusum_alerts(
+    read_events,
+    *,
+    by: str = "user_id",
+    col: str = "value",
+    k_milli: int = 250,
+    h_milli: int = 2000,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Per-group one-sided (upward) CUSUM change-point detection over
+    each group's chronological value stream →
+    {by, n_events, first_alert, smax}: the classic drift alarm
+    s_t = max(0, s_{t-1} + x_t − μ − k), here computed by the exact
+    prefix identity  s_t = C_t − min(0, min_{j≤t} C_j)  with
+    C_t = Σ_{i≤t}(x_i − μ − k) — which makes the recursion pure
+    window algebra (cumsum + running min), replayable by a SQL
+    oracle. μ is the EXACT global mean of the 1e-3-quantized values;
+    to stay integer-exact the whole statistic scales by N·1e3:
+    C_t = N·Σx_m − t·S − t·N·k_milli (all int64). An alert fires
+    when s_t > h_milli·N (h in value-milli-units); ``first_alert``
+    is the 1-based event ordinal of the first alert (0 = never) and
+    ``smax`` is the peak statistic in value units (1e-6-quantized as
+    smax_int / (1000·N), the single float step).
+
+    Scale shape: one O(blocks) Sum pass for (N, S); ONE fixed-P
+    group-keyed shuffle co-locating each group's rows; the partition
+    kernel is pandas C-grouped cumsum/cummin (no per-group Ray
+    tasks). Rows with null/NaN values drop (same rule as
+    grouped_ols_trend). Order within a group is (ts, event id) — the
+    unique id breaks timestamp ties deterministically. Range guard:
+    the kernel asserts every int64 term stays < 2^61 from exact
+    python-int bounds and fails loudly rather than wrapping.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+
+    P = int(num_partitions)
+    KM = int(k_milli)
+    HM = int(h_milli)
+
+    def quant_rows(t: pa.Table) -> pa.Table:
+        s = t.column(col)
+        if pa.types.is_null(s.type):  # all-null block arrives null-typed
+            v = np.full(t.num_rows, np.nan)
+        else:
+            v = s.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(v)
+        q = np.trunc(v[valid] * 1e3 + np.copysign(0.5, v[valid])).astype(np.int64)
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)[valid]
+        )
+        g = t.column(by).to_numpy(zero_copy_only=False)[valid]
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)[valid]
+        return pa.table(
+            {"p": pa.array((splitmix64(g.astype(np.uint64)) % np.uint64(P))
+                           .astype(np.int32)),
+             by: pa.array(g), "ts": pa.array(ts), "eid": pa.array(eid),
+             "xm": pa.array(q)}
+        )
+
+    rows = read_events().map_batches(
+        quant_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([t.num_rows], pa.int64()),
+             "s": pa.array([int(t.column("xm").to_numpy(
+                 zero_copy_only=False).sum(dtype=np.int64))], pa.int64())}
+        )
+
+    empty = pd.DataFrame(
+        {by: pd.Series(dtype=np.int64),
+         "n_events": pd.Series(dtype=np.int64),
+         "first_alert": pd.Series(dtype=np.int64),
+         "smax": pd.Series(dtype=np.float64)}
+    )
+    agg = rows.map_batches(
+        stat_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    N = int(agg["n"] or 0)
+    S = int(agg["s"] or 0)
+    if N == 0:
+        return empty
+
+    def kernel(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {by: g.column(by).to_numpy(zero_copy_only=False),
+             "ts": g.column("ts").to_numpy(zero_copy_only=False),
+             "eid": g.column("eid").to_numpy(zero_copy_only=False),
+             "xm": g.column("xm").to_numpy(zero_copy_only=False)}
+        ).sort_values([by, "ts", "eid"], kind="mergesort")
+        grp = df.groupby(by, sort=False)
+        cx = grp["xm"].cumsum().to_numpy(np.int64)
+        t = (grp.cumcount() + 1).to_numpy(np.int64)
+        # exact python-int range guard before any int64 product
+        mcx = int(np.abs(cx).max()) if len(cx) else 0
+        mt = int(t.max()) if len(t) else 0
+        if N * mcx + mt * abs(S) + mt * N * KM >= (1 << 61):
+            raise ValueError("CUSUM terms out of exact int64 range")
+        ct = N * cx - t * S - t * (N * KM)
+        df["ct"] = ct
+        pm = np.minimum(df.groupby(by, sort=False)["ct"].cummin()
+                        .to_numpy(np.int64), 0)
+        st = ct - pm
+        thr = HM * N
+        df["st"] = st
+        df["t"] = t
+        df["hit_t"] = np.where(st > thr, t, 0)
+        out = df.groupby(by, sort=False).agg(
+            n_events=("t", "max"), smax_i=("st", "max"))
+        hits = df[df["hit_t"] > 0].groupby(by, sort=False)["hit_t"].min()
+        out["first_alert"] = hits.reindex(out.index).fillna(0).astype(np.int64)
+        out = out.reset_index()
+        return pa.table(
+            {by: pa.array(out[by].to_numpy(np.int64)),
+             "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+             "first_alert": pa.array(out["first_alert"].to_numpy(np.int64)),
+             "smax_i": pa.array(out["smax_i"].to_numpy(np.int64))}
+        )
+
+    res = rows.groupby("p").map_groups(kernel, batch_format="pyarrow").to_pandas()
+    if res.empty:
+        return empty
+    # single float step, mirrored by the oracle: (smax_i / (1000*N))
+    # quantized at 1e-6 half-up (st >= 0 always)
+    q = res["smax_i"].to_numpy(np.float64) / (1000.0 * N)
+    res["smax"] = np.trunc(q * 1e6 + 0.5).astype(np.int64) / 1e6
+    res = res.drop(columns=["smax_i"])
+    return res.sort_values(by).reset_index(drop=True)[
+        [by, "n_events", "first_alert", "smax"]
+    ]

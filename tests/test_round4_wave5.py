@@ -190,3 +190,85 @@ def test_kcenter_covers_planted_clusters_and_stops_at_n(ray_session):
     out3 = kcenter_select(ray.data.from_pandas(df).repartition(9), k=4,
                           max_blocks=3)
     pd.testing.assert_frame_equal(out, out3)
+
+
+# ------------------------------------------------------------- CUSUM
+def _cusum_ref(df, k_milli=250, h_milli=2000):
+    """Independent reference using the CLASSIC recursion
+    s_t = max(0, s_{t-1} + x_t - mu - k) in exact Fraction arithmetic
+    (proves the engine's prefix identity against the textbook form)."""
+    from fractions import Fraction
+
+    d = df.dropna(subset=["value"]).copy()
+    xm = np.trunc(d["value"].to_numpy() * 1e3
+                  + np.copysign(0.5, d["value"].to_numpy())).astype(np.int64)
+    d["xm"] = xm
+    N = len(d)
+    mu = Fraction(int(xm.sum()), N)  # exact global mean (milli-units)
+    out = {}
+    for uid, g in d.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        s = Fraction(0)
+        smax = Fraction(0)
+        first = 0
+        for t, x in enumerate(g["xm"], start=1):
+            s = max(Fraction(0), s + x - mu - k_milli)
+            smax = max(smax, s)
+            if first == 0 and s > h_milli:
+                first = t
+        q = float(Fraction(int(round(smax * N)), 1)) / (1000.0 * N)
+        out[uid] = (len(g), first,
+                    int(np.trunc(q * 1e6 + 0.5)) / 1e6)
+    return out
+
+
+def test_cusum_matches_classic_recursion(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    mins = np.timedelta64(1, "m")
+    rng = np.random.default_rng(5)
+    rows = []
+    eid = 0
+    # the CUSUM target is the GLOBAL mean, so the fixture balances:
+    # u1 shifts +25 exactly where u3 shifts -25, keeping the global
+    # mean at the shared 50.0 baseline; noise sigma=0.1 stays well
+    # inside the k=0.25 allowance so no-drift users cannot
+    # random-walk over h=2.0
+    for i in range(80):  # user 1: level shift UP at t=41 -> alerts
+        v = 50.0 + (25.0 if i >= 40 else 0.0) + rng.normal(0, 0.1)
+        rows.append((eid, t0 + i * mins, 1, v)); eid += 1
+    for i in range(80):  # user 2: stable at the global mean -> quiet
+        rows.append((eid, t0 + i * mins, 2, 50.0 + rng.normal(0, 0.1)))
+        eid += 1
+    for i in range(80):  # user 3: DOWN shift -> one-sided stays quiet
+        v = 50.0 - (25.0 if i >= 40 else 0.0) + rng.normal(0, 0.1)
+        rows.append((eid, t0 + i * mins, 3, v)); eid += 1
+    # user 4: one null value (dropped row)
+    rows.append((eid, t0, 4, np.nan)); eid += 1
+    rows.append((eid, t0 + mins, 4, 50.0)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    df = df.astype({"event_id": np.int64, "user_id": np.int64})
+
+    ref = _cusum_ref(df)
+    for blocks in (1, 7):
+        out = A.grouped_cusum_alerts(
+            lambda b=blocks: ray.data.from_pandas(df).repartition(b))
+        got = {int(r.user_id): (int(r.n_events), int(r.first_alert), r.smax)
+               for r in out.itertuples()}
+        assert got == ref
+    g1 = ref[1]
+    assert 40 < g1[1] <= 45  # alert fires right after the level shift
+    assert ref[2][1] == 0 and ref[3][1] == 0
+    assert ref[4][0] == 1  # null row dropped
+
+
+def test_cusum_empty_and_all_null(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    df = pd.DataFrame({"event_id": pd.array([1, 2], dtype=np.int64),
+                       "ts": [np.datetime64("2024-01-01", "us")] * 2,
+                       "user_id": pd.array([1, 2], dtype=np.int64),
+                       "value": [np.nan, np.nan]})
+    out = A.grouped_cusum_alerts(lambda: ray.data.from_pandas(df))
+    assert out.empty
+    assert list(out.columns) == ["user_id", "n_events", "first_alert", "smax"]
