@@ -2805,6 +2805,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return FPP(sf_dir, min_support=2, topk=20)
 
+    def part_association_rules(sf_dir):
+        # association rules (conf + lift, both directions) over the
+        # frequent co-purchase pairs: one order-keyed shuffle emits
+        # pair + singleton + basket-count partials in a single fold;
+        # support filter applies before the driver sees rows; conf and
+        # lift quantize 1e-6 from the single mirrored float division
+        from bloomfilter_multithread_ray.pipelines.itemsets import (
+            part_association_rules as PAR,
+        )
+
+        return PAR(sf_dir, min_support=2, min_conf=0.25)
+
     def fuzzy_token_pairs(sf_dir):
         from bloomfilter_multithread_ray.pipelines.fuzzy import (
             fuzzy_token_pairs as FTP,
@@ -3540,6 +3552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strata_stable": strata_stable,
         "events_resampled": events_resampled,
         "frequent_part_pairs": frequent_part_pairs,
+        "part_association_rules": part_association_rules,
         "events_asof_click": events_asof_click,
         "lineitem_ship_windows": lineitem_ship_windows,
         "events_rolling": events_rolling,
@@ -6457,6 +6470,31 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"
         ),
         # A-Priori 2-itemset pass: parts co-purchased in one order
+        # association rules over frequent co-purchase pairs: conf =
+        # supp(ab)/supp(a), lift = supp(ab)*N/(supp(a)*supp(b)), each
+        # quantized 1e-6 half-up from the single float division the
+        # engine performs; min_conf filters on the QUANTIZED value
+        "part_association_rules": (
+            "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "nb AS (SELECT count(DISTINCT o) AS n FROM b), "
+            "item AS (SELECT p, count(*) AS s FROM b GROUP BY p), "
+            "pr AS (SELECT a.p AS pa, b2.p AS pb, count(*) AS s "
+            "FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "dir AS (SELECT pa AS ant, pb AS cons, s FROM pr "
+            "UNION ALL SELECT pb, pa, s FROM pr), "
+            "r AS (SELECT ant, cons, d.s AS support, "
+            "CAST(TRUNC((CAST(d.s AS DOUBLE) / ia.s) * 1e6 + 0.5) AS BIGINT) "
+            "AS conf_u, "
+            "CAST(TRUNC((CAST(d.s * (SELECT n FROM nb) AS DOUBLE) / "
+            "CAST(ia.s * ic.s AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lift_u "
+            "FROM dir d JOIN item ia ON ia.p = d.ant "
+            "JOIN item ic ON ic.p = d.cons) "
+            "SELECT ant, cons, CAST(support AS BIGINT) AS support, "
+            "conf_u/1e6 AS conf, lift_u/1e6 AS lift FROM r "
+            "WHERE conf_u >= 250000 ORDER BY ant, cons"
+        ),
         "frequent_part_pairs": (
             "WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
             "pr AS (SELECT a.p AS part_a, c.p AS part_b, COUNT(*) AS support "

@@ -111,3 +111,125 @@ def frequent_part_pairs(
         ["support", "part_a", "part_b"], ascending=[False, True, True]
     ).head(topk)
     return out[["part_a", "part_b", "support"]].reset_index(drop=True)
+
+
+def part_association_rules(
+    sf_dir: str,
+    *,
+    min_support: int = 2,
+    min_conf: float = 0.25,
+    num_partitions: int = 32,
+    max_basket: int = 64,
+) -> pd.DataFrame:
+    """Association rules from co-purchased part pairs →
+    {ant, cons, support, conf, lift} for BOTH directions of every pair
+    with support >= min_support and confidence >= min_conf, sorted by
+    (ant, cons) — the classic market-basket deliverable on top of the
+    A-Priori pair pass: conf(a→b) = supp(ab)/supp(a), lift =
+    supp(ab)·N / (supp(a)·supp(b)) with N = #baskets.
+
+    Scale shape: ONE order-keyed fixed-P shuffle co-locates each
+    basket's rows; a single partition kernel emits pair partials,
+    singleton partials AND a basket-count partial (all exact — dedup
+    of (order, part) is partition-local-is-global under the keying),
+    folded by one grouped sum; the support filter applies BEFORE
+    anything lands on the driver, so only the O(frequent pairs +
+    items) survivors materialize. Exactness: conf and lift quantize
+    to 1e-6 half-up from the single mirrored float division (integer
+    numerators/denominators up to that point), and the min_conf
+    filter compares the QUANTIZED value — bit-replayable by the SQL
+    oracle. The basket cap reuses the refuse-on-truncation rule of
+    :func:`frequent_part_pairs` (sentinel-counted, loud failure).
+    """
+    P = int(num_partitions)
+    S = int(min_support)
+    conf_u_min = int(np.trunc(float(min_conf) * 1e6 + 0.5))
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def add_op(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"op": pa.array((ok % P).astype(np.int32)),
+             "l_orderkey": t.column("l_orderkey"),
+             "l_partkey": t.column("l_partkey")}
+        )
+
+    # row kinds in one folded table: (a, b, c) pair partial;
+    # (p, -2, c) singleton partial; (-3, -3, n_baskets); (-1, -1, capped)
+    def basket_fold(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o": g.column("l_orderkey").to_numpy(zero_copy_only=False),
+             "p": g.column("l_partkey").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        df = df.sort_values(["o", "p"])
+        df["rk"] = df.groupby("o", sort=False).cumcount()
+        n_capped = int((df.groupby("o", sort=False)["rk"].max() >= max_basket).sum())
+        n_baskets = int(df["o"].nunique())
+        df = df[df["rk"] < max_basket]
+        m = df.merge(df, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        pc = m.groupby(["p_x", "p_y"], sort=False).size().reset_index(name="c")
+        ic = df.groupby("p", sort=False).size().reset_index(name="c")
+        a = np.concatenate([pc["p_x"].to_numpy(np.int64),
+                            ic["p"].to_numpy(np.int64), [-3, -1]])
+        b = np.concatenate([pc["p_y"].to_numpy(np.int64),
+                            np.full(len(ic), -2, np.int64), [-3, -1]])
+        c = np.concatenate([pc["c"].to_numpy(np.int64),
+                            ic["c"].to_numpy(np.int64),
+                            [n_baskets, n_capped]])
+        return pa.table({"part_a": pa.array(a), "part_b": pa.array(b),
+                         "c": pa.array(c)})
+
+    sums = grouped_agg(
+        ds.map_batches(add_op, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("op")
+        .map_groups(basket_fold, batch_format="pyarrow"),
+        ["part_a", "part_b"],
+        {"s": ("sum", "c")},
+        num_partitions=16,
+    )
+
+    def keep(t: pa.Table) -> pa.Table:  # frequent pairs + markers only
+        a = t.column("part_a").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        m = (a < 0) | (t.column("part_b").to_numpy(zero_copy_only=False) < 0) \
+            | (s >= S)
+        return t.filter(pa.array(m))
+
+    df = pd.DataFrame(
+        sums.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    cols = ["ant", "cons", "support", "conf", "lift"]
+    if df.empty:
+        return pd.DataFrame(columns=cols)
+    n_capped = int(df[df["part_a"] == -1]["s"].sum())
+    if n_capped:
+        raise ValueError(
+            f"part_association_rules: {n_capped} basket(s) exceed "
+            f"max_basket={max_basket}; raise the cap"
+        )
+    N = int(df[df["part_a"] == -3]["s"].sum())
+    items = df[(df["part_b"] == -2) & (df["part_a"] >= 0)]
+    supp = dict(zip(items["part_a"].astype(np.int64),
+                    items["s"].astype(np.int64)))
+    pairs = df[(df["part_a"] >= 0) & (df["part_b"] >= 0)]
+    if pairs.empty:
+        return pd.DataFrame(columns=cols)
+    ant = np.concatenate([pairs["part_a"].to_numpy(np.int64),
+                          pairs["part_b"].to_numpy(np.int64)])
+    con = np.concatenate([pairs["part_b"].to_numpy(np.int64),
+                          pairs["part_a"].to_numpy(np.int64)])
+    sab = np.concatenate([pairs["s"].to_numpy(np.int64)] * 2)
+    sa = np.array([supp[x] for x in ant], np.int64)
+    sb = np.array([supp[x] for x in con], np.int64)
+    conf_u = np.trunc((sab.astype(np.float64) / sa) * 1e6 + 0.5).astype(np.int64)
+    lift_u = np.trunc(
+        ((sab * N).astype(np.float64) / (sa * sb).astype(np.float64)) * 1e6 + 0.5
+    ).astype(np.int64)
+    out = pd.DataFrame(
+        {"ant": ant, "cons": con, "support": sab,
+         "conf": conf_u / 1e6, "lift": lift_u / 1e6}
+    )
+    out = out[conf_u >= conf_u_min]
+    return out.sort_values(["ant", "cons"]).reset_index(drop=True)

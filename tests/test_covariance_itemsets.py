@@ -145,3 +145,64 @@ def test_fd_pca_within_certificate_of_exact(ray_session):
     sk2 = embedding_fd_pca(_emb_ds(V, 2), ell=6, topk=8, round_dp=9)
     b2 = float(sk2["err_bound"][0]) + 1e-6
     assert np.abs(sk2["eigenvalue"].to_numpy() - exact["eigenvalue"].to_numpy()).max() <= b2
+
+
+def test_association_rules_planted(ray_session, tmp_path):
+    """Hand-computed conf/lift on planted baskets, both rule
+    directions, quantized-confidence filter."""
+    import pyarrow.parquet as pq
+
+    from bloomfilter_multithread_ray.pipelines.itemsets import (
+        part_association_rules,
+    )
+
+    # baskets: {10,20} x3, {10,30}, {10}, {40} -> N=6 baskets
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 20), (3, 10),
+            (4, 10), (4, 30), (5, 10), (6, 40), (1, 10)]
+    t = pa.table(
+        {"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+         "l_partkey": pa.array([r[1] for r in rows], pa.int64())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    got = part_association_rules(str(d), min_support=2, min_conf=0.25)
+    # only pair with support >= 2 is (10,20): supp=3, s10=5, s20=3, N=6
+    # conf(10->20)=3/5=0.6, lift=3*6/(5*3)=1.2
+    # conf(20->10)=3/3=1.0, lift same
+    assert got[["ant", "cons"]].values.tolist() == [[10, 20], [20, 10]]
+    r1 = got[got.ant == 10].iloc[0]
+    assert (int(r1.support), r1.conf, r1.lift) == (3, 0.6, 1.2)
+    r2 = got[got.ant == 20].iloc[0]
+    assert (int(r2.support), r2.conf, r2.lift) == (3, 1.0, 1.2)
+    # min_conf filter on the QUANTIZED value: raising it drops 10->20
+    hi = part_association_rules(str(d), min_support=2, min_conf=0.600001)
+    assert hi[["ant", "cons"]].values.tolist() == [[20, 10]]
+
+
+def test_association_rules_partition_invariance_and_cap(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from bloomfilter_multithread_ray.pipelines.itemsets import (
+        part_association_rules,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for o in range(60):
+        for p in rng.choice(20, size=rng.integers(1, 6), replace=False):
+            rows.append((o, int(p)))
+    t = pa.table(
+        {"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+         "l_partkey": pa.array([r[1] for r in rows], pa.int64())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    a = part_association_rules(str(d), num_partitions=3)
+    b = part_association_rules(str(d), num_partitions=17)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    with _pytest.raises(ValueError, match="max_basket"):
+        part_association_rules(str(d), max_basket=3)
