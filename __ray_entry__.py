@@ -1526,6 +1526,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ["event_id", "ts", "user_id", "value"]),
         )
 
+    def events_type_markov(sf_dir):
+        # user-behavior Markov chain over event types: one user-keyed
+        # shuffle counts LAG transitions (co-location makes LAG
+        # partition-local-is-global), dangling types take the uniform
+        # row, 12 power-iteration steps with per-term 1e-12 integer
+        # quantization (order-free sums); T x T stays on the driver
+        # because T is the fixed type cardinality
+        return A.event_type_markov(
+            lambda: R.read(sf_dir, "events",
+                           ["event_id", "ts", "user_id", "event_type"]),
+        )
+
     def events_user_trend(sf_dir):
         # per-user OLS slope of value vs whole-hour time offset: the
         # engagement-drift detector. All five moments are exact
@@ -2805,6 +2817,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return FPP(sf_dir, min_support=2, topk=20)
 
+    def frequent_part_triples(sf_dir):
+        # 3-itemset mining on the same single order-keyed shuffle as
+        # the pair pass (per-basket C(w,3) fan-out bounded by the
+        # refuse-on-cap basket cap; SON local-threshold pruning is the
+        # documented upgrade path once min_support scales)
+        from bloomfilter_multithread_ray.pipelines.itemsets import (
+            frequent_triples as FT,
+        )
+
+        return FT(sf_dir, min_support=2, topk=20)
+
     def part_association_rules(sf_dir):
         # association rules (conf + lift, both directions) over the
         # frequent co-purchase pairs: one order-keyed shuffle emits
@@ -3360,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_welch_t": events_welch_t,
         "events_user_trend": events_user_trend,
         "events_cusum_alerts": events_cusum_alerts,
+        "events_type_markov": events_type_markov,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -3553,6 +3577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resampled": events_resampled,
         "frequent_part_pairs": frequent_part_pairs,
         "part_association_rules": part_association_rules,
+        "frequent_part_triples": frequent_part_triples,
         "events_asof_click": events_asof_click,
         "lineitem_ship_windows": lineitem_ship_windows,
         "events_rolling": events_rolling,
@@ -3626,6 +3651,46 @@ def _bm25_oracle(queries: list[str], topk: int = 10) -> str:
         "SELECT query, doc_id, CAST(s_u9 AS DOUBLE)/1e9 AS score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query ORDER BY s_u9 DESC, doc_id) AS rn "
         f"FROM scored) WHERE rn <= {int(topk)} ORDER BY query, s_u9 DESC, doc_id"
+    )
+
+
+def _markov_oracle(iters: int = 12) -> str:
+    """Event-type Markov stationary distribution as ``iters`` chained
+    MATERIALIZED power-iteration CTEs: transitions from LAG within
+    (user ORDER BY ts, event_id), dangling types get the uniform 1/T
+    row, and each product term x_i*P[i,j] quantizes to int64 1e-12
+    half-up BEFORE the (then order-free) SUM — mirroring
+    analytics.event_type_markov expression-for-expression."""
+    head = (
+        "WITH tr AS (SELECT LAG(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS a, "
+        "event_type AS b FROM events), "
+        "c AS (SELECT a, b, count(*) AS c FROM tr WHERE a IS NOT NULL "
+        "GROUP BY a, b), "
+        "ty AS (SELECT DISTINCT event_type AS t FROM events), "
+        "nt AS (SELECT count(*) AS n FROM ty), "
+        "r AS (SELECT a, SUM(c) AS r FROM c GROUP BY a), "
+        "p AS MATERIALIZED (SELECT ty1.t AS a, ty2.t AS b, "
+        "CASE WHEN r.r IS NULL THEN 1.0/(SELECT n FROM nt) "
+        "ELSE CAST(COALESCE(c.c, 0) AS DOUBLE)/r.r END AS p "
+        "FROM ty ty1 CROSS JOIN ty ty2 "
+        "LEFT JOIN c ON c.a = ty1.t AND c.b = ty2.t "
+        "LEFT JOIN r ON r.a = ty1.t), "
+        "x0 AS (SELECT t, 1.0/(SELECT n FROM nt) AS v FROM ty), "
+    )
+    steps = "".join(
+        f"x{i + 1} AS MATERIALIZED (SELECT p.b AS t, "
+        f"SUM(CAST(TRUNC((x{i}.v * p.p) * 1e12 + 0.5) AS BIGINT))/1e12 AS v "
+        f"FROM x{i} JOIN p ON p.a = x{i}.t GROUP BY p.b), "
+        for i in range(iters)
+    )
+    return (
+        head + steps.rstrip(", ")
+        + f" SELECT ty.t AS event_type, "
+        "CAST(COALESCE(r.r, 0) AS BIGINT) AS out_transitions, "
+        f"CAST(TRUNC(x{iters}.v * 1e9 + 0.5) AS BIGINT)/1e9 AS pi "
+        f"FROM ty LEFT JOIN r ON r.a = ty.t JOIN x{iters} ON x{iters}.t = ty.t "
+        "ORDER BY event_type"
     )
 
 
@@ -4922,6 +4987,9 @@ def oracle_sql() -> dict[str, str]:
         # per-user OLS trend: integer hour offsets + 1e-3-quantized
         # values -> five exact HUGEINT moments; one float ratio
         # quantized at 1e-6; zero-variance / n<2 groups dropped
+        # Markov stationary distribution via chained power-iteration
+        # CTEs with per-term 1e-12 integer quantization
+        "events_type_markov": _markov_oracle(iters=12),
         # one-sided CUSUM by the prefix identity (cumsum + running
         # min are pure window algebra); C_t = N*cx - t*S - t*N*250,
         # alert when s_t > 2000*N, smax = s_max/(1000*N) at 1e-6 —
@@ -6470,6 +6538,19 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"
         ),
         # A-Priori 2-itemset pass: parts co-purchased in one order
+        # top-20 co-purchased part triples (support >= 2, full
+        # tie-break order)
+        "frequent_part_triples": (
+            "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "t AS (SELECT a.p AS part_a, b2.p AS part_b, c2.p AS part_c, "
+            "count(*) AS support FROM b a "
+            "JOIN b b2 ON a.o = b2.o AND a.p < b2.p "
+            "JOIN b c2 ON a.o = c2.o AND b2.p < c2.p "
+            "GROUP BY 1, 2, 3 HAVING count(*) >= 2) "
+            "SELECT part_a, part_b, part_c, CAST(support AS BIGINT) AS support "
+            "FROM t ORDER BY support DESC, part_a, part_b, part_c LIMIT 20"
+        ),
         # association rules over frequent co-purchase pairs: conf =
         # supp(ab)/supp(a), lift = supp(ab)*N/(supp(a)*supp(b)), each
         # quantized 1e-6 half-up from the single float division the

@@ -3275,3 +3275,109 @@ def grouped_cusum_alerts(
     return res.sort_values(by).reset_index(drop=True)[
         [by, "n_events", "first_alert", "smax"]
     ]
+
+
+def event_type_markov(
+    read_events,
+    *,
+    iters: int = 12,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """User-behavior Markov chain over event types →
+    {event_type, out_transitions, pi}: the empirical transition matrix
+    from each user's chronological event stream, and its stationary
+    distribution after ``iters`` synchronous power-iteration steps
+    from the uniform vector (the where-do-sessions-settle readout).
+
+    Semantics pinned for the SQL oracle: a transition is each
+    consecutive (prev, next) pair within a user ordered by
+    (ts, event_id); P[i,j] = C[i,j] / rowsum(i), and a type with NO
+    outgoing transitions behaves as a dangling node — uniform 1/T row
+    (PageRank's rule). Exactness: each product term x_i·P[i,j]
+    quantizes to int64 1e-12 units half-up BEFORE the order-free sum
+    (so the float-sum order never matters, engine or SQL); the final
+    pi quantizes at 1e-9.
+
+    Scale shape: ONE user-keyed fixed-P shuffle (a user's rows
+    co-locate, so LAG is partition-local-is-global), a grouped sum of
+    (prev, next) partials, plus a tiny distinct-type fold; the dense
+    T x T matrix and the iteration live on the driver because T is
+    the FIXED event-type cardinality (the TPC-H small-dims rule), not
+    a data-scaled dimension.
+    """
+    from ..functions.hashing import splitmix64
+    from .agg import grouped_agg
+
+    P = int(num_partitions)
+
+    def route(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {"p": pa.array((splitmix64(u.astype(np.uint64)) % np.uint64(P))
+                           .astype(np.int32)),
+             "u": pa.array(u), "ts": pa.array(ts),
+             "eid": t.column("event_id"), "et": t.column("event_type")}
+        )
+
+    rows = read_events().map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def lag_counts(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"u": g.column("u").to_numpy(zero_copy_only=False),
+             "ts": g.column("ts").to_numpy(zero_copy_only=False),
+             "eid": g.column("eid").to_numpy(zero_copy_only=False),
+             "et": g.column("et").to_pandas()}
+        ).sort_values(["u", "ts", "eid"], kind="mergesort")
+        df["prev"] = df.groupby("u", sort=False)["et"].shift(1)
+        tr = df.dropna(subset=["prev"]).groupby(["prev", "et"], sort=False)
+        cnt = tr.size().reset_index(name="c")
+        return pa.table({"a": pa.array(cnt["prev"].astype(str)),
+                         "b": pa.array(cnt["et"].astype(str)),
+                         "c": pa.array(cnt["c"].to_numpy(np.int64))})
+
+    trans = grouped_agg(
+        rows.groupby("p").map_groups(lag_counts, batch_format="pyarrow"),
+        ["a", "b"], {"c": ("sum", "c")}, num_partitions=8,
+    ).to_pandas()
+
+    def type_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"et": t.column("et")})
+
+    types = sorted(
+        grouped_agg(
+            rows.map_batches(type_rows, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            "et", {"n": ("count", None)}, num_partitions=8,
+        ).to_pandas()["et"]
+    )
+    empty = pd.DataFrame(
+        {"event_type": pd.Series(dtype=object),
+         "out_transitions": pd.Series(dtype=np.int64),
+         "pi": pd.Series(dtype=np.float64)}
+    )
+    T = len(types)
+    if T == 0:
+        return empty
+    idx = {t: i for i, t in enumerate(types)}
+    C = np.zeros((T, T), dtype=np.int64)
+    for a, b, c in trans[["a", "b", "c"]].itertuples(index=False):
+        C[idx[a], idx[b]] = int(c)
+    R = C.sum(axis=1)
+    Pm = np.empty((T, T), dtype=np.float64)
+    for i in range(T):
+        Pm[i] = (1.0 / T) if R[i] == 0 else C[i] / R[i]
+    x = np.full(T, 1.0 / T)
+    for _ in range(int(iters)):
+        terms = np.trunc((x[:, None] * Pm) * 1e12 + 0.5).astype(np.int64)
+        x = terms.sum(axis=0) / 1e12
+    pi = np.trunc(x * 1e9 + 0.5).astype(np.int64) / 1e9
+    return pd.DataFrame(
+        {"event_type": types, "out_transitions": R.astype(np.int64),
+         "pi": pi}
+    )

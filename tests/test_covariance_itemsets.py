@@ -206,3 +206,28 @@ def test_association_rules_partition_invariance_and_cap(ray_session, tmp_path):
     assert len(a) > 0
     with _pytest.raises(ValueError, match="max_basket"):
         part_association_rules(str(d), max_basket=3)
+
+
+def test_frequent_triples_planted_and_invariance(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bloomfilter_multithread_ray.pipelines.itemsets import frequent_triples
+
+    # {10,20,30} x2, {10,20,40}, {10,20,30,50} -> (10,20,30) support 3
+    rows = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 30),
+            (3, 10), (3, 20), (3, 40), (4, 10), (4, 20), (4, 30), (4, 50),
+            (1, 10)]  # dup line
+    t = pa.table(
+        {"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+         "l_partkey": pa.array([r[1] for r in rows], pa.int64())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "lineitem.parquet")
+    got = frequent_triples(str(d), min_support=2, topk=10)
+    assert got.iloc[0].tolist() == [10, 20, 30, 3]
+    # every basket contains {10,20}: triples (10,20,X) for X=40,50 have
+    # support 1 -> filtered
+    assert len(got) == 1
+    inv = frequent_triples(str(d), min_support=2, topk=10, num_partitions=7)
+    pd.testing.assert_frame_equal(got, inv)

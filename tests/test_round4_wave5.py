@@ -272,3 +272,64 @@ def test_cusum_empty_and_all_null(ray_session):
     out = A.grouped_cusum_alerts(lambda: ray.data.from_pandas(df))
     assert out.empty
     assert list(out.columns) == ["user_id", "n_events", "first_alert", "smax"]
+
+
+# ------------------------------------------------------ Markov chain
+def test_markov_cycle_and_two_state(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows, eid = [], 0
+    # user 1: deterministic cycle a->b->c->a ... => pi uniform(1/3)
+    seq = ["a", "b", "c"] * 20 + ["a"]
+    for i, et in enumerate(seq):
+        rows.append((eid, t0 + i * s, 1, et)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df = df.astype({"event_id": np.int64, "user_id": np.int64})
+    out = A.event_type_markov(lambda: ray.data.from_pandas(df))
+    assert out["event_type"].tolist() == ["a", "b", "c"]
+    assert np.allclose(out["pi"], 1 / 3, atol=1e-6)
+    # transition counts: a->b 20, b->c 20, c->a 20 (the final 'a' is
+    # only ever a destination)
+    assert out["out_transitions"].tolist() == [20, 20, 20]
+
+    # two-state chain x->x 3/4, x->y 1/4; y->x always:
+    # pi = (p_yx, p_xy)/(p_xy+p_yx) = (0.8, 0.2)
+    rows2, eid = [], 0
+    seq2 = (["x", "x", "x", "x", "y"] * 40)[:-1] + ["x"]
+    for i, et in enumerate(seq2):
+        rows2.append((eid, t0 + i * s, 7, et)); eid += 1
+    df2 = pd.DataFrame(rows2, columns=["event_id", "ts", "user_id",
+                                       "event_type"])
+    df2 = df2.astype({"event_id": np.int64, "user_id": np.int64})
+    out2 = A.event_type_markov(lambda: ray.data.from_pandas(df2))
+    got = dict(zip(out2["event_type"], out2["pi"]))
+    assert abs(got["x"] - 0.8) < 0.01 and abs(got["y"] - 0.2) < 0.01
+
+
+def test_markov_dangling_type_and_invariance(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows, eid = [], 0
+    # type 'z' is always terminal (every user ends on it, never
+    # followed) -> dangling uniform row; chain still sums to 1
+    for u in range(5):
+        for i, et in enumerate(["a", "b", "a", "b", "z"]):
+            rows.append((eid, t0 + i * s, u, et)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df = df.astype({"event_id": np.int64, "user_id": np.int64})
+    outs = []
+    for blocks in (1, 7):
+        out = A.event_type_markov(
+            lambda b=blocks: ray.data.from_pandas(df).repartition(b))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    z = out[out.event_type == "z"].iloc[0]
+    assert int(z.out_transitions) == 0
+    assert abs(out["pi"].sum() - 1.0) < 1e-6
+    assert z.pi > 0.1  # dangling mass recirculates, z is reachable
