@@ -1526,6 +1526,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ["event_id", "ts", "user_id", "value"]),
         )
 
+    def events_decile_profile(sf_dir):
+        # per-type counts against the GLOBAL exact decile boundaries
+        # (PERCENTILE_DISC order statistics of 1e-3-quantized values;
+        # integer comparisons so boundary ties are unambiguous); the
+        # quantized-value histogram is range-bounded, so boundaries
+        # come from ONE grouped count + driver cumsum
+        return A.value_decile_profile(
+            lambda: R.read(sf_dir, "events", ["event_type", "value"]),
+        )
+
     def events_type_markov(sf_dir):
         # user-behavior Markov chain over event types: one user-keyed
         # shuffle counts LAG transitions (co-location makes LAG
@@ -3384,6 +3394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": events_user_trend,
         "events_cusum_alerts": events_cusum_alerts,
         "events_type_markov": events_type_markov,
+        "events_decile_profile": events_decile_profile,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -4990,6 +5001,23 @@ def oracle_sql() -> dict[str, str]:
         # Markov stationary distribution via chained power-iteration
         # CTEs with per-term 1e-12 integer quantization
         "events_type_markov": _markov_oracle(iters=12),
+        # global exact decile buckets over quantized values: bucket =
+        # sum of nine integer >= indicators against quantile_disc
+        # boundaries (ceil(qn)-1 order statistics, engine-mirrored)
+        "events_decile_profile": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(TRUNC(value*1000 + 0.5*SIGN(value)) AS BIGINT) AS xm "
+            "FROM events WHERE value IS NOT NULL), "
+            "b AS (SELECT "
+            + ", ".join(f"quantile_disc(xm, 0.{k}) AS q{k}" for k in range(1, 10))
+            + " FROM v), "
+            "x AS (SELECT event_type, ("
+            + " + ".join(f"CAST(xm >= q{k} AS INT)" for k in range(1, 10))
+            + ") AS bucket FROM v, b) "
+            "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n FROM x "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         # one-sided CUSUM by the prefix identity (cumsum + running
         # min are pure window algebra); C_t = N*cx - t*S - t*N*250,
         # alert when s_t > 2000*N, smax = s_max/(1000*N) at 1e-6 —

@@ -3381,3 +3381,87 @@ def event_type_markov(
         {"event_type": types, "out_transitions": R.astype(np.int64),
          "pi": pi}
     )
+
+
+def value_decile_profile(
+    read_events,
+    *,
+    by: str = "event_type",
+    col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-group counts in each GLOBAL exact decile bucket →
+    {by, bucket, n}: how every group's value distribution sits
+    against the whole stream's — the quantile-bucket drift profile
+    (the fixed-reference cousin of the PSI check).
+
+    Boundaries are EXACT PERCENTILE_DISC order statistics (element at
+    0-based ceil(q·n)−1) of the 1e-3-quantized values, k/10 for
+    k = 1..9; bucket(v) = #{k : b_k <= v_q} ∈ [0, 9] — integer
+    comparisons only, so boundary ties are unambiguous and the SQL
+    oracle replays bit-for-bit. Nulls drop (SQL aggregate
+    semantics).
+
+    Scale shape: quantization bounds the distinct-value universe by
+    the VALUE RANGE (≤ ~range·1e3 milli-values) rather than the row
+    count, so ONE grouped count over xm yields a driver-side sorted
+    histogram from which all nine boundaries read off exactly (no
+    9-fold radix narrowing); pass 2 is map-only bucketing + one
+    fixed-P grouped count of O(groups × 10) rows. The histogram fold
+    is the documented driver bound — for unbounded-range columns use
+    grouped_quantile_disc's narrowing per boundary instead.
+    """
+    from .agg import grouped_agg
+
+    def quant(t: pa.Table) -> pa.Table:
+        s = t.column(col)
+        if pa.types.is_null(s.type):
+            v = np.full(t.num_rows, np.nan)
+        else:
+            v = s.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(v)
+        q = np.trunc(v[valid] * 1e3 + np.copysign(0.5, v[valid])).astype(np.int64)
+        g = t.column(by).filter(pa.array(valid))
+        return pa.table({by: g, "xm": pa.array(q)})
+
+    rows = read_events().map_batches(
+        quant, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def xm_only(t: pa.Table) -> pa.Table:
+        return pa.table({"xm": t.column("xm")})
+
+    hist = grouped_agg(
+        rows.map_batches(xm_only, batch_format="pyarrow", zero_copy_batch=True),
+        "xm", {"c": ("count", None)}, num_partitions=num_partitions,
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {by: pd.Series(dtype=object), "bucket": pd.Series(dtype=np.int64),
+         "n": pd.Series(dtype=np.int64)}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("xm")
+    xs = hist["xm"].to_numpy(np.int64)
+    cum = hist["c"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    # b_k = smallest xm with cumulative count >= ceil(k*n/10)
+    bounds = np.array(
+        [xs[np.searchsorted(cum, (k * n + 9) // 10, side="left")]
+         for k in range(1, 10)], dtype=np.int64
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        xm = t.column("xm").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, xm, side="right").astype(np.int64)
+        return pa.table({by: t.column(by), "bucket": pa.array(b)})
+
+    out = grouped_agg(
+        rows.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        [by, "bucket"], {"n": ("count", None)}, num_partitions=8,
+    ).to_pandas()
+    if out.empty:
+        return empty
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values([by, "bucket"]).reset_index(drop=True)

@@ -333,3 +333,59 @@ def test_markov_dangling_type_and_invariance(ray_session):
     assert int(z.out_transitions) == 0
     assert abs(out["pi"].sum() - 1.0) < 1e-6
     assert z.pi > 0.1  # dangling mass recirculates, z is reachable
+
+
+# --------------------------------------------------- decile profile
+def test_decile_profile_exact_buckets(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    # 100 values 0..99 across 2 types; exact deciles of 0..99 put
+    # exactly 10 values in each bucket
+    df = pd.DataFrame({
+        "event_type": ["a" if i % 2 == 0 else "b" for i in range(100)],
+        "value": [float(i) for i in range(100)],
+    })
+    out = A.value_decile_profile(lambda: ray.data.from_pandas(df))
+    # PERCENTILE_DISC boundaries BELONG to the upper bucket: b_k is
+    # the ceil(k n/10)-th smallest, so bucket 0 holds the 9 values
+    # below b_1 and bucket 9 the 11 values >= b_9
+    total = out.groupby("bucket")["n"].sum()
+    assert total.tolist() == [9] + [10] * 8 + [11]
+    # independent recomputation per (type, bucket) from the convention
+    xs = np.sort(np.trunc(df["value"].to_numpy() * 1e3 + 0.5).astype(np.int64))
+    bounds = [xs[(k * len(xs) + 9) // 10 - 1] for k in range(1, 10)]
+    exp = {}
+    for et, v in zip(df["event_type"], df["value"]):
+        b = sum(int(v * 1000) >= bk for bk in bounds)
+        exp[(et, b)] = exp.get((et, b), 0) + 1
+    got = {(r.event_type, int(r.bucket)): int(r.n) for r in out.itertuples()}
+    assert got == exp
+
+    # independent check of the boundary convention: b_k = element at
+    # ceil(k*n/10)-1 of the sorted quantized values
+    xs = np.sort(np.trunc(df["value"].to_numpy() * 1e3 + 0.5).astype(np.int64))
+    for k in range(1, 10):
+        bk = xs[(k * len(xs) + 9) // 10 - 1]
+        assert bk == k * 10_000 - 1_000  # 0..99 -> b_k = (10k-1) * 1000
+
+
+def test_decile_profile_skew_ties_nulls_invariance(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    rng = np.random.default_rng(13)
+    v = np.where(rng.random(500) < 0.1, np.nan,
+                 np.round(rng.normal(50, 5, 500), 1))
+    v[:200] = 42.0  # heavy tie mass straddling several deciles
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], 500),
+        "value": v,
+    })
+    a = A.value_decile_profile(lambda: ray.data.from_pandas(df).repartition(3))
+    b = A.value_decile_profile(
+        lambda: ray.data.from_pandas(df).repartition(17), num_partitions=5)
+    pd.testing.assert_frame_equal(a, b)
+    # nulls dropped: totals equal the non-null count
+    assert a["n"].sum() == int((~np.isnan(v)).sum())
+    # tie mass collapses several buckets to empty -- bucket ids jump,
+    # confirming the sum-of-indicators rule (not NTILE rebalancing)
+    assert a["bucket"].nunique() < 10
