@@ -3263,6 +3263,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             p=7,
         )
 
+    def doc_graph_ppr(sf_dir):
+        # personalized PageRank from the 5 lowest-id dup-graph nodes
+        # (seed-set relevance propagation — the curation seed-expansion
+        # readout): teleport uniform over seeds replaces both restart
+        # and start vector; edges never move, the rank vector
+        # broadcasts per iteration (node catalog is dup-graph-bounded,
+        # the vocabulary rule); recursive-CTE oracle at 6 dp. Seeds
+        # come from BOTH endpoint columns (the SSSP symmetrization
+        # lesson)
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.graph import pagerank
+
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.3
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({"s": t.column("doc_a"), "d": t.column("doc_b")})
+
+        e = pairs.map_batches(
+            rename, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        if e.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "rank": pd.Series(dtype=np.float64)})
+        nodes = np.unique(np.concatenate([e["s"].to_numpy(np.int64),
+                                          e["d"].to_numpy(np.int64)]))
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        sym = pd.DataFrame({
+            "s": [idx[int(x)] for x in pd.concat([e["s"], e["d"]])],
+            "d": [idx[int(x)] for x in pd.concat([e["d"], e["s"]])],
+        }).drop_duplicates()
+        sym = sym[sym["s"] != sym["d"]]
+        seeds = np.arange(min(5, len(nodes)))  # lowest ids sort first
+        tele = np.zeros(len(nodes))
+        tele[seeds] = 1.0 / len(seeds)
+        import ray.data as _rd
+
+        r = pagerank(_rd.from_pandas(sym), len(nodes), iters=10,
+                     damping=0.85, teleport=tele)
+        return pd.DataFrame(
+            {"doc_id": nodes.astype(np.int64), "rank": np.round(r, 6)}
+        ).sort_values("doc_id").reset_index(drop=True)
+
     def doc_walk_corpus(sf_dir):
         # deterministic DeepWalk corpus over the exact 3-gram-Jaccard
         # dup graph: 2 walks x 8 visits per node, next hop =
@@ -3414,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": kcenter_coreset,
         "doc_graph_hyperball": doc_graph_hyperball,
         "doc_walk_corpus": doc_walk_corpus,
+        "doc_graph_ppr": doc_graph_ppr,
         "doc_graph_kcore": doc_graph_kcore,
         "doc_graph_bfs": doc_graph_bfs,
         "docs_sorted_neighbors": docs_sorted_neighbors,
@@ -3662,6 +3710,49 @@ def _bm25_oracle(queries: list[str], topk: int = 10) -> str:
         "SELECT query, doc_id, CAST(s_u9 AS DOUBLE)/1e9 AS score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query ORDER BY s_u9 DESC, doc_id) AS rn "
         f"FROM scored) WHERE rn <= {int(topk)} ORDER BY query, s_u9 DESC, doc_id"
+    )
+
+
+def _ppr_oracle(iters: int = 10, n_seeds: int = 5) -> str:
+    """Personalized PageRank over the 3-gram-Jaccard dup graph as a
+    recursive-CTE power iteration (textrank's oracle pattern): r_0 =
+    teleport = uniform over the ``n_seeds`` lowest node ids, step
+    r' = 0.15·e + 0.85·Σ r/deg, ROUND 6 dp. Every non-isolated node
+    re-emits each iteration (it has in-edges from iter-0 nodes), so
+    zero-mass nodes never drop out of the recursion."""
+    head = (
+        "WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, "
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+        "AS gram FROM toks WHERE len(w) >= 3)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+        "FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "e0 AS MATERIALIZED (SELECT u, v FROM inter "
+        "JOIN sizes sa ON sa.doc_id = u JOIN sizes sb ON sb.doc_id = v "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3), "
+        "e AS (SELECT DISTINCT a, b FROM (SELECT u AS a, v AS b FROM e0 "
+        "UNION ALL SELECT v, u FROM e0)), "
+        "nodes AS (SELECT DISTINCT a AS nd FROM e), "
+        f"sd AS (SELECT nd FROM nodes ORDER BY nd LIMIT {int(n_seeds)}), "
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM sd), "
+        "deg AS (SELECT a, count(*) AS d FROM e GROUP BY a), "
+    )
+    return (
+        head
+        + "pr(iter, node, r) AS ("
+        "SELECT 0, nd, CASE WHEN nd IN (SELECT nd FROM sd) "
+        "THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END FROM nodes "
+        "UNION ALL "
+        "SELECT iter + 1, e.b, "
+        "(CASE WHEN e.b IN (SELECT nd FROM sd) "
+        "THEN 0.15/(SELECT s FROM ns) ELSE 0.0 END) "
+        "+ 0.85 * SUM(pr.r / deg.d) "
+        "FROM pr JOIN e ON e.a = pr.node JOIN deg ON deg.a = e.a "
+        f"WHERE iter < {int(iters)} GROUP BY iter + 1, e.b) "
+        f"SELECT node AS doc_id, ROUND(r, 6) AS rank FROM pr "
+        f"WHERE iter = {int(iters)} ORDER BY doc_id"
     )
 
 
@@ -5001,6 +5092,9 @@ def oracle_sql() -> dict[str, str]:
         # Markov stationary distribution via chained power-iteration
         # CTEs with per-term 1e-12 integer quantization
         "events_type_markov": _markov_oracle(iters=12),
+        # personalized PageRank from the 5 lowest dup-graph node ids
+        # (recursive-CTE power iteration, 6 dp)
+        "doc_graph_ppr": _ppr_oracle(iters=10, n_seeds=5),
         # global exact decile buckets over quantized values: bucket =
         # sum of nine integer >= indicators against quantile_disc
         # boundaries (ceil(qn)-1 order statistics, engine-mirrored)

@@ -324,6 +324,7 @@ def pagerank(
     src_col: str = "s",
     dst_col: str = "d",
     fold: str = "auto",
+    teleport: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Fixed-iteration PageRank over an integer-id edge Dataset →
     float64 rank vector of length ``n_nodes``.
@@ -398,7 +399,17 @@ def pagerank(
     ).astype(np.int64)
 
     safe_deg = np.maximum(deg, 1)
-    r = np.full(N, 1.0 / N)
+    # personalized PageRank: a teleport vector (e.g. uniform over a
+    # seed set) replaces the uniform restart AND the start vector —
+    # r_0 = e, r_{t+1} = (1-d)·e + d·A^T(r_t/deg)
+    if teleport is not None:
+        e_vec = np.asarray(teleport, dtype=np.float64)
+        if e_vec.shape != (N,):
+            raise ValueError("teleport must have shape (n_nodes,)")
+        r = e_vec.copy()
+    else:
+        e_vec = None
+        r = np.full(N, 1.0 / N)
     for _ in range(int(iters)):
         r_ref = ray.put(r / safe_deg)
 
@@ -416,7 +427,10 @@ def pagerank(
             edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True),
             np.zeros(N),
         )
-        r = (1.0 - damping) / N + damping * acc
+        if e_vec is None:
+            r = (1.0 - damping) / N + damping * acc
+        else:
+            r = (1.0 - damping) * e_vec + damping * acc
     return r
 
 

@@ -204,3 +204,38 @@ def test_random_walks_empty(ray_session):
     out = random_walks(rd.from_pandas(pd.DataFrame({"s": [4], "d": [4]})))
     assert out.empty
     assert list(out.columns) == ["node", "walk", "step", "visit"]
+
+
+# ------------------------------------------------ personalized PageRank
+def test_ppr_seed_locality_and_mass(ray_session):
+    """Teleport to seeds keeps all mass in the seeds' component; an
+    unreachable component gets exactly 0; total mass stays 1."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import pagerank
+
+    # component A: 0-1-2 triangle (seeds); component B: 3-4 edge
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0),
+             (3, 4), (4, 3)]
+    df = pd.DataFrame({"s": [a for a, _ in edges],
+                       "d": [b for _, b in edges]})
+    tele = np.zeros(5)
+    tele[[0, 1]] = 0.5
+    r = pagerank(rd.from_pandas(df), 5, iters=10, teleport=tele)
+    assert abs(r.sum() - 1.0) < 1e-9
+    assert r[3] == 0.0 and r[4] == 0.0
+    assert r[0] > r[2] and r[1] > r[2]  # seeds outrank the non-seed
+
+
+def test_ppr_uniform_teleport_equals_default(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import pagerank
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (2, 3), (3, 2)]
+    df = pd.DataFrame({"s": [a for a, _ in edges],
+                       "d": [b for _, b in edges]})
+    base = pagerank(rd.from_pandas(df), 4, iters=8)
+    unif = pagerank(rd.from_pandas(df), 4, iters=8,
+                    teleport=np.full(4, 0.25))
+    assert np.allclose(base, unif, atol=1e-12)
