@@ -1526,6 +1526,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ["event_id", "ts", "user_id", "value"]),
         )
 
+    def customer_rfm(sf_dir):
+        # RFM quartile segmentation: one customer-keyed fold derives
+        # (recency days, frequency, exact cents), range-bounded
+        # histograms give the nine PERCENTILE_DISC boundaries, scoring
+        # is map-only; segment = 100r + 10f + m
+        return A.customer_rfm_segments(
+            lambda: R.read(sf_dir, "orders",
+                           ["o_custkey", "o_orderdate", "o_totalprice"]),
+        )
+
     def events_decile_profile(sf_dir):
         # per-type counts against the GLOBAL exact decile boundaries
         # (PERCENTILE_DISC order statistics of 1e-3-quantized values;
@@ -3442,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_alerts": events_cusum_alerts,
         "events_type_markov": events_type_markov,
         "events_decile_profile": events_decile_profile,
+        "customer_rfm": customer_rfm,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -5095,6 +5106,34 @@ def oracle_sql() -> dict[str, str]:
         # personalized PageRank from the 5 lowest dup-graph node ids
         # (recursive-CTE power iteration, 6 dp)
         "doc_graph_ppr": _ppr_oracle(iters=10, n_seeds=5),
+        # RFM quartile coding: per-customer (recency days vs global
+        # max, order count, exact cents), quartile boundaries via
+        # quantile_disc (ceil(qn)-1), score = 1 + sum of >= indicators,
+        # segment = 100r + 10f + m; monetary is the exact cents sum / 100
+        "customer_rfm": (
+            "WITH gm AS (SELECT MAX(epoch_us(o_orderdate)) AS g FROM orders), "
+            "pc AS (SELECT o_custkey, "
+            "((SELECT g FROM gm) - MAX(epoch_us(o_orderdate))) // 86400000000 AS r, "
+            "COUNT(*) AS f, "
+            "SUM(CAST(TRUNC(o_totalprice*100 + 0.5) AS BIGINT)) AS m "
+            "FROM orders GROUP BY o_custkey), "
+            "qb AS (SELECT "
+            "quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2, "
+            "quantile_disc(r, 0.75) AS r3, "
+            "quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2, "
+            "quantile_disc(f, 0.75) AS f3, "
+            "quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2, "
+            "quantile_disc(m, 0.75) AS m3 FROM pc), "
+            "sc AS (SELECT o_custkey, m, "
+            "100*(1 + CAST(r >= r1 AS INT) + CAST(r >= r2 AS INT) + CAST(r >= r3 AS INT)) "
+            "+ 10*(1 + CAST(f >= f1 AS INT) + CAST(f >= f2 AS INT) + CAST(f >= f3 AS INT)) "
+            "+ (1 + CAST(m >= m1 AS INT) + CAST(m >= m2 AS INT) + CAST(m >= m3 AS INT)) "
+            "AS segment FROM pc, qb) "
+            "SELECT CAST(segment AS BIGINT) AS segment, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "SUM(m)/100.0 AS monetary_total FROM sc "
+            "GROUP BY segment ORDER BY segment"
+        ),
         # global exact decile buckets over quantized values: bucket =
         # sum of nine integer >= indicators against quantile_disc
         # boundaries (ceil(qn)-1 order statistics, engine-mirrored)

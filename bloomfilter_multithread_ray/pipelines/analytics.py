@@ -3465,3 +3465,123 @@ def value_decile_profile(
     out["bucket"] = out["bucket"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values([by, "bucket"]).reset_index(drop=True)
+
+
+def customer_rfm_segments(
+    read_orders,
+    *,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """RFM customer segmentation over the orders stream →
+    {segment, n_customers, monetary_total}: the classic
+    recency/frequency/monetary quartile coding. Per customer:
+    R = whole days between the GLOBAL latest order date and the
+    customer's latest (higher = colder), F = order count, M = exact
+    cents sum of o_totalprice (1e-2 half-up). Each metric scores
+    1 + #{k ∈ 1..3 : b_k <= x} against its global quartile boundaries
+    (PERCENTILE_DISC order statistics, ceil(q·n)−1 — the engine's
+    pinned quantile convention), and segment = 100·r + 10·f + m.
+
+    Scale shape: ONE customer-keyed grouped fold builds the
+    per-customer metric rows as a Dataset (never a driver frame);
+    three grouped value-counts over that derived table give
+    range-bounded histograms (days / counts / cents) from which the
+    nine boundaries read off on the driver; scoring is map-only and
+    the output is one O(segments) grouped fold. monetary_total is the
+    exact integer cents sum divided once by 100.
+    """
+    from .agg import grouped_agg
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.trunc(v * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {"c": t.column("o_custkey"), "ts": pa.array(ts),
+             "cents": pa.array(cents),
+             "one": pa.array(np.ones(len(ts), np.int64))}
+        )
+
+    rows = read_orders().map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_cust = grouped_agg(
+        rows, "c",
+        {"mx": ("max", "ts"), "f": ("sum", "one"), "m": ("sum", "cents")},
+        num_partitions=num_partitions,
+    ).materialize()
+
+    empty = pd.DataFrame(
+        {"segment": pd.Series(dtype=np.int64),
+         "n_customers": pd.Series(dtype=np.int64),
+         "monetary_total": pd.Series(dtype=np.float64)}
+    )
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        return pa.table({"mx": pa.array(
+            [int(t.column("mx").to_numpy(zero_copy_only=False).max())])})
+
+    gm = per_cust.map_batches(ts_max, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    if gm.empty:
+        return empty
+    gmax = int(gm["mx"].max())
+
+    DAY = 86_400_000_000
+
+    def metrics(t: pa.Table) -> pa.Table:
+        mx = t.column("mx").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"c": t.column("c"), "r": pa.array((gmax - mx) // DAY),
+             "f": t.column("f"), "m": t.column("m")}
+        )
+
+    met = per_cust.map_batches(metrics, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def quartiles(colname: str) -> np.ndarray:
+        def col_rows(t: pa.Table) -> pa.Table:
+            return pa.table({"x": t.column(colname)})
+
+        h = grouped_agg(
+            met.map_batches(col_rows, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            "x", {"n": ("count", None)}, num_partitions=8,
+        ).to_pandas().sort_values("x")
+        xs = h["x"].to_numpy(np.int64)
+        cum = h["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        return np.array(
+            [xs[np.searchsorted(cum, (k * n + 3) // 4, side="left")]
+             for k in (1, 2, 3)], dtype=np.int64
+        )
+
+    qb = {c: quartiles(c) for c in ("r", "f", "m")}
+
+    def score(t: pa.Table) -> pa.Table:
+        seg = np.ones(t.num_rows, np.int64) * 111
+        for c, w in (("r", 100), ("f", 10), ("m", 1)):
+            x = t.column(c).to_numpy(zero_copy_only=False)
+            seg += w * np.searchsorted(qb[c], x, side="right").astype(np.int64)
+        return pa.table({"segment": pa.array(seg), "m": t.column("m"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    out = grouped_agg(
+        met.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        "segment", {"n_customers": ("sum", "one"), "mc": ("sum", "m")},
+        num_partitions=8,
+    ).to_pandas()
+    if out.empty:
+        return empty
+    out["monetary_total"] = out["mc"].astype(np.int64) / 100.0
+    out = out.drop(columns=["mc"]).astype(
+        {"segment": np.int64, "n_customers": np.int64}
+    )
+    return out.sort_values("segment").reset_index(drop=True)[
+        ["segment", "n_customers", "monetary_total"]
+    ]
