@@ -3273,6 +3273,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             p=7,
         )
 
+    def doc_graph_centrality(sf_dir):
+        # HyperBall harmonic centrality: per-node sum of ball-growth
+        # deltas over radius, integer micro-unit arithmetic riding the
+        # same two-exchange BSP rounds as doc_graph_hyperball (state
+        # carried only by the self-loop row). Pinned-snapshot oracle
+        # from the from-spec sequential reimplementation
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.graph import (
+            hyperball_centrality,
+        )
+
+        pairs = D.ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), k=3, threshold=0.3
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({"s": t.column("doc_a"), "d": t.column("doc_b")})
+
+        return hyperball_centrality(
+            pairs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True),
+            p=7,
+        )
+
     def doc_graph_ppr(sf_dir):
         # personalized PageRank from the 5 lowest-id dup-graph nodes
         # (seed-set relevance propagation — the curation seed-expansion
@@ -3473,6 +3497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_hyperball": doc_graph_hyperball,
         "doc_walk_corpus": doc_walk_corpus,
         "doc_graph_ppr": doc_graph_ppr,
+        "doc_graph_centrality": doc_graph_centrality,
         "doc_graph_kcore": doc_graph_kcore,
         "doc_graph_bfs": doc_graph_bfs,
         "docs_sorted_neighbors": docs_sorted_neighbors,
@@ -6936,6 +6961,7 @@ def oracle_sql() -> dict[str, str]:
         ("kcenter_coreset", "rank, vec_id, dist_q", _EMB_KEY),
         ("doc_graph_hyperball", "t, nf, coverage", _DOCS_SRC_KEY),
         ("doc_walk_corpus", "node, walk, step, visit", _DOCS_SRC_KEY),
+        ("doc_graph_centrality", "node, harm", _DOCS_SRC_KEY),
         ("media_phash_dups", "doc_a, doc_b, hamming",
          "'251d7422a8d4986f61479c497cf2da66'"),
         ("sketch_lineage", "epoch, part, n_fragments, n_added, fill_ratio",

@@ -1608,3 +1608,212 @@ def random_walks(
              "visit": pd.Series(dtype=np.int64)}
         )
     return out.sort_values(["node", "walk", "step"]).reset_index(drop=True)
+
+
+def hyperball_centrality(
+    edges: "Dataset",
+    *,
+    p: int = 7,
+    max_rounds: int = 32,
+    src_col: str = "s",
+    dst_col: str = "d",
+    num_partitions: int = 16,
+) -> "pd.DataFrame":
+    """Per-node harmonic centrality estimates via HyperBall →
+    {node, harm}: H(v) = Σ_{t>=1} (|B(v,t)|^ − |B(v,t−1)|^)/t, the
+    centrality HyperBall was built to deliver at web-graph N
+    (Boldi-Vigna, "In-core computation of geometric centralities").
+
+    Same two-exchange BSP round as :func:`hyperball`, with two extra
+    int64 columns riding on each node's counter row: est_prev (last
+    round's micro-unit ball estimate) and harm (the accumulated
+    micro-unit harmonic sum). Only the SELF-loop edge row carries
+    them forward (a neighbor's running state must never fold into
+    v's), marked by a -1 sentinel elsewhere — each dst sees exactly
+    one real carrier. Per round the fold computes the new estimate
+    and adds round-half-up((Δ clamped at 0) / t) in pure integer
+    arithmetic ((2Δ + t) // 2t) — order-free, partition-invariant,
+    replayable by the from-spec sequential reimplementation.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import splitmix64
+
+    P = int(num_partitions)
+    m = 1 << int(p)
+
+    def _p_of(nodes: np.ndarray) -> np.ndarray:
+        return (splitmix64(nodes.astype(np.uint64)) % np.uint64(P)).astype(
+            np.int32
+        )
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        nodes = np.unique(np.concatenate([a, b]))
+        s = np.concatenate([a, b, nodes])
+        d = np.concatenate([b, a, nodes])
+        return pa.table({"p": pa.array(_p_of(s)), "s": pa.array(s),
+                         "d": pa.array(d)})
+
+    def _edge_dedup(g: pa.Table) -> pa.Table:
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        uq = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.table({"pp": pa.array(_p_of(uq[:, 0])),
+                         "s": pa.array(uq[:, 0]), "d": pa.array(uq[:, 1])})
+
+    edge_rows = (
+        edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(_edge_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _init_counters(g: pa.Table) -> pa.Table:
+        s = np.unique(g.column("s").to_numpy(zero_copy_only=False))
+        reg = _hb_init_registers(s, int(p))
+        est = _hb_estimate_micro(reg)
+        return pa.table(
+            {"node": pa.array(s),
+             "reg": pa.array([reg[i].tobytes() for i in range(len(s))],
+                             pa.binary()),
+             "est_prev": pa.array(est),
+             "harm": pa.array(np.zeros(len(s), np.int64))}
+        )
+
+    counters = (
+        edge_rows.groupby("pp")
+        .map_groups(_init_counters, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _regsum(c) -> int:
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"rs": pa.array([0], pa.int64())})
+            reg = np.frombuffer(b"".join(t.column("reg").to_pylist()),
+                                dtype=np.uint8)
+            return pa.table({"rs": pa.array([int(reg.sum(dtype=np.int64))],
+                                            pa.int64())})
+        df = c.map_batches(f, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+        return 0 if df.empty else int(df["rs"].sum())
+
+    regsum = _regsum(counters)
+    if regsum == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "harm": pd.Series(dtype=np.float64)})
+
+    def _counter_rows(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array(_p_of(node)),
+                         "side": pa.array(np.zeros(len(node), np.int8)),
+                         "a": pa.array(node),
+                         "b": pa.array(np.zeros(len(node), np.int64)),
+                         "reg": t.column("reg"),
+                         "est_prev": t.column("est_prev"),
+                         "harm": t.column("harm")})
+
+    def _edge_side(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array(_p_of(s)),
+                         "side": pa.array(np.ones(len(s), np.int8)),
+                         "a": pa.array(s), "b": t.column("d"),
+                         "reg": pa.array([b""] * len(s), pa.binary()),
+                         "est_prev": pa.array(np.zeros(len(s), np.int64)),
+                         "harm": pa.array(np.zeros(len(s), np.int64))})
+
+    edge_side = edge_rows.map_batches(
+        _edge_side, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _superstep(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        own = a[side == 0]
+        t_regs = g.column("reg").to_pylist()
+        own_reg = np.frombuffer(
+            b"".join(r for r, sd in zip(t_regs, side) if sd == 0),
+            dtype=np.uint8,
+        ).reshape(-1, m)
+        own_prev = g.column("est_prev").to_numpy(zero_copy_only=False)[side == 0]
+        own_harm = g.column("harm").to_numpy(zero_copy_only=False)[side == 0]
+        es = a[side == 1]
+        ed = g.column("b").to_numpy(zero_copy_only=False)[side == 1]
+        if len(es) == 0:
+            return pa.table(
+                {"q": pa.array([], pa.int32()), "node": pa.array([], pa.int64()),
+                 "reg": pa.array([], pa.binary()),
+                 "est_prev": pa.array([], pa.int64()),
+                 "harm": pa.array([], pa.int64())}
+            )
+        order = np.argsort(own, kind="stable")
+        pos = order[np.searchsorted(own, es, sorter=order)]
+        src_reg = own_reg[pos]
+        # state rides ONLY the self-loop (sender == dst); -1 elsewhere
+        self_m = es == ed
+        ep = np.where(self_m, own_prev[pos], -1)
+        hm = np.where(self_m, own_harm[pos], -1)
+        do = np.argsort(ed, kind="stable")
+        ed_s, src_s, ep_s, hm_s = ed[do], src_reg[do], ep[do], hm[do]
+        cuts = np.flatnonzero(np.r_[True, ed_s[1:] != ed_s[:-1]])
+        folded = np.maximum.reduceat(src_s, cuts, axis=0)
+        return pa.table(
+            {"q": pa.array(_p_of(ed_s[cuts])), "node": pa.array(ed_s[cuts]),
+             "reg": pa.array([folded[i].tobytes() for i in range(len(cuts))],
+                             pa.binary()),
+             "est_prev": pa.array(np.maximum.reduceat(ep_s, cuts)),
+             "harm": pa.array(np.maximum.reduceat(hm_s, cuts))}
+        )
+
+    def _make_dst_fold(t_round: int):
+        def _dst_fold(g: pa.Table) -> pa.Table:
+            node = g.column("node").to_numpy(zero_copy_only=False)
+            reg = np.frombuffer(b"".join(g.column("reg").to_pylist()),
+                                dtype=np.uint8).reshape(-1, m)
+            ep = g.column("est_prev").to_numpy(zero_copy_only=False)
+            hm = g.column("harm").to_numpy(zero_copy_only=False)
+            o = np.argsort(node, kind="stable")
+            node_s, reg_s = node[o], reg[o]
+            cuts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+            folded = np.maximum.reduceat(reg_s, cuts, axis=0)
+            prev = np.maximum.reduceat(ep[o], cuts)
+            harm = np.maximum.reduceat(hm[o], cuts)
+            est = _hb_estimate_micro(folded)
+            delta = np.maximum(est - prev, 0)
+            harm = harm + (2 * delta + t_round) // (2 * t_round)
+            return pa.table(
+                {"node": pa.array(node_s[cuts]),
+                 "reg": pa.array([folded[i].tobytes()
+                                  for i in range(len(cuts))], pa.binary()),
+                 "est_prev": pa.array(est), "harm": pa.array(harm)}
+            )
+        return _dst_fold
+
+    for t_round in range(1, int(max_rounds) + 1):
+        step_in = counters.map_batches(
+            _counter_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(edge_side)
+        counters = (
+            step_in.groupby("p")
+            .map_groups(_superstep, batch_format="pyarrow")
+            .groupby("q")
+            .map_groups(_make_dst_fold(t_round), batch_format="pyarrow")
+            .materialize()
+        )
+        new_regsum = _regsum(counters)
+        if new_regsum == regsum:
+            break
+        regsum = new_regsum
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "harm": t.column("harm")})
+
+    out = counters.map_batches(_final, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    out["harm"] = out["harm"].astype(np.int64) / 1e6
+    return out.sort_values("node").reset_index(drop=True)

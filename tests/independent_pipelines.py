@@ -1155,6 +1155,52 @@ def indep_hyperball(ids, texts, p: int = 7) -> pd.DataFrame:
     return indep_hyperball_from_pairs(_indep_jaccard_pairs(ids, texts), p=p)
 
 
+def indep_hyperball_centrality_from_pairs(pairs: list,
+                                          p: int = 7,
+                                          max_rounds: int = 32) -> pd.DataFrame:
+    """From-spec sequential HyperBall harmonic centrality:
+    H(v) += round-half-up(max(est_t - est_{t-1}, 0) / t) in integer
+    micro-units ((2*delta + t) // (2*t)) per synchronous round, until
+    the monotone register sum stops changing; -> {node, harm(6dp)}."""
+    cols = {"node": pd.Series(dtype=np.int64),
+            "harm": pd.Series(dtype=np.float64)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return pd.DataFrame(cols)
+    nodes = np.unique(np.array(
+        [x for pr in pairs for x in pr], dtype=np.int64))
+    pos = {int(v): i for i, v in enumerate(nodes)}
+    adj: list[set] = [set() for _ in nodes]
+    for a, b in pairs:
+        ia, ib = pos[int(a)], pos[int(b)]
+        adj[ia].add(ib)
+        adj[ib].add(ia)
+    reg = _indep_hb_registers(nodes, p)
+    est = _indep_hb_estimate_micro(reg)
+    harm = np.zeros(len(nodes), dtype=np.int64)
+    regsum = int(reg.sum(dtype=np.int64))
+    for t in range(1, max_rounds + 1):
+        new = reg.copy()
+        for v in range(len(nodes)):
+            for u in adj[v]:
+                np.maximum(new[v], reg[u], out=new[v])
+        reg = new
+        e2 = _indep_hb_estimate_micro(reg)
+        delta = np.maximum(e2 - est, 0)
+        harm = harm + (2 * delta + t) // (2 * t)
+        est = e2
+        new_regsum = int(reg.sum(dtype=np.int64))
+        if new_regsum == regsum:
+            break
+        regsum = new_regsum
+    return pd.DataFrame({"node": nodes, "harm": harm / 1e6})
+
+
+def indep_hyperball_centrality(ids, texts, p: int = 7) -> pd.DataFrame:
+    return indep_hyperball_centrality_from_pairs(
+        _indep_jaccard_pairs(ids, texts), p=p)
+
+
 # ---------------------------------------------------------- random walks
 _RW_K1 = np.uint64(0xBF58476D1CE4E5B9)
 _RW_K2 = np.uint64(0x94D049BB133111EB)
@@ -1240,6 +1286,7 @@ def generate_pipeline_snapshots(
         add("cdc_chunk_dedup", dsk, indep_cdc_chunk_stats(ids, texts, sources))
         add("doc_graph_hyperball", dsk, indep_hyperball(ids, texts))
         add("doc_walk_corpus", dsk, indep_random_walks(ids, texts))
+        add("doc_graph_centrality", dsk, indep_hyperball_centrality(ids, texts))
 
         ev = pq.read_table(f"{sf}/events.parquet",
                            columns=["event_id", "event_type", "value"])

@@ -239,3 +239,61 @@ def test_ppr_uniform_teleport_equals_default(ray_session):
     unif = pagerank(rd.from_pandas(df), 4, iters=8,
                     teleport=np.full(4, 0.25))
     assert np.allclose(base, unif, atol=1e-12)
+
+
+# ------------------------------------------------- harmonic centrality
+def test_hyperball_centrality_parity_and_ordering(ray_session):
+    """Engine == from-spec sequential bitwise at any partitioning;
+    chord endpoints of the chain outrank the chain ends; separate
+    components don't leak into each other's centrality."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.graph import (
+        hyperball_centrality,
+    )
+    from independent_pipelines import indep_hyperball_centrality_from_pairs
+
+    pairs = _chain_triangle() + [(3, 7)]
+    df = pd.DataFrame({"s": [a for a, _ in pairs],
+                       "d": [b for _, b in pairs]})
+    seq = indep_hyperball_centrality_from_pairs(pairs)
+    for blocks in (1, 7):
+        eng = hyperball_centrality(rd.from_pandas(df).repartition(blocks),
+                                   num_partitions=5)
+        pd.testing.assert_frame_equal(eng, seq)
+    h = dict(zip(seq["node"], seq["harm"]))
+    assert h[3] > h[0] and h[7] > h[9]  # chord endpoints most central
+    # triangle nodes are symmetric: identical estimates only if their
+    # hashes collide identically — at least assert close (same ball
+    # sizes at every t, but different HLL register patterns)
+    tri = [h[100], h[101], h[102]]
+    assert max(tri) - min(tri) < 0.6
+
+
+def test_hyperball_centrality_accuracy_vs_exact():
+    """Estimates track the exact harmonic centrality within 30% on a
+    planted star + path graph (exact H computable by BFS)."""
+    from independent_pipelines import indep_hyperball_centrality_from_pairs
+
+    pairs = [(0, i) for i in range(1, 9)] + [(8, 9), (9, 10), (10, 11)]
+    est = indep_hyperball_centrality_from_pairs(pairs)
+    # exact H(v) = sum over u != v of 1/d(v,u)
+    nodes = sorted({x for pr in pairs for x in pr})
+    adj = {v: set() for v in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    for v in nodes:
+        dist = {v: 0}
+        frontier = [v]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        exact = sum(1.0 / d for u, d in dist.items() if d > 0)
+        got = float(est.loc[est.node == v, "harm"].iloc[0])
+        assert abs(got - exact) / exact < 0.30, (v, got, exact)

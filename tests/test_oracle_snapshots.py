@@ -189,6 +189,8 @@ def test_pipeline_queries_match_independent_impls(ray_session):
             d.column("doc_id").to_pylist(), texts),
         "doc_walk_corpus": P.indep_random_walks(
             d.column("doc_id").to_pylist(), texts),
+        "doc_graph_centrality": P.indep_hyperball_centrality(
+            d.column("doc_id").to_pylist(), texts),
     }
     for name, w in want.items():
         got = qs[name](sf)
