@@ -1526,6 +1526,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ["event_id", "ts", "user_id", "value"]),
         )
 
+    def orders_benford(sf_dir):
+        # Benford first-digit audit of order amounts (exact cents
+        # integers; digit by integer power-of-ten magnitude); per-digit
+        # chi-square deviations quantized 1e-6 from the mirrored float
+        # expression
+        return A.benford_digit_audit(
+            lambda: R.read(sf_dir, "orders", ["o_totalprice"]),
+        )
+
     def customer_rfm(sf_dir):
         # RFM quartile segmentation: one customer-keyed fold derives
         # (recency days, frequency, exact cents), range-bounded
@@ -3477,6 +3486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_markov": events_type_markov,
         "events_decile_profile": events_decile_profile,
         "customer_rfm": customer_rfm,
+        "orders_benford": orders_benford,
         "token_f2_exact": token_f2_exact,
         "ntok_quantiles_tdigest": ntok_quantiles_tdigest,
         "ntok_quantiles_kll": ntok_quantiles_kll,
@@ -5131,6 +5141,26 @@ def oracle_sql() -> dict[str, str]:
         # personalized PageRank from the 5 lowest dup-graph node ids
         # (recursive-CTE power iteration, 6 dp)
         "doc_graph_ppr": _ppr_oracle(iters=10, n_seeds=5),
+        # Benford audit: digit = first char of the exact cents integer
+        # (engine uses exact integer magnitude — identical); expected
+        # and (O-E)^2/E quantized 1e-6 from the same expression
+        "orders_benford": (
+            "WITH c AS (SELECT CAST(TRUNC(o_totalprice*100 + 0.5) AS BIGINT) AS cents "
+            "FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0), "
+            "d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) "
+            "AS digit FROM c WHERE cents > 0), "
+            "o AS (SELECT digit, count(*) AS n FROM d GROUP BY digit), "
+            "nn AS (SELECT count(*) AS n FROM d), "
+            "dig AS (SELECT unnest(range(1, 10)) AS digit) "
+            "SELECT dig.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n, "
+            "CAST(TRUNC(((SELECT n FROM nn) * log10(1.0 + 1.0/dig.digit)) * 1e6 + 0.5) "
+            "AS BIGINT)/1e6 AS expected, "
+            "CAST(TRUNC(((COALESCE(o.n, 0) - (SELECT n FROM nn) * log10(1.0 + 1.0/dig.digit)) "
+            "* (COALESCE(o.n, 0) - (SELECT n FROM nn) * log10(1.0 + 1.0/dig.digit)) "
+            "/ ((SELECT n FROM nn) * log10(1.0 + 1.0/dig.digit))) * 1e6 + 0.5) "
+            "AS BIGINT)/1e6 AS dev "
+            "FROM dig LEFT JOIN o USING (digit) ORDER BY dig.digit"
+        ),
         # RFM quartile coding: per-customer (recency days vs global
         # max, order count, exact cents), quartile boundaries via
         # quantile_disc (ceil(qn)-1), score = 1 + sum of >= indicators,

@@ -3585,3 +3585,68 @@ def customer_rfm_segments(
     return out.sort_values("segment").reset_index(drop=True)[
         ["segment", "n_customers", "monetary_total"]
     ]
+
+
+def benford_digit_audit(
+    read_rows,
+    *,
+    col: str = "o_totalprice",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Benford first-digit audit of a positive amount column →
+    {digit, n, expected, dev}: observed leading-digit counts of the
+    exact CENTS integers (1e-2 half-up — defined on cents so the
+    digit extraction is pure integer/string, no float log edge
+    cases), Benford expectation E_d = n·log10(1 + 1/d), and the
+    per-digit chi-square deviation (O−E)²/E. expected and dev
+    quantize at 1e-6 half-up from the single mirrored float
+    expression, so the audit replays bit-for-bit in SQL. Rows with
+    null or non-positive amounts drop.
+
+    Scale shape: map-only digit extraction + ONE fixed-P grouped
+    count of 9-row partials; the Benford comparison is a driver fold
+    over 9 rows.
+    """
+    from .agg import grouped_agg
+
+    def digits(t: pa.Table) -> pa.Table:
+        s = t.column(col)
+        if pa.types.is_null(s.type):
+            return pa.table({"digit": pa.array([], pa.int64())})
+        v = s.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(v) & (v > 0)
+        cents = np.trunc(v[valid] * 100 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        # leading decimal digit fully in integer arithmetic: magnitude
+        # by searchsorted over the 19 int64 powers of ten (exact — no
+        # float log edge cases at powers of 10)
+        p10 = np.array([10 ** k for k in range(19)], dtype=np.int64)
+        mag = np.searchsorted(p10, cents, side="right") - 1
+        lead = cents // p10[mag]
+        return pa.table({"digit": pa.array(lead.astype(np.int64))})
+
+    cnt = grouped_agg(
+        read_rows().map_batches(digits, batch_format="pyarrow",
+                                zero_copy_batch=True),
+        "digit", {"n": ("count", None)}, num_partitions=num_partitions,
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {"digit": pd.Series(dtype=np.int64), "n": pd.Series(dtype=np.int64),
+         "expected": pd.Series(dtype=np.float64),
+         "dev": pd.Series(dtype=np.float64)}
+    )
+    if cnt.empty:
+        return empty
+    obs = {int(d): int(n) for d, n in cnt[["digit", "n"]].itertuples(index=False)}
+    n = sum(obs.values())
+    rows = []
+    for d in range(1, 10):
+        o = obs.get(d, 0)
+        e = n * np.log10(1.0 + 1.0 / d)
+        dev = (o - e) * (o - e) / e
+        rows.append((d, o,
+                     int(np.trunc(e * 1e6 + 0.5)) / 1e6,
+                     int(np.trunc(dev * 1e6 + 0.5)) / 1e6))
+    return pd.DataFrame(rows, columns=["digit", "n", "expected", "dev"]).astype(
+        {"digit": np.int64, "n": np.int64}
+    )

@@ -463,3 +463,41 @@ def test_rfm_partition_invariance(ray_session):
         lambda: ray.data.from_pandas(df).repartition(17), num_partitions=5)
     pd.testing.assert_frame_equal(a, b)
     assert a["n_customers"].sum() == df["o_custkey"].nunique()
+
+
+# ------------------------------------------------------------ Benford
+def test_benford_digit_extraction_and_expectation(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    # amounts chosen to hit digit-extraction edges: powers of ten in
+    # cents (1.00 -> 100 -> digit 1; 0.01 -> 1 -> digit 1; 9.99 ->
+    # 999 -> digit 9), plus negatives/nulls dropped
+    vals = [1.00, 0.01, 9.99, 100.00, 999.99, 0.10, 55.5,
+            -3.0, np.nan, 0.0, 10.0, 123.45, 2.0, 30.0]
+    df = pd.DataFrame({"o_totalprice": vals})
+    out = A.benford_digit_audit(lambda: ray.data.from_pandas(df))
+    obs = dict(zip(out["digit"], out["n"]))
+    # cents: 100,1,999,10000,99999,10,5550,1000,12345,200,3000
+    # digits: 1,1,9,1,9,1,5,1,1,2,3
+    assert obs == {1: 6, 2: 1, 3: 1, 4: 0, 5: 1, 6: 0, 7: 0, 8: 0, 9: 2}
+    n = sum(obs.values())
+    for r in out.itertuples():
+        e = n * np.log10(1 + 1 / r.digit)
+        assert abs(r.expected - e) < 1e-6
+        assert abs(r.dev - (r.n - e) ** 2 / e) < 2e-6
+    assert len(out) == 9  # all digits present even at count 0
+
+
+def test_benford_conforming_distribution_scores_low(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+
+    rng = np.random.default_rng(17)
+    # log-uniform amounts follow Benford closely
+    v = np.exp(rng.uniform(np.log(1), np.log(10000), 20000))
+    ben = A.benford_digit_audit(
+        lambda: ray.data.from_pandas(pd.DataFrame({"o_totalprice": v})))
+    # uniform amounts violate it badly
+    u = rng.uniform(100, 1000, 20000)
+    uni = A.benford_digit_audit(
+        lambda: ray.data.from_pandas(pd.DataFrame({"o_totalprice": u})))
+    assert ben["dev"].sum() < 30 < uni["dev"].sum()
