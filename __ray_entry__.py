@@ -462,6 +462,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = R.read(sf_dir, "part", ["p_name"])
         return jaro_winkler_pairs(part, "p_name", tau=0.88)
 
+    def top_g2_bigrams(sf_dir):
+        # Dunning G^2 collocations (2x2 contingency, N-bigram universe,
+        # unigram marginals, O<=0 terms exactly 0); same three
+        # content-keyed shuffles as the PMI ranking — complementary
+        # orderings (G^2 favors frequent pairs, PMI rare ones)
+        from bloomfilter_multithread_ray.pipelines.text_stats import (
+            top_g2_bigrams as G2,
+        )
+
+        return G2(sf_dir)
+
     def users_type_entropy(sf_dir):
         # per-user event-type Shannon entropy via the mergeable
         # H = ln n - (sum c ln c)/n identity; two combined passes
@@ -3587,6 +3598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_kn_ppl": lm_kn_ppl,
         "label_centroids": label_centroids,
         "top_pmi_bigrams": top_pmi_bigrams,
+        "top_g2_bigrams": top_g2_bigrams,
         "bloom_new_docs": bloom_new_docs,
         "source_kl": source_kl,
         "textrank": textrank,
@@ -5441,6 +5453,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         # top word-bigram collocations by PMI (rounded-6dp rank,
         # lexicographic tiebreak; identical double-math order)
+        # Dunning G^2 collocations: 2x2 contingency over the N-bigram
+        # universe with unigram marginals; O<=0 terms exactly 0; fixed
+        # t11+t12+t21+t22 summation order mirrored from the engine
+        "top_g2_bigrams": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "nn AS (SELECT CAST(SUM(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END) AS DOUBLE) AS N FROM toks), "
+            "uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t), "
+            "bc AS (SELECT bg, count(*) AS c12 FROM ("
+            "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || chr(31) || w[i+1])) AS bg "
+            "FROM toks WHERE len(w) >= 2) GROUP BY bg), "
+            "sp AS (SELECT string_split(bg, chr(31))[1] AS w1, "
+            "string_split(bg, chr(31))[2] AS w2, c12 FROM bc), "
+            "p AS (SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, "
+            "ROUND(2.0 * ("
+            "(CASE WHEN c12 > 0 THEN c12 * ln(c12 / (u1.c * u2.c / nn.N)) ELSE 0.0 END) "
+            "+ (CASE WHEN u1.c - c12 > 0 THEN (u1.c - c12) * ln((u1.c - c12) / (u1.c * (nn.N - u2.c) / nn.N)) ELSE 0.0 END) "
+            "+ (CASE WHEN u2.c - c12 > 0 THEN (u2.c - c12) * ln((u2.c - c12) / ((nn.N - u1.c) * u2.c / nn.N)) ELSE 0.0 END) "
+            "+ (CASE WHEN nn.N - u1.c - u2.c + c12 > 0 THEN (nn.N - u1.c - u2.c + c12) * ln((nn.N - u1.c - u2.c + c12) / ((nn.N - u1.c) * (nn.N - u2.c) / nn.N)) ELSE 0.0 END)"
+            "), 6) AS g2 "
+            "FROM sp JOIN uc u1 ON u1.t = sp.w1 JOIN uc u2 ON u2.t = sp.w2 "
+            "CROSS JOIN nn WHERE c12 >= 5) "
+            "SELECT w1, w2, c12, g2 FROM p ORDER BY g2 DESC, w1, w2 LIMIT 20"
+        ),
         "top_pmi_bigrams": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
             "FROM documents), "

@@ -349,7 +349,8 @@ def vocab_coverage(sf_dir: str, vocab_size: int = 100, round_dp: int = 6) -> pd.
 
 # ----------------------------------------------------- PMI collocations
 def top_pmi_bigrams(
-    sf_dir: str, topk: int = 20, min_count: int = 5, round_dp: int = 6
+    sf_dir: str, topk: int = 20, min_count: int = 5, round_dp: int = 6,
+    score: str = "pmi",
 ) -> pd.DataFrame:
     """Top-``topk`` word-bigram collocations by pointwise mutual
     information: ``pmi = ln(c12 · M² / (N · c1 · c2))`` with c12 the
@@ -452,32 +453,63 @@ def top_pmi_bigrams(
         if big.empty:
             return pa.table(
                 {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
-                 "c12": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64())}
+                 "c12": pa.array([], pa.int64()), score: pa.array([], pa.float64())}
             )
         c2 = big["w2"].map(uni).to_numpy(np.float64)
-        pmi = np.log(
-            big["c"].to_numpy(np.float64) * M * M
-            / (N * big["c1"].to_numpy(np.float64) * c2)
-        ).round(round_dp)
-        big = big.assign(pmi=pmi).sort_values(
-            ["pmi", "w1", "w2"], ascending=[False, True, True]
+        c12 = big["c"].to_numpy(np.float64)
+        c1 = big["c1"].to_numpy(np.float64)
+        if score == "pmi":
+            val = np.log(c12 * M * M / (N * c1 * c2)).round(round_dp)
+        else:  # Dunning log-likelihood ratio G^2 (2x2, N-bigram universe)
+            def term(O, E):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return np.where(O > 0, O * np.log(O / E), 0.0)
+            g2 = 2.0 * (
+                term(c12, c1 * c2 / N)
+                + term(c1 - c12, c1 * (N - c2) / N)
+                + term(c2 - c12, (N - c1) * c2 / N)
+                + term(N - c1 - c2 + c12, (N - c1) * (N - c2) / N)
+            )
+            val = g2.round(round_dp)
+        big = big.assign(**{score: val}).sort_values(
+            [score, "w1", "w2"], ascending=[False, True, True]
         ).head(topk)
         return pa.table(
             {"w1": pa.array(big["w1"], pa.string()),
              "w2": pa.array(big["w2"], pa.string()),
              "c12": pa.array(big["c"].to_numpy(np.int64)),
-             "pmi": pa.array(big["pmi"].to_numpy(np.float64))}
+             score: pa.array(big[score].to_numpy(np.float64))}
         )
 
     out = (
         part.groupby("p1").map_groups(attach_c1, batch_format="pyarrow")
         .groupby("p2").map_groups(local_topk, batch_format="pyarrow")
         .to_pandas()
-        .sort_values(["pmi", "w1", "w2"], ascending=[False, True, True])
+        .sort_values([score, "w1", "w2"], ascending=[False, True, True])
         .head(topk)
         .reset_index(drop=True)
     )
     return out
+
+
+def top_g2_bigrams(
+    sf_dir: str, topk: int = 20, min_count: int = 5, round_dp: int = 6
+) -> pd.DataFrame:
+    """Top-``topk`` collocations by Dunning's log-likelihood ratio
+    (G², "Accurate Methods for the Statistics of Surprise and
+    Coincidence", CL'93) — the 2×2 contingency over the N-bigram
+    universe with UNIGRAM marginals (the common toolkit convention):
+    O11 = c12, O12 = c1−c12, O21 = c2−c12, O22 = N−c1−c2+c12,
+    E_ij from the marginals, G² = 2·Σ O·ln(O/E) with O ≤ 0 terms
+    contributing exactly 0 (covers the stopword corner where the
+    unigram marginal exceeds the bigram universe). Ranking on the
+    ROUNDED score, mirrored by the SQL oracle; same three
+    content-keyed shuffles as :func:`top_pmi_bigrams` (the unigram
+    table is never broadcast). G² prefers high-count collocations
+    where PMI favors rare ones — the two rankings are complementary.
+    """
+    return top_pmi_bigrams(sf_dir, topk=topk, min_count=min_count,
+                           round_dp=round_dp, score="g2")
 
 
 # --------------------------------------------- source distribution drift

@@ -424,3 +424,62 @@ def test_zipf_fit_matches_reference_and_partitioning(ray_session):
     # the Zipf-shaped sources actually fit: alpha near 1, r2 high
     main = df[df.group != "tiny"]
     assert (main.zipf_alpha > 0.5).all() and (main.zipf_r2 > 0.7).all()
+
+
+def test_g2_bigrams_reference_and_ranking(ray_session, tmp_path):
+    """G^2 matches a from-spec reference on a planted corpus, and
+    ranks the frequent collocation ABOVE a rare-but-pure pair that PMI
+    would favor (the complementary-ordering property)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bloomfilter_multithread_ray.pipelines.text_stats import (
+        top_g2_bigrams, top_pmi_bigrams,
+    )
+
+    filler = " ".join(f"w{i % 37} w{(i * 7) % 41}" for i in range(300))
+    texts = (["ice cream is nice and ice cream melts"] * 10
+             + ["zyx qwv"] * 5 + [filler])
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet")
+    got = top_g2_bigrams(str(d), topk=10, min_count=5)
+
+    # from-spec reference over the same corpus
+    toks = [t.split() for t in texts]
+    uni: dict = {}
+    big: dict = {}
+    N = 0
+    for w in toks:
+        for t in w:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            N += 1
+
+    def g2(c12, c1, c2):
+        def term(O, E):
+            return O * math.log(O / E) if O > 0 else 0.0
+        return 2.0 * (term(c12, c1 * c2 / N)
+                      + term(c1 - c12, c1 * (N - c2) / N)
+                      + term(c2 - c12, (N - c1) * c2 / N)
+                      + term(N - c1 - c2 + c12,
+                             (N - c1) * (N - c2) / N))
+
+    exp = sorted(
+        ((a, b, c, round(g2(c, uni[a], uni[b]), 6))
+         for (a, b), c in big.items() if c >= 5),
+        key=lambda r: (-r[3], r[0], r[1]))[:10]
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    # 'ice cream' (10x) outranks 'zyx qwv' (5x, perfectly pure) on G^2
+    rank = {(r.w1, r.w2): i for i, r in enumerate(got.itertuples())}
+    assert rank[("ice", "cream")] < rank[("zyx", "qwv")]
+    # ...while PMI prefers the rare pure pair (complementary orderings)
+    pmi = top_pmi_bigrams(str(d), topk=10, min_count=5)
+    prank = {(r.w1, r.w2): i for i, r in enumerate(pmi.itertuples())}
+    assert prank[("zyx", "qwv")] < prank[("ice", "cream")]
