@@ -2449,6 +2449,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type", "value",
         )
 
+    def events_value_cdf(sf_dir):
+        # t-digest percentile transform: one mergeable global digest
+        # (per-block partials, block-order fold — bit-pinned vs the
+        # from-spec twin), per-row cdf quantized 1e-6 before the
+        # order-free grouped sum, integer round-half-up means; the
+        # sketch-mode counterpart of events_decile_profile for
+        # unbounded-range columns
+        return A.value_cdf_profile(
+            R.read(sf_dir, "events", ["event_type", "value"]),
+        )
+
     def events_value_p95_tdigest(sf_dir):
         return A.grouped_quantile_tdigest(
             R.read(sf_dir, "events", ["event_type", "value"]),
@@ -3609,6 +3620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_headers": media_headers,
         "bloom_join_filtered_orders": bloom_join_filtered_orders,
         "events_value_p95_tdigest": events_value_p95_tdigest,
+        "events_value_cdf": events_value_cdf,
         "events_value_mad": events_value_mad,
         "ann_pq": ann_pq,
         "media_phash_dups": media_phash_dups,
@@ -7012,6 +7024,7 @@ def oracle_sql() -> dict[str, str]:
          "source, n_chunks, bytes_total, n_dup_chunks, bytes_dup",
          _DOCS_SRC_KEY),
         ("events_value_p95_tdigest", "event_type, p50, p95", _EVENTS_VAL_KEY),
+        ("events_value_cdf", "event_type, n, mean_cdf", _EVENTS_VAL_KEY),
         ("ann_lsh", "qid, vec_id, cosine", _EMB_KEY),
         ("ann_ivf", "qid, vec_id, cosine", _EMB_KEY),
         ("dedup_embedding_lsh", "vec_a, vec_b, cosine", _EMB_KEY),

@@ -3650,3 +3650,113 @@ def benford_digit_audit(
     return pd.DataFrame(rows, columns=["digit", "n", "expected", "dev"]).astype(
         {"digit": np.int64, "n": np.int64}
     )
+
+
+def value_cdf_profile(
+    ds: "Dataset",
+    by: str = "event_type",
+    col: str = "value",
+    *,
+    compression: float = 200.0,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Sketch-mode quantile-transform profile → {by, n, mean_cdf}:
+    every value maps to its approximate GLOBAL percentile through one
+    mergeable t-digest (the classic percentile feature transform),
+    then per-group means report where each group's distribution sits
+    — the t-digest counterpart of the exact decile profile, for the
+    unbounded-range columns where the quantized histogram trick
+    doesn't apply.
+
+    Determinism: the global digest is built from per-block partials
+    folded by the same SketchAgg machinery the grouped-quantile
+    sketches use (bit-pinned against the from-spec sequential twin
+    via the chunked-build model); each per-row cdf quantizes to int64
+    1e-6 half-up BEFORE the order-free grouped sum, and the mean is
+    the integer round-half-up (2·sum + n) // (2n). Null values drop
+    on BOTH the digest build and the transform. Two streaming passes;
+    the digest (KBs) broadcasts read-only into the transform.
+    """
+    from .agg import grouped_agg
+
+    def valid_rows(t: pa.Table) -> pa.Table:
+        s = t.column(col)
+        if pa.types.is_null(s.type):
+            v = np.full(t.num_rows, np.nan)
+        else:
+            v = s.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        return pa.table({by: t.column(by).filter(pa.array(keep)),
+                         "v": pa.array(v[keep]), "g": pa.array(
+                             np.zeros(int(keep.sum()), np.int64))})
+
+    rows = ds.map_batches(
+        valid_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    empty = pd.DataFrame(
+        {by: pd.Series(dtype=object), "n": pd.Series(dtype=np.int64),
+         "mean_cdf": pd.Series(dtype=np.float64)}
+    )
+    # CONTENT-partitioned digest build (block identity is useless here:
+    # a materialized map's block order is task-completion order):
+    # values route on splitmix64 of their float64 bit pattern, each
+    # partition's multiset sorts ascending before ONE digest build
+    # (fixed buffer-compress cadence => bit-deterministic), and the P
+    # partials fold in partition-id order — invariant to any block
+    # structure or task scheduling, mirrored by the from-spec twin
+    from ..functions.hashing import splitmix64
+
+    DP = 16
+
+    def route(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        h = splitmix64(v.view(np.uint64)) % np.uint64(DP)
+        return pa.table({"dp": pa.array(h.astype(np.int32)),
+                         "v": t.column("v")})
+
+    def part_digest(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("v").to_numpy(zero_copy_only=False))
+        sk = TDigest(compression)
+        sk.update_values(v)
+        return pa.table(
+            {"dp": pa.array([int(g.column("dp")[0].as_py())], pa.int32()),
+             "sketch": pa.array([sk.serialize()], pa.binary())}
+        )
+
+    parts = (
+        rows.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dp")
+        .map_groups(part_digest, batch_format="pyarrow")
+        .take_all()
+    )
+    if not parts:
+        return empty
+    parts = sorted(parts, key=lambda r: r["dp"])
+    acc = deserialize_sketch(parts[0]["sketch"])
+    for r in parts[1:]:
+        acc = acc.merge(deserialize_sketch(r["sketch"]))
+    digest_bytes = acc.serialize()
+
+    def transform(t: pa.Table) -> pa.Table:
+        sk = deserialize_sketch(digest_bytes)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        u6 = np.trunc(sk.cdf(v) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({by: t.column(by), "u6": pa.array(u6),
+                         "one": pa.array(np.ones(len(v), np.int64))})
+
+    out = grouped_agg(
+        rows.map_batches(transform, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        by, {"n": ("sum", "one"), "s": ("sum", "u6")},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if out.empty:
+        return empty
+    n = out["n"].to_numpy(np.int64)
+    s = out["s"].to_numpy(np.int64)
+    out["mean_cdf"] = (2 * s + n) // (2 * n) / 1e6
+    out["n"] = out["n"].astype(np.int64)
+    return out.drop(columns=["s"]).sort_values(by).reset_index(drop=True)[
+        [by, "n", "mean_cdf"]
+    ]

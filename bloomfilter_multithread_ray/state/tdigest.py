@@ -118,6 +118,27 @@ class TDigest(Sketch):
     def estimate(self, q: float = 0.5):
         return self.quantile(q)
 
+    def cdf(self, x: "float | np.ndarray"):
+        """Approximate CDF (the quantile inverse): piecewise-linear
+        interpolation of cumulative weight at the centroid centers
+        (cum_i - w_i/2), normalized by total weight; x below the exact
+        min -> 0, above the exact max -> 1, clipped to [0, 1]. Pinned
+        convention shared bitwise with the from-spec twin in
+        tests/independent_pipelines.py."""
+        self._compress()
+        xs = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        if self.means.size == 0:
+            out = np.full(xs.shape, np.nan)
+            return float(out[0]) if np.isscalar(x) else out
+        m, w = self.means, self.weights
+        total = float(w.sum())
+        centers = np.cumsum(w) - w / 2.0
+        out = np.interp(xs, m, centers) / total
+        out[xs < self.min] = 0.0
+        out[xs > self.max] = 1.0
+        out = np.clip(out, 0.0, 1.0)
+        return float(out[0]) if np.isscalar(x) else out
+
     # -- merge / serialize -------------------------------------------------
     def merge(self, other: "TDigest") -> "TDigest":
         other._compress()

@@ -181,6 +181,21 @@ class IndepTDigest:
         self._compress()
         return self
 
+    def cdf(self, x):
+        """Pinned twin of state.TDigest.cdf (same interpolation,
+        min/max clamps and clip)."""
+        self._compress()
+        xs = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        if self.means.size == 0:
+            return np.full(xs.shape, np.nan)
+        m, w = self.means, self.weights
+        total = float(w.sum())
+        centers = np.cumsum(w) - w / 2.0
+        out = np.interp(xs, m, centers) / total
+        out[xs < self.min] = 0.0
+        out[xs > self.max] = 1.0
+        return np.clip(out, 0.0, 1.0)
+
     def quantile(self, qs):
         self._compress()
         qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
@@ -317,6 +332,43 @@ def indep_events_p95(event_types, values, n_blocks: int = 4) -> pd.DataFrame:
         out["p50"].append(qmap[s][0])
         out["p95"].append(qmap[s][1])
     return pd.DataFrame(out)
+
+
+def indep_events_cdf_profile(event_types, values,
+                             n_blocks: int = 4) -> pd.DataFrame:
+    """From-spec twin of analytics.value_cdf_profile: the global
+    t-digest builds CONTENT-partitioned (splitmix64 of the float64
+    bit pattern % 16), each partition's multiset sorted ascending
+    before one digest build, partials folded in partition-id order —
+    invariant to block structure (n_blocks is accepted for signature
+    stability but unused); per-row cdf quantized 1e-6 half-up,
+    per-type integer mean (2s+n)//(2n)."""
+    et = np.asarray(event_types)
+    vals = np.asarray(values, dtype=np.float64)
+    valid = vals[~np.isnan(vals)]
+    h = splitmix64(valid.view(np.uint64)) % np.uint64(16)
+    parts = []
+    for dp in range(16):
+        v = np.sort(valid[h == np.uint64(dp)])
+        if len(v) == 0:
+            continue
+        t = IndepTDigest()
+        t.update_values(v)
+        t._compress()
+        parts.append(t)
+    acc = parts[0]
+    for p_ in parts[1:]:
+        acc = acc.merge(p_)
+    keep = ~np.isnan(vals)
+    u6 = np.trunc(acc.cdf(vals[keep]) * 1e6 + 0.5).astype(np.int64)
+    df = pd.DataFrame({"event_type": et[keep], "u6": u6})
+    g = df.groupby("event_type")["u6"].agg(["count", "sum"]).reset_index()
+    nn = g["count"].to_numpy(np.int64)
+    s = g["sum"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {"event_type": g["event_type"], "n": nn,
+         "mean_cdf": (2 * s + nn) // (2 * nn) / 1e6}
+    ).sort_values("event_type").reset_index(drop=True)
 
 
 # --------------------------------------------------- counting Bloom retract
@@ -1299,6 +1351,11 @@ def generate_pipeline_snapshots(
             indep_events_p95(ev.column("event_type").to_pylist(),
                              ev.column("value").to_numpy(zero_copy_only=False),
                              n_blocks=engine_num_blocks(f"{sf}/events.parquet")))
+        add("events_value_cdf", evk,
+            indep_events_cdf_profile(
+                ev.column("event_type").to_pylist(),
+                ev.column("value").to_numpy(zero_copy_only=False),
+                n_blocks=engine_num_blocks(f"{sf}/events.parquet")))
 
         em = pq.read_table(f"{sf}/embeddings.parquet",
                            columns=["vec_id", "embedding", "label"])

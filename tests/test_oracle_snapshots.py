@@ -174,6 +174,10 @@ def test_pipeline_queries_match_independent_impls(ray_session):
             ev.column("event_type").to_pylist(),
             ev.column("value").to_numpy(zero_copy_only=False),
             n_blocks=P.engine_num_blocks(f"{sf}/events.parquet")),
+        "events_value_cdf": P.indep_events_cdf_profile(
+            ev.column("event_type").to_pylist(),
+            ev.column("value").to_numpy(zero_copy_only=False),
+            n_blocks=P.engine_num_blocks(f"{sf}/events.parquet")),
         "ann_lsh": P.indep_ann_lsh(vids, V),
         "ann_ivf": P.indep_ann_ivf(vids, V),
         "dedup_embedding_lsh": P.indep_dedup_embedding_lsh(vids, V),

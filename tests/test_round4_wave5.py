@@ -501,3 +501,46 @@ def test_benford_conforming_distribution_scores_low(ray_session):
     uni = A.benford_digit_audit(
         lambda: ray.data.from_pandas(pd.DataFrame({"o_totalprice": u})))
     assert ben["dev"].sum() < 30 < uni["dev"].sum()
+
+
+# ------------------------------------------------------ t-digest CDF
+def test_tdigest_cdf_convention_and_accuracy(ray_session):
+    from bloomfilter_multithread_ray.state.tdigest import TDigest
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(100, 15, 50_000)
+    t = TDigest()
+    t.update_values(v)
+    xs = np.array([40.0, 70.0, 85.0, 100.0, 115.0, 130.0, 200.0])
+    got = t.cdf(xs)
+    exact = np.searchsorted(np.sort(v), xs, side="right") / len(v)
+    assert np.abs(got - exact).max() < 0.01
+    # clamps: below exact min -> 0, above exact max -> 1, monotone
+    assert t.cdf(float(v.min()) - 1) == 0.0
+    assert t.cdf(float(v.max()) + 1) == 1.0
+    assert (np.diff(t.cdf(np.linspace(40, 200, 50))) >= 0).all()
+    # quantile/cdf near-inverse in the bulk
+    for q in (0.1, 0.5, 0.9):
+        assert abs(t.cdf(t.quantile(q)) - q) < 0.01
+
+
+def test_value_cdf_profile_matches_indep_and_separates(ray_session):
+    from bloomfilter_multithread_ray.pipelines import analytics as A
+    from independent_pipelines import indep_events_cdf_profile
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    et = rng.choice(["low", "mid", "high"], n)
+    v = np.where(et == "low", rng.normal(20, 5, n),
+                 np.where(et == "mid", rng.normal(50, 5, n),
+                          rng.normal(80, 5, n)))
+    v[rng.random(n) < 0.03] = np.nan
+    df = pd.DataFrame({"event_type": et, "value": v})
+    ds = ray.data.from_pandas(df)
+    nb = ds.repartition(4)
+    out = A.value_cdf_profile(nb)
+    ref = indep_events_cdf_profile(et, v, n_blocks=4)
+    pd.testing.assert_frame_equal(out, ref)
+    m = dict(zip(out["event_type"], out["mean_cdf"]))
+    assert m["low"] < 0.3 < 0.45 < m["mid"] < 0.55 < 0.7 < m["high"]
+    assert out["n"].sum() == int((~np.isnan(v)).sum())
