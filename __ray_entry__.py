@@ -473,6 +473,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return G2(sf_dir)
 
+    def parts_entities(sf_dir):
+        # entity resolution over part names: JW >= 0.88 links close
+        # (transitive), entity = lexicographically smallest member;
+        # blocking join does the heavy lifting distributed, the
+        # closure runs over the vocabulary-bounded matched-pair list;
+        # SQL oracle = fixed-step lexicographic min-label propagation
+        from bloomfilter_multithread_ray.pipelines.fuzzy import (
+            entity_resolution,
+        )
+
+        part = R.read(sf_dir, "part", ["p_name"])
+        return entity_resolution(part, "p_name", tau=0.88)
+
     def users_type_entropy(sf_dir):
         # per-user event-type Shannon entropy via the mergeable
         # H = ln n - (sum c ln c)/n identity; two combined passes
@@ -3571,6 +3584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_fuzzy_names": parts_fuzzy_names,
         "parts_fuzzy_name_stats": parts_fuzzy_name_stats,
         "parts_jw_names": parts_jw_names,
+        "parts_entities": parts_entities,
         "doc_graph_sssp": doc_graph_sssp,
         "store_zorder_scan": store_zorder_scan,
         "docs_phrase_hits": docs_phrase_hits,
@@ -4425,6 +4439,33 @@ def oracle_sql() -> dict[str, str]:
         # names (closest fixture pair sits 4.5e-4 from the threshold,
         # far outside float noise; engine kernel is bitwise
         # DuckDB-parity on 1300+ adversarial pairs)
+        # entity resolution: transitive closure of JW >= 0.88 matches
+        # by 6 rounds of lexicographic min-label propagation (name-dup
+        # components are tiny; convergence over-provisioned), entity =
+        # min member name, multi-name entities only
+        "parts_entities": (
+            "WITH names AS (SELECT p_name AS val, COUNT(*) AS n "
+            "FROM part GROUP BY 1), "
+            "pr AS MATERIALIZED (SELECT a.val AS va, b.val AS vb "
+            "FROM names a JOIN names b ON a.val < b.val "
+            "WHERE jaro_winkler_similarity(a.val, b.val) >= 0.88), "
+            "e AS (SELECT va AS a, vb AS b FROM pr "
+            "UNION ALL SELECT vb, va FROM pr), "
+            "l0 AS (SELECT val, val AS lab FROM names), "
+            + "".join(
+                f"l{i + 1} AS MATERIALIZED (SELECT l.val, "
+                f"LEAST(l.lab, COALESCE(nm.m, l.lab)) AS lab FROM l{i} l "
+                f"LEFT JOIN (SELECT e.a, MIN(l2.lab) AS m FROM e "
+                f"JOIN l{i} l2 ON l2.val = e.b GROUP BY e.a) nm "
+                f"ON nm.a = l.val), "
+                for i in range(6)
+            )
+            + "ent AS (SELECT lab AS entity, count(*) AS n_names, "
+            "SUM(n) AS n_parts FROM l6 JOIN names USING (val) "
+            "GROUP BY lab HAVING count(*) >= 2) "
+            "SELECT entity, CAST(n_names AS BIGINT) AS n_names, "
+            "CAST(n_parts AS BIGINT) AS n_parts FROM ent ORDER BY entity"
+        ),
         "parts_jw_names": (
             "WITH names AS (SELECT p_name AS val, COUNT(*) AS n "
             "FROM part GROUP BY 1) "

@@ -934,3 +934,75 @@ def jaro_winkler_pairs(
     return out.sort_values(["val_a", "val_b"]).reset_index(drop=True)[
         ["val_a", "val_b", "jw", "n_pairs"]
     ]
+
+
+def entity_resolution(
+    ds,
+    str_col: str,
+    *,
+    tau: float = 0.88,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Name-based entity resolution → {entity, n_names, n_parts}: all
+    DISTINCT values whose Jaro-Winkler similarity reaches ``tau`` link
+    into one entity (transitive closure), identified by its
+    lexicographically smallest member name; only multi-name entities
+    report (singletons are every other distinct value). n_parts is
+    the total ROW count the entity's names expand to.
+
+    Composition shape: the heavy lifting is
+    :func:`jaro_winkler_pairs` (exact sub-quadratic AllPairs
+    char-prefix blocking — the corpus never shuffles, only the
+    vocabulary does) plus one grouped count for per-name row counts;
+    the closure runs driver-side over the MATCHED-PAIR list, which is
+    vocabulary-bounded by construction (the textrank/vocab rule) —
+    never over rows. Replayed in SQL by fixed-step lexicographic
+    min-label propagation.
+    """
+    from .agg import grouped_agg
+
+    pairs = jaro_winkler_pairs(ds, str_col, tau=tau,
+                               num_partitions=num_partitions)
+
+    def val_rows(t: pa.Table) -> pa.Table:
+        s = t.column(str_col)
+        if pa.types.is_null(s.type):
+            return pa.table({"val": pa.array([], pa.string())})
+        keep = pc.invert(pc.is_null(s))
+        return pa.table({"val": pc.cast(s, pa.string()).filter(keep)})
+
+    counts = grouped_agg(
+        ds.map_batches(val_rows, batch_format="pyarrow", zero_copy_batch=True),
+        "val", {"n": ("count", None)}, num_partitions=8,
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {"entity": pd.Series(dtype=object),
+         "n_names": pd.Series(dtype=np.int64),
+         "n_parts": pd.Series(dtype=np.int64)}
+    )
+    if pairs.empty or counts.empty:
+        return empty
+
+    # union-find over the vocabulary-bounded matched-pair list
+    parent: dict = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs[["val_a", "val_b"]].itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:  # lexicographic min as the canonical root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    # find() is identity for names the closure never touched; they
+    # stay singletons and drop under the n_names >= 2 filter
+    counts["entity"] = [find(v) for v in counts["val"]]
+    out = counts.groupby("entity").agg(
+        n_names=("val", "count"), n_parts=("n", "sum")).reset_index()
+    out = out[out["n_names"] >= 2].astype(
+        {"n_names": np.int64, "n_parts": np.int64})
+    return out.sort_values("entity").reset_index(drop=True)

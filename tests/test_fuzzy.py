@@ -443,3 +443,45 @@ def test_jaro_winkler_pairs_end_to_end(ray_session):
         exp["n_pairs"] = exp["n_pairs"].astype(np.int64)
         assert len(exp) > 0  # the fixture really exercises the join
         pd.testing.assert_frame_equal(out, exp)
+
+
+# ------------------------------------------------- entity resolution
+def test_entity_resolution_transitive_closure(ray_session):
+    """Chained near-matches collapse into one entity under the
+    lexicographically smallest name; far names stay out; n_parts sums
+    the row multiplicities."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import (
+        _jaro_winkler, entity_resolution,
+    )
+
+    # chain: martha ~ marhta ~ marhtaa (transitively one entity even
+    # if the ends are farther apart); 'unrelated' is a singleton
+    col = (["martha"] * 3 + ["marhta"] * 2 + ["marhtaa"]
+           + ["red widget", "red widgets", "unrelated thing"])
+    df = pd.DataFrame({"p_name": col})
+    out = entity_resolution(rd.from_pandas(df), "p_name", tau=0.9)
+    # verify the planted chain really is a chain at tau=0.9
+    jw = lambda a, b: _jaro_winkler(np.array([a], object),
+                                    np.array([b], object))[0]
+    assert jw("martha", "marhta") >= 0.9 and jw("marhta", "marhtaa") >= 0.9
+    ents = {r.entity: (r.n_names, r.n_parts) for r in out.itertuples()}
+    assert ents["marhta"] == (3, 6)  # min name of the chain component
+    assert ents["red widget"] == (2, 2)
+    assert "unrelated thing" not in ents
+    # partition invariance
+    inv = entity_resolution(rd.from_pandas(df).repartition(5), "p_name",
+                            tau=0.9, num_partitions=7)
+    pd.testing.assert_frame_equal(out, inv)
+
+
+def test_entity_resolution_no_matches(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import entity_resolution
+
+    df = pd.DataFrame({"p_name": ["aaaa", "bbbb", "cccc"]})
+    out = entity_resolution(rd.from_pandas(df), "p_name", tau=0.95)
+    assert out.empty
+    assert list(out.columns) == ["entity", "n_names", "n_parts"]
