@@ -342,6 +342,24 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_user_trend",
         "cdc_chunk_dedup",
         "kcenter_coreset",
+        # round-4 waves 5-6: similarity joins / sketch-graph /
+        # retrieval fusion / stream+basket analytics
+        "parts_jw_names",
+        "parts_entities",
+        "doc_graph_hyperball",
+        "doc_graph_centrality",
+        "doc_graph_ppr",
+        "doc_walk_corpus",
+        "hybrid_search_rrf",
+        "events_cusum_alerts",
+        "events_type_markov",
+        "events_decile_profile",
+        "events_value_cdf",
+        "customer_rfm",
+        "orders_benford",
+        "part_association_rules",
+        "frequent_part_triples",
+        "top_g2_bigrams",
     ]
     times: dict[str, float] = {}
     for name in names:
