@@ -4440,32 +4440,39 @@ def oracle_sql() -> dict[str, str]:
         # far outside float noise; engine kernel is bitwise
         # DuckDB-parity on 1300+ adversarial pairs)
         # entity resolution: transitive closure of JW >= 0.88 matches
-        # by 6 rounds of lexicographic min-label propagation (name-dup
-        # components are tiny; convergence over-provisioned), entity =
-        # min member name, multi-name entities only
+        # by a RECURSIVE reachability fixpoint (UNION-distinct iterates
+        # until no new (val, lab) pair appears — exact for any
+        # component diameter, unlike a fixed round count); entity =
+        # min member name, multi-name entities only. The pairing CTE
+        # mirrors the engine's [min_len=1, max_len=64] name filter
+        # (entity_resolution -> jaro_winkler_pairs drops longer
+        # strings); counts stay unfiltered, matching the engine where
+        # unmatched names are singletons and drop under n_names >= 2.
         "parts_entities": (
-            "WITH names AS (SELECT p_name AS val, COUNT(*) AS n "
+            "WITH RECURSIVE names AS (SELECT p_name AS val, COUNT(*) AS n "
             "FROM part GROUP BY 1), "
             "pr AS MATERIALIZED (SELECT a.val AS va, b.val AS vb "
             "FROM names a JOIN names b ON a.val < b.val "
-            "WHERE jaro_winkler_similarity(a.val, b.val) >= 0.88), "
-            "e AS (SELECT va AS a, vb AS b FROM pr "
-            "UNION ALL SELECT vb, va FROM pr), "
-            "l0 AS (SELECT val, val AS lab FROM names), "
-            + "".join(
-                f"l{i + 1} AS MATERIALIZED (SELECT l.val, "
-                f"LEAST(l.lab, COALESCE(nm.m, l.lab)) AS lab FROM l{i} l "
-                f"LEFT JOIN (SELECT e.a, MIN(l2.lab) AS m FROM e "
-                f"JOIN l{i} l2 ON l2.val = e.b GROUP BY e.a) nm "
-                f"ON nm.a = l.val), "
-                for i in range(6)
-            )
-            + "ent AS (SELECT lab AS entity, count(*) AS n_names, "
-            "SUM(n) AS n_parts FROM l6 JOIN names USING (val) "
-            "GROUP BY lab HAVING count(*) >= 2) "
+            "WHERE length(a.val) BETWEEN 1 AND 64 "
+            "AND length(b.val) BETWEEN 1 AND 64 "
+            "AND jaro_winkler_similarity(a.val, b.val) >= 0.88), "
+            # keep the symmetrized union one level down: inside WITH
+            # RECURSIVE a top-level UNION would parse as recursive
+            "e AS (SELECT a, b FROM (SELECT va AS a, vb AS b FROM pr "
+            "UNION ALL SELECT vb AS a, va AS b FROM pr)), "
+            "nodes AS (SELECT DISTINCT a AS nd FROM e), "
+            "reach AS (SELECT nd AS val, nd AS lab FROM nodes "
+            "UNION "
+            "SELECT r.val, e.b FROM reach r JOIN e ON e.a = r.lab), "
+            "comp AS (SELECT val, MIN(lab) AS entity FROM reach "
+            "GROUP BY val), "
+            "ent AS (SELECT entity, count(*) AS n_names, "
+            "SUM(n) AS n_parts FROM comp JOIN names USING (val) "
+            "GROUP BY entity HAVING count(*) >= 2) "
             "SELECT entity, CAST(n_names AS BIGINT) AS n_names, "
             "CAST(n_parts AS BIGINT) AS n_parts FROM ent ORDER BY entity"
         ),
+        # mirrors the engine's [min_len=1, max_len=64] value filter
         "parts_jw_names": (
             "WITH names AS (SELECT p_name AS val, COUNT(*) AS n "
             "FROM part GROUP BY 1) "
@@ -4473,7 +4480,9 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(jaro_winkler_similarity(a.val, b.val), 6) AS jw, "
             "CAST(a.n * b.n AS BIGINT) AS n_pairs "
             "FROM names a JOIN names b ON a.val < b.val "
-            "WHERE jaro_winkler_similarity(a.val, b.val) >= 0.88 "
+            "WHERE length(a.val) BETWEEN 1 AND 64 "
+            "AND length(b.val) BETWEEN 1 AND 64 "
+            "AND jaro_winkler_similarity(a.val, b.val) >= 0.88 "
             "ORDER BY val_a, val_b"
         ),
         # sweep-line peak overlap; ends before starts at equal t (the
@@ -5507,7 +5516,8 @@ def oracle_sql() -> dict[str, str]:
         # top word-bigram collocations by PMI (rounded-6dp rank,
         # lexicographic tiebreak; identical double-math order)
         # Dunning G^2 collocations: 2x2 contingency over the N-bigram
-        # universe with unigram marginals; O<=0 terms exactly 0; fixed
+        # universe with unigram marginals; O<=0 or E<=0 terms exactly 0
+        # (degenerate marginal c2 > N guarded identically both sides); fixed
         # t11+t12+t21+t22 summation order mirrored from the engine
         "top_g2_bigrams": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w "
@@ -5521,10 +5531,10 @@ def oracle_sql() -> dict[str, str]:
             "string_split(bg, chr(31))[2] AS w2, c12 FROM bc), "
             "p AS (SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, "
             "ROUND(2.0 * ("
-            "(CASE WHEN c12 > 0 THEN c12 * ln(c12 / (u1.c * u2.c / nn.N)) ELSE 0.0 END) "
-            "+ (CASE WHEN u1.c - c12 > 0 THEN (u1.c - c12) * ln((u1.c - c12) / (u1.c * (nn.N - u2.c) / nn.N)) ELSE 0.0 END) "
-            "+ (CASE WHEN u2.c - c12 > 0 THEN (u2.c - c12) * ln((u2.c - c12) / ((nn.N - u1.c) * u2.c / nn.N)) ELSE 0.0 END) "
-            "+ (CASE WHEN nn.N - u1.c - u2.c + c12 > 0 THEN (nn.N - u1.c - u2.c + c12) * ln((nn.N - u1.c - u2.c + c12) / ((nn.N - u1.c) * (nn.N - u2.c) / nn.N)) ELSE 0.0 END)"
+            "(CASE WHEN c12 > 0 AND u1.c * u2.c / nn.N > 0 THEN c12 * ln(c12 / (u1.c * u2.c / nn.N)) ELSE 0.0 END) "
+            "+ (CASE WHEN u1.c - c12 > 0 AND u1.c * (nn.N - u2.c) / nn.N > 0 THEN (u1.c - c12) * ln((u1.c - c12) / (u1.c * (nn.N - u2.c) / nn.N)) ELSE 0.0 END) "
+            "+ (CASE WHEN u2.c - c12 > 0 AND (nn.N - u1.c) * u2.c / nn.N > 0 THEN (u2.c - c12) * ln((u2.c - c12) / ((nn.N - u1.c) * u2.c / nn.N)) ELSE 0.0 END) "
+            "+ (CASE WHEN nn.N - u1.c - u2.c + c12 > 0 AND (nn.N - u1.c) * (nn.N - u2.c) / nn.N > 0 THEN (nn.N - u1.c - u2.c + c12) * ln((nn.N - u1.c - u2.c + c12) / ((nn.N - u1.c) * (nn.N - u2.c) / nn.N)) ELSE 0.0 END)"
             "), 6) AS g2 "
             "FROM sp JOIN uc u1 ON u1.t = sp.w1 JOIN uc u2 ON u2.t = sp.w2 "
             "CROSS JOIN nn WHERE c12 >= 5) "

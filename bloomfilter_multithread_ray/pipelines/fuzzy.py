@@ -866,7 +866,11 @@ def jaro_winkler_pairs(
         key = (fr << np.uint64(27)) | (M << np.uint64(6)) | occ
         key = np.where(valid, key, np.uint64(0xFFFFFFFFFFFFFFFF))
         key.sort(axis=1)
-        o_req = np.maximum(np.ceil(alpha * L).astype(np.int64), 1)
+        # alpha is float-computed (5*(tau-0.8) lands at 0.4+2e-17 for
+        # tau=0.88); subtract an epsilon far above float error but far
+        # below the 1/L granularity so equality-at-tau pairs survive
+        # blocking (the exact kernel still decides membership)
+        o_req = np.maximum(np.ceil(alpha * L - 1e-9).astype(np.int64), 1)
         plen = L - o_req + 1  # prefix-filter length (>= 1)
         pmask = (np.arange(W)[None, :] < plen[:, None]) & np.sort(
             valid, axis=1
@@ -898,7 +902,9 @@ def jaro_winkler_pairs(
         b = m["val_y"].to_numpy(dtype=object)
         la = np.char.str_len(a.astype(str))
         lb = np.char.str_len(b.astype(str))
-        ok = alpha * np.maximum(la, lb) <= np.minimum(la, lb)  # m<=min
+        # m<=min; +1e-9 so boundary pairs (alpha*max == min exactly in
+        # rational arithmetic) are not dropped by float round-up
+        ok = alpha * np.maximum(la, lb) <= np.minimum(la, lb) + 1e-9
         a, b = a[ok], b[ok]
         if len(a) == 0:
             return empty
@@ -929,7 +935,9 @@ def jaro_winkler_pairs(
              "jw": pd.Series(dtype=np.float64),
              "n_pairs": pd.Series(dtype=np.int64)}
         )
-    out["jw"] = np.round(out["jw"].to_numpy(np.float64), 6)
+    # half-up at 6dp (jw >= 0), matching DuckDB ROUND and the repo's
+    # pinned trunc(x*1e6 + 0.5) convention — not np.round's half-even
+    out["jw"] = np.trunc(out["jw"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
     out["n_pairs"] = (out["n"].astype(np.int64) * out["n_r"].astype(np.int64))
     return out.sort_values(["val_a", "val_b"]).reset_index(drop=True)[
         ["val_a", "val_b", "jw", "n_pairs"]
@@ -956,8 +964,8 @@ def entity_resolution(
     vocabulary does) plus one grouped count for per-name row counts;
     the closure runs driver-side over the MATCHED-PAIR list, which is
     vocabulary-bounded by construction (the textrank/vocab rule) —
-    never over rows. Replayed in SQL by fixed-step lexicographic
-    min-label propagation.
+    never over rows. Replayed in SQL by a recursive reachability
+    fixpoint (exact for any component diameter).
     """
     from .agg import grouped_agg
 

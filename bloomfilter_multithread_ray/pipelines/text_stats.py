@@ -462,8 +462,13 @@ def top_pmi_bigrams(
             val = np.log(c12 * M * M / (N * c1 * c2)).round(round_dp)
         else:  # Dunning log-likelihood ratio G^2 (2x2, N-bigram universe)
             def term(O, E):
+                # guard E <= 0 as well as O <= 0: a unigram marginal
+                # can exceed the bigram universe (c2 > N with a
+                # dominant token plus many 1-token docs), making
+                # E = c1*(N-c2)/N negative; both engine and oracle
+                # contribute exactly 0 for that degenerate cell
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    return np.where(O > 0, O * np.log(O / E), 0.0)
+                    return np.where((O > 0) & (E > 0), O * np.log(O / E), 0.0)
             g2 = 2.0 * (
                 term(c12, c1 * c2 / N)
                 + term(c1 - c12, c1 * (N - c2) / N)

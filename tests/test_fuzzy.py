@@ -485,3 +485,28 @@ def test_entity_resolution_no_matches(ray_session):
     out = entity_resolution(rd.from_pandas(df), "p_name", tau=0.95)
     assert out.empty
     assert list(out.columns) == ["entity", "n_names", "n_parts"]
+
+
+def test_jw_blocking_boundary_pair_at_tau(ray_session):
+    """A pair whose JW equals tau EXACTLY must survive blocking.
+
+    JW('abcd','abcdefghij') = 0.88 on the nose (J = 0.8, 4-char
+    prefix boost). The float-computed alpha = 5*(tau-0.8) lands at
+    0.4 + 2e-17 for tau=0.88, so without the epsilon in the length
+    filter (alpha*max <= min) and o_req = ceil(alpha*L) the pair is
+    silently dropped even though the DuckDB oracle keeps it.
+    """
+    import duckdb
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.fuzzy import jaro_winkler_pairs
+
+    a, b = "abcd", "abcdefghij"
+    dk = duckdb.sql(
+        f"SELECT jaro_winkler_similarity('{a}', '{b}') >= 0.88"
+    ).fetchone()[0]
+    assert dk  # the oracle admits the pair
+    df = pd.DataFrame({"p_name": [a, b, "zzzz"]})
+    out = jaro_winkler_pairs(rd.from_pandas(df), "p_name", tau=0.88)
+    assert list(out[["val_a", "val_b"]].itertuples(index=False)) == [(a, b)]
+    assert out["jw"].iloc[0] == 0.88
