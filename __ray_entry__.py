@@ -2882,10 +2882,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return FPP(sf_dir, min_support=2, topk=20)
 
     def frequent_part_triples(sf_dir):
-        # 3-itemset mining on the same single order-keyed shuffle as
-        # the pair pass (per-basket C(w,3) fan-out bounded by the
-        # refuse-on-cap basket cap; SON local-threshold pruning is the
-        # documented upgrade path once min_support scales)
+        # 3-itemset mining via the candidate-pruned two-phase plan
+        # (default method="apriori"): exact item pass -> filtered pair
+        # pass -> A-Priori C3 candidates -> one exact containment-count
+        # pass. No stage enumerates C(width,3), so wide baskets
+        # complete instead of refusing; the textbook SON variant
+        # (local mining at floor(s*n_p/n), union, exact recount) is
+        # method="son" with identical output
         from bloomfilter_multithread_ray.pipelines.itemsets import (
             frequent_triples as FT,
         )

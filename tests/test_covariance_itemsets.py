@@ -231,3 +231,116 @@ def test_frequent_triples_planted_and_invariance(ray_session, tmp_path):
     assert len(got) == 1
     inv = frequent_triples(str(d), min_support=2, topk=10, num_partitions=7)
     pd.testing.assert_frame_equal(got, inv)
+
+
+def _write_baskets(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+         "l_partkey": pa.array([r[1] for r in rows], pa.int64())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir(parents=True, exist_ok=True)
+    pq.write_table(t, d / "lineitem.parquet")
+    return str(d)
+
+
+def test_two_phase_completes_on_basket_wider_than_cap(ray_session, tmp_path):
+    """The round-4 refusal case: a basket wider than max_basket=64.
+
+    The direct path refuses (cubic fan-out honesty rule); the
+    candidate-pruned apriori (now the triples DEFAULT) and son paths
+    complete with the exact uncapped answer — the wide basket's
+    rare items are pruned before any enumeration.
+    """
+    import pytest as _pytest
+
+    from bloomfilter_multithread_ray.pipelines.itemsets import (
+        frequent_part_pairs, frequent_triples, part_association_rules,
+    )
+
+    # one 200-wide basket of singleton items + planted frequent sets
+    rows = [(99, 100000 + i) for i in range(200)]
+    rows += [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 30),
+             (3, 10), (3, 20), (3, 40)]
+    d = _write_baskets(tmp_path, rows)
+    with _pytest.raises(Exception, match="max_basket"):
+        frequent_triples(d, min_support=2, topk=10, method="direct")
+    got = frequent_triples(d, min_support=2, topk=10)  # default apriori
+    assert got.values.tolist() == [[10, 20, 30, 2]]
+    son = frequent_triples(d, min_support=2, topk=10, method="son")
+    pd.testing.assert_frame_equal(got, son)
+    # pairs + rules candidate-pruned paths on the same wide fixture
+    p = frequent_part_pairs(d, min_support=2, topk=10, method="apriori")
+    assert p.iloc[0].tolist() == [10, 20, 3]
+    ps = frequent_part_pairs(d, min_support=2, topk=10, method="son")
+    pd.testing.assert_frame_equal(p, ps)
+    r = part_association_rules(d, min_support=2, min_conf=0.25,
+                               method="apriori")
+    assert not r.empty
+    # rules exact vs the capped-out direct path on a narrow fixture
+    rows2 = [r_ for r_ in rows if r_[0] != 99]
+    d2 = _write_baskets(tmp_path / "narrow", rows2)
+    ra = part_association_rules(d2, min_support=2, min_conf=0.25,
+                                method="apriori")
+    rd = part_association_rules(d2, min_support=2, min_conf=0.25,
+                                method="direct")
+    pd.testing.assert_frame_equal(ra, rd)
+
+
+def test_son_local_threshold_above_one(ray_session, tmp_path):
+    """SON with t_p > 1: few partitions so floor(s*n_p/n) >= 2 —
+    locally infrequent itemsets really are pruned in phase 1, and the
+    exact phase-2 recount still matches the direct pass."""
+    from bloomfilter_multithread_ray.pipelines.itemsets import (
+        frequent_part_pairs, frequent_triples,
+    )
+
+    # 12 baskets: {1,2,3} x5, {1,2,4} x3, {5,6,7} x2, fillers
+    rows = []
+    o = 0
+    for _ in range(5):
+        o += 1
+        rows += [(o, 1), (o, 2), (o, 3)]
+    for _ in range(3):
+        o += 1
+        rows += [(o, 1), (o, 2), (o, 4)]
+    for _ in range(2):
+        o += 1
+        rows += [(o, 5), (o, 6), (o, 7)]
+    rows += [(o + 1, 8), (o + 2, 9)]
+    d = _write_baskets(tmp_path, rows)
+    for np_ in (1, 2):  # with s=4, n=12: t_p = floor(4*n_p/12) >= 2
+        s = frequent_triples(d, min_support=4, topk=10, method="son",
+                             num_partitions=np_)
+        dd = frequent_triples(d, min_support=4, topk=10, method="direct",
+                              num_partitions=np_)
+        pd.testing.assert_frame_equal(s, dd)
+        sp = frequent_part_pairs(d, min_support=4, topk=10, method="son",
+                                 num_partitions=np_)
+        dp = frequent_part_pairs(d, min_support=4, topk=10, method="direct",
+                                 num_partitions=np_)
+        pd.testing.assert_frame_equal(sp, dp)
+    assert s.values.tolist() == [[1, 2, 3, 5]]
+
+
+def test_triples_method_equivalence_and_partition_invariance(
+    ray_session, tmp_path
+):
+    """All three methods agree on a random basket corpus, at several
+    partition counts (SON's t_p varies with P; output must not)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for o in range(1, 61):
+        for p in rng.choice(30, size=rng.integers(1, 8), replace=False):
+            rows.append((o, int(p)))
+    d = _write_baskets(tmp_path, rows)
+    from bloomfilter_multithread_ray.pipelines.itemsets import frequent_triples
+
+    ref = frequent_triples(d, min_support=3, topk=50, method="direct")
+    for method in ("apriori", "son"):
+        for np_ in (3, 16):
+            got = frequent_triples(d, min_support=3, topk=50, method=method,
+                                   num_partitions=np_)
+            pd.testing.assert_frame_equal(got, ref)
