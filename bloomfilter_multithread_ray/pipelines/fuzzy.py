@@ -944,12 +944,73 @@ def jaro_winkler_pairs(
     ]
 
 
+def _closure_labels(
+    pairs: pd.DataFrame,
+    *,
+    closure: str = "auto",
+    distributed_above: int = 200_000,
+    cc_local_cutoff: int = 2_000_000,
+) -> pd.DataFrame:
+    """Transitive closure of a (val_a, val_b) string pair list →
+    {val, entity} (entity = lexicographically smallest member) for
+    every value appearing in a pair.
+
+    ``closure="driver"`` is the small-side fast path (Python
+    union-find — fine while the matched-pair list is vocabulary-small);
+    ``"distributed"`` maps the pair vocabulary to dense sorted int ids
+    and routes through :func:`graph.connected_components` (min-ID
+    component label == lexicographic-min name under the sorted-rank
+    mapping), which itself escalates from a single vectorized kernel
+    to alternating star-contraction rounds; ``"auto"`` switches to the
+    distributed path above ``distributed_above`` pairs — the dup-heavy
+    100-TB names-column regime where "vocabulary-bounded" stops being
+    a small-side guarantee.
+    """
+    if closure == "auto":
+        closure = "distributed" if len(pairs) > distributed_above else "driver"
+    if closure == "driver":
+        parent: dict = {}
+
+        def find(x: str) -> str:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in pairs[["val_a", "val_b"]].itertuples(index=False):
+            ra, rb = find(a), find(b)
+            if ra != rb:  # lexicographic min as the canonical root
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        vals = pd.unique(pairs[["val_a", "val_b"]].to_numpy().ravel())
+        return pd.DataFrame({"val": vals, "entity": [find(v) for v in vals]})
+    if closure != "distributed":
+        raise ValueError(f"unknown closure {closure!r}")
+    import ray.data as rd
+
+    from .graph import connected_components
+
+    vocab = np.unique(pairs[["val_a", "val_b"]].to_numpy().ravel())
+    idx = pd.Series(np.arange(len(vocab), dtype=np.int64), index=vocab)
+    id_pairs = rd.from_arrow(pa.table(
+        {"doc_a": pa.array(idx[pairs["val_a"]].to_numpy(np.int64)),
+         "doc_b": pa.array(idx[pairs["val_b"]].to_numpy(np.int64))}
+    ))
+    comp = connected_components(
+        id_pairs, local_cutoff=cc_local_cutoff
+    ).to_pandas()
+    return pd.DataFrame({"val": vocab[comp["node"].to_numpy(np.int64)],
+                         "entity": vocab[comp["comp"].to_numpy(np.int64)]})
+
+
 def entity_resolution(
     ds,
     str_col: str,
     *,
     tau: float = 0.88,
     num_partitions: int = 32,
+    closure: str = "auto",
+    cc_local_cutoff: int = 2_000_000,
 ) -> pd.DataFrame:
     """Name-based entity resolution → {entity, n_names, n_parts}: all
     DISTINCT values whose Jaro-Winkler similarity reaches ``tau`` link
@@ -962,10 +1023,13 @@ def entity_resolution(
     :func:`jaro_winkler_pairs` (exact sub-quadratic AllPairs
     char-prefix blocking — the corpus never shuffles, only the
     vocabulary does) plus one grouped count for per-name row counts;
-    the closure runs driver-side over the MATCHED-PAIR list, which is
-    vocabulary-bounded by construction (the textrank/vocab rule) —
-    never over rows. Replayed in SQL by a recursive reachability
-    fixpoint (exact for any component diameter).
+    the closure over the MATCHED-PAIR list (vocabulary-bounded by
+    construction, never rows) runs through :func:`_closure_labels` —
+    driver union-find on the small side, distributed
+    connected-components star contraction above 200k pairs (the
+    dup-heavy regime where the matched-pair list is exactly what
+    grows). Replayed in SQL by a recursive reachability fixpoint
+    (exact for any component diameter).
     """
     from .agg import grouped_agg
 
@@ -991,24 +1055,12 @@ def entity_resolution(
     if pairs.empty or counts.empty:
         return empty
 
-    # union-find over the vocabulary-bounded matched-pair list
-    parent: dict = {}
-
-    def find(x: str) -> str:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in pairs[["val_a", "val_b"]].itertuples(index=False):
-        ra, rb = find(a), find(b)
-        if ra != rb:  # lexicographic min as the canonical root
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    # find() is identity for names the closure never touched; they
-    # stay singletons and drop under the n_names >= 2 filter
-    counts["entity"] = [find(v) for v in counts["val"]]
+    lab = _closure_labels(pairs, closure=closure,
+                          cc_local_cutoff=cc_local_cutoff)
+    ent = dict(zip(lab["val"], lab["entity"]))
+    # names the closure never touched stay singletons and drop under
+    # the n_names >= 2 filter
+    counts["entity"] = [ent.get(v, v) for v in counts["val"]]
     out = counts.groupby("entity").agg(
         n_names=("val", "count"), n_parts=("n", "sum")).reset_index()
     out = out[out["n_names"] >= 2].astype(
