@@ -3295,6 +3295,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             m=4, ks=16, iters=4, nq=3, topk=5,
         )
 
+    def ann_recall_eval(sf_dir):
+        # recall@5 of the three ANN paths against their exact anchors,
+        # at the benched parameters: LSH (8-bit hyperplane, Hamming-1
+        # multiprobe) and IVF (16 centroids, nprobe=4, distributed
+        # bottom-k-hash sample) vs the distributed brute-force cosine
+        # top-5 on the 10-query set; PQ (m=4, ks=16 ADC) vs exact
+        # quantized-L2 top-5 on its 3-query set. The 100-TB user's
+        # first ANN question (recall vs cost) answered as a first-class
+        # driver query; pinned-snapshot oracle from the from-spec
+        # reimplementation (tests/independent_pipelines.py)
+        import pandas as pd
+
+        from bloomfilter_multithread_ray.pipelines.similarity import (
+            exact_l2_topk, pq_ann, recall_at_k,
+        )
+
+        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        qids, Q = S.load_query_matrix(sf_dir, 10)
+        truth_cos = S.ann_topk_exact(emb, qids, Q, k=5)
+        _sids, SV = S.sample_embedding_matrix(emb, n=256, seed=17)
+        C = S.train_ivf_centroids(SV, n_clusters=16)
+        ivf = S.ann_ivf(emb, qids, Q, C, k=5, nprobe=4)
+        lsh = S.ann_lsh(emb, qids, Q, k=5)
+        pq = pq_ann(emb, m=4, ks=16, iters=4, nq=3, topk=5)
+        truth_l2 = exact_l2_topk(emb, nq=3, topk=5)
+        out = pd.concat(
+            [recall_at_k(ivf, truth_cos, method="ivf", k=5),
+             recall_at_k(lsh, truth_cos, method="lsh", k=5),
+             recall_at_k(pq, truth_l2, method="pq", k=5)],
+            ignore_index=True,
+        )
+        return out.sort_values("method").reset_index(drop=True)
+
     def doc_graph_hyperball(sf_dir):
         # HyperBall (Boldi-Rosa-Vigna) neighborhood function over the
         # exact 3-gram-Jaccard >= 0.3 dup graph: per-radius t the
@@ -3640,6 +3673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_cdf": events_value_cdf,
         "events_value_mad": events_value_mad,
         "ann_pq": ann_pq,
+        "ann_recall_eval": ann_recall_eval,
         "media_phash_dups": media_phash_dups,
         "readability_by_source": readability_by_source,
         "doc_graph_lpa": doc_graph_lpa,
@@ -7091,6 +7125,8 @@ def oracle_sql() -> dict[str, str]:
          "theoretical_bound, fpr_within_bound",
          "'2e3eefca196f910e440b4c845d209b7e'"),
         ("ann_pq", "qid, vec_id, dist_q, rank", _EMB_KEY),
+        ("ann_recall_eval", "method, k, n_queries, hits, total, recall",
+         _EMB_KEY),
         ("kcenter_coreset", "rank, vec_id, dist_q", _EMB_KEY),
         ("doc_graph_hyperball", "t, nf, coverage", _DOCS_SRC_KEY),
         ("doc_walk_corpus", "node, walk, step, visit", _DOCS_SRC_KEY),

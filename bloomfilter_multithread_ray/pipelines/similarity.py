@@ -1736,3 +1736,116 @@ def kcenter_select(
     for c in df.columns:
         df[c] = df[c].astype(np.int64)
     return df
+
+
+# ----------------------------------------------------- ANN quality eval
+def exact_l2_topk(
+    emb: "Dataset",
+    *,
+    nq: int = 3,
+    topk: int = 5,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact squared-L2 top-``topk`` neighbours of the first ``nq``
+    vec_ids over the 1e-6-QUANTIZED vectors (the same integer metric
+    space :func:`pq_ann` codes live in) → {qid, vec_id, d2}, query row
+    excluded, ties by (d2, vec_id).
+
+    Scale shape: two passes — a map-only query-row collection (nq
+    rows to the driver), then a map-only per-block partial top-k
+    against the broadcast query matrix (≤ nq·topk int64 rows per
+    block), merged on the driver. Never an all-pairs product; integer
+    d2 is exact (|Δ| ≤ 2e6, d2 ≤ dim·4e12 ≪ 2^63), so the result is
+    partition-invariant by construction — the ground-truth anchor the
+    ANN recall evaluation ranks against.
+    """
+    import ray
+
+    NQ, TK = int(nq), int(topk)
+
+    def q6(x: np.ndarray) -> np.ndarray:
+        return np.trunc(x * 1e6 + np.copysign(0.5, x)).astype(np.int64)
+
+    def query_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(ids < NQ)
+        Q = q6(_emb_matrix(t, col).astype(np.float64))
+        return pa.table(
+            {"vid": pa.array(ids[sel]),
+             "v": pa.array(list(Q[sel]), pa.list_(pa.int64()))}
+        )
+
+    qdf = emb.map_batches(
+        query_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sort_values("vid")
+    qids = qdf["vid"].to_numpy(np.int64)
+    Qm = (np.stack(qdf["v"].to_numpy()) if len(qdf)
+          else np.zeros((0, 0), np.int64))
+    qref = ray.put((qids, Qm))
+
+    empty = pa.table({"qid": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "d2": pa.array([], pa.int64())})
+
+    class BlockTopK:
+        def __init__(self):
+            self.qids, self.Q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or len(self.qids) == 0:
+                return empty
+            ids = t.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            X = q6(_emb_matrix(t, col).astype(np.float64))
+            out_q, out_v, out_d = [], [], []
+            for j in range(len(self.qids)):
+                diff = X - self.Q[j][None, :]
+                d2 = (diff * diff).sum(axis=1)
+                mask = ids != self.qids[j]
+                ci, cd = ids[mask], d2[mask]
+                kk = min(TK, len(ci))
+                if kk == 0:
+                    continue
+                order = np.lexsort((ci, cd))[:kk]
+                out_q.append(np.full(kk, self.qids[j], np.int64))
+                out_v.append(ci[order])
+                out_d.append(cd[order])
+            if not out_q:
+                return empty
+            return pa.table(
+                {"qid": pa.array(np.concatenate(out_q)),
+                 "vec_id": pa.array(np.concatenate(out_v)),
+                 "d2": pa.array(np.concatenate(out_d))}
+            )
+
+    partials = emb.map_batches(
+        BlockTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"qid": pd.Series(dtype=np.int64),
+                             "vec_id": pd.Series(dtype=np.int64),
+                             "d2": pd.Series(dtype=np.int64)})
+    out = (
+        partials.sort_values(["qid", "d2", "vec_id"])
+        .groupby("qid", sort=True).head(TK).reset_index(drop=True)
+    )
+    return out.astype(np.int64)
+
+
+def recall_at_k(
+    result: pd.DataFrame, truth: pd.DataFrame, *, method: str, k: int
+) -> pd.DataFrame:
+    """One evaluation row {method, k, n_queries, hits, total, recall}:
+    hits = |result ∩ truth| on (qid, vec_id), total = |truth| (=
+    n_queries·k when every query has k true neighbours), recall
+    quantized 1e-6 half-up from the single division."""
+    hits = len(result[["qid", "vec_id"]].merge(truth[["qid", "vec_id"]]))
+    total = len(truth)
+    rec = float(np.trunc((hits / total if total else 0.0) * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {"method": [method], "k": np.int64(k),
+         "n_queries": np.int64(truth["qid"].nunique()),
+         "hits": np.int64(hits), "total": np.int64(total),
+         "recall": [rec]}
+    )

@@ -735,6 +735,77 @@ def indep_ann_pq(vids: np.ndarray, V32: np.ndarray, m: int = 4, ks: int = 16,
     return pd.DataFrame(rows, columns=["qid", "vec_id", "dist_q", "rank"])
 
 
+def indep_exact_cos_topk(ids: np.ndarray, V32: np.ndarray, k: int = 5,
+                         nq: int = 10) -> pd.DataFrame:
+    """Brute-force rounded-cosine top-k (self excluded, ties by
+    vec_id) — the exact anchor the LSH/IVF recall is measured against;
+    mirrors similarity.ann_topk_exact's ranking rules."""
+    qmask = ids < nq
+    qids = ids[qmask]
+    qorder = np.argsort(qids)
+    qids = qids[qorder]
+    Q = normalize(V32[qmask][qorder])
+    Vn = normalize(V32)
+    rows = []
+    for j in range(len(qids)):
+        c = np.round(Vn @ Q[j], 6)
+        mask = ids != qids[j]
+        ci, cc = ids[mask], c[mask]
+        order = np.lexsort((ci, -cc))[: min(k, len(ci))]
+        rows.append(pd.DataFrame(
+            {"qid": np.full(len(order), qids[j], dtype=np.int64),
+             "vec_id": ci[order], "cosine": cc[order]}
+        ))
+    return _topk_frame(rows)
+
+
+def indep_exact_l2_topk(ids: np.ndarray, V32: np.ndarray, nq: int = 3,
+                        topk: int = 5) -> pd.DataFrame:
+    """Exact squared-L2 top-k on the 1e-6-quantized vectors (the PQ
+    metric space), self excluded, ties by (d2, vec_id) — mirrors
+    similarity.exact_l2_topk."""
+    ids = np.asarray(ids, dtype=np.int64)
+    Qv = quant_1e6(V32)
+    qsel = np.flatnonzero(ids < nq)
+    qsel = qsel[np.argsort(ids[qsel])]
+    rows = []
+    for qi in qsel:
+        diff = Qv - Qv[qi][None, :]
+        d2 = (diff * diff).sum(axis=1)
+        mask = ids != ids[qi]
+        ci, cd = ids[mask], d2[mask]
+        order = np.lexsort((ci, cd))[: min(topk, len(ci))]
+        for i in order:
+            rows.append((int(ids[qi]), int(ci[i]), int(cd[i])))
+    return pd.DataFrame(rows, columns=["qid", "vec_id", "d2"])
+
+
+def indep_ann_recall_eval(vids: np.ndarray, V32: np.ndarray,
+                          k: int = 5) -> pd.DataFrame:
+    """recall@k of the three ANN paths against their exact anchors
+    (LSH/IVF vs brute-force cosine on the 10-query set; PQ vs exact
+    quantized L2 on its 3-query set) → one row per method, method asc.
+    Mirrors the engine's ann_recall_eval composition."""
+    truth_cos = indep_exact_cos_topk(vids, V32, k=k)
+    truth_l2 = indep_exact_l2_topk(vids, V32)
+    rows = []
+    for method, res, truth in (
+        ("ivf", indep_ann_ivf(vids, V32), truth_cos),
+        ("lsh", indep_ann_lsh(vids, V32), truth_cos),
+        ("pq", indep_ann_pq(vids, V32), truth_l2),
+    ):
+        hits = len(res[["qid", "vec_id"]].merge(truth[["qid", "vec_id"]]))
+        total = len(truth)
+        rec = float(np.trunc((hits / total if total else 0.0) * 1e6 + 0.5)
+                    / 1e6)
+        rows.append((method, k, int(truth["qid"].nunique()), hits, total,
+                     rec))
+    return pd.DataFrame(
+        rows, columns=["method", "k", "n_queries", "hits", "total", "recall"]
+    ).astype({"k": np.int64, "n_queries": np.int64, "hits": np.int64,
+              "total": np.int64})
+
+
 # ------------------------------------------ generator-input pipelines
 def gen_sequences(n_rows: int, seed: int, start_id: int = 0,
                   vocab: int = 50_000, zipf_s: float = 1.1):
@@ -1376,6 +1447,7 @@ def generate_pipeline_snapshots(
         add("embedding_fd_pca", emk, indep_embedding_fd_pca(V))
         add("ann_pq", emk, indep_ann_pq(vids, V))
         add("kcenter_coreset", emk, indep_kcenter(vids, V))
+        add("ann_recall_eval", emk, indep_ann_recall_eval(vids, V))
 
     # generator-input queries: one snapshot row set, keyed on the
     # regenerated input content

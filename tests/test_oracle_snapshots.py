@@ -185,6 +185,7 @@ def test_pipeline_queries_match_independent_impls(ray_session):
         "embedding_pca": P.indep_embedding_pca(V),
         "embedding_fd_pca": P.indep_embedding_fd_pca(V),
         "ann_pq": P.indep_ann_pq(vids, V),
+        "ann_recall_eval": P.indep_ann_recall_eval(vids, V),
         "bloom_fpr_check": P.indep_bloom_fpr_check(),
         "sketch_lineage": P.indep_sketch_lineage(),
         "multimodal_features": P.indep_multimodal_features(),
