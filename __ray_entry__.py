@@ -3328,6 +3328,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.sort_values("method").reset_index(drop=True)
 
+    def events_watermark_hopping(sf_dir):
+        # bounded-lateness event-time watermark over a hopping window:
+        # every event_id % 37 == 5 row is planted 3h stale (simulated
+        # out-of-order delivery, SQL-replayable); the watermark gate
+        # (arrival order = event_id, allowed lateness 2h, exact prefix
+        # identity -> one bucket-keyed shuffle, no global sort) drops
+        # late rows to a side channel that surfaces as window_us = -1
+        # marker rows; survivors aggregate into 2h windows hopping 1h
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+        from bloomfilter_multithread_ray.pipelines.analytics import (
+            hopping_window_agg_watermarked,
+        )
+
+        H = 3_600_000_000
+        ev = R.read(sf_dir, "events",
+                    ["event_id", "ts", "event_type", "value"])
+
+        def plant(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ts = (
+                t.column("ts").combine_chunks().cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+                .view(np.int64)
+            )
+            stale = np.where(eid % 37 == 5, 3 * H, 0)
+            v = np.rint(
+                t.column("value").to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)
+            return pa.table(
+                {"event_id": pa.array(eid), "ts_us": pa.array(ts - stale),
+                 "event_type": t.column("event_type"), "v_u6": pa.array(v)}
+            )
+
+        planted = ev.map_batches(plant, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        win, late = hopping_window_agg_watermarked(
+            planted,
+            {"n_events": ("count", None),
+             "value_sum_micros": ("sum", "v_u6")},
+            ts_col="ts_us", arrival_col="event_id", lateness_us=2 * H,
+            window_us=2 * H, hop_us=H, by=["event_type"],
+        )
+        wdf = win.to_pandas()
+        ldf = grouped_agg(
+            late.select_columns(["event_type", "v_u6"]),
+            "event_type",
+            {"n_events": ("count", None),
+             "value_sum_micros": ("sum", "v_u6")},
+            num_partitions=4,
+        ).to_pandas()
+        ldf.insert(0, "window_us", np.int64(-1))
+        out = pd.concat([wdf, ldf], ignore_index=True)
+        for c in ("window_us", "n_events", "value_sum_micros"):
+            out[c] = out[c].astype(np.int64)
+        return out.sort_values(["window_us", "event_type"]).reset_index(
+            drop=True)[["window_us", "event_type", "n_events",
+                        "value_sum_micros"]]
+
     def doc_graph_hyperball(sf_dir):
         # HyperBall (Boldi-Rosa-Vigna) neighborhood function over the
         # exact 3-gram-Jaccard >= 0.3 dup graph: per-radius t the
@@ -3674,6 +3737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": events_value_mad,
         "ann_pq": ann_pq,
         "ann_recall_eval": ann_recall_eval,
+        "events_watermark_hopping": events_watermark_hopping,
         "media_phash_dups": media_phash_dups,
         "readability_by_source": readability_by_source,
         "doc_graph_lpa": doc_graph_lpa,
@@ -4534,6 +4598,38 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d) "
             "SELECT event_type, CAST(MAX(run) AS BIGINT) AS peak FROM c "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        # bounded-lateness watermark gate + 2h/1h hopping window: the
+        # prefix-max identity is the SQL window frame (ROWS UNBOUNDED
+        # PRECEDING .. 1 PRECEDING over unique event_id arrivals);
+        # planted staleness (event_id % 37 = 5 -> -3h) mirrors the
+        # engine; late rows surface as window_us = -1 marker rows.
+        # floor(tsu/3.6e9) is exact for |tsu| <= 2^52 (0.5 ulp < 1us/H)
+        "events_watermark_hopping": (
+            "WITH base AS (SELECT event_id, event_type, "
+            "CAST(ROUND(value * 1e6) AS BIGINT) AS v_u6, "
+            "epoch_us(ts) - CASE WHEN event_id % 37 = 5 "
+            "THEN 10800000000 ELSE 0 END AS tsu FROM events), "
+            "w AS (SELECT *, MAX(tsu) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+            "FROM base), "
+            "f AS (SELECT *, (pm IS NOT NULL AND tsu < pm - 7200000000) "
+            "AS late FROM w), "
+            "ot AS (SELECT * FROM f WHERE NOT late), "
+            "exp AS (SELECT CAST(floor(tsu / 3600000000.0) AS BIGINT) "
+            "* 3600000000 AS window_us, event_type, v_u6 FROM ot "
+            "UNION ALL SELECT CAST(floor(tsu / 3600000000.0) AS BIGINT) "
+            "* 3600000000 - 3600000000, event_type, v_u6 FROM ot), "
+            "agg AS (SELECT window_us, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(v_u6) AS BIGINT) AS value_sum_micros "
+            "FROM exp GROUP BY 1, 2), "
+            "lt AS (SELECT CAST(-1 AS BIGINT) AS window_us, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(v_u6) AS BIGINT) AS value_sum_micros "
+            "FROM f WHERE late GROUP BY event_type) "
+            "SELECT * FROM agg UNION ALL SELECT * FROM lt "
+            "ORDER BY window_us, event_type"
         ),
         # one-pass CUBE; micros-exact sums, GROUPING() bitmask ids
         "events_cube": (

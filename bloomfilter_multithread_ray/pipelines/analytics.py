@@ -1534,6 +1534,164 @@ def hopping_window_agg(
     )
 
 
+# ------------------------------------------------- event-time watermark
+def with_watermark(
+    ds: "Dataset",
+    *,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    lateness_us: int,
+    num_partitions: int = 32,
+    n_buckets: int = 64,
+) -> tuple["Dataset", "Dataset"]:
+    """Bounded-lateness event-time watermark gate → ``(on_time, late)``
+    — the streaming late-data semantics this engine's windows lacked.
+
+    The streaming rule, replayed batch-exactly via the prefix
+    identity (same trick as the CUSUM operator): processing rows in
+    ``arrival_col`` order, the watermark after arrival *a* is
+    ``max(event time over arrivals < a) − lateness_us``; a row is LATE
+    (dropped to the side-channel dataset, which carries the
+    ``watermark_us`` it lost to) iff its event time is below the
+    watermark at its own arrival. Arrival values must be unique — the
+    identity (and its SQL window-frame replay) is order-free only
+    with a total arrival order.
+
+    Scale shape: NO global sort. Pass 0 folds (min, max) arrival;
+    arrivals map to ``n_buckets`` equal-width ranges. Pass 1 is a
+    skinny grouped max (per-bucket event-time maxima → driver
+    exclusive scan, O(n_buckets)). Pass 2 is the ONE real shuffle:
+    bucket-keyed, each bucket sorts locally by arrival and combines
+    its running exclusive max with the broadcast bucket-prefix offset.
+    Both outputs stream from one materialized flagged dataset.
+
+    Reference analog: the bounded-FIFO honesty rule (src/main.cpp:74)
+    applied to TIME — data that would silently corrupt a closed
+    window is surfaced on a side channel, never dropped quietly.
+    """
+    from .agg import grouped_agg
+
+    LAT = int(lateness_us)
+    B = int(n_buckets)
+    NEG = np.iinfo(np.int64).min
+
+    def _ts_i64(col) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.datetime64):
+            return v.astype("datetime64[us]").view(np.int64)
+        return v.astype(np.int64)
+
+    # pass 0: arrival range
+    def minmax(t: pa.Table) -> pa.Table:
+        a = t.column(arrival_col).to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        a = a.astype(np.int64)
+        return pa.table({"lo": pa.array([int(a.min())]),
+                         "hi": pa.array([int(a.max())])})
+
+    parts = ds.select_columns([arrival_col]).map_batches(
+        minmax, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if parts.empty:
+        e = ds.materialize()
+        return e, e.filter(lambda _: False)
+    amin, amax = int(parts["lo"].min()), int(parts["hi"].max())
+    width = max(1, -(-(amax - amin + 1) // B))
+
+    # pass 1: per-bucket event-time maxima (skinny partial shuffle)
+    def bmax(t: pa.Table) -> pa.Table:
+        a = t.column(arrival_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_i64(t.column(ts_col))
+        bk = (a - amin) // width
+        df = pd.DataFrame({"b": bk, "m": ts}).groupby("b", sort=False)["m"].max()
+        return pa.table({"b": pa.array(df.index.to_numpy(np.int64)),
+                         "m": pa.array(df.to_numpy(np.int64))})
+
+    bm = grouped_agg(
+        ds.select_columns([arrival_col, ts_col]).map_batches(
+            bmax, batch_format="pyarrow", zero_copy_batch=True),
+        "b", {"m": ("max", "m")}, num_partitions=8,
+    ).to_pandas()
+    maxes = np.full(B, NEG, np.int64)
+    maxes[bm["b"].to_numpy(np.int64)] = bm["m"].to_numpy(np.int64)
+    # exclusive scan: prefix[b] = max event time over buckets < b
+    prefix = np.full(B, NEG, np.int64)
+    np.maximum.accumulate(maxes[:-1], out=prefix[1:])
+
+    # pass 2: the one bucket-keyed shuffle; in-bucket prefix identity
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column(arrival_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__wm_bucket", pa.array(((a - amin) // width).astype(np.int64)))
+
+    def flag(g: pa.Table) -> pa.Table:
+        a = g.column(arrival_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(a, kind="stable")
+        g = g.take(pa.array(order))
+        ts = _ts_i64(g.column(ts_col))
+        b = int(g.column("__wm_bucket")[0].as_py())
+        run = np.empty(len(ts), np.int64)
+        run[0] = prefix[b]
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=run[1:])
+            np.maximum(run[1:], prefix[b], out=run[1:])
+        # NEG sentinel = empty prefix -> watermark undefined -> on time
+        wm = np.where(run == NEG, NEG, run - LAT)
+        late = (run != NEG) & (ts < wm)
+        g = g.drop_columns(["__wm_bucket"])
+        return g.append_column("__wm_late", pa.array(late)).append_column(
+            "watermark_us", pa.array(wm))
+
+    flagged = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__wm_bucket")
+        .map_groups(flag, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def split(want: bool, drop_wm: bool):
+        def f(t: pa.Table) -> pa.Table:
+            keep = t.column("__wm_late").to_numpy(zero_copy_only=False)
+            out = t.filter(pa.array(keep == want)).drop_columns(["__wm_late"])
+            return out.drop_columns(["watermark_us"]) if drop_wm else out
+        return f
+
+    on_time = flagged.map_batches(split(False, True), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    late = flagged.map_batches(split(True, False), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return on_time, late
+
+
+def hopping_window_agg_watermarked(
+    ds: "Dataset",
+    aggs: dict,
+    *,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    lateness_us: int,
+    window_us: int,
+    hop_us: int,
+    by: list[str] | None = None,
+    num_partitions: int = 32,
+) -> tuple["Dataset", "Dataset"]:
+    """:func:`hopping_window_agg` behind a :func:`with_watermark` gate:
+    returns ``(window_agg, late)`` — the aggregate sees only rows that
+    arrived before their window's watermark closed it; late rows
+    surface on the side channel with the watermark they lost to."""
+    on_time, late = with_watermark(
+        ds, ts_col=ts_col, arrival_col=arrival_col,
+        lateness_us=lateness_us, num_partitions=num_partitions,
+    )
+    out = hopping_window_agg(
+        on_time, aggs, ts_col=ts_col, window_us=window_us, hop_us=hop_us,
+        by=by, num_partitions=num_partitions,
+    )
+    return out, late
+
+
 # ---------------------------------------------- partitioned window functions
 _WINDOW_KINDS = (
     "row_number", "rank", "dense_rank", "lag", "lead", "cumsum", "cummax",

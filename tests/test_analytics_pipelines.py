@@ -1252,3 +1252,104 @@ def test_weighted_sample_by_group_deterministic_and_proportional(ray_session):
         hc += len(got & set(heavy))
         lc += len(got & set(light))
     assert hc > 3 * max(lc, 1)
+
+
+# ------------------------------------------------- event-time watermark
+def test_with_watermark_planted_lateness(ray_session):
+    """Exact streaming replay: watermark at arrival i = max(ts over
+    arrivals < i) - lateness; the planted out-of-order rows land in
+    the side channel, everything else stays on time, and the split is
+    invariant to input partitioning."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import with_watermark
+
+    # arrivals 0..9; ts in hours: monotone except planted stale rows
+    hrs = [0, 1, 2, 3, 1, 5, 6, 2, 8, 9]  # idx 4 (1 < 3-L?) and 7 (2 < 6-L?)
+    H = 3_600_000_000
+    df = pd.DataFrame(
+        {"event_id": np.arange(10, dtype=np.int64),
+         "ts": np.array([h * H for h in hrs], np.int64),
+         "v": np.arange(10, dtype=np.int64)}
+    )
+    for lat_h, want_late in ((1, {4, 7}), (2, {7}), (4, set())):
+        for blocks in (1, 3, 7):
+            ds = rd.from_pandas(df).repartition(blocks)
+            on_time, late = with_watermark(
+                ds, ts_col="ts", arrival_col="event_id",
+                lateness_us=lat_h * H, n_buckets=4,
+            )
+            lt = late.to_pandas()
+            ot = on_time.to_pandas()
+            # Ray drops the schema of all-empty datasets (known
+            # gotcha): an empty late frame has no columns to index
+            got_late = set(lt["event_id"]) if len(lt) else set()
+            assert got_late == want_late, (lat_h, blocks)
+            assert set(ot["event_id"]) == set(range(10)) - want_late
+            # side channel carries the watermark each row lost to
+            for _, r in lt.iterrows():
+                prev_max = max(h for i, h in enumerate(hrs)
+                               if i < r["event_id"]) * H
+                assert r["watermark_us"] == prev_max - lat_h * H
+                assert r["ts"] < r["watermark_us"]
+
+
+def test_with_watermark_first_row_never_late(ray_session):
+    """Empty prefix -> watermark undefined -> on time, even for an
+    ancient timestamp in arrival position 0 (the epoch-outlier case)."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import with_watermark
+
+    df = pd.DataFrame(
+        {"event_id": np.array([10, 11, 12], np.int64),
+         "ts": np.array([5, 1_000_000_000_000, 1_000_000_000_001], np.int64)}
+    )
+    on_time, late = with_watermark(
+        ds=rd.from_pandas(df), ts_col="ts", arrival_col="event_id",
+        lateness_us=10,
+    )
+    assert set(on_time.to_pandas()["event_id"]) == {10, 11, 12}
+    assert len(late.to_pandas()) == 0
+
+
+def test_hopping_window_agg_watermarked_matches_manual(ray_session):
+    """The gated hopping aggregate == hopping over the manually
+    filtered on-time rows; late rows never contaminate any window."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import (
+        hopping_window_agg, hopping_window_agg_watermarked,
+    )
+
+    H = 100
+    rng = np.random.default_rng(2)
+    n = 400
+    ts = np.sort(rng.integers(0, 40 * H, size=n))
+    # plant staleness on ~10% of arrivals
+    stale = rng.random(n) < 0.1
+    ts = ts - stale * (3 * H)
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "ts": ts.astype(np.int64), "v": rng.integers(0, 100, n)}
+    )
+    win, late = hopping_window_agg_watermarked(
+        rd.from_pandas(df).repartition(5),
+        {"n": ("count", None), "sv": ("sum", "v")},
+        ts_col="ts", arrival_col="event_id", lateness_us=2 * H,
+        window_us=2 * H, hop_us=H,
+    )
+    got = win.to_pandas().sort_values("window_us").reset_index(drop=True)
+    # manual gate on the prefix identity
+    pm = np.concatenate([[np.iinfo(np.int64).min],
+                         np.maximum.accumulate(df["ts"].to_numpy())[:-1]])
+    is_late = (pm != np.iinfo(np.int64).min) & (df["ts"].to_numpy() < pm - 2 * H)
+    manual = hopping_window_agg(
+        rd.from_pandas(df[~is_late]),
+        {"n": ("count", None), "sv": ("sum", "v")},
+        ts_col="ts", window_us=2 * H, hop_us=H,
+    ).to_pandas().sort_values("window_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, manual)
+    assert set(late.to_pandas()["event_id"]) == set(
+        df["event_id"].to_numpy()[is_late])
+    assert is_late.sum() > 5  # the fixture really plants late rows
