@@ -360,6 +360,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "part_association_rules",
         "frequent_part_triples",
         "top_g2_bigrams",
+        # round 5
+        "ann_recall_eval",
+        "events_watermark_hopping",
     ]
     times: dict[str, float] = {}
     for name in names:
@@ -939,27 +942,39 @@ def main() -> None:
         }
         # The bench recorder keeps only the last ~2000 chars of stdout and
         # parses the JSON line from that window, so the complete per-query
-        # dict is persisted to BENCH_FULL.json (round-over-round regressions
-        # stay machine-checkable) and the stdout line is slimmed — slowest
-        # queries first — until it fits the window.
+        # dict is persisted to TWO committed artifacts: BENCH_FULL.json
+        # (latest run, human-diffable indent) and BENCH_HISTORY.jsonl
+        # (append-only, one UTC-stamped compact record per run — any two
+        # rounds diff machine-checkably from the repo alone, which the
+        # truncated driver artifact cannot provide). The stdout line is
+        # slimmed — slowest queries first, compact separators — until it
+        # fits the window.
+        import datetime
+
         try:
             with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
                 json.dump(result, f, indent=1, sort_keys=True)
+            rec = dict(result)
+            rec["utc"] = datetime.datetime.now(
+                datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+            with open(os.path.join(REPO, "BENCH_HISTORY.jsonl"), "a") as f:
+                f.write(json.dumps(rec, sort_keys=True,
+                                   separators=(",", ":")) + "\n")
         except OSError as e:  # never lose the stdout contract to a disk error
-            sys.stderr.write(f"bench: could not write BENCH_FULL.json: {e}\n")
-        line = json.dumps(result)
+            sys.stderr.write(f"bench: could not write BENCH artifacts: {e}\n")
+        line = json.dumps(result, separators=(",", ":"))
         if len(line) > 1900:
             slim = dict(result)
             slim["queries_truncated"] = True
             slim["n_queries_total"] = len(queries)
-            slim["queries_full_file"] = "BENCH_FULL.json"
+            slim["queries_full_file"] = "BENCH_FULL.json + BENCH_HISTORY.jsonl"
             slim["queries"] = {}
             for k, v in sorted(queries.items(), key=lambda kv: -kv[1]):
                 slim["queries"][k] = v
-                if len(json.dumps(slim)) > 1900:
+                if len(json.dumps(slim, separators=(",", ":"))) > 1900:
                     del slim["queries"][k]
                     break
-            line = json.dumps(slim)
+            line = json.dumps(slim, separators=(",", ":"))
         print(line)
     finally:
         ray.shutdown()
