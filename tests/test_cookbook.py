@@ -50,7 +50,7 @@ def _blocks():
 
 def test_cookbook_blocks_execute(cookbook_fixtures, ray_session):
     blocks = _blocks()
-    assert len(blocks) == 19
+    assert len(blocks) == 20
     env: dict = {}
     for i, code in enumerate(blocks):
         # the first block's ray.init is owned by the session fixture
