@@ -1564,6 +1564,10 @@ def with_watermark(
     bucket-keyed, each bucket sorts locally by arrival and combines
     its running exclusive max with the broadcast bucket-prefix offset.
     Both outputs stream from one materialized flagged dataset.
+    Partitioning assumption: arrival values are roughly uniform over
+    their [min, max] range (true for sequence numbers / dense ids, the
+    intended arrival key); a pathologically clustered arrival space
+    concentrates buckets — raise ``n_buckets`` or densify ids first.
 
     Reference analog: the bounded-FIFO honesty rule (src/main.cpp:74)
     applied to TIME — data that would silently corrupt a closed

@@ -1057,10 +1057,10 @@ def entity_resolution(
 
     lab = _closure_labels(pairs, closure=closure,
                           cc_local_cutoff=cc_local_cutoff)
-    ent = dict(zip(lab["val"], lab["entity"]))
     # names the closure never touched stay singletons and drop under
     # the n_names >= 2 filter
-    counts["entity"] = [ent.get(v, v) for v in counts["val"]]
+    ent = pd.Series(lab["entity"].to_numpy(), index=lab["val"].to_numpy())
+    counts["entity"] = counts["val"].map(ent).fillna(counts["val"])
     out = counts.groupby("entity").agg(
         n_names=("val", "count"), n_parts=("n", "sum")).reset_index()
     out = out[out["n_names"] >= 2].astype(

@@ -147,34 +147,77 @@ def _items_pairs_pass(
         return pa.table({"a": pa.array(a), "b": pa.array(b),
                          "c": pa.array(c)})
 
-    sums = grouped_agg(
+    summed = grouped_agg(
         tagged.groupby("op").map_groups(fold, batch_format="pyarrow"),
         ["a", "b"], {"s": ("sum", "c")}, num_partitions=num_partitions,
+    ).materialize()
+
+    def keep_markers(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((a < 0) | (b < 0)))
+
+    def keep_pairs(threshold):
+        def f(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((a >= 0) & (b >= 0) & (s >= threshold)))
+        return f
+
+    markers = summed.map_batches(
+        keep_markers, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    items = sums[sums["b"] == -2][["a", "s"]].astype(np.int64)
-    N = int(sums[sums["a"] == -3]["s"].sum())
-    pair_sums = sums[(sums["a"] >= 0) & (sums["b"] >= 0)].astype(np.int64)
-    wide_o = sums[sums["a"] == -5]["b"].to_numpy(np.int64)
-    if len(wide_o):
-        l1 = np.sort(items[items["s"] >= S]["a"].to_numpy(np.int64))
+    if markers.empty:  # empty input; Ray drops all-empty schemas
+        e = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                          "b": pd.Series(dtype=np.int64),
+                          "s": pd.Series(dtype=np.int64)})
+        return e[["a", "s"]], e, 0
+    items = markers[markers["b"] == -2][["a", "s"]].astype(np.int64)
+    N = int(markers[markers["a"] == -3]["s"].sum())
+    wide_o = markers[markers["a"] == -5]["b"].to_numpy(np.int64)
+    if len(wide_o) == 0:
+        # the support filter runs BEFORE the driver: only >=S pairs
+        # materialize (sub-threshold pairs are the unbounded term at
+        # corpus scale); markers above are item-vocabulary-bounded
+        pair_sums = summed.map_batches(
+            keep_pairs(S), batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas().astype(np.int64)
+        return items, pair_sums.reset_index(drop=True), N
+    # wide baskets deferred: their filtered pair partials must merge
+    # with the narrow sums BEFORE any support filter (a pair can cross
+    # S only with both contributions), so re-group the two partial
+    # datasets distributed-side and filter there — never concatenate
+    # sub-threshold pairs on the driver
+    l1 = np.sort(items[items["s"] >= S]["a"].to_numpy(np.int64))
 
-        def keep_wide(t: pa.Table) -> pa.Table:
-            ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(np.isin(ok, wide_o)))
+    def keep_wide(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ok, wide_o)))
 
-        extra = grouped_agg(
-            tagged.map_batches(keep_wide, batch_format="pyarrow",
-                               zero_copy_batch=True)
-            .groupby("op")
-            .map_groups(_pair_fold_filtered(l1), batch_format="pyarrow"),
-            ["a", "b"], {"s": ("sum", "c")}, num_partitions=4,
-        ).to_pandas()
-        if not extra.empty:
-            pair_sums = (
-                pd.concat([pair_sums, extra.astype(np.int64)],
-                          ignore_index=True)
-                .groupby(["a", "b"], sort=False)["s"].sum().reset_index()
-            )
+    extra = (
+        tagged.map_batches(keep_wide, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("op")
+        .map_groups(_pair_fold_filtered(l1), batch_format="pyarrow")
+    )
+
+    def pairs_as_partials(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        keep = (a >= 0) & (b >= 0)
+        t = t.filter(pa.array(keep))
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "c": t.column("s")})
+
+    both = summed.map_batches(
+        pairs_as_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).union(extra)
+    pair_sums = grouped_agg(
+        both, ["a", "b"], {"s": ("sum", "c")}, num_partitions=8,
+    ).map_batches(
+        keep_pairs(S), batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().astype(np.int64)
     return items, pair_sums.reset_index(drop=True), N
 
 

@@ -344,3 +344,23 @@ def test_triples_method_equivalence_and_partition_invariance(
             got = frequent_triples(d, min_support=3, topk=50, method=method,
                                    num_partitions=np_)
             pd.testing.assert_frame_equal(got, ref)
+
+
+def test_two_phase_pair_crossing_threshold_via_wide_basket(
+    ray_session, tmp_path
+):
+    """A pair that reaches min_support only by COMBINING its
+    narrow-basket and wide-(deferred)-basket contributions must
+    survive — the distributed re-merge runs before any support
+    filter (regression for the deferred-merge ordering)."""
+    from bloomfilter_multithread_ray.pipelines.itemsets import (
+        _WIDE_DEFER, frequent_part_pairs,
+    )
+
+    w = _WIDE_DEFER + 88
+    rows = [(1, 10), (1, 20)]                      # narrow: one co-occurrence
+    rows += [(99, 10), (99, 20)]                   # wide basket holds both...
+    rows += [(99, 100000 + i) for i in range(w)]   # ...plus w rare items
+    d = _write_baskets(tmp_path, rows)
+    got = frequent_part_pairs(d, min_support=2, topk=5, method="apriori")
+    assert got.values.tolist() == [[10, 20, 2]]
