@@ -1633,6 +1633,16 @@ def with_watermark(
     def flag(g: pa.Table) -> pa.Table:
         a = g.column(arrival_col).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(a, kind="stable")
+        sa = a[order]
+        if len(sa) > 1 and (sa[1:] == sa[:-1]).any():
+            # a tie would make the prefix depend on physical row order
+            # (nondeterministic across partitionings) — refuse loudly
+            dup = int(sa[np.flatnonzero(sa[1:] == sa[:-1])[0]])
+            raise ValueError(
+                f"with_watermark requires unique {arrival_col!r} arrival "
+                f"values (duplicate {dup}); the prefix identity and its "
+                f"SQL window-frame replay need a total arrival order"
+            )
         g = g.take(pa.array(order))
         ts = _ts_i64(g.column(ts_col))
         b = int(g.column("__wm_bucket")[0].as_py())

@@ -1353,3 +1353,23 @@ def test_hopping_window_agg_watermarked_matches_manual(ray_session):
     assert set(late.to_pandas()["event_id"]) == set(
         df["event_id"].to_numpy()[is_late])
     assert is_late.sum() > 5  # the fixture really plants late rows
+
+
+def test_with_watermark_refuses_duplicate_arrivals(ray_session):
+    """Ties in the arrival column would make the prefix identity
+    depend on physical row order — loud refusal, not silent
+    nondeterminism (same arrival always hashes to the same bucket, so
+    the per-bucket check is complete)."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import with_watermark
+
+    df = pd.DataFrame(
+        {"event_id": np.array([1, 2, 2, 3], np.int64),
+         "ts": np.array([10, 20, 30, 40], np.int64)}
+    )
+    with pytest.raises(Exception, match="unique"):
+        with_watermark(
+            rd.from_pandas(df), ts_col="ts", arrival_col="event_id",
+            lateness_us=5,
+        )
