@@ -3311,7 +3311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             exact_l2_topk, pq_ann, recall_at_k,
         )
 
-        emb = R.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        # materialized once: six distributed ops consume the same rows
+        emb = R.read(sf_dir, "embeddings",
+                     ["vec_id", "embedding"]).materialize()
         qids, Q = S.load_query_matrix(sf_dir, 10)
         truth_cos = S.ann_topk_exact(emb, qids, Q, k=5)
         _sids, SV = S.sample_embedding_matrix(emb, n=256, seed=17)

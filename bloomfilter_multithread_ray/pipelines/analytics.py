@@ -1576,8 +1576,15 @@ def with_watermark(
     from .agg import grouped_agg
 
     LAT = int(lateness_us)
-    B = int(n_buckets)
+    # the bucket count IS the pass-2 shuffle width: scale it with the
+    # caller's num_partitions so the parallelism knob is honored
+    B = max(int(n_buckets), int(num_partitions))
     NEG = np.iinfo(np.int64).min
+    # one materialization: three passes consume the same rows, and the
+    # bucket arithmetic of pass 2 must see exactly the [amin, amax]
+    # range pass 0 measured (a nondeterministic upstream replayed per
+    # pass could otherwise emit an out-of-range arrival)
+    ds = ds.materialize()
 
     def _ts_i64(col) -> np.ndarray:
         v = col.to_numpy(zero_copy_only=False)
@@ -1599,8 +1606,15 @@ def with_watermark(
         minmax, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     if parts.empty:
-        e = ds.materialize()
-        return e, e.filter(lambda _: False)
+        # typed-empty side channel: same schema contract (original
+        # columns + watermark_us) as the non-empty path
+        def wm_col(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "watermark_us", pa.array([] if t.num_rows == 0 else
+                                         [0] * t.num_rows, pa.int64()))
+
+        return ds, ds.map_batches(wm_col, batch_format="pyarrow",
+                                  zero_copy_batch=True).limit(0)
     amin, amax = int(parts["lo"].min()), int(parts["hi"].max())
     width = max(1, -(-(amax - amin + 1) // B))
 
@@ -1616,7 +1630,8 @@ def with_watermark(
     bm = grouped_agg(
         ds.select_columns([arrival_col, ts_col]).map_batches(
             bmax, batch_format="pyarrow", zero_copy_batch=True),
-        "b", {"m": ("max", "m")}, num_partitions=8,
+        "b", {"m": ("max", "m")},
+        num_partitions=min(int(num_partitions), B),
     ).to_pandas()
     maxes = np.full(B, NEG, np.int64)
     maxes[bm["b"].to_numpy(np.int64)] = bm["m"].to_numpy(np.int64)

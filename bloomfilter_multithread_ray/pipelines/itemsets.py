@@ -342,6 +342,10 @@ def _mine_two_phase(
         return count_union(_c3_from_l2(l2))
 
     if method == "son":
+        # an extra skinny pass: t_p needs the GLOBAL basket count
+        # before any local mining can run (the fused apriori pass
+        # learns it for free from its markers — one reason apriori is
+        # the default; see the BASELINE.md A/B)
         n = _n_baskets(tagged)
         if n == 0:
             return empty
@@ -426,21 +430,9 @@ def frequent_part_pairs(
     if method != "direct":
         raise ValueError(f"unknown method {method!r}")
     P = int(num_partitions)
-    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def add_op(t: pa.Table) -> pa.Table:
-        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"op": pa.array((ok % P).astype(np.int32)),
-             "l_orderkey": t.column("l_orderkey"),
-             "l_partkey": t.column("l_partkey")}
-        )
 
     def pair_fold(g: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {"o": g.column("l_orderkey").to_numpy(zero_copy_only=False),
-             "p": g.column("l_partkey").to_numpy(zero_copy_only=False)}
-        ).drop_duplicates()
+        df = _group_df(g)
         # deterministic basket cap: keep the max_basket smallest partkeys;
         # capped baskets are COUNTED into a sentinel row so the caller
         # can refuse silently-truncated results
@@ -465,7 +457,7 @@ def frequent_part_pairs(
         )
 
     sums = grouped_agg(
-        ds.map_batches(add_op, batch_format="pyarrow", zero_copy_batch=True)
+        _op_tagged(sf_dir, P)
         .groupby("op")
         .map_groups(pair_fold, batch_format="pyarrow"),
         ["part_a", "part_b"],
@@ -576,24 +568,10 @@ def part_association_rules(
         return _rules_from(pairs, supp, N, conf_u_min)
     if method != "direct":
         raise ValueError(f"unknown method {method!r}")
-    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def add_op(t: pa.Table) -> pa.Table:
-        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"op": pa.array((ok % P).astype(np.int32)),
-             "l_orderkey": t.column("l_orderkey"),
-             "l_partkey": t.column("l_partkey")}
-        )
-
     # row kinds in one folded table: (a, b, c) pair partial;
     # (p, -2, c) singleton partial; (-3, -3, n_baskets); (-1, -1, capped)
     def basket_fold(g: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {"o": g.column("l_orderkey").to_numpy(zero_copy_only=False),
-             "p": g.column("l_partkey").to_numpy(zero_copy_only=False)}
-        ).drop_duplicates()
-        df = df.sort_values(["o", "p"])
+        df = _group_df(g).sort_values(["o", "p"])
         df["rk"] = df.groupby("o", sort=False).cumcount()
         n_capped = int((df.groupby("o", sort=False)["rk"].max() >= max_basket).sum())
         n_baskets = int(df["o"].nunique())
@@ -613,7 +591,7 @@ def part_association_rules(
                          "c": pa.array(c)})
 
     sums = grouped_agg(
-        ds.map_batches(add_op, batch_format="pyarrow", zero_copy_batch=True)
+        _op_tagged(sf_dir, P)
         .groupby("op")
         .map_groups(basket_fold, batch_format="pyarrow"),
         ["part_a", "part_b"],
@@ -688,22 +666,9 @@ def frequent_triples(
     if method != "direct":
         raise ValueError(f"unknown method {method!r}")
     P = int(num_partitions)
-    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def add_op(t: pa.Table) -> pa.Table:
-        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"op": pa.array((ok % P).astype(np.int32)),
-             "l_orderkey": t.column("l_orderkey"),
-             "l_partkey": t.column("l_partkey")}
-        )
 
     def triple_fold(g: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {"o": g.column("l_orderkey").to_numpy(zero_copy_only=False),
-             "p": g.column("l_partkey").to_numpy(zero_copy_only=False)}
-        ).drop_duplicates()
-        df = df.sort_values(["o", "p"])
+        df = _group_df(g).sort_values(["o", "p"])
         df["rk"] = df.groupby("o", sort=False).cumcount()
         n_capped = int((df.groupby("o", sort=False)["rk"].max() >= max_basket).sum())
         df = df[df["rk"] < max_basket]
@@ -725,7 +690,7 @@ def frequent_triples(
         )
 
     sums = grouped_agg(
-        ds.map_batches(add_op, batch_format="pyarrow", zero_copy_batch=True)
+        _op_tagged(sf_dir, P)
         .groupby("op")
         .map_groups(triple_fold, batch_format="pyarrow"),
         ["part_a", "part_b", "part_c"],

@@ -39,6 +39,13 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def _quant6(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero 1e-6 quantization to int64 — THE integer
+    metric space shared by pq_ann and its exact anchor exact_l2_topk
+    (one definition so the anchor can never drift from the codes)."""
+    return np.trunc(x * 1e6 + np.copysign(0.5, x)).astype(np.int64)
+
+
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
@@ -1490,9 +1497,7 @@ def pq_ann(
 
     M, KS, NQ, TK = int(m), int(ks), int(nq), int(topk)
     emb = emb.materialize()
-
-    def q6(x: np.ndarray) -> np.ndarray:
-        return np.trunc(x * 1e6 + np.copysign(0.5, x)).astype(np.int64)
+    q6 = _quant6
 
     # ---- pass 1: seed candidates (per-batch bottom-ks) + query rows
     def seed_partial(t: pa.Table) -> pa.Table:
@@ -1763,17 +1768,19 @@ def exact_l2_topk(
     import ray
 
     NQ, TK = int(nq), int(topk)
-
-    def q6(x: np.ndarray) -> np.ndarray:
-        return np.trunc(x * 1e6 + np.copysign(0.5, x)).astype(np.int64)
+    q6 = _quant6
 
     def query_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sel = np.flatnonzero(ids < NQ)
-        Q = q6(_emb_matrix(t, col).astype(np.float64))
+        # slice BEFORE converting: this pass fetches nq rows, so it
+        # must not quantize the whole block (O(nq), not O(corpus))
+        sub = t.take(pa.array(sel))
+        Q = q6(_emb_matrix(sub, col).astype(np.float64)) if len(sel) else \
+            np.zeros((0, 0), np.int64)
         return pa.table(
             {"vid": pa.array(ids[sel]),
-             "v": pa.array(list(Q[sel]), pa.list_(pa.int64()))}
+             "v": pa.array(list(Q), pa.list_(pa.int64()))}
         )
 
     qdf = emb.map_batches(
