@@ -288,5 +288,9 @@ def bpe_encode_stats(
     return pd.DataFrame(
         [{"num_merges": np.int64(applied), "words": np.int64(nwords),
           "symbols_before": np.int64(before), "symbols_after": np.int64(after),
-          "compression": round(before / max(after, 1), 6)}]
+          # half-up (ratio of two ints > 0, so exact .5 boundaries can
+          # occur), matching the oracle's DuckDB ROUND — not round()'s
+          # half-even
+          "compression": float(np.trunc(before / max(after, 1) * 1e6
+                                        + 0.5) / 1e6)}]
     )

@@ -47,7 +47,14 @@ def make_quality_fn(col: str = "text", id_col: str = "doc_id", round_dp: int | N
     """
 
     def _r(x: np.ndarray) -> np.ndarray:
-        return np.round(x, round_dp) if round_dp is not None else x
+        # half-up (ratios are >= 0), matching DuckDB ROUND: these are
+        # small-denominator rationals (k/n_tok), so exact .5 decimal
+        # boundaries DO occur (e.g. odd k, n_tok = 128 terminates at
+        # digit 7) — np.round's half-even would diverge from the oracle
+        if round_dp is None:
+            return x
+        q = 10.0 ** round_dp
+        return np.trunc(x * q + 0.5) / q
 
     def fn(batch: pa.Table) -> pa.Table:
         flat, offs = _row_layout(batch, col)
