@@ -4026,7 +4026,10 @@ def _rrf_oracle(queries: list[str], k_sys: int = 20, rrf_k: int = 60,
         "SUM(CAST(ROUND(1e9 * (tf.tf * i.idf) * (tf.tf * i.idf)) AS BIGINT)) AS dd_u9 "
         "FROM qterm q JOIN idfs i USING (term) JOIN tf ON tf.tok = q.term "
         "GROUP BY 1, 2 HAVING "
-        "SUM(CAST(ROUND(1e9 * (tf.tf * i.idf) * (q.qtf * i.idf)) AS BIGINT)) > 0), "
+        "SUM(CAST(ROUND(1e9 * (tf.tf * i.idf) * (q.qtf * i.idf)) AS BIGINT)) > 0 "
+        # dd > 0 mirrors the engine's guard: independently quantized
+        # num/dd can give num>0 with dd=0 (inf cosine otherwise)
+        "AND SUM(CAST(ROUND(1e9 * (tf.tf * i.idf) * (tf.tf * i.idf)) AS BIGINT)) > 0), "
         "st_tf AS (SELECT query, doc_id, CAST(ROUND(1e9 * (CAST(num_u9 AS DOUBLE) "
         "/ (sqrt(CAST(dd_u9 AS DOUBLE)) * sqrt(CAST(qq_u9 AS DOUBLE))))) AS BIGINT) "
         "AS s_u9 FROM scored_tf JOIN qq USING (query)), "

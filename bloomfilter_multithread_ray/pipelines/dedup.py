@@ -42,13 +42,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import UINT64, hash_strings, kgram_hashes_flat, splitmix64
-from ..stages.text import split_tokens
+from ..stages.text import flat_nonempty_with_offsets
 
 if TYPE_CHECKING:
     from ray.data import Dataset
 
 
 # ------------------------------------------------------------------ shingles
+def _half_up(x: np.ndarray, dp: int) -> np.ndarray:
+    """Half-up decimal rounding (values are >= 0), matching DuckDB
+    ROUND: weighted-Jaccard values are small-denominator rationals
+    (int intersection over int union after weight quantization), so
+    exact .5 decimal boundaries genuinely occur — e.g. 77/128 =
+    0.6015625, where np.round's half-even gives 0.601562 but the
+    oracle's ROUND gives 0.601563."""
+    q = 10.0 ** dp
+    return np.trunc(x * q + 0.5) / q
+
+
 def _doc_gram_hashes(batch: pa.Table, k: int, col: str = "text"):
     """batch → (gram hashes, row index per gram).
 
@@ -58,15 +69,9 @@ def _doc_gram_hashes(batch: pa.Table, k: int, col: str = "text"):
     the same token set every other pipeline and the SQL oracles use,
     so whitespace-only docs have no shingles at all.
     """
-    toks = split_tokens(batch, col)
-    flat = pc.list_flatten(toks)
-    nonempty = pc.not_equal(flat, "")
-    flat = flat.filter(nonempty)
-    offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offs_all = offs_all - offs_all[0]
-    ne = np.asarray(nonempty).astype(np.int64)
-    cum = np.concatenate([[0], np.cumsum(ne)])
-    offs = cum[offs_all]
+    # shared chunk-offset-safe kernel (one copy rule — see
+    # stages/text.py alignment note)
+    flat, offs = flat_nonempty_with_offsets(batch, col)
     wh = hash_strings(flat)
     gh, row_idx, _ = kgram_hashes_flat(wh, offs, k)
     return gh, row_idx
@@ -349,15 +354,8 @@ def make_simhash_fn(col: str = "text", id_col: str = "doc_id"):
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = split_tokens(batch, col)
-        flat = pc.list_flatten(toks)
-        nonempty = pc.not_equal(flat, "")
-        flat = flat.filter(nonempty)
-        offs_all = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs_all = offs_all - offs_all[0]
-        ne = np.asarray(nonempty).astype(np.int64)
-        cum = np.concatenate([[0], np.cumsum(ne)])
-        offs = cum[offs_all]  # row boundaries in the non-empty stream
+        # shared chunk-offset-safe kernel (one copy rule)
+        flat, offs = flat_nonempty_with_offsets(batch, col)
         h = hash_strings(flat)
         n_rows = len(offs) - 1
         counts = np.diff(offs)
@@ -744,6 +742,12 @@ def build_minhash_store(
 
     def add_bp(batch: pa.Table) -> pa.Table:
         bk = batch.column("bkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) and (int(ids.min()) < 0
+                         or int(ids.max()) >= _INC_OFFSET):
+            raise ValueError(
+                "corpus doc_id outside [0, 2^40) — minhash_increment's "
+                "base/increment encoding would misclassify it")
         return batch.append_column(
             "bp", pa.array((bk % np.uint64(P)).astype(np.int32))
         )
@@ -908,11 +912,25 @@ def minhash_increment(
     m = load_minhash_store_manifest(store_path)
     k, num_perm, bands = m["k"], m["num_perm"], m["bands"]
     threshold, max_bucket, P = m["threshold"], m["max_bucket"], m["num_partitions"]
+    if ingest_id is not None:
+        import re as _re
+
+        # "base" would overwrite the corpus partition files; path
+        # separators would escape the partition directory
+        if ingest_id == "base" or not _re.fullmatch(
+                r"[A-Za-z0-9][A-Za-z0-9_.\-]*", ingest_id):
+            raise ValueError(
+                f"invalid ingest_id {ingest_id!r}: must match "
+                f"[A-Za-z0-9][A-Za-z0-9_.-]* and may not be 'base' "
+                f"(reserved for the corpus partition files)")
     already_ingested = ingest_id is not None and ingest_id in [
         i["ingest_id"] for i in m.get("ingests", [])
     ]
 
-    sigs = minhash_signatures(new_docs, k, num_perm).materialize()
+    # no materialize: band_rows (below) is the single consumer and is
+    # itself materialized — pinning the full signature set here only
+    # held object-store memory and inserted a barrier
+    sigs = minhash_signatures(new_docs, k, num_perm)
     band_rows = sigs.map_batches(
         _band_rows_fn(bands, num_perm // bands),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -923,6 +941,10 @@ def minhash_increment(
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ids) and ids.min() < 0:
             raise ValueError("minhash_increment requires non-negative doc ids")
+        if len(ids) and ids.max() >= _INC_OFFSET:
+            raise ValueError(
+                "increment doc_id >= 2^40 — the base/increment encoding "
+                "(enc = id + 2^40) would be ambiguous")
         return pa.table(
             {"bkey": batch.column("bkey"),
              "enc": pa.array(ids + _INC_OFFSET),
@@ -970,6 +992,11 @@ def minhash_increment(
         tbls = [g.select(["bkey", "enc", "sig"])]
         for p in paths_by_bp.get(bp, []):
             base = pq.read_table(p, columns=["bkey", "doc_id", "sig"])
+            bids = base.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(bids) and int(bids.max()) >= _INC_OFFSET:
+                raise ValueError(
+                    f"store {p} holds doc_id >= 2^40 — it would decode "
+                    f"as an increment row (base/increment encoding)")
             tbls.append(
                 pa.table({"bkey": base.column("bkey"),
                           "enc": base.column("doc_id"),
@@ -1272,7 +1299,7 @@ def _wjac_dense(
                     lo, hi = np.minimum(a, b), np.maximum(a, b)
                     outs.append(pa.table({
                         "doc_a": pa.array(lo), "doc_b": pa.array(hi),
-                        "wjaccard": pa.array(np.round(wj[rr, cc], round_dp)),
+                        "wjaccard": pa.array(_half_up(wj[rr, cc], round_dp)),
                     }))
             if not outs:
                 return empty
@@ -1469,7 +1496,7 @@ def weighted_jaccard_pairs(
         return pa.table(
             {"doc_a": t.column("doc_a").filter(pa.array(keep)),
              "doc_b": t.column("doc_b").filter(pa.array(keep)),
-             "wjaccard": pa.array(np.round(wj[keep], round_dp))}
+             "wjaccard": pa.array(_half_up(wj[keep], round_dp))}
         )
 
     return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
@@ -1727,6 +1754,10 @@ def weighted_dup_pairs_lsh(
 
     S = int(num_hashes)
     B = bands if bands is not None else pick_lsh_bands(S, float(tau))
+    if S % B:
+        raise ValueError(
+            f"num_hashes ({S}) must divide into equal bands ({B}) — "
+            f"same contract as minhash_lsh_pairs")
     rpb = S // B
     P = int(num_partitions)
 
@@ -1809,7 +1840,7 @@ def weighted_dup_pairs_lsh(
         return pa.table({
             "doc_a": t.column("doc_a").filter(pa.array(keep)),
             "doc_b": t.column("doc_b").filter(pa.array(keep)),
-            "wjaccard": pa.array(np.round(wj[keep], round_dp)),
+            "wjaccard": pa.array(_half_up(wj[keep], round_dp)),
         })
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -253,7 +253,12 @@ def tfidf_cosine_search(
                 1e9 * wq * (q_qtf[qi] * idf[cols])[None, :] + 0.5
             ).astype(np.int64).sum(axis=1)
             dd = np.trunc(1e9 * wq * wq + 0.5).astype(np.int64).sum(axis=1)
-            pos = np.flatnonzero(num > 0)
+            # num and dd quantize independently, so num > 0 with
+            # dd == 0 is reachable (tiny idf: w*q_w rounds to 1 while
+            # w*w rounds to 0); without the dd guard the cosine is
+            # inf, trunc -> INT64_MIN, and -s overflows the top-k
+            # lexsort, ranking the garbage doc FIRST
+            pos = np.flatnonzero((num > 0) & (dd > 0))
             cos = num[pos] / (np.sqrt(dd[pos].astype(np.float64))
                               * np.sqrt(float(q_qq[qi])))
             s = np.trunc(1e9 * cos + 0.5).astype(np.int64)

@@ -544,3 +544,56 @@ def test_weighted_lsh_exact_verify_and_partitioning(ray_session):
         # full recall on this corpus -> bit-equal to the exact op
         pd.testing.assert_frame_equal(lsh, exact)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_minhash_increment_guards(ray_session, tmp_path):
+    """Round-5 hardening: loud refusals for the silent-corruption
+    paths — ingest_id='base' (would overwrite corpus partition files),
+    path-escaping ingest ids, and doc_id >= 2^40 (base/increment
+    encoding ambiguity) at BUILD time."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.dedup import (
+        build_minhash_store, minhash_increment,
+    )
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(8, dtype=np.int64),
+         "text": [f"alpha beta gamma delta {i}" for i in range(8)]}
+    )
+    store = str(tmp_path / "store")
+    build_minhash_store(rd.from_pandas(docs), store, num_partitions=4)
+    inc = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([100], np.int64),
+         "text": ["alpha beta gamma delta 0"]}))
+    for bad in ("base", "a/b", "../up", ""):
+        with pytest.raises(Exception, match="ingest_id"):
+            minhash_increment(inc, store, ingest_id=bad)
+    # build-time refusal for ids that collide with the increment space
+    big = pd.DataFrame(
+        {"doc_id": np.array([1, 1 << 40], np.int64),
+         "text": ["alpha beta gamma delta", "alpha beta gamma epsilon"]}
+    )
+    with pytest.raises(Exception, match="2\\^40"):
+        build_minhash_store(rd.from_pandas(big), str(tmp_path / "s2"),
+                            num_partitions=2)
+    # increment-side refusal too
+    inc_big = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([1 << 40], np.int64),
+         "text": ["alpha beta gamma delta 0"]}))
+    with pytest.raises(Exception, match="2\\^40"):
+        minhash_increment(inc_big, store)
+
+
+def test_weighted_lsh_bands_divisibility_guard(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.dedup import (
+        weighted_dup_pairs_lsh,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64),
+         "text": ["a b c"] * 4}))
+    with pytest.raises(ValueError, match="equal bands"):
+        weighted_dup_pairs_lsh(docs, num_hashes=128, bands=3)
