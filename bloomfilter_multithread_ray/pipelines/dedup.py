@@ -317,11 +317,39 @@ def minhash_lsh_pairs(
     )
     if not dedupe:
         return pairs
-    # same pair can surface in several bands → dedupe on the pair key
-    from ray.data.aggregate import Max
+    # same pair can surface in several bands → dedupe on the pair key.
+    # Fixed-P pair-hash shuffle + vectorized unique kernel (same plan
+    # as minhash_increment's: Ray's multi-key aggregate machinery is
+    # ~10x slower on this skinny-row shape, measured at 20x sf0.1);
+    # max est per pair matches the old Max aggregate exactly.
+    from ..functions.hashing import splitmix64
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+    def add_pp(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(da.view(np.uint64)) ^ splitmix64(~db.view(np.uint64))
+        return batch.append_column(
+            "pp", pa.array((h % np.uint64(P_SHUF)).astype(np.int32))
+        )
+
+    def unique_pairs(g: pa.Table) -> pa.Table:
+        da = g.column("doc_a").to_numpy(zero_copy_only=False)
+        db = g.column("doc_b").to_numpy(zero_copy_only=False)
+        est = g.column("est_jaccard").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-est, db, da))
+        da, db, est = da[order], db[order], est[order]
+        first = np.ones(len(da), dtype=bool)
+        first[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+        return pa.table(
+            {"doc_a": pa.array(da[first]), "doc_b": pa.array(db[first]),
+             "est_jaccard": pa.array(est[first])}
+        )
+
+    return (
+        pairs.map_batches(add_pp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("pp")
+        .map_groups(unique_pairs, batch_format="pyarrow")
     )
 
 
@@ -494,9 +522,38 @@ def hamming_fingerprint_pairs(
         .groupby("cp")
         .map_groups(partition_bucket_fn, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Min
+    # pair dedup (min hamming per pair) via the fixed-P pair-hash
+    # shuffle + unique kernel — same ~10x-vs-multi-key-aggregate
+    # rationale as minhash_lsh_pairs/minhash_increment
+    from ..functions.hashing import splitmix64
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    def add_pp(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(da.view(np.uint64)) ^ splitmix64(~db.view(np.uint64))
+        return batch.append_column(
+            "pp", pa.array((h % np.uint64(P_SHUF)).astype(np.int32))
+        )
+
+    def unique_pairs(g: pa.Table) -> pa.Table:
+        da = g.column("doc_a").to_numpy(zero_copy_only=False)
+        db = g.column("doc_b").to_numpy(zero_copy_only=False)
+        ham = g.column("hamming").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ham, db, da))
+        da, db, ham = da[order], db[order], ham[order]
+        first = np.ones(len(da), dtype=bool)
+        first[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+        return pa.table(
+            {"doc_a": pa.array(da[first]), "doc_b": pa.array(db[first]),
+             "hamming": pa.array(ham[first])}
+        )
+
+    return (
+        pairs.map_batches(add_pp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("pp")
+        .map_groups(unique_pairs, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------- exact n-gram jaccard
