@@ -54,32 +54,14 @@ def _term_tf_matrix(flat: pa.Array, offs: np.ndarray, terms: list[str]) -> np.nd
     return tf
 
 
-def bm25_search(
-    sf_dir: str,
-    queries: Sequence[str] = DEFAULT_QUERIES,
-    *,
-    k1: float = 1.2,
-    b: float = 0.75,
-    topk: int = 10,
-) -> pd.DataFrame:
-    """BM25 top-k documents per query → (query, doc_id, score).
-
-    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene/Okapi
-    non-negative variant); N counts ALL documents, dl counts a
-    document's non-empty tokens. Documents scoring 0 (no query term
-    present) are excluded. Ties break by doc_id ascending; score is
-    the exact int64 1e-9-unit sum divided once at the end.
-    """
+def _corpus_term_stats(ds, terms):
+    """ONE corpus stats pass shared by :func:`bm25_search` and
+    :func:`tfidf_cosine_search`: (N docs, Σdl, df per query term) as
+    tiny int64 partials — TF-IDF's stats are a strict subset of
+    BM25's, so the hybrid RRF query computes this once instead of
+    paying two identical corpus scans."""
     from ray.data.aggregate import Sum
 
-    from .relational import read
-
-    q_terms = [q.split() for q in queries]
-    terms = sorted({t for qt in q_terms for t in qt})
-    t_idx = {t: i for i, t in enumerate(terms)}
-    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    # ---- pass A: global stats (N, Σdl, df per term) as tiny partials
     def stat_partials(batch: pa.Table) -> pa.Table:
         flat, offs = flat_nonempty_with_offsets(batch)
         tf = _term_tf_matrix(flat, offs, terms)
@@ -99,6 +81,38 @@ def bm25_search(
     ).aggregate(*aggs)
     n_docs = int(stats["n_docs"] or 0)
     sum_dl = int(stats["sum_dl"] or 0)
+    df_t = np.array([int(stats[f"df_{i}"] or 0) for i in range(len(terms))],
+                    np.int64)
+    return n_docs, sum_dl, df_t
+
+
+def bm25_search(
+    sf_dir: str,
+    queries: Sequence[str] = DEFAULT_QUERIES,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    _stats: "tuple | None" = None,
+) -> pd.DataFrame:
+    """BM25 top-k documents per query → (query, doc_id, score).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene/Okapi
+    non-negative variant); N counts ALL documents, dl counts a
+    document's non-empty tokens. Documents scoring 0 (no query term
+    present) are excluded. Ties break by doc_id ascending; score is
+    the exact int64 1e-9-unit sum divided once at the end.
+    """
+    from .relational import read
+
+    q_terms = [q.split() for q in queries]
+    terms = sorted({t for qt in q_terms for t in qt})
+    t_idx = {t: i for i, t in enumerate(terms)}
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # ---- pass A: global stats (shared kernel; precomputed by RRF)
+    n_docs, sum_dl, df_t = (_stats if _stats is not None
+                            else _corpus_term_stats(ds, terms))
     # sum_dl == 0 (every document empty) would make avgdl 0 and the
     # scoring denominator 0/0-NaN; no document can match anyway
     if n_docs == 0 or sum_dl == 0:
@@ -107,7 +121,6 @@ def bm25_search(
              "score": pd.Series(dtype=np.float64)}
         )
     avgdl = sum_dl / n_docs
-    df_t = np.array([int(stats[f"df_{i}"] or 0) for i in range(len(terms))], np.int64)
     # identical double expression on both sides: ln(1 + (N-df+0.5)/(df+0.5))
     idf = np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
 
@@ -172,6 +185,7 @@ def tfidf_cosine_search(
     queries: Sequence[str] = DEFAULT_QUERIES,
     *,
     topk: int = 10,
+    _stats: "tuple | None" = None,
 ) -> pd.DataFrame:
     """Query-projected TF-IDF cosine top-k per query →
     (query, doc_id, score).
@@ -188,8 +202,6 @@ def tfidf_cosine_search(
     double expression the DuckDB oracle mirrors. Docs with num 0 are
     excluded; ties break by doc_id ascending.
     """
-    from ray.data.aggregate import Sum
-
     from .relational import read
 
     q_terms = [q.split() for q in queries]
@@ -197,29 +209,16 @@ def tfidf_cosine_search(
     t_idx = {t: i for i, t in enumerate(terms)}
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def stat_partials(batch: pa.Table) -> pa.Table:
-        flat, offs = flat_nonempty_with_offsets(batch)
-        tf = _term_tf_matrix(flat, offs, terms)
-        row = {"n_docs": pa.array([batch.num_rows], pa.int64())}
-        present = (tf > 0).sum(axis=0).astype(np.int64)
-        for i in range(len(terms)):
-            row[f"df_{i}"] = pa.array([int(present[i])], pa.int64())
-        return pa.table(row)
-
-    aggs = [Sum("n_docs", alias_name="n_docs")]
-    aggs += [Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))]
-    stats = ds.map_batches(
-        stat_partials, batch_format="pyarrow", zero_copy_batch=True
-    ).aggregate(*aggs)
-    n_docs = int(stats["n_docs"] or 0)
+    # stats pass: shared kernel (precomputed by the RRF composition —
+    # TF-IDF needs only (N, df), a subset of the shared output)
+    n_docs, _sum_dl, df_t = (_stats if _stats is not None
+                             else _corpus_term_stats(ds, terms))
     empty = pd.DataFrame(
         {"query": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
          "score": pd.Series(dtype=np.float64)}
     )
     if n_docs == 0:
         return empty
-    df_t = np.array([int(stats[f"df_{i}"] or 0) for i in range(len(terms))],
-                    np.int64)
     live = df_t > 0
     idf = np.zeros(len(terms), dtype=np.float64)
     idf[live] = np.log(n_docs / df_t[live].astype(np.float64))
@@ -325,8 +324,15 @@ def rrf_hybrid_search(
         df["r"] = df.groupby("query", sort=False).cumcount() + 1
         return df[df["r"] <= int(k_sys)][["query", "doc_id", "r"]]
 
-    bm = ranked(bm25_search(sf_dir, queries, topk=int(k_sys)))
-    tf = ranked(tfidf_cosine_search(sf_dir, queries, topk=int(k_sys)))
+    # ONE shared stats pass feeds both scorers (3 corpus scans, not 4)
+    from .relational import read
+
+    terms = sorted({t for q in queries for t in q.split()})
+    stats = _corpus_term_stats(
+        read(sf_dir, "documents", columns=["doc_id", "text"]), terms)
+    bm = ranked(bm25_search(sf_dir, queries, topk=int(k_sys), _stats=stats))
+    tf = ranked(tfidf_cosine_search(sf_dir, queries, topk=int(k_sys),
+                                    _stats=stats))
     fused = bm.merge(tf, on=["query", "doc_id"], how="outer",
                      suffixes=("_bm", "_tf"))
     rb = fused["r_bm"].fillna(0).to_numpy(np.int64)
