@@ -151,9 +151,13 @@ def token_f2_exact(ds: "Dataset", counts_fn) -> pd.DataFrame:
         .map_groups(part_f2, batch_format="pyarrow")
     )
     agg = folded.sum(["f2", "n_distinct"])
+    # empty corpus: Dataset.sum returns None (or a dict of Nones) —
+    # same guard shape as distinct_count_exact's `or 0`
     return pd.DataFrame({
-        "f2": pd.array([int(agg["sum(f2)"])], dtype="int64"),
-        "n_distinct": pd.array([int(agg["sum(n_distinct)"])], dtype="int64"),
+        "f2": pd.array([int((agg or {}).get("sum(f2)") or 0)],
+                       dtype="int64"),
+        "n_distinct": pd.array(
+            [int((agg or {}).get("sum(n_distinct)") or 0)], dtype="int64"),
     })
 
 
@@ -240,7 +244,9 @@ def heavy_hitters_cms(
 
     hashed = ds.map_batches(hash_fn, batch_format="pyarrow", zero_copy_batch=True)
     res = hashed.aggregate(SketchAgg(lambda: CountMinSketch(width=width, depth=depth), on="gh"))
-    cms = deserialize_sketch(res["sketch"])
+    # empty dataset: aggregate returns None (mirror the MG guard above)
+    cms = (deserialize_sketch(res["sketch"]) if res
+           else CountMinSketch(width=width, depth=depth))
     from ..functions.hashing import hash_strings
 
     est = cms.estimate_hashes(hash_strings(pd.Series(toks, dtype="string")))
@@ -754,9 +760,14 @@ def grouped_quantiles_exact(
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         v = g[value_col].to_numpy(dtype=np.float64)
+        # quantile_cont IGNORES NULLs; np.quantile would propagate the
+        # NaN a null converts to — drop them (all-null group -> NaN,
+        # matching SQL's NULL result rendered as NaN)
+        v = v[~np.isnan(v)]
         row = {by: [g[by].iloc[0]]}
         for q, name in zip(qs, names):
-            row[name] = [float(np.quantile(v, q))]
+            row[name] = [float(np.quantile(v, q)) if len(v)
+                         else float("nan")]
         return pd.DataFrame(row)
 
     out = ds.groupby(by).map_groups(per_group, batch_format="pandas")
@@ -821,7 +832,9 @@ def distinct_count_by_group_exact(ds: "Dataset", unique_fn, by: str) -> pd.DataF
         df = pd_.DataFrame(
             {by: g.column(by).to_pandas(), "th": g.column("th").to_numpy(zero_copy_only=False)}
         ).drop_duplicates()
-        cnt = df.groupby(by, sort=False).size()
+        # dropna=False: SQL COUNT(DISTINCT ...) GROUP BY keeps the
+        # NULL group (same rule heavy_hitters_by_group applies)
+        cnt = df.groupby(by, sort=False, dropna=False).size()
         return pa.table(
             {by: pa.array(cnt.index, pa.string()), "n": pa.array(cnt.to_numpy(dtype=np.int64))}
         )
@@ -1226,8 +1239,15 @@ def grouped_mad(
     def absdev(t: pa.Table) -> pa.Table:
         kk = t.column(key).to_pandas()
         mu = kk.map(med_of).to_numpy(np.float64)
-        v = t.column(col).to_numpy(zero_copy_only=False)
-        return pa.table({key: t.column(key), "absdev": pa.array(np.abs(v - mu))})
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        dev = np.abs(v - mu)
+        # NULL values (NaN here) were ignored by pass 1's median; drop
+        # them in pass 2 too instead of feeding NaN into the quantile
+        # kernel (which refuses NaN loudly). mu is NaN for keys whose
+        # values were ALL null — those rows drop with it.
+        keep = ~np.isnan(dev)
+        return pa.table({key: t.column(key).filter(pa.array(keep)),
+                         "absdev": pa.array(dev[keep])})
 
     mad = grouped_quantile_disc(
         ds_factory().map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True),
@@ -1421,7 +1441,13 @@ def pivot(
             ds.select_columns([pivot_col]), pivot_col,
             {"n": ("count", None)}, num_partitions=8,
         ).to_pandas()
-        pivot_values = sorted(pv[pivot_col].tolist()) if len(pv) else []
+        # grouped_agg preserves the NULL pivot group; sort it LAST
+        # (sorted() would raise comparing None to values) — SQL PIVOT
+        # IN-lists may name NULL too, so discovery must not crash on it
+        vals = pv[pivot_col].tolist() if len(pv) else []
+        pivot_values = sorted(
+            (v for v in vals if v is not None and v == v)
+        ) + [None] * sum(1 for v in vals if v is None or v != v)
     values = list(pivot_values)
     names = [str(v) for v in values]
     if len(set(names)) != len(names) or index in names:
@@ -1441,17 +1467,37 @@ def pivot(
 
     def reshape(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
+        # NULL-safe on both axes: pivot_table silently drops NaN index
+        # keys and NaN pivot categories, but grouped_agg preserved the
+        # NULL groups — encode them as a sentinel for the reshape and
+        # decode the index afterwards (SQL GROUP BY keeps NULL rows)
+        NULLTOK = "\x00<null>"
+        iser = df[index]
+        inull = pd.isna(iser)
+        pser = df[pivot_col]
+        pnull = pd.isna(pser)
+        if inull.any() or pnull.any():
+            df = df.copy()
+            if inull.any():
+                df[index] = iser.astype(object).where(~inull, NULLTOK)
+            if pnull.any():
+                df[pivot_col] = pser.astype(object).where(~pnull, NULLTOK)
+        col_keys = [NULLTOK if v is None else v for v in values]
         wide = df.pivot_table(
             index=index, columns=pivot_col, values="__v", aggfunc="first"
         )
-        wide = wide.reindex(columns=values)
+        wide = wide.reindex(columns=col_keys)
         if fill is not None:
             wide = wide.fillna(fill)
             v_dtype = df["__v"].dtype
             if np.issubdtype(v_dtype, np.integer) and isinstance(fill, int):
                 wide = wide.astype(v_dtype)
         wide.columns = names
-        return pa.Table.from_pandas(wide.reset_index(), preserve_index=False)
+        out = wide.reset_index()
+        if inull.any():
+            out[index] = out[index].astype(object).where(
+                out[index] != NULLTOK, None)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         cells.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
@@ -1870,7 +1916,16 @@ def partitioned_window(
                 s = df.groupby(seg_id, sort=False)[col].shift(
                     off if kind == "lag" else -off
                 )
-                df[out] = s if default is None else s.fillna(default)
+                if default is not None:
+                    # SQL LAG/LEAD fills the default ONLY when the
+                    # offset row is outside the partition — a NULL
+                    # value in an existing offset row stays NULL
+                    # (fillna would wrongly overwrite it too)
+                    pos = idx - seg_start
+                    oob = (pos < off) if kind == "lag" else \
+                        (pos >= seg_len - off)
+                    s = s.where(~oob, default)
+                df[out] = s
             elif kind == "cumsum":
                 df[out] = df.groupby(seg_id, sort=False)[spec[1]].cumsum()
             elif kind == "cummax":
@@ -3122,7 +3177,15 @@ def cuckoo_retract(
     )
     total_slots = sum(s.slots.size for s in shards.values())
     live_slots = sum(int((s.slots != 0).sum()) for s in shards.values())
-    any_cf = next(iter(shards.values()))
+    # empty input: no shards were built — emit the zero report instead
+    # of StopIteration/ZeroDivisionError (counting_bloom_retract's rule)
+    if not shards:
+        total_slots, live_slots = 1, 0
+        from ..state.cuckoo import CuckooFilter
+
+        any_cf = CuckooFilter()
+    else:
+        any_cf = next(iter(shards.values()))
     return pd.DataFrame({
         "n_added": pd.array([n_added], dtype="int64"),
         "n_deleted": pd.array([n_deleted], dtype="int64"),
@@ -3510,9 +3573,12 @@ def event_type_markov(
              "eid": t.column("event_id"), "et": t.column("event_type")}
         )
 
+    # materialized: the transition pipeline AND the type-catalog fold
+    # both consume these rows — lazy re-execution would re-read and
+    # re-route the full event stream for the tiny second pass
     rows = read_events().map_batches(
         route, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
 
     def lag_counts(g: pa.Table) -> pa.Table:
         df = pd.DataFrame(

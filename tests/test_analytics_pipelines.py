@@ -1373,3 +1373,83 @@ def test_with_watermark_refuses_duplicate_arrivals(ray_session):
             rd.from_pandas(df), ts_col="ts", arrival_col="event_id",
             lateness_us=5,
         )
+
+
+# ----------------------------------------- round-5 NULL/empty hardening
+def test_lag_default_fills_only_out_of_frame(ray_session):
+    """SQL LAG(col, 1, default): the default applies only when the
+    offset row is OUTSIDE the partition; an existing offset row whose
+    value is NULL stays NULL."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import (
+        partitioned_window,
+    )
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 3, "o": [1, 2, 3],
+         "v": pd.array([1.0, None, 3.0], dtype="float64")}
+    )
+    out = partitioned_window(
+        rd.from_pandas(df), "g", "o", {"x": ("lag", "v", 1, -99.0)},
+    ).to_pandas().sort_values("o")
+    assert out["x"].iloc[0] == -99.0          # out of frame -> default
+    assert pd.isna(out["x"].iloc[2])          # offset row exists, NULL
+    assert out["x"].iloc[1] == 1.0
+
+
+def test_pivot_null_index_and_category_survive(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import pivot
+
+    df = pd.DataFrame(
+        {"k": ["x", "x", None, "y"],
+         "p": ["a", None, "a", "b"],
+         "v": np.array([1, 2, 3, 4], np.int64)}
+    )
+    out = pivot(rd.from_pandas(df), "k", "p", "v").to_pandas()
+    out = out.sort_values("k", na_position="last").reset_index(drop=True)
+    # NULL pivot category discovered (sorted last), NULL index row kept
+    assert list(out.columns) == ["k", "a", "b", "None"]
+    assert len(out) == 3
+    row_x = out[out["k"] == "x"].iloc[0]
+    assert (row_x["a"], row_x["b"], row_x["None"]) == (1, 0, 2)
+    row_null = out[out["k"].isna()].iloc[0]
+    assert row_null["a"] == 3
+
+
+def test_grouped_quantiles_exact_ignores_nulls(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import (
+        grouped_quantiles_exact,
+    )
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 3 + ["b"],
+         "v": pd.array([1.0, 2.0, None, None], dtype="float64")}
+    )
+    out = grouped_quantiles_exact(rd.from_pandas(df), "v", "g")
+    a = out[out["g"] == "a"].iloc[0]
+    assert a["p50"] == 1.5          # NULL ignored, like quantile_cont
+    assert np.isnan(out[out["g"] == "b"].iloc[0]["p50"])  # all-null
+
+
+def test_empty_input_reports(ray_session):
+    """Empty datasets produce typed zero/empty reports, not crashes."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.analytics import (
+        token_f2_exact,
+    )
+
+    from bloomfilter_multithread_ray.stages.text import (
+        make_explode_token_counts_fn,
+    )
+
+    empty_docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series(dtype=np.int64),
+         "text": pd.Series(dtype=object)}))
+    f2 = token_f2_exact(empty_docs, make_explode_token_counts_fn())
+    assert f2["f2"].iloc[0] == 0 and f2["n_distinct"].iloc[0] == 0
