@@ -691,10 +691,18 @@ def pretrain_curation(
     if tp < 0 or vp < 0 or tp + vp > 1000:
         raise ValueError("permille bounds must be >= 0 and sum <= 1000")
 
-    gated = gopher_gate(docs.select_columns(["doc_id", "text"]), gates=gates)
+    # gated is materialized because line_dedup consumes its input in
+    # FOUR passes (doc count, line-hash pairs, ref rows, rewrite join)
+    # — lazily each pass would re-run the gate from the source read
+    gated = gopher_gate(
+        docs.select_columns(["doc_id", "text"]), gates=gates
+    ).materialize()
+    # materialized once: the LSH pair pass, the keep-set anti-join and
+    # the survivor semi-join all consume these rows — lazily they would
+    # each re-run the line-dedup chain
     rewritten = line_dedup(
         gated, sep=line_sep, min_frac=line_min_frac
-    ).select_columns(["doc_id", "text"])
+    ).select_columns(["doc_id", "text"]).materialize()
     # dedupe=False: the CC keep-set tolerates duplicate edges, skipping
     # the pair-dedup sort-shuffle (same survivors, one less all-to-all)
     pairs = minhash_lsh_pairs(rewritten, threshold=minhash_threshold, dedupe=False)
@@ -724,7 +732,13 @@ def pretrain_curation(
 
         import ray.data as rd
 
+        import shutil
+
         staging = os.path.join(shard_dir, "staging")
+        # a torn previous run leaves UUID-named partials behind;
+        # write_parquet appends, so stale files would double-count the
+        # report and duplicate docs in the shards — wipe first
+        shutil.rmtree(staging, ignore_errors=True)
         tagged.write_parquet(staging, partition_cols=["split"])
         if stats_out is not None:
             # full operator-chain execution stats of the curation pass
@@ -1433,7 +1447,10 @@ def mix_temperature(
     ).to_pandas()
     n = totals["n"].to_numpy().astype(np.float64)
     pw = np.power(n, a)
-    ts = np.round(B * pw / pw.sum()).astype(np.int64)
+    # half-up matching the oracle's DuckDB ROUND: B*pw/sum hits exact
+    # .5 for dyadic power ratios (e.g. perfect-square token totals
+    # 1:3969 -> 100000/64 = 1562.5), where np.round's half-even differs
+    ts = np.trunc(B * pw / pw.sum() + 0.5).astype(np.int64)
     plan = {
         s: (int(t // tot), int(t % tot))
         for s, t, tot in zip(totals["source"], ts, totals["n"])
@@ -1804,6 +1821,12 @@ def rendezvous_shards(
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ids) and (ids < 0).any():
             raise ValueError("rendezvous_shards: negative ids unsupported")
+        if len(ids) and int(ids.max()) >= (1 << 60):
+            # ids*16 wraps mod 2^64 past 2^60, so two ids 2^60 apart
+            # would share every score — keep the injectivity promise loud
+            raise ValueError(
+                "rendezvous_shards: doc_id >= 2^60 breaks the "
+                "id*16+shard injective encoding")
         z0 = ids.astype(np.uint64)[:, None] * np.uint64(16) + np.arange(
             na, dtype=np.uint64
         )[None, :]

@@ -295,7 +295,13 @@ def read_clustered(
         # (parquet_datasource._infer_data_and_partition_columns), so keep
         # the default hive inference and drop the synthetic rid column
         ds = ray.data.read_parquet(_rid_file(root, any_rid), columns=need).limit(0)
-        return _drop_rid(ds, need)
+        ds = _drop_rid(ds, need)
+        if columns is not None and need != list(columns):
+            # same fix-up as the non-empty path: the cluster column
+            # rode along for the filter and must not leak on a fully-
+            # pruned scan (schema would differ from non-empty results)
+            ds = ds.select_columns(list(columns))
+        return ds
     files = [_rid_file(root, r) for r in rids]
     flt = None
     if lo is not None:
@@ -570,9 +576,22 @@ def snapshot_diff(
         raise ValueError("snapshot_diff: no compare columns")
 
     def fingerprint(t: pa.Table) -> pa.Table:
-        enc = _encode_composite(t, compare_cols)
-        # nulls encode as null; give them their own fingerprint value
-        enc = pc.fill_null(enc, "\x00NULLROW")
+        # per-COLUMN null encoding: a validity bit + length-prefixed
+        # value per component. (_encode_composite would null the whole
+        # tuple when ANY component is null, collapsing e.g. (NULL, 5)
+        # and (NULL, 7) to one fingerprint — a real modification would
+        # then read as 'unchanged', breaking IS DISTINCT FROM.)
+        parts = []
+        for c in compare_cols:
+            s = pc.cast(t.column(c), pa.string())
+            vbit = pc.if_else(pc.is_null(s), pa.scalar("0"), pa.scalar("1"))
+            s = pc.fill_null(s, "")
+            ln = pc.cast(pc.utf8_length(s), pa.string())
+            parts.append(pc.binary_join_element_wise(vbit, ln, s, ":"))
+        enc = (pc.binary_join_element_wise(*parts, "|")
+               if len(parts) > 1 else parts[0])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
         h = hash_strings(enc).view(np.int64)
         cols = {k: t.column(k) for k in keys}
         cols["__fp"] = pa.array(h)
@@ -782,7 +801,14 @@ def _key_hash_array(arr: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.n
         or pa.types.is_date(typ)
     ):
         v = pa.compute.fill_null(arr, 0)
-        if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+        if pa.types.is_timestamp(typ):
+            # normalize the UNIT before hashing: a store built from
+            # timestamp[ns] data probed with pa-inferred timestamp[us]
+            # values would otherwise hash different int64s — silent
+            # Bloom false negatives (same rule as _to_numeric)
+            v = pa.compute.cast(pa.compute.cast(v, pa.timestamp("us")),
+                                pa.int64())
+        elif pa.types.is_date(typ):
             v = pa.compute.cast(v, pa.int64())
         nv = v.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         h = splitmix64(nv.view(np.uint64))
@@ -1334,13 +1360,19 @@ def write_zordered(
         num_ranges=num_ranges,
         sample_per_block=sample_per_block,
     )
-    # per-range per-column zone maps (one column-pruned read per range)
-    import pyarrow.parquet as pq
+    # per-range per-column zone maps — one column-pruned read per
+    # range, DISTRIBUTED one task per range (the serial driver loop
+    # this replaces serialized O(num_ranges) reads; same pattern as
+    # build_bloom_index)
+    import ray
 
-    stats: dict[str, dict[str, list]] = {}
-    for rid in man.rid:
+    @ray.remote(num_cpus=1)
+    def _zone_ent(rid: int):
+        import pyarrow.parquet as pq
+
         t = pq.read_table(
-            os.path.join(path, f"rid={int(rid)}", "part.parquet"), columns=[ca, cb]
+            os.path.join(path, f"rid={rid}", "part.parquet"),
+            columns=[ca, cb],
         )
         ent = {}
         for c in (ca, cb):
@@ -1348,7 +1380,11 @@ def write_zordered(
             vv = v[valid]
             conv = float if kind == "float" else int
             ent[c] = [conv(vv.min()), conv(vv.max())] if len(vv) else None
-        stats[str(int(rid))] = ent
+        return str(rid), ent
+
+    stats: dict[str, dict[str, list]] = dict(
+        ray.get([_zone_ent.remote(int(rid)) for rid in man.rid])
+    )
     doc = {"cols": [ca, cb], "kinds": {ca: ka, cb: kb}, "ranges": stats}
     tmp = os.path.join(path, STATS_NAME + ".tmp")
     with open(tmp, "w") as f:
@@ -1396,7 +1432,11 @@ def read_zordered_where(
     for rid_s, ent in doc["ranges"].items():
         zm = ent.get(col)
         if zm is None:
-            continue  # all-null range never matches a bounded scan
+            # all-null range: a BOUNDED predicate never matches NULL,
+            # but an unbounded scan must still return its rows
+            if nlo is None and nhi is None:
+                keep.append(int(rid_s))
+            continue
         vmin, vmax = zm
         if (nlo is None or vmax >= nlo) and (nhi is None or vmin <= nhi):
             keep.append(int(rid_s))
@@ -1411,7 +1451,9 @@ def read_zordered_where(
 
             need = [c for c in pq.read_schema(fp).names if c != "__z"]
         ds = ray.data.read_parquet(fp, columns=need).limit(0)
-        return _drop_rid(ds, need), stats
+        # same column fix-up as the non-empty path, or a fully-pruned
+        # scan returns the internally-appended cluster column
+        return _strip_z(_drop_rid(ds, need), columns), stats
     files = [_rid_file(root, r) for r in sorted(keep)]
     flt = None
     if lo is not None:
@@ -1466,7 +1508,10 @@ def read_zordered_box(
         for c, (nlo, nhi) in nb.items():
             zm = ent.get(c)
             if zm is None:
-                ok = False  # all-null in this dim never matches a bound
+                # all-null dim matches only a fully open bound pair
+                if nlo is None and nhi is None:
+                    continue
+                ok = False
                 break
             vmin, vmax = zm
             if (nlo is not None and vmax < nlo) or (nhi is not None and vmin > nhi):
@@ -1490,7 +1535,7 @@ def read_zordered_box(
 
             need = [c for c in pq.read_schema(fp).names if c != "__z"]
         ds = ray.data.read_parquet(fp, columns=need).limit(0)
-        return _drop_rid(ds, need), stats
+        return _strip_z(_drop_rid(ds, need), columns), stats
     files = [_rid_file(root, r) for r in sorted(keep)]
     flt = None
     for c, (lo, hi) in bounds.items():

@@ -695,3 +695,75 @@ def test_bloom_lookup_all_absent_keeps_schema(ray_session, tmp_store):
         # zero-COLUMN empty made these raise KeyError)
         out = ds.select_columns(["name", "v"]).sort("v").take_all()
         assert out == []
+
+
+# ----------------------------------------------- round-5 hardening
+def test_snapshot_diff_null_column_modification_detected(ray_session):
+    """(NULL, 5) -> (NULL, 7) must classify as modified — per-column
+    null encoding in the fingerprint (a whole-tuple null encoding
+    collapsed every null-bearing row to one fingerprint)."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.table_store import snapshot_diff
+
+    old = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2], np.int64),
+         "a": pd.array([None, "x"], dtype="string"),
+         "b": np.array([5, 6], np.int64)}))
+    new = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2], np.int64),
+         "a": pd.array([None, "x"], dtype="string"),
+         "b": np.array([7, 6], np.int64)}))
+    out = snapshot_diff(
+        old, new, "k", include_unchanged=True
+    ).to_pandas().sort_values("k")
+    assert list(out["change"]) == ["modified", "unchanged"]
+
+
+def test_zordered_unbounded_scan_keeps_all_null_ranges(
+    ray_session, tmp_path
+):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.table_store import (
+        read_zordered_where, write_zordered,
+    )
+
+    n = 40
+    df = pd.DataFrame(
+        {"x": pd.array([None] * 10 + list(range(n - 10)), dtype="Int64"),
+         "y": np.arange(n, dtype=np.int64),
+         "v": np.arange(n, dtype=np.int64)}
+    )
+    p = str(tmp_path / "zs")
+    write_zordered(rd.from_pandas(df), p, ("x", "y"), num_ranges=4)
+    # unbounded: every row returns, including the null-x rows
+    full, _ = read_zordered_where(p, "x", columns=["v"])
+    assert sorted(full.to_pandas()["v"]) == list(range(n))
+    # bounded: null-x rows never match
+    bounded, _ = read_zordered_where(p, "x", lo=0, columns=["v"])
+    assert len(bounded.to_pandas()) == n - 10
+
+
+def test_clustered_fully_pruned_scan_schema_consistent(
+    ray_session, tmp_path
+):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.table_store import (
+        read_clustered, write_clustered,
+    )
+
+    df = pd.DataFrame({"k": np.arange(20, dtype=np.int64),
+                       "v": np.arange(20, dtype=np.int64)})
+    p = str(tmp_path / "cs")
+    write_clustered(rd.from_pandas(df), p, "k", num_ranges=4)
+    nonempty = read_clustered(p, lo=0, hi=5, columns=["v"])
+    pruned = read_clustered(p, lo=1000, hi=2000, columns=["v"])
+    assert nonempty.schema().names == ["v"]
+    # the bug: a fully-pruned scan leaked the cluster column "k";
+    # Ray may drop the schema of an all-empty dataset entirely, so
+    # accept that — just never the stray column
+    sch = pruned.schema()
+    assert sch is None or sch.names == ["v"]
+    assert pruned.count() == 0
