@@ -51,16 +51,37 @@ def _partition_of_keys(t: pa.Table, keys: list[str], P: int) -> np.ndarray:
     splitmix64 fast path; anything else hashes the '\\x1f'-joined string
     form (combiner output scale — already one row per group per batch)."""
     kf = t.schema.field(keys[0])
-    if len(keys) == 1 and pa.types.is_integer(kf.type) and t.column(keys[0]).null_count == 0:
-        k = t.column(keys[0]).to_numpy(zero_copy_only=False).astype(np.uint64)
-        return (splitmix64(k) % np.uint64(P)).astype(np.int32)
+    # routing MUST depend only on the key VALUE, never on which batch
+    # it sits in: a per-batch fast-path condition (e.g. null_count==0)
+    # would route the same key through different hash functions in
+    # different batches, splitting one group across partitions and
+    # silently emitting duplicate partial rows. Dispatch on TYPE only;
+    # single-key NULLs route to the fixed splitmix64(0) partition on
+    # every path (incl. Arrow null-typed all-null blocks).
+    null_part = np.int32(splitmix64(np.zeros(1, np.uint64))[0] % np.uint64(P))
+    if len(keys) == 1 and pa.types.is_null(kf.type):
+        return np.full(t.num_rows, null_part, np.int32)
+    if len(keys) == 1 and pa.types.is_integer(kf.type):
+        col = t.column(keys[0])
+        k = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64(k) % np.uint64(P)).astype(np.int32)
+        if col.null_count:
+            isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+            part[isnull] = null_part
+        return part
     parts = []
     for kcol in keys:
         s = pc.cast(t.column(kcol), pa.string())
         parts.append(pc.coalesce(s, pa.scalar("\x00NULL")))
     joined = pc.binary_join_element_wise(*parts, "\x1f") if len(parts) > 1 else parts[0]
     h = hash_strings(joined.combine_chunks())
-    return (h % np.uint64(P)).astype(np.int32)
+    part = (h % np.uint64(P)).astype(np.int32)
+    if len(keys) == 1:
+        col = t.column(keys[0])
+        if col.null_count:
+            isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+            part[isnull] = null_part
+    return part
 
 
 def _group_by_nullsafe(t: pa.Table, keys: list[str], agg_list) -> pa.Table:
@@ -108,6 +129,8 @@ def _group_by_nullsafe(t: pa.Table, keys: list[str], agg_list) -> pa.Table:
             fill = pa.scalar("", col.type)
         elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
             fill = pa.scalar(b"", col.type)
+        elif pa.types.is_boolean(col.type):
+            fill = pa.scalar(False, col.type)
         else:
             fill = pa.scalar(0, col.type)
         t = t.set_column(
@@ -229,7 +252,12 @@ def grouped_agg(
                 sq = pc.cast(res.column(pcols[isq]), pa.float64())
                 m = pc.divide(s, n)
                 var = pc.subtract(pc.divide(sq, n), pc.multiply(m, m))
-                var = pc.max_element_wise(var, pa.scalar(0.0))  # fp guard
+                # fp guard that PRESERVES null (max_element_wise skips
+                # nulls, which would turn an all-null group's NULL
+                # variance into 0.0 — SQL VAR_POP returns NULL there)
+                var = pc.if_else(pc.is_valid(var),
+                                 pc.max_element_wise(var, pa.scalar(0.0)),
+                                 var)
                 cols[out] = var if kind == "var" else pc.sqrt(var)
             else:
                 cols[out] = res.column(pcols[idxs[0]])
@@ -285,6 +313,14 @@ def grouping_sets(
     n = len(union_keys)
     if "grouping_id" in union_keys:
         raise ValueError("'grouping_id' collides with a grouping key")
+    for _out, (_k, c) in aggs.items():
+        if c == "grouping_id":
+            # the replicate kernel synthesizes its own grouping_id
+            # column FIRST, so an agg input of that name would silently
+            # aggregate the bitmask instead of the data
+            raise ValueError(
+                "'grouping_id' collides with an aggregate input column; "
+                "rename the data column before grouping_sets")
     gids = [
         sum((1 << (n - 1 - i)) for i, k in enumerate(union_keys) if k not in s)
         for s in sets

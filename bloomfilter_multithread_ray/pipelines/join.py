@@ -280,8 +280,19 @@ def _broadcast_join(
     rref = ray.put(rtab)
     join_type = "inner" if how == "inner" else "left outer"
 
+    rkey_type = rtab.schema.field(right_on).type
+
     def join_fn(batch: pa.Table) -> pa.Table:
         rt = ray.get(rref)
+        # an ALL-null left block arrives with a null-typed key column,
+        # which Acero rejects as a join key — cast it to the right
+        # side's key type (all values stay null: no matches, correct
+        # inner/left semantics), same rule the shuffle path applies
+        bkey = batch.schema.field(on).type
+        if pa.types.is_null(bkey) and not pa.types.is_null(rkey_type):
+            i = batch.schema.get_field_index(on)
+            batch = batch.set_column(
+                i, on, pa.nulls(batch.num_rows, rkey_type))
         joined = batch.join(
             rt, keys=[on], right_keys=[right_on], join_type=join_type
         )
@@ -347,6 +358,12 @@ def _multi_key_join(
     l_cols = list(l_schema.names)
     if JK in l_cols:
         raise ValueError(f"left side already has a {JK} column")
+    r_schema = right.schema()
+    if r_schema is not None and JK in r_schema.names:
+        # without this mirror the append_column below would create a
+        # duplicate-named column and fail downstream opaquely (or
+        # silently join on a stale key)
+        raise ValueError(f"right side already has a {JK} column")
 
     def add_jk(cols):
         def fn(t: pa.Table) -> pa.Table:
@@ -504,6 +521,13 @@ def hash_join(
         if how in ("right", "full"):
             broadcast = False
         else:
+            if how in ("semi", "anti"):
+                # only the key column is ever shipped for semi/anti —
+                # prune BEFORE the size test so a wide right side
+                # neither pins its payload in the object store nor
+                # biases the planner toward the shuffle plan
+                # (right_on is normalized further down; default here)
+                right = right.select_columns([right_on or on])
             right = right.materialize()
             broadcast = choose_broadcast(right.size_bytes(), broadcast_threshold)
         if broadcast:
@@ -750,9 +774,19 @@ def hash_join(
             merged = ldf.merge(rdf, on=on, how="outer" if how == "full" else "right")
             if len(rnull):
                 out_cols = [f.name for f in out_schema]
-                merged = pd.concat(
-                    [merged, rnull.reindex(columns=out_cols)], ignore_index=True
-                )
+                add = rnull.reindex(columns=out_cols)
+                # the left-side columns reindex invented are plain
+                # float64 NaN; give them TYPED arrow NA instead —
+                # pandas >= 3 includes all-NA columns in concat dtype
+                # determination, which would promote int64 columns to
+                # float64 and silently round values past 2^53
+                for c in out_cols:
+                    if c not in rnull.columns:
+                        add[c] = pd.Series(
+                            pd.NA, index=add.index,
+                            dtype=pd.ArrowDtype(out_schema.field(c).type),
+                        )
+                merged = pd.concat([merged, add], ignore_index=True)
         else:
             rdf = rdf[rdf[on].notna()]
             merged = ldf.merge(rdf, on=on, how=how)

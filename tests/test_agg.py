@@ -400,3 +400,70 @@ def test_grouping_sets_agg_over_grouping_key(ray_session):
     w = want.astype({"b": "float64", "sb": "int64", "mb": "int64",
                      "n": "int64", "grouping_id": "int64"})
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+# ----------------------------------------------- round-5 hardening
+def test_grouped_agg_nullable_int_key_single_group(ray_session):
+    """THE routing bug class: a nullable int64 key whose nulls appear
+    in only SOME blocks must still produce ONE row per key — per-batch
+    hash-path dispatch used to split a key's partials across two
+    partitions (silently wrong sums)."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    a = pd.DataFrame({"k": pd.array([5, 5, 7], dtype="Int64"),
+                      "v": [1, 2, 4]})
+    b = pd.DataFrame({"k": pd.array([5, None, 7], dtype="Int64"),
+                      "v": [8, 16, 32]})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    out = grouped_agg(ds, "k", {"s": ("sum", "v")}).to_pandas()
+    got = {(None if pd.isna(r.k) else int(r.k)): int(r.s)
+           for r in out.itertuples()}
+    assert got == {5: 11, 7: 36, None: 16}
+    assert len(out) == 3  # one row per group — never split partials
+
+
+def test_grouped_agg_bool_second_key_with_nulls(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y", "y"],
+         "b": pd.array([True, None, False, None], dtype="boolean"),
+         "v": [1, 2, 4, 8]}
+    )
+    out = grouped_agg(rd.from_pandas(df), ["a", "b"],
+                      {"s": ("sum", "v")}).to_pandas()
+    assert len(out) == 4
+    row = out[(out["a"] == "x") & out["b"].isna()]
+    assert int(row["s"].iloc[0]) == 2
+
+
+def test_grouped_var_all_null_group_is_null(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.agg import grouped_agg
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b"],
+         "x": pd.array([1.0, 3.0, None], dtype="float64")}
+    )
+    out = grouped_agg(rd.from_pandas(df), "k",
+                      {"var": ("var", "x"), "m": ("mean", "x")}).to_pandas()
+    a = out[out["k"] == "a"].iloc[0]
+    assert a["var"] == 1.0
+    b = out[out["k"] == "b"].iloc[0]
+    assert pd.isna(b["var"]) and pd.isna(b["m"])  # SQL VAR_POP: NULL
+
+
+def test_grouping_sets_rejects_grouping_id_agg_input(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.agg import grouping_sets
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"a": ["x"], "grouping_id": [1]}))
+    with pytest.raises(ValueError, match="grouping_id"):
+        grouping_sets(ds, [["a"]], {"s": ("sum", "grouping_id")})

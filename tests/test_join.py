@@ -614,3 +614,40 @@ def test_composite_key_validation(ray_session):
     got = hash_join(_mk(left), _mk(right.rename(columns={"b2": "b"})),
                     on=["a"], how="semi", num_partitions=4).to_pandas()
     assert sorted(got.columns) == ["a", "b", "lv"]
+
+
+# ----------------------------------------------- round-5 hardening
+def test_broadcast_join_all_null_key_block(ray_session):
+    """An all-null left block arrives null-typed; Acero rejects
+    null-typed join keys — the broadcast path must cast it like the
+    shuffle path does (rows simply don't match)."""
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+    lnull = pd.DataFrame({"k": pd.array([None, None], dtype="Int64"),
+                          "lv": [1, 2]})
+    lreal = pd.DataFrame({"k": pd.array([1, 2], dtype="Int64"),
+                          "lv": [3, 4]})
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": pd.array([1], dtype="Int64"), "rv": [10]}))
+    left = rd.from_pandas(lnull).union(rd.from_pandas(lreal))
+    inner = hash_join(left, right, on="k", how="inner",
+                      broadcast=True).to_pandas()
+    assert inner["lv"].tolist() == [3] and inner["rv"].tolist() == [10]
+    lj = hash_join(left, right, on="k", how="left",
+                   broadcast=True).to_pandas().sort_values("lv")
+    assert len(lj) == 4  # null-key rows kept unmatched
+    assert lj[lj["lv"] == 3]["rv"].iloc[0] == 10
+
+
+def test_multi_key_join_rejects_right_jk_column(ray_session):
+    import ray.data as rd
+
+    from bloomfilter_multithread_ray.pipelines.join import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"a": [1], "b": [2]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"a": [1], "b": [2], "__jk": ["stale"]}))
+    with pytest.raises(ValueError, match="__jk"):
+        hash_join(left, right, on=["a", "b"])
